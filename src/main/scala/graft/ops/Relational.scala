@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Relational operator library (SURVEY.md §2.7–2.8 + §2.2).
+  *
+  * Scale notes: every operator here is a lazy plan fragment — no
+  * collect(), no driver-side loops. Dedup/semi/anti ops shuffle exactly
+  * once on their key; at 100 TB the shuffle key is the table PK, which
+  * is what downstream joins partition on anyway, so the exchange is
+  * reusable by AQE.
+  */
+object Relational {
+
+  /** Keep-last dedup by key (A1, etl/transform.py:33-38 et al.).
+    *
+    * pandas `drop_duplicates(keep="last")` is positional; a distributed
+    * engine needs an explicit ordering, so the caller supplies the
+    * tiebreaker columns (latest wins). One shuffle on `keys`.
+    */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Keep-last in encounter order for single-node-deterministic input
+    * (faithful to the reference's positional semantics; only safe when
+    * the upstream plan preserves input order, e.g. a fresh file scan).
+    */
+  def dedupKeepLastPositional(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val withIdx = df.withColumn("__idx", monotonically_increasing_id())
+    dedupKeepLast(withIdx, keys, Seq(col("__idx"))).drop("__idx")
+  }
+
+  /** Left-semi join on equal-named key columns (J1/J2). Catalyst picks
+    * broadcast vs shuffled by size/AQE; callers with a known-small right
+    * side should pass `broadcast(right)`.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right.select(keys.map(col): _*), keys, "left_semi")
+
+  /** Left-anti join on equal-named key columns (J3–J5). */
+  def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Required-non-null split (W3, etl/load.py:33-37,136-154):
+    * returns (rows with all required columns non-null, quarantined rest).
+    * Both sides are lazy plans off the same scan — cache the input when
+    * both are materialized.
+    */
+  def requireNonNull(df: DataFrame, cols: Seq[String]): (DataFrame, DataFrame) = {
+    val ok = cols.map(col(_).isNotNull).reduce(_ && _)
+    (df.filter(ok), df.filter(!ok))
+  }
+
+  /** Union by name tolerating asymmetric schemas (A4 + N7): missing
+    * columns are synthesized as nulls on either side.
+    */
+  def unionByNameSafe(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** Drop positionally-duplicated column names, keep first (N6).
+    * Duplicate names are unreferencable in Spark, so rename positionally
+    * to unique temps, select the first occurrence of each, rename back.
+    */
+  def dropDuplicateColumns(df: DataFrame): DataFrame = {
+    val names = df.columns
+    val temps = names.indices.map(i => s"__c$i")
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val keep = names.zipWithIndex.collect {
+      case (c, i) if seen.add(c.toLowerCase) => (temps(i), c)
+    }
+    df.toDF(temps: _*)
+      .select(keep.map { case (t, c) => col(t).as(c) }.toIndexedSeq: _*)
+  }
+
+  /** Synthesize an all-null column if absent (N7, etl/extract.py:292-295). */
+  def ensureColumn(df: DataFrame, name: String, dt: DataType): DataFrame =
+    if (df.columns.contains(name)) df
+    else df.withColumn(name, lit(null).cast(dt))
+
+  /** Rename all columns through a normalizer (N1-style pass). */
+  def renameNormalized(df: DataFrame, f: String => String): DataFrame = {
+    val renames = df.columns.map(c => c -> f(c))
+    // pre-dedupe: Spark errors on duplicate names at analysis (N5)
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val unique = renames.map { case (orig, n) =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      orig -> (if (k == 0) n else s"${n}_$k")
+    }
+    df.withColumnsRenamed(unique.toMap)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.RelationalQueries.Q
+
+/** Aggregated query catalog: the single registry SparkEntry exposes. */
+object Catalog {
+
+  def allQueries: Seq[Q] = RelationalQueries.all
+
+  /** Session settings every catalog query relies on, applied defensively
+    * in case the driver builds the session without them. All are
+    * runtime-mutable SQLConf entries.
+    */
+  def tune(spark: SparkSession): Unit = {
+    // pandas-style lenient casts (invalid → null) + oracle-comparable
+    // semantics; the library still uses try_* forms where parse can fail.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map { q =>
+      q.name -> { (s: SparkSession, d: String) => tune(s); q.run(s, d) }
+    }.toMap
+
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

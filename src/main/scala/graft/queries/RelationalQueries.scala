@@ -1,0 +1,514 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Functions._
+import graft.ops.Relational._
+import graft.tables.Tables
+
+/** One named query per reference operator family (SURVEY.md §2.1–2.8)
+  * plus the gap-analysis relational surface (§2.11), each paired with
+  * DuckDB oracle SQL over the same parquet tables.
+  *
+  * Conventions for oracle hash-stability:
+  *  - every query output has an explicit ORDER BY on a unique key;
+  *  - money aggregates are computed exactly in DECIMAL and cast to
+  *    DOUBLE once at the end (identical bits in both engines);
+  *  - ORDER BY on nullable keys always spells NULLS FIRST (Spark's
+  *    default) because DuckDB defaults to NULLS LAST;
+  *  - column aliases match between Spark and SQL exactly.
+  */
+object RelationalQueries {
+
+  /** A catalog entry: query + optional DuckDB oracle. */
+  case class Q(name: String,
+               run: (SparkSession, String) => DataFrame,
+               oracle: Option[String])
+
+  /** DuckDB equivalent of Spark's `initcap` (DuckDB has none). */
+  def duckInitcap(e: String): String =
+    s"array_to_string(list_transform(string_split($e, ' '), " +
+      s"x -> upper(substr(x,1,1)) || lower(substr(x,2))), ' ')"
+
+  /** DuckDB CASE translation of a Scala lookup map over a key expr. */
+  def duckMapCase(keyExpr: String, m: Map[String, String], elseExpr: String): String =
+    "CASE " + m.map { case (k, v) =>
+      s"WHEN $keyExpr = '${k.replace("'", "''")}' THEN '${v.replace("'", "''")}'"
+    }.mkString(" ") + s" ELSE $elseExpr END"
+
+  // =====================================================================
+  // §2.1/§2.3 — scans, projections, casts
+  // =====================================================================
+
+  val q01ScanProject = Q("q01_scan_project",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // sort on every output column for a hash-stable row order
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      l_returnflag FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      l_returnflag"""))
+
+  val q02FilterDate = Q("q02_filter_date",
+    // W1 — strict-equality daily filter (etl/pipeline.py:120-127)
+    (s, d) => Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) === lit("1997-03-15").cast(DateType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE CAST(o_orderdate AS DATE) = DATE '1997-03-15'
+      ORDER BY o_orderkey"""))
+
+  val q03ProjectCast = Q("q03_project_cast",
+    // P1/P6/P7/P8 — wide projection with casts and money coercion
+    (s, d) => Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey").cast(StringType).as("okey_str"),
+        col("l_linenumber").cast(IntegerType).as("lnum"),
+        col("l_quantity").cast(StringType).try_cast(DecimalType(18, 2))
+          .cast(DoubleType).as("qty_dec"),
+        col("l_extendedprice").cast(DecimalType(18, 2))
+          .cast(DoubleType).as("price_dec"))
+      .orderBy(col("okey_str"), col("lnum"), col("qty_dec"), col("price_dec")),
+    Some("""SELECT CAST(l_orderkey AS VARCHAR) AS okey_str,
+      CAST(l_linenumber AS INTEGER) AS lnum,
+      CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS qty_dec,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
+      FROM lineitem ORDER BY okey_str, lnum, qty_dec, price_dec"""))
+
+  // =====================================================================
+  // §2.4 — string functions
+  // =====================================================================
+
+  val q04StringFuncs = Q("q04_string_funcs",
+    // F1/F4–F7 over part names
+    (s, d) => Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        firstToken(col("p_name")).as("first_tok"),
+        upper(trim(col("p_name"))).as("up"),
+        lower(col("p_brand")).as("lo"),
+        initcap(col("p_name")).as("title"),
+        length(col("p_name")).as("len"))
+      .orderBy(col("p_partkey")),
+    Some(s"""SELECT p_partkey, split_part(p_name, ' ', 1) AS first_tok,
+      upper(trim(p_name)) AS up, lower(p_brand) AS lo,
+      ${duckInitcap("p_name")} AS title,
+      length(p_name) AS len FROM part ORDER BY p_partkey"""))
+
+  val q05ConditionalExpr = Q("q05_conditional_expr",
+    // F2/F3 — conditional course-code extract + conditional zeroing over
+    // synthesized sheet-like strings
+    (s, d) => {
+      val course = when(col("p_size") > 15,
+        concat(lit("P"), col("p_partkey"), lit(" "), col("p_name")))
+        .otherwise(col("p_name"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), course.as("course_raw"),
+          courseCode(course).as("codigo_curso"),
+          numCursosFixed(course, col("p_size")).as("num_cursos"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""WITH t AS (SELECT p_partkey,
+        CASE WHEN p_size > 15 THEN 'P' || p_partkey || ' ' || p_name
+             ELSE p_name END AS course_raw, p_size FROM part)
+      SELECT p_partkey, course_raw,
+        CASE WHEN course_raw IS NOT NULL AND starts_with(trim(course_raw), 'P')
+             THEN split_part(trim(course_raw), ' ', 1) ELSE course_raw END
+          AS codigo_curso,
+        CASE WHEN course_raw IS NOT NULL AND starts_with(trim(course_raw), 'P')
+             THEN coalesce(TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER), 0)
+             ELSE 0 END AS num_cursos
+      FROM t ORDER BY p_partkey"""))
+
+  val q06AccountMap = Q("q06_account_map",
+    // F8 — dict-lookup normalization with initcap fallback, falsy → null
+    (s, d) => {
+      val method = when(col("o_orderpriority") === "1-URGENT", lit("YAPE"))
+        .when(col("o_orderpriority") === "2-HIGH", lit("bcp"))
+        .when(col("o_orderpriority") === "3-MEDIUM", lit("banco de la nación"))
+        .when(col("o_orderpriority") === "5-LOW", lit("efectivo tienda"))
+        .otherwise(lit(null).cast(StringType))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), method.as("metodo_raw"),
+          accountNormalize(method, AccountMapRegular).as("metodo_pago"),
+          currencyForMethod(method).as("moneda"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""WITH t AS (SELECT o_orderkey,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 'YAPE'
+             WHEN o_orderpriority = '2-HIGH' THEN 'bcp'
+             WHEN o_orderpriority = '3-MEDIUM' THEN 'banco de la nación'
+             WHEN o_orderpriority = '5-LOW' THEN 'efectivo tienda'
+             ELSE NULL END AS metodo_raw FROM orders)
+      SELECT o_orderkey, metodo_raw,
+        CASE WHEN metodo_raw IS NULL OR metodo_raw = '' THEN NULL
+             ELSE coalesce(
+               ${duckMapCase("upper(trim(metodo_raw))", graft.functions.Functions.AccountMapRegular, "NULL")},
+               ${duckInitcap("metodo_raw")}) END AS metodo_pago,
+        CASE WHEN metodo_raw IN ('Banco de México','Banco de Mexico',
+               'Banco de México / P','Banco de Ecuador / P') THEN 'MXN'
+             WHEN metodo_raw IN ('Banco de Ecuador','PAYPAL','Paypal') THEN 'USD'
+             WHEN metodo_raw = 'Banco de Chile' THEN 'CLP'
+             ELSE 'PEN' END AS moneda
+      FROM t ORDER BY o_orderkey"""))
+
+  // =====================================================================
+  // §2.4 F10–F12 — phone-country detection
+  // =====================================================================
+
+  private val phonePrefixes = Seq("549", "569", "51", "57", "593", "591",
+    "507", "521", "52", "55", "1", "39", "34", "33", "49", "99")
+
+  val q07PhoneCountry = Q("q07_phone_country",
+    (s, d) => {
+      val idx = (col("c_custkey") % 16).cast(IntegerType)
+      val prefix = element_at(typedLit(phonePrefixes), idx + 1)
+      val body = when(prefix === "1",
+        lpad((col("c_custkey") % 1000000).cast(StringType), 10, "0"))
+        .otherwise(lpad((col("c_custkey") % 1000000).cast(StringType), 9, "0"))
+      val phone = concat(lit("+"), prefix, lit("-"), body)
+      val info = phoneInfo(phone)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), phone.as("numero_raw"),
+          phoneCountry(phone).as("pais"),
+          info.getField("codigo_pais").as("codigo_pais"),
+          info.getField("numero_e164").as("numero_e164"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH t AS (
+        SELECT c_custkey,
+          (['549','569','51','57','593','591','507','521','52','55','1','39','34','33','49','99'])[CAST(c_custkey % 16 AS INTEGER) + 1] AS pfx,
+          lpad(CAST(c_custkey % 1000000 AS VARCHAR),
+               CASE WHEN c_custkey % 16 = 10 THEN 10 ELSE 9 END, '0') AS body
+        FROM customer),
+      p AS (SELECT c_custkey, '+' || pfx || '-' || body AS numero_raw,
+                   pfx || body AS num FROM t)
+      SELECT c_custkey, numero_raw,
+        CASE WHEN starts_with(num,'549') THEN 'Argentina'
+             WHEN starts_with(num,'569') THEN 'Chile'
+             WHEN starts_with(num,'51') THEN 'Perú'
+             WHEN starts_with(num,'57') THEN 'Colombia'
+             WHEN starts_with(num,'593') THEN 'Ecuador'
+             WHEN starts_with(num,'591') THEN 'Bolivia'
+             WHEN starts_with(num,'507') THEN 'Panamá'
+             WHEN starts_with(num,'521') OR starts_with(num,'52') THEN 'México'
+             WHEN starts_with(num,'55') THEN 'Brasil'
+             WHEN length(num) = 11 AND starts_with(num,'1')
+               THEN 'Estados Unidos / Puerto Rico'
+             WHEN starts_with(num,'39') THEN 'Italia'
+             WHEN starts_with(num,'34') THEN 'España'
+             WHEN starts_with(num,'33') THEN 'Francia'
+             WHEN starts_with(num,'49') THEN 'Alemania'
+             ELSE 'Desconocido' END AS pais,
+        CASE WHEN starts_with(num,'549') THEN '54'
+             WHEN starts_with(num,'569') THEN '56'
+             WHEN starts_with(num,'51') THEN '51'
+             WHEN starts_with(num,'57') THEN '57'
+             WHEN starts_with(num,'593') THEN '593'
+             WHEN starts_with(num,'591') THEN '591'
+             WHEN starts_with(num,'507') THEN '507'
+             WHEN starts_with(num,'521') OR starts_with(num,'52') THEN '52'
+             WHEN starts_with(num,'55') THEN '55'
+             WHEN length(num) = 11 AND starts_with(num,'1') THEN '1'
+             WHEN starts_with(num,'39') THEN '39'
+             WHEN starts_with(num,'34') THEN '34'
+             WHEN starts_with(num,'33') THEN '33'
+             WHEN starts_with(num,'49') THEN '49'
+             ELSE NULL END AS codigo_pais,
+        '+' || num AS numero_e164
+      FROM p ORDER BY c_custkey"""))
+
+  // =====================================================================
+  // §2.5 — lenient day-first dates
+  // =====================================================================
+
+  val q08LenientDate = Q("q08_lenient_date",
+    (s, d) => {
+      val k = col("o_orderkey")
+      val raw = when(k % 97 === 0, lit("not a date"))
+        .when(k % 3 === 0, date_format(col("o_orderdate"), "d/M/yyyy"))
+        .when(k % 3 === 1, date_format(col("o_orderdate"), "d/M/yyyy H:mm:ss"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      Tables.orders(s, d)
+        .select(k.as("o_orderkey"), raw.as("raw_date"),
+          isoDate(lenientDate(raw)).as("fecha_iso"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH t AS (SELECT o_orderkey,
+        CASE WHEN o_orderkey % 97 = 0 THEN 'not a date'
+             WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%-d/%-m/%Y')
+             WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%-d/%-m/%Y %-H:%M:%S')
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_date
+        FROM orders)
+      SELECT o_orderkey, raw_date,
+        strftime(try_strptime(raw_date,
+          ['%d/%m/%Y %H:%M:%S','%d/%m/%Y %H:%M','%d/%m/%Y',
+           '%Y-%m-%d %H:%M:%S','%Y-%m-%d']), '%Y-%m-%d') AS fecha_iso
+      FROM t ORDER BY o_orderkey"""))
+
+  // =====================================================================
+  // §2.8 — dedup / distinct / union
+  // =====================================================================
+
+  val q09DedupKeepLast = Q("q09_dedup_keeplast",
+    // A1 — keep-last by key with explicit (latest-date, highest-key) order
+    (s, d) => dedupKeepLast(Tables.orders(s, d), Seq("o_custkey"),
+      Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      WHERE rn = 1 ORDER BY o_custkey"""))
+
+  val q10DistinctKeys = Q("q10_distinct_keys",
+    // A2 — distinct non-null key extraction
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .na.drop().distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q11SemiJoin = Q("q11_semi_join",
+    // J1/J2 — lineitem ⋉ finished orders
+    (s, d) => {
+      val valid = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      semiJoin(Tables.lineitem(s, d), valid, Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus='F')
+      ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  val q12AntiJoin = Q("q12_anti_join",
+    // J3–J5 — orders whose customer is NOT in the rich-customer set
+    (s, d) => {
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") >= 1000)
+        .select(col("c_custkey").as("o_custkey"))
+      Tables.orders(s, d).join(rich, Seq("o_custkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 1000)
+      ORDER BY o_orderkey"""))
+
+  val q13Union = Q("q13_union",
+    // A4 + N7 — union-by-name of asymmetric payment-like branches
+    (s, d) => {
+      val a = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("key"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).cast(DoubleType).as("amount"),
+        lit("lineitem").as("source"),
+        col("l_returnflag").as("flag"))
+      val b = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("amount"),
+        lit("orders").as("source"))
+      unionByNameSafe(a, b)
+        .orderBy(col("source"), col("key"), col("amount"), col("flag"))
+    },
+    Some("""SELECT key, amount, source, flag FROM (
+        SELECT l_orderkey AS key,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+               'lineitem' AS source, l_returnflag AS flag FROM lineitem
+        UNION ALL
+        SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+               'orders', NULL
+        FROM orders)
+      ORDER BY source, key, amount, flag NULLS FIRST"""))
+
+  val q14QuarantineNonNull = Q("q14_quarantine_nonnull",
+    // W3 — required-non-null split with quarantine tag
+    (s, d) => {
+      val df = Tables.orders(s, d).withColumn("fecha_pago",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast(StringType))
+          .otherwise(isoDate(col("o_orderdate"))))
+      val (good, bad) = requireNonNull(df, Seq("fecha_pago"))
+      good.withColumn("bucket", lit("ok"))
+        .unionByName(bad.withColumn("bucket", lit("quarantine")))
+        .select(col("o_orderkey"), col("fecha_pago"), col("bucket"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH t AS (SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS fecha_pago FROM orders)
+      SELECT o_orderkey, fecha_pago,
+        CASE WHEN fecha_pago IS NOT NULL THEN 'ok' ELSE 'quarantine' END AS bucket
+      FROM t ORDER BY o_orderkey"""))
+
+  // =====================================================================
+  // §2.11 — gap surface: joins, aggregates, windows, set ops, top-k
+  // =====================================================================
+
+  val q15InnerJoin = Q("q15_inner_join",
+    // enriching 3-way join; nation broadcast (25 rows at any SF)
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name ORDER BY c_custkey"""))
+
+  val q16OuterJoin = Q("q16_outer_join",
+    // left-outer + zero-fill counts
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType),
+          lit(0.0)).as("revenue"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+          AS revenue
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  val q17GroupbyAgg = Q("q17_groupby_agg",
+    // TPC-H Q1 shape: the canonical scan→filter→partial-agg→final-agg
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(25, 6))).cast(DoubleType).as("sum_disc_price"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+          AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q18Rollup = Q("q18_rollup",
+    (s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("bal"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first),
+    Some("""SELECT n_name, c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))
+
+  val q19Cube = Q("q19_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  val q20WindowFuncs = Q("q20_window_funcs",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        lag(col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType), 1)
+          .over(w).as("prev_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        row_number() OVER w AS rn,
+        lag(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w
+          AS prev_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn"""))
+
+  val q21TopK = Q("q21_topk",
+    // orderBy+limit → TakeOrderedAndProject (no full sort at scale)
+    (s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(100),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  val q22Intersect = Q("q22_intersect",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      ORDER BY o_custkey"""))
+
+  val q23Except = Q("q23_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+      a.except(b).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      ORDER BY o_custkey"""))
+
+  val q24Having = Q("q24_having",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+      .filter(col("n_orders") >= 5)
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+      ORDER BY o_custkey"""))
+
+  val all: Seq[Q] = Seq(
+    q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
+    q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
+    q09DedupKeepLast, q10DistinctKeys, q11SemiJoin, q12AntiJoin, q13Union,
+    q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
+    q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
+    q24Having)
+}
