@@ -7,7 +7,9 @@ import graft.queries.RelationalQueries.Q
 /** Aggregated query catalog: the single registry SparkEntry exposes. */
 object Catalog {
 
-  def allQueries: Seq[Q] = RelationalQueries.all
+  def allQueries: Seq[Q] =
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all
 
   /** Session settings every catalog query relies on, applied defensively
     * in case the driver builds the session without them. All are

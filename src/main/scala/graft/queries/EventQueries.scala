@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.RelationalQueries.Q
+import graft.tables.Tables
+
+/** Temporal operators over `events` (the streaming-equivalent batch
+  * forms — the live Structured Streaming variants live in
+  * graft.streaming) plus the multimodal-column plumbing query.
+  *
+  * Timestamp parity: events.ts is parquet TIMESTAMP(NANOS); Spark reads
+  * it as nanos-long and Tables.events normalizes to microseconds.
+  * DuckDB keeps TIMESTAMP_NS but `epoch_us` / `date_trunc('day')`
+  * truncate identically, so derived values agree. Raw ns timestamps are
+  * never emitted in query output.
+  */
+object EventQueries {
+
+  val q36DailyAgg = Q("q36_daily_agg",
+    // tumbling daily window aggregation — the batch form of the
+    // reference's daily run (W1+D3 generalized); maps 1:1 onto
+    // Structured Streaming `window($"ts", "1 day")`
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .orderBy(col("day"), col("event_type")),
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  val q37Sessionize = Q("q37_sessionize",
+    // session windows: a >30-min silence starts a new session; the batch
+    // twin of flatMapGroupsWithState sessionization
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      val newSession = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_seq",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        FROM events),
+      f AS (SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_seq
+            FROM f)
+      SELECT user_id, session_seq, COUNT(*) AS n_events,
+        MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+        MAX(us) - MIN(us) AS duration_us,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM g GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  val q38AsofJoin = Q("q38_asof_join",
+    // as-of join: each event picks the latest order (o_orderdate ≤ ts)
+    // of the same customer; date ties broken by max orderkey. Spark has
+    // no asof-join operator — implemented as the union + running
+    // last(ignoreNulls) pattern: one shuffle on the key, no range
+    // explosion (scales linearly vs. an inequality join).
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("k"), col("ts").as("t"),
+        lit(null).cast(LongType).as("okey"), lit(0).as("is_order"),
+        col("event_id"))
+      val ord = Tables.orders(s, d).select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderkey").as("okey"), lit(1).as("is_order"),
+        lit(null).cast(LongType).as("event_id"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_order").desc,
+          col("okey").asc_nulls_first, col("event_id").asc_nulls_first)
+      ord.unionByName(ev)
+        .withColumn("last_order", last(col("okey"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("is_order") === 0)
+        .select(col("event_id"), col("k").as("user_id"), col("last_order"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        (SELECT max(o.o_orderkey) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+             WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts))
+          AS last_order
+      FROM events e ORDER BY e.event_id"""))
+
+  val q39MultimodalMeta = Q("q39_multimodal_meta",
+    // multimodal columns: opaque binary payload + typed metadata struct;
+    // the decode/feature path is expression-only here (full
+    // mapPartitions plumbing with a stubbed decoder: graft.multimodal)
+    (s, d) => {
+      val blob = col("text").cast(BinaryType)
+      val meta = struct(
+        element_at(typedLit(Seq("jpeg", "png", "webp")),
+          (col("doc_id") % 3).cast(IntegerType) + 1).as("format"),
+        (octet_length(blob) % 640 + 32).as("width"),
+        ((octet_length(blob) * 7) % 480 + 32).as("height"),
+        ((col("n_chars") % 30) + 1).cast(IntegerType).as("n_frames"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), blob.as("payload"), meta.as("meta"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("payload_bytes"),
+          col("meta.format").as("format"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        octet_length(CAST(text AS BLOB)) AS payload_bytes,
+        (['jpeg','png','webp'])[CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+        octet_length(CAST(text AS BLOB)) % 640 + 32 AS width,
+        (octet_length(CAST(text AS BLOB)) * 7) % 480 + 32 AS height,
+        CAST((n_chars % 30) + 1 AS INTEGER) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin,
+    q39MultimodalMeta)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.RelationalQueries.Q
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Numeric determinism: dot products fold left-to-right in DOUBLE in
+  * both engines (Spark `aggregate` with 0.0 init ≡ DuckDB `list_reduce`,
+  * since 0.0 + v == v exactly), sqrt is IEEE-correctly-rounded — so
+  * cosine values are bit-identical and thresholds/rankings agree.
+  *
+  * Scale notes: brute-force variants broadcast the small side (query
+  * set / centroid set); the IVF variant is the 100 TB path — assignment
+  * is a broadcast join against centroids, search shuffles only within
+  * the probed cluster's partition.
+  */
+object VectorQueries {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB dot product matching [[dot]]'s fold order exactly. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a)+1),
+        k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
+
+  val q33CosinePairs = Q("q33_cosine_pairs",
+    // embedding-cosine near-dup: all pairs ≥ 0.45 (brute force with the
+    // smaller side broadcast; LSH/IVF bucketing is the 100 TB path — see
+    // q35). Norms precomputed once per row, not per pair.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("db"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+          round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)
+            AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT da, db, cosine FROM p WHERE cosine >= 0.45 ORDER BY da, db"""))
+
+  val q34AnnTopk = Q("q34_ann_topk",
+    // brute-force cosine top-k (k=5) for 10 query vectors; ties broken
+    // by neighbor id for determinism
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+            .as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 10),
+        scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cosine
+          FROM e JOIN q ON e.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val q35AnnIvf = Q("q35_ann_ivf",
+    // IVF skeleton: coarse centroids (every 97th vector), assign all
+    // vectors to nearest centroid (broadcast join — no shuffle of the
+    // big side), then search queries only within their own cluster.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val cents = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+          (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cid").as("cluster_id"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cluster_id"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      assigned.join(broadcast(q), Seq("cluster_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cluster_id"),
+          col("vec_id").as("neighbor_id"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+            .as("cosine"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("cluster_id"), col("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+                  FROM e WHERE vec_id % 97 = 0),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) AS csim,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cluster_id
+              FROM assigned WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, a.cluster_id, a.vec_id AS neighbor_id,
+          round(${duckDot("q.qe", "a.embedding")} / (q.qn * a.nrm), 6) AS cosine
+          FROM assigned a JOIN q ON a.cluster_id = q.cluster_id
+          WHERE a.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      SELECT query_id, cluster_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf)
+}
