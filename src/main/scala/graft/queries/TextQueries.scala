@@ -200,9 +200,12 @@ object TextQueries {
     // true Jaccard verified on candidates only. Shuffles: one on the
     // band key (candidate join) + one re-join to shingle sets — never n².
     (s, d) => {
+      // persisted: re-joined twice for the Jaccard verify and feeds the
+      // minhash computation — one shingle build instead of three
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
+        .persist()
       val mh = (0 until 12).map { i =>
         array_min(transform(col("sh"), x =>
           md5(concat(lit(s"$i:"), x)))).as(s"m$i")
@@ -213,9 +216,12 @@ object TextQueries {
           md5(concat_ws("|", col(s"m${3 * b}"), col(s"m${3 * b + 1}"),
             col(s"m${3 * b + 2}"))).as("sig"))
       }
+      // persisted: self-joined a×b — otherwise all 12 minhash passes
+      // (every md5 of every shingle) execute once per join side
       val exploded = withMh
         .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+        .persist()
       val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -253,11 +259,14 @@ object TextQueries {
     // exhaustive n-gram Jaccard via inverted shingle index (equi-join on
     // shingle, not cross join): pairs sharing ≥1 shingle, true Jaccard
     (s, d) => {
+      // persisted: feeds sizes (joined twice) and the inverted index
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
+        .persist()
       val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val inst = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      // persisted: self-joined a×b for the intersection counts
+      val inst = sh.select(col("doc_id"), explode(col("sh")).as("s")).persist()
       val inter = inst.as("a").join(inst.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -293,16 +302,25 @@ object TextQueries {
       // a tiny vocabulary, so token-set fingerprints would collide for
       // nearly every pair and the candidate join would degenerate to n²
       val dt = shingles(col("text"))
-      val hashed = transform(dt, t => md5Int(t))
-      val n = size(dt)
-      // 2^p lookup (functions.shiftleft only shifts by a literal Int)
       val pow2 = typedLit((0 until 32).map(p => 1L << p))
-      def bit(p: Column): Column = element_at(pow2, p.cast(IntegerType) + 1)
-      val fp = aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, p) =>
-        acc + when(
-          size(filter(hashed, h => h.bitwiseAND(bit(p)) > 0)) * 2 > n,
-          bit(p)).otherwise(0L))
+      // Single pass over the hashed shingles: fold each hash into a
+      // 32-wide bit-count vector via zip_with, so the md5 transform
+      // appears exactly ONCE in the expression tree. (The naive
+      // per-bit-position fold referenced `hashed` 32× and Catalyst's
+      // CollapseProject inlined the md5 work 32× — 90 s at sf0.001.)
+      val counts = aggregate(
+        transform(dt, t => md5Int(t)),
+        array_repeat(lit(0L), 32),
+        (acc, h) => zip_with(acc, pow2, (c, b) =>
+          c + when(h.bitwiseAND(b) =!= 0L, 1L).otherwise(0L)))
+      val n = size(dt)
+      val fp = aggregate(
+        zip_with(counts, pow2, (c, b) => when(c * 2 > n, b).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+      // persisted: the band self-join consumes this tiny (doc_id, fp)
+      // frame twice — without it every md5 re-executes per side
       val docs = Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
+        .persist()
       val bands = docs.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

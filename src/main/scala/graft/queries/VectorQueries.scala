@@ -38,9 +38,11 @@ object VectorQueries {
     // smaller side broadcast; LSH/IVF bucketing is the 100 TB path — see
     // q35). Norms precomputed once per row, not per pair.
     (s, d) => {
+      // persisted: both join sides read it — norms computed once per row
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           norm(col("embedding")).as("nrm"))
+        .persist()
       val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val b = e.select(col("vec_id").as("db"), col("embedding").as("eb"),
@@ -111,6 +113,7 @@ object VectorQueries {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cid").as("cluster_id"))
+        .persist() // consumed twice: query extraction + cluster search
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cluster_id"))
