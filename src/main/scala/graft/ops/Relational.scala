@@ -84,6 +84,19 @@ object Relational {
     if (df.columns.contains(name)) df
     else df.withColumn(name, lit(null).cast(dt))
 
+  /** Persist AND materialize a frame that fans out into independent
+    * downstream query stages (e.g. both sides of a self-join). AQE
+    * materializes independent broadcast/shuffle stages in parallel, so
+    * with a lazy persist each stage recomputes the full plan before the
+    * cache is populated ("Block already exists" churn); one eager count
+    * makes every consumer a cache read.
+    */
+  def eager(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
   /** Rename all columns through a normalizer (N1-style pass). */
   def renameNormalized(df: DataFrame, f: String => String): DataFrame = {
     val renames = df.columns.map(c => c -> f(c))

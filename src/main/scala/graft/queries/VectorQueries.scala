@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.VectorExpressions.vecDot
+import graft.ops.Relational.eager
 import graft.queries.RelationalQueries.Q
 import graft.tables.Tables
 
@@ -22,9 +24,12 @@ import graft.tables.Tables
   */
 object VectorQueries {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd native dot product (graft.functions.VecDot) — the HOF
+    * form `aggregate(zip_with(...))` is interpreted and dominated the
+    * all-pairs join at bench scale. Fold order and null semantics are
+    * identical, so the DuckDB oracles are unchanged.
+    */
+  private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -42,7 +47,7 @@ object VectorQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           norm(col("embedding")).as("nrm"))
-        .persist()
+        .transform(eager)
       val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val b = e.select(col("vec_id").as("db"), col("embedding").as("eb"),
@@ -113,7 +118,7 @@ object VectorQueries {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("cid").as("cluster_id"))
-        .persist() // consumed twice: query extraction + cluster search
+        .transform(eager) // consumed twice: query extraction + cluster search
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cluster_id"))

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.functions.ShingleExpression.wordShingles
+import graft.functions.SimHashExpression.simhash32
+import graft.functions.VectorExpressions.{vecDot, vecNorm}
+
+/** Native Catalyst expressions: VecDot, SimHash32, WordShingles.
+  * Each is asserted against the equivalent built-in HOF formulation so
+  * the compiled path can never drift from the declarative semantics.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vecDot matches HOF fold and handles nulls") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.5f), Array(2.0f, 2.0f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(vecDot(col("a"), col("b")).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach { r => assert(r.getDouble(0) == r.getDouble(1)) }
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(2).getDouble(0) == 0.0)
+
+    // mismatched lengths and null input → null
+    val bad = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(vecDot(col("a"), col("b")))
+    assert(bad.collect()(0).isNullAt(0))
+    val nul = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) a, ARRAY(CAST(1.0 AS FLOAT)) b")
+      .select(vecDot(col("a"), col("b")))
+    assert(nul.collect()(0).isNullAt(0))
+  }
+
+  test("vecDot codegen and interpreted paths agree on testdata") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val hof = aggregate(zip_with(col("embedding"), col("embedding"),
+      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = e.select(
+      (vecDot(col("embedding"), col("embedding")) - hof).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0, "native dot must be bit-identical to the HOF fold")
+    assert(e.select(vecNorm(col("embedding"))).collect().forall(!_.isNullAt(0)))
+  }
+
+  test("simhash32 majority vote: strict majority, ties round down") {
+    // 2 of 3 hashes have bit 0 set -> majority -> bit set
+    // 1 of 3 have bit 1 set -> no; exactly half of 2? use 4th row
+    val df = Seq(
+      Seq(1L, 1L, 2L),      // bit0: 2/3 -> set; bit1: 1/3 -> unset  => 1
+      Seq(3L, 3L, 3L),      // bits 0,1: 3/3 -> both set             => 3
+      Seq(1L, 2L),          // each bit 1/2 -> tie -> unset          => 0
+      Seq.empty[Long]       // no features                           => 0
+    ).toDF("h")
+    val got = df.select(simhash32(col("h"))).as[Long].collect()
+    assert(got.toSeq == Seq(1L, 3L, 0L, 0L))
+  }
+
+  test("wordShingles matches the HOF chain on testdata") {
+    val t = split(col("text"), " ")
+    val hof = when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+          element_at(t, i + 3)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mismatches = docs
+      .select(wordShingles(t).as("native"), hof.as("ref"))
+      .filter(not(col("native") === col("ref")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("wordShingles edge cases: short input, duplicates, k") {
+    val df = Seq(
+      "a b",                 // < 3 tokens -> empty
+      "a b c",               // exactly one shingle
+      "x y x y x y x y"      // repeating -> distinct collapses
+    ).toDF("text")
+    val got = df.select(wordShingles(split(col("text"), " ")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq("x y x", "y x y"))
+    val k2 = df.select(wordShingles(split(col("text"), " "), 2).as("sh"))
+      .as[Seq[String]].collect()
+    assert(k2(0) == Seq("a b"))
+  }
+}
