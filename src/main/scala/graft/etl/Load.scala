@@ -1,0 +1,99 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational.{antiJoin, dedupKeepLast, requireNonNull, semiJoin}
+
+/** Parquet-warehouse sinks with the reference's load semantics
+  * (SURVEY.md §2.9): PK-merge upsert for master data (K2), duplicate-PK
+  * guarded insert for transactional data (K1 + J3), quarantine side
+  * sinks for dropped rows (K5, W3, J4/J5).
+  *
+  * Scale notes: upsert = read-union-dedup-overwrite staged to a temp
+  * dir then atomically swapped — the parquet-world MERGE. At 100 TB the
+  * same code applies per partition (overwrite only touched partitions);
+  * batching/pacing/retry of the reference's HTTP sink (K3/K4) is
+  * subsumed by Spark task parallelism + task retry.
+  */
+object Load {
+
+  private def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def readTable(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (tableExists(spark, dir)) Some(spark.read.parquet(dir)) else None
+
+  /** K2 batch UPSERT: existing rows lose to incoming rows on PK match.
+    * Staged write + rename so the target is never half-written and the
+    * read-own-target hazard (overwriting a dir being scanned) is
+    * avoided.
+    */
+  def upsert(spark: SparkSession, df: DataFrame, dir: String, pk: String): Long = {
+    val incoming = df.withColumn("__prio", lit(1))
+    val merged = readTable(spark, dir) match {
+      case Some(existing) =>
+        dedupKeepLast(
+          existing.withColumn("__prio", lit(0)).unionByName(incoming),
+          Seq(pk), Seq(col("__prio")))
+          .drop("__prio")
+      case None => incoming.drop("__prio")
+    }
+    val staging = s"$dir.__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+    fs.rename(new Path(staging), new Path(dir))
+    spark.read.parquet(dir).count()
+  }
+
+  /** K1 validated INSERT with J3 duplicate-PK abort: if any incoming PK
+    * already exists in the target, the load fails before writing
+    * (reference etl/load.py:59-85).
+    */
+  def insert(spark: SparkSession, df: DataFrame, dir: String,
+             pk: Option[String] = None): Long = {
+    for (key <- pk; existing <- readTable(spark, dir)) {
+      val dups = semiJoin(df.select(col(key)), existing, Seq(key)).count()
+      if (dups > 0) throw new IllegalStateException(
+        s"insert into $dir aborted: $dups incoming rows duplicate existing PK $key")
+    }
+    val n = df.count()
+    df.write.mode("append").parquet(dir)
+    n
+  }
+
+  /** W3 required-non-null split: quarantine rows with nulls in required
+    * columns to a CSV side sink (etl/load.py:33-37,136-154), return the
+    * clean rows.
+    */
+  def requireColumns(df: DataFrame, required: Seq[String],
+                     quarantineDir: String): DataFrame = {
+    if (required.isEmpty) return df
+    val (good, bad) = requireNonNull(df, required)
+    writeQuarantine(bad, quarantineDir)
+    good
+  }
+
+  /** J4/J5 FK enforcement: rows whose key is absent from the referenced
+    * table are quarantined (drop_missing_* mode, etl/load.py:88-198);
+    * valid rows pass through.
+    */
+  def enforceFk(df: DataFrame, referenced: DataFrame, key: String,
+                quarantineDir: String): DataFrame = {
+    val keys = referenced.select(col(key)).na.drop().distinct()
+    writeQuarantine(antiJoin(df, keys, Seq(key)), quarantineDir)
+    semiJoin(df, broadcast(keys), Seq(key))
+  }
+
+  /** K5 quarantine CSV sink (an empty dir is written when nothing was
+    * dropped — auditability over cleverness, mirroring the reference's
+    * always-produced artifacts).
+    */
+  private def writeQuarantine(bad: DataFrame, dir: String): Unit =
+    bad.write.mode("overwrite").option("header", "true").csv(dir)
+}
