@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming generalization of the reference's daily-batch
+  * contract (SURVEY.md §2.11 "Streaming"): the reference filters
+  * `Marca temporal == yesterday` once a day and silently MISSES
+  * backdated rows (etl/pipeline.py:124-126); the streaming forms below
+  * replace that with event-time watermarks, so late data within the
+  * allowed delay is aggregated instead of dropped.
+  *
+  * Every transform takes and returns DataFrames, so the same code runs
+  * on a batch frame (tests, backfills) and on `spark.readStream` (the
+  * incremental daily job — `Trigger.AvailableNow` is the exact
+  * replacement for the cron batch: process everything new, then stop).
+  *
+  * Scale notes: state stores are keyed by (window, event_type) /
+  * user_id — aggregation state shuffles once on the group key, exactly
+  * like the batch twin; watermarks bound state size, which is what
+  * makes these safe on an unbounded 100 TB/day stream.
+  */
+object StreamingJobs {
+
+  /** Tumbling one-day aggregation — streaming twin of q36_daily_agg
+    * (and of the reference's whole daily run). Late rows up to
+    * `lateness` are still counted; the reference's strict-equality
+    * filter lost them.
+    */
+  def dailyAgg(events: DataFrame, lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Exactly-once event dedup within the watermark horizon — the
+    * streaming twin of A1 (keep-first here: replays deliver identical
+    * rows, so first == last).
+    */
+  def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates("event_id", "ts")
+
+  /** Session windows with a 30-minute gap — streaming twin of
+    * q37_sessionize, using the built-in session_window (state merges
+    * adjacent windows; the batch twin's lag/cumsum formulation needs a
+    * global per-user sort instead).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("first_event"), col("last_event"), col("total"))
+
+  // ---- arbitrary stateful processing showcase (mapGroupsWithState) ----
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Running per-user totals via mapGroupsWithState — the extension
+    * surface for state machines the built-in aggregations can't express
+    * (the built-in `groupBy(user_id).sum` twin exists; this demonstrates
+    * the KeyValueGroupedDataset custom-state path).
+    */
+  def userRunningTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** The cron-replacement runner: process everything currently in
+    * `srcDir` (parquet event files), append day aggregates to `outDir`,
+    * checkpoint for exactly-once across runs, stop when caught up —
+    * `Trigger.AvailableNow` IS the daily 06:00 batch, minus the
+    * late-data loss.
+    */
+  def runDailyAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
+                           checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    dailyAgg(stream)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

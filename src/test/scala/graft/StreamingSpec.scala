@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamingJobs
+
+/** Structured Streaming jobs driven end-to-end with the file source and
+  * Trigger.AvailableNow, asserted against their batch twins on the same
+  * data — the streaming/batch parity the unified DataFrame code
+  * promises.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // the raw events parquet is TIMESTAMP(NANOS), which the streaming
+  // parquet source can't ingest — stream from a micros-normalized copy
+  private lazy val batchEvents = graft.tables.Tables.events(spark, sfDir)
+  private lazy val eventsPath = {
+    val dir = Files.createTempDirectory("events_norm").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Run a streaming transform of the events file source to a memory
+    * sink until AvailableNow drains; returns the sink table.
+    */
+  private def runToMemory(name: String, mode: OutputMode,
+                          f: DataFrame => DataFrame): DataFrame = {
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(eventsPath)
+    val q = f(stream).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("dailyAgg streaming matches the batch twin (complete mode)") {
+    val got = runToMemory("s_daily", OutputMode.Complete(),
+      df => StreamingJobs.dailyAgg(df))
+    val want = StreamingJobs.dailyAgg(batchEvents)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("dedupEvents drops a replayed file exactly (watermark dedup)") {
+    // source dir with the events file twice = an at-least-once replay
+    val dir = Files.createTempDirectory("dup_src").toString
+    batchEvents.write.mode("append").parquet(dir)
+    batchEvents.write.mode("append").parquet(dir)
+    val doubled = spark.read.parquet(dir)
+    assert(doubled.count() == 2 * batchEvents.count())
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = StreamingJobs.dedupEvents(stream)
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_dedup").toString)
+      .start()
+    q.awaitTermination()
+    assert(spark.table("s_dedup").count() == batchEvents.count())
+  }
+
+  test("sessionize emits closed sessions consistent with q37 batch") {
+    // sentinel far-future event advances the watermark past every real
+    // session so append mode can emit all of them (anchored to max(ts):
+    // an offset from an arbitrary row can land inside the data's span
+    // and leave the tail sessions unemitted)
+    val maxTs = batchEvents.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinel = batchEvents.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", lit(maxTs) + expr("INTERVAL 30 DAYS"))
+    val dir = Files.createTempDirectory("sess_src").toString
+    batchEvents.unionByName(sentinel).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = StreamingJobs.sessionize(stream)
+      .writeStream.format("memory").queryName("s_sess")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_sess").toString)
+      .start()
+    q.awaitTermination()
+    val got = spark.table("s_sess").filter(col("user_id") >= 0)
+
+    // batch twin: q37's per-user session counts (same 30-min gap rule)
+    val want = graft.queries.EventQueries.q37Sessionize
+      .run(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val gotPerUser = got.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    assert(gotPerUser.exceptAll(want).isEmpty && want.exceptAll(gotPerUser).isEmpty)
+  }
+
+  test("mapGroupsWithState running totals converge to batch groupBy") {
+    val q = StreamingJobs.userRunningTotals(
+      spark.readStream.schema(batchEvents.schema).parquet(eventsPath))
+      .writeStream.format("memory").queryName("s_totals")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_tot").toString)
+      .start()
+    q.awaitTermination()
+    // last update per user = final state
+    val finalRows = spark.table("s_totals")
+      .groupBy("user_id").agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n"))
+    val want = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalRows.exceptAll(want).isEmpty && want.exceptAll(finalRows).isEmpty)
+  }
+
+  test("runDailyAvailableNow is an idempotent cron replacement") {
+    val src = Files.createTempDirectory("cron_src").toString
+    val out = Files.createTempDirectory("cron_out").toString
+    val ckpt = Files.createTempDirectory("cron_ckpt").toString
+    batchEvents.write.mode("append").parquet(src)
+
+    StreamingJobs.runDailyAvailableNow(spark, src, out, ckpt).awaitTermination()
+    // second run with no new data must be a no-op (checkpointed offsets)
+    StreamingJobs.runDailyAvailableNow(spark, src, out, ckpt).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+
+    // append "late" data: same days again — a third run processes ONLY
+    // the new file and appends corrected aggregates
+    batchEvents.write.mode("append").parquet(src)
+    StreamingJobs.runDailyAvailableNow(spark, src, out, ckpt).awaitTermination()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 >= n1)
+  }
+}
