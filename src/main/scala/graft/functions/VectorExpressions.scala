@@ -100,14 +100,4 @@ object VectorExpressions {
 
   /** L2 norm via the codegen'd dot product. */
   def vecNorm(a: Column): Column = org.apache.spark.sql.functions.sqrt(vecDot(a, a))
-
-  /** Register `vec_dot` for SQL use on a live session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot",
-      { args: Seq[Expression] =>
-        require(args.length == 2, "vec_dot takes exactly 2 arguments")
-        VecDot(args.head, args(1))
-      },
-      "scala_udf")
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.functions.GraftExtensions
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: binary payload + typed metadata, partition-wise
+  * stub decode, resize, frame sampling — and SQL registration of the
+  * native expressions.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.asMedia(
+    spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+
+  test("asMedia produces the canonical media schema") {
+    assert(media.schema.simpleString == Multimodal.MediaSchema.simpleString)
+    assert(media.count() > 0)
+    val m = media.filter(col("media_id") === 1).collect()(0)
+    assert(m.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("format") == "png") // 1 % 3 = 1 -> 2nd entry
+  }
+
+  test("decodeFeatures: deterministic features, schema, all rows") {
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.schema.simpleString == Multimodal.FeatureSchema.simpleString)
+    assert(feats.count() == media.count())
+    val f = feats.filter(col("media_id") === 0).collect()(0)
+    assert(f.getAs[Int]("n_bytes") > 0)
+    assert(f.getAs[Double]("mean_byte") > 0)
+    val emb = f.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(emb.length == 8)
+    // histogram sketch counts every byte exactly once
+    assert(emb.sum.toInt == f.getAs[Int]("n_bytes"))
+    // deterministic: rerun yields identical rows
+    val again = Multimodal.decodeFeatures(media)
+    assert(feats.exceptAll(again).isEmpty)
+  }
+
+  test("resize rewrites payload and metadata consistently") {
+    val out = Multimodal.resize(media, 64, 64)
+    assert(out.schema.simpleString == Multimodal.MediaSchema.simpleString)
+    val r = out.filter(col("media_id") === 0).collect()(0)
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Int]("width") == 64 && meta.getAs[Int]("height") == 64)
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+  }
+
+  test("sampleFrames explodes every k-th frame without shuffle") {
+    val frames = Multimodal.sampleFrames(media, everyK = 5)
+    // each media contributes ceil(n_frames / 5) rows
+    val want = media.select(
+      sum(ceil((col("meta.n_frames")) / lit(5.0)).cast("long"))).collect()(0).getLong(0)
+    assert(frames.count() == want)
+    // no Exchange in the plan: fan-out preserves partitioning
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("native expressions callable from SQL after registration") {
+    GraftExtensions.registerAll(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val d = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS d FROM emb_sql LIMIT 5")
+      .collect()
+    assert(d.forall(_.getDouble(0) > 0))
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c','d')) AS s").collect()(0)
+      .getAs[scala.collection.Seq[String]]("s")
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+    val fp = spark.sql(
+      "SELECT simhash32(array(3L, 3L, 2L)) AS fp").collect()(0).getLong(0)
+    assert(fp == 3L) // bit0: 2/3, bit1: 3/3 -> both majority
+  }
+}
