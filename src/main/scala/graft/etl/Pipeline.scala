@@ -2,7 +2,7 @@ package graft.etl
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Functions.lenientTimestamp
@@ -37,6 +37,8 @@ case class EtlSummary(
   */
 object Pipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def run(spark: SparkSession, paths: EtlPaths, targetDate: LocalDate): EtlSummary = {
     val wh = paths.warehouseDir
     val q = paths.quarantineDir
@@ -55,8 +57,15 @@ object Pipeline {
     // reference's hand-rolled pushdown; Catalyst would push it anyway)
     val onDate = lenientTimestamp(col("Marca temporal")).cast("date") ===
       lit(java.sql.Date.valueOf(targetDate))
+    // D4/O4: per-stage row/null telemetry piggybacked on the existing
+    // pass via the Observation API — zero extra jobs, unlike the
+    // reference's count()-per-stage logging
+    val matObs = new Observation("matriculas_raw")
     val rawMat = Extract.readSheet(spark, paths.rawMatriculas, headerRow = 3)
       .filter(onDate)
+      .observe(matObs, count(lit(1)).as("rows_on_date"),
+        count(when(lenientTimestamp(col("Fecha de pago de la primera cuota"))
+          .isNull, 1)).as("null_fecha_pago"))
       .persist() // O2 fan-out: feeds matriculas AND first-installment pagos
 
     val matriculas = Transform.matriculas(rawMat)
@@ -105,6 +114,8 @@ object Pipeline {
     val nPagos = Load.insert(spark, pagosValid, s"$wh/pagos")
 
     rawMat.unpersist()
+    // O4: surface the observed metrics (populated by the actions above)
+    matObs.getAsJava.forEach((k, v) => log.info(s"[etl] matriculas_raw $k=$v"))
     EtlSummary(nCursos, nEst, nMat, nPagos)
   }
 }
