@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew and layout tools for the 100 TB path. AQE handles most skew
+  * automatically (`spark.sql.adaptive.skewJoin`), but two patterns are
+  * worth owning explicitly: salting a join whose hot keys AQE can't
+  * split (e.g. broadcast-ineligible dimension with a mega-key), and
+  * two-phase aggregation for hot group keys.
+  */
+object Scale {
+
+  /** Salted equi-join for a skewed LEFT side: the left's hot keys are
+    * spread across `salts` sub-keys with a deterministic per-row salt;
+    * the right side is replicated `salts` times so every sub-key finds
+    * its match. Correct for inner/left-semi equi-joins on `keys`.
+    * Trade-off: right side grows ×salts — use when right ≪ left but is
+    * above the broadcast threshold, and left has hot keys.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    // deterministic salt: hash of the whole left row spreads a hot key
+    // uniformly without an RNG (replays/retries stay stable)
+    val leftCols = left.columns.map(col)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(leftCols: _*), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(typedLit((0 until salts).toArray)))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial-aggregate on
+    * (keys, salt), then final-aggregate on keys. Only for algebraic
+    * aggregates; sum/count provided (avg = sum/count downstream).
+    * (Spark's hash aggregate already does map-side partials — this
+    * additionally breaks up a hot REDUCE key across `salts` tasks.)
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(salts)).cast("int")
+    df.withColumn("__salt", salt)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("cnt"))
+  }
+
+  /** Repartition by key columns to co-locate a downstream chain of
+    * joins/aggregations on the same key (one shuffle amortized over
+    * several stages — AQE reuses the exchange).
+    */
+  def colocateBy(df: DataFrame, keys: Seq[String], partitions: Int): DataFrame =
+    df.repartition(partitions, keys.map(col): _*)
+
+  /** Date-partitioned parquet sink: the physical layout that turns the
+    * reference's daily-equality filter (W1) into partition PRUNING —
+    * a day's query reads one directory, not the table.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: Column, dir: String): Unit =
+    df.withColumn("day", date_format(tsCol, "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+}
