@@ -38,25 +38,52 @@ object VectorQueries {
     s"""list_reduce(list_transform(range(1, len($a)+1),
         k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)), (x, y) -> x + y)"""
 
+  /** Left-to-right double dot product — the exact fold order of
+    * [[dot]]/VecDot, in plain Scala for the q33 kernel.
+    */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Spark's Round(HALF_UP-on-decimal-string) semantics for doubles —
+    * replicated so the kernel's cosine bits match the Column form.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   val q33CosinePairs = Q("q33_cosine_pairs",
-    // embedding-cosine near-dup: all pairs ≥ 0.45 (brute force with the
-    // smaller side broadcast; LSH/IVF bucketing is the 100 TB path — see
-    // q35). Norms precomputed once per row, not per pair.
+    // embedding-cosine near-dup: exact all pairs ≥ 0.45. The small side
+    // (the whole vector set — 512 KB at bench SF) is broadcast and each
+    // partition streams its rows against it — the same distribution
+    // pattern a BroadcastNestedLoopJoin uses, WITHOUT materializing 2M
+    // join rows carrying two 64-float arrays each (that intermediate
+    // was pure GC churn: 3–17 s of run-to-run variance). Only surviving
+    // pairs become rows. The 100 TB path is q35's IVF bucketing (or
+    // tiled blocks); this kernel is the documented mapPartitions
+    // last-resort for a genuinely quadratic small-side kernel.
     (s, d) => {
-      // persisted: both join sides read it — norms computed once per row
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          norm(col("embedding")).as("nrm"))
-        .transform(eager)
-      val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("db"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      a.join(b, col("da") < col("db"))
-        .select(col("da"), col("db"),
-          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("cosine"))
-        .filter(col("cosine") >= 0.45)
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val all = e.as[(Long, Array[Float])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(all)
+      e.as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val vs = bc.value
+          val norms = vs.map { case (_, v) => math.sqrt(dotD(v, v)) }
+          it.flatMap { case (da, va) =>
+            val na = math.sqrt(dotD(va, va))
+            vs.iterator.zipWithIndex
+              .filter { case ((db, _), _) => da < db }
+              .map { case ((db, vb), j) =>
+                (da, db, round6(dotD(va, vb) / (na * norms(j))))
+              }
+              .filter(_._3 >= 0.45)
+          }
+        }
+        .toDF("da", "db", "cosine")
         .orderBy(col("da"), col("db"))
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding,
