@@ -134,6 +134,28 @@ object EventQueries {
         CAST((n_chars % 30) + 1 AS INTEGER) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
+  val q40JsonProps = Q("q40_json_props",
+    // §2.11 JSON scalar functions: extract from the props JSON column
+    // both path-wise (get_json_object) and schema-wise (from_json),
+    // then aggregate — parsing stays inside whole-stage codegen
+    (s, d) => {
+      val kPath = get_json_object(col("props"), "$.k").cast(IntegerType)
+      val kSchema = from_json(col("props"), StructType(Seq(
+        StructField("k", IntegerType)))).getField("k")
+      Tables.events(s, d)
+        .select(col("event_type"), kPath.as("k"), kSchema.as("k2"))
+        .filter(col("k") === col("k2")) // both parses agree by construction
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin,
-    q39MultimodalMeta)
+    q39MultimodalMeta, q40JsonProps)
 }

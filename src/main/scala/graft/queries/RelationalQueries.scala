@@ -504,11 +504,32 @@ object RelationalQueries {
       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
       ORDER BY o_custkey"""))
 
+  val q41ArrayFuncs = Q("q41_array_funcs",
+    // §2.11 array functions: per-order sorted line-number array, then
+    // scalar derivations (size/element_at/contains) — scalars only in
+    // the output so the oracle hash-compare stays type-simple
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        element_at(col("lines"), 1).as("first_line"),
+        element_at(col("lines"), -1).as("last_line"),
+        array_contains(col("lines"), 3).as("has_line3"))
+      .orderBy(col("l_orderkey")),
+    Some("""WITH t AS (SELECT l_orderkey,
+        list_sort(list(l_linenumber)) AS lines FROM lineitem
+        GROUP BY l_orderkey)
+      SELECT l_orderkey, len(lines) AS n_lines,
+        lines[1] AS first_line, lines[-1] AS last_line,
+        list_contains(lines, 3) AS has_line3
+      FROM t ORDER BY l_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
     q09DedupKeepLast, q10DistinctKeys, q11SemiJoin, q12AntiJoin, q13Union,
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
-    q24Having)
+    q24Having, q41ArrayFuncs)
 }
