@@ -22,7 +22,18 @@ object Bench {
     spark.range(10000).selectExpr("id % 7 as g").groupBy("g").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // full-row checksum, not count(): count() lets Catalyst prune
+      // every computed column the row count doesn't reference
+      // (aggregates under a key-only ORDER BY were silently skipped).
+      // The checksum forces every output column per row while still
+      // letting EliminateSorts drop the determinism-only ORDER BY the
+      // oracle harness needs — measuring the query, not the harness.
+      try {
+        val out = fn(spark, sfDir)
+        out.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.xxhash64(
+            out.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
+      } catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> dt
     }
