@@ -156,6 +156,33 @@ object EventQueries {
         MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  val q42RangeJoin = Q("q42_range_join",
+    // range (theta) join: bucket every event's value into a small
+    // ranges dimension via lo <= v < hi. The dim side is broadcast, so
+    // the plan is a BroadcastNestedLoopJoin over 10 rows — linear in
+    // events, no shuffle of the big side (the 100 TB shape for
+    // banding/bucketing joins; equi-join on a computed bucket key is
+    // the alternative when ranges are uniform)
+    (s, d) => {
+      val ranges = s.range(10).select(
+        col("id").cast(IntegerType).as("bucket"),
+        (col("id") * 100.0).as("lo"),
+        ((col("id") + 1) * 100.0).as("hi"))
+      Tables.events(s, d)
+        .join(broadcast(ranges),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH ranges AS (SELECT CAST(i AS INTEGER) AS bucket,
+          i * 100.0 AS lo, (i + 1) * 100.0 AS hi FROM range(0, 10) r(i))
+      SELECT bucket, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events JOIN ranges ON value >= lo AND value < hi
+      GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin,
-    q39MultimodalMeta, q40JsonProps)
+    q39MultimodalMeta, q40JsonProps, q42RangeJoin)
 }

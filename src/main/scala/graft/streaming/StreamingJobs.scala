@@ -63,6 +63,31 @@ object StreamingJobs {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("first_event"), col("last_event"), col("total"))
 
+  /** Watermarked stream-stream join: attribute each purchase to the
+    * click(s) by the same user within the preceding `within` interval —
+    * the funnel-attribution shape. Works identically on batch frames
+    * (plain range join) and on streams (state bounded by the watermark
+    * + the time-range condition; inner join, so rows emit as they
+    * match).
+    */
+  def clickToPurchase(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", within)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", within)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("value"))
+  }
+
   // ---- arbitrary stateful processing showcase (mapGroupsWithState) ----
 
   case class UserEvent(user_id: Long, value: Double)

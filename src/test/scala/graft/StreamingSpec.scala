@@ -101,6 +101,22 @@ class StreamingSpec extends SparkSpec {
     assert(gotPerUser.exceptAll(want).isEmpty && want.exceptAll(gotPerUser).isEmpty)
   }
 
+  test("stream-stream click->purchase join matches the batch range join") {
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(eventsPath)
+    val q = StreamingJobs.clickToPurchase(stream)
+      .writeStream.format("memory").queryName("s_funnel")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_funnel").toString)
+      .start()
+    q.awaitTermination()
+    val got = spark.table("s_funnel")
+    val want = StreamingJobs.clickToPurchase(batchEvents)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState running totals converge to batch groupBy") {
     val q = StreamingJobs.userRunningTotals(
       spark.readStream.schema(batchEvents.schema).parquet(eventsPath))
