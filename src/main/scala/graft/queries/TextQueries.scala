@@ -22,6 +22,14 @@ import graft.tables.Tables
   *    cross join; true similarity is verified only on candidates;
   *  - the cross-engine-deterministic hash primitive is md5 (available
   *    in both Spark and DuckDB): int form = first 8–15 hex digits.
+  *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * 1997) with the banding LSH scheme (Leskovec/Rajaraman/Ullman, Mining
+  * of Massive Datasets ch. 3); SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002) with the
+  * banded hamming search of Manku et al., "Detecting near-duplicates
+  * for web crawling", WWW 2007.
   */
 object TextQueries {
 

@@ -24,7 +24,9 @@ class EtlPipelineSpec extends SparkSpec {
 
   private val root = Files.createTempDirectory("graft_etl").toString
 
-  private def fixtures(): EtlPaths = {
+  private def fixtures(): EtlPaths = fixtures(root)
+
+  private def fixtures(root: String): EtlPaths = {
     write(s"$root/raw_cursos.csv", Seq(
       "REGISTRO DE CURSOS 2026,,,,,,",
       "CÓDIGO_C,NOMBRE_C,I1,FECHA DE INICIO,FECHA DE TERMINO,PROFESOR,HORARIOS",
@@ -130,6 +132,23 @@ class EtlPipelineSpec extends SparkSpec {
     // R3 (orphan M-009) was dropped by the J2 semi-join, never reaching
     // the FK quarantine
     assert(rows.forall(_.getAs[String]("codigo_matricula") == "M-001"))
+  }
+
+  test("two-day incremental runs accumulate without dup-PK conflicts") {
+    // the reference's actual operating mode: one run per day against
+    // the same warehouse - master data upserts stay idempotent,
+    // transactional inserts accumulate day by day
+    val r2 = Files.createTempDirectory("graft_etl2").toString
+    val paths = fixtures(r2)
+    val day1 = Pipeline.run(spark, paths, LocalDate.of(2026, 8, 10))
+    assert(day1.matriculas == 1) // M-003 (the 10/8 row)
+    assert(day1.pagos == 1)      // its first installment; orphan R5 dropped
+    val day2 = Pipeline.run(spark, paths, LocalDate.of(2026, 8, 11))
+    assert(day2.cursos == 2 && day2.estudiantes == 3) // upserts: no growth
+    assert(day2.matriculas == 1) // M-001, disjoint PK -> insert succeeds
+    assert(day2.pagos == 4)
+    assert(spark.read.parquet(s"$r2/warehouse/matriculas").count() == 2)
+    assert(spark.read.parquet(s"$r2/warehouse/pagos").count() == 5)
   }
 
   test("upsert: incoming row replaces existing on PK match") {
