@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // static config; needed by saveAsTable-based suites (bucketing) —
+      // keep managed-table files out of the repo working dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("spark_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
