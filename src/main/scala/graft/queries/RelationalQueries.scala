@@ -525,11 +525,30 @@ object RelationalQueries {
         list_contains(lines, 3) AS has_line3
       FROM t ORDER BY l_orderkey"""))
 
+  val q43DistinctAgg = Q("q43_distinct_agg",
+    // multiple DISTINCT aggregates in one group-by — Spark plans this
+    // via Expand (one row replica per distinct set), the scalable
+    // alternative to per-column subqueries; all-integer outputs keep
+    // the oracle comparison exact
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(col("l_partkey")).as("n_part"),
+        count_distinct(col("l_orderkey"), col("l_linenumber")).as("n_lines"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT l_partkey) AS n_part,
+        COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines,
+        COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
     q09DedupKeepLast, q10DistinctKeys, q11SemiJoin, q12AntiJoin, q13Union,
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
-    q24Having, q41ArrayFuncs)
+    q24Having, q41ArrayFuncs, q43DistinctAgg)
 }
