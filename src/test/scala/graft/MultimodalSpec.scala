@@ -59,6 +59,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("pipeline composes: decode features -> cosine top-k over stub embeddings") {
+    val feats = Multimodal.decodeFeatures(media)
+      .select(col("media_id"), col("embedding"))
+      .filter(aggregate(col("embedding"), lit(0.0), (a, v) => a + v) > 0)
+    val q = feats.filter(col("media_id") < 3)
+      .select(col("media_id").as("query_id"), col("embedding").as("qe"))
+    val scored = feats.join(broadcast(q), col("media_id") =!= col("query_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        (graft.functions.VectorExpressions.vecDot(col("qe"), col("embedding")) /
+          (graft.functions.VectorExpressions.vecNorm(col("qe")) *
+            graft.functions.VectorExpressions.vecNorm(col("embedding"))))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val rows = topk.collect()
+    assert(rows.length == 9) // 3 queries x k=3
+    assert(rows.forall(r => r.getAs[Double]("cosine") <= 1.0000001))
+  }
+
   test("native expressions callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
