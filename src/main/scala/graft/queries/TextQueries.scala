@@ -295,10 +295,18 @@ object TextQueries {
         .filter(size(col("sh")) > 0)
         .transform(eager)
       val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      // inverted index keyed by a 60-bit md5 of the shingle, not the
+      // 3-gram string itself: the self-join shuffles/compares 8-byte
+      // longs instead of ~30-byte strings. The oracle applies the SAME
+      // hash, so semantics (including any hash collision) are identical
+      // in both engines.
       // persisted: self-joined a×b for the intersection counts
-      val inst = sh.select(col("doc_id"), explode(col("sh")).as("s")).transform(eager)
+      val inst = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("h"))
+        .transform(eager)
       val inter = inst.as("a").join(inst.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
       inter
@@ -314,9 +322,11 @@ object TextQueries {
         sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
         sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
         sz AS (SELECT doc_id, len(shingles) AS n FROM sh2),
-        inst AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+        inst AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(unnest(shingles)), 1, 15) AS BIGINT) AS h
+                 FROM sh2),
         p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-              FROM inst a JOIN inst b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM inst a JOIN inst b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
       SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
       FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
