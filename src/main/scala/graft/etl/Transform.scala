@@ -31,16 +31,20 @@ object Transform {
     * normalizations + phone-prefix country detection (F10–F12).
     */
   def estudiantes(df: DataFrame): DataFrame =
-    df.select(
-      col("CODIGO_E").cast(StringType).as("codigo_estudiante"),
-      initcap(trim(col("NOMBRES_E"))).as("nombres"),
-      initcap(trim(col("APELLIDOS_E"))).as("apellidos"),
-      lower(trim(col("CORREO_E"))).as("correo"),
-      trim(col("NUMERO_E")).as("numero"),
-      phoneInfo(col("NUMERO_E")).getField("pais").as("pais"),
-      col("GÉNERO_E").cast(StringType).as("genero"),
-      col("RED DE CONTACTO_E").cast(StringType).as("red_contacto"),
-      col("GRADO DE INSTRUCCIÓN_E").cast(StringType).as("nivel_educacion"))
+    // phone digits staged in their own projection so the regexp runs
+    // once per row, not once per prefix rule (see phoneInfoFromDigits)
+    df.withColumn("__digits", digitsOnly(col("NUMERO_E")))
+      .select(
+        col("CODIGO_E").cast(StringType).as("codigo_estudiante"),
+        initcap(trim(col("NOMBRES_E"))).as("nombres"),
+        initcap(trim(col("APELLIDOS_E"))).as("apellidos"),
+        lower(trim(col("CORREO_E"))).as("correo"),
+        trim(col("NUMERO_E")).as("numero"),
+        phoneInfoFromDigits(col("NUMERO_E"), col("__digits"))
+          .getField("pais").as("pais"),
+        col("GÉNERO_E").cast(StringType).as("genero"),
+        col("RED DE CONTACTO_E").cast(StringType).as("red_contacto"),
+        col("GRADO DE INSTRUCCIÓN_E").cast(StringType).as("nivel_educacion"))
 
   /** `matriculas` (P2, etl/transform.py:56-140): conditional course-code
     * extract (F2), conditional zeroing (F3), money coercion (P8),

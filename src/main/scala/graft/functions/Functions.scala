@@ -154,8 +154,16 @@ object Functions {
     ("Alemania", "49", n.startsWith("49")))
 
   /** Country name for a phone value; null/unmatched → "Desconocido" (F11). */
-  def phoneCountry(c: Column): Column = {
-    val n = digitsOnly(c)
+  def phoneCountry(c: Column): Column =
+    phoneCountryFromDigits(c, digitsOnly(c))
+
+  /** [[phoneCountry]] over a pre-extracted digit column. The digit
+    * extraction is referenced by every prefix predicate, so when the
+    * caller can stage it in its own projection (Catalyst won't inline a
+    * non-cheap expression referenced more than once across a Project
+    * boundary) the regexp runs once per row instead of once per rule.
+    */
+  def phoneCountryFromDigits(c: Column, n: Column): Column = {
     val matched = phoneRules(n).foldRight(lit("Desconocido")) {
       case ((pais, _, pred), acc) => when(pred, lit(pais)).otherwise(acc)
     }
@@ -163,8 +171,13 @@ object Functions {
   }
 
   /** Full phone info struct `{pais, codigo_pais, numero_e164}` (F11/F12). */
-  def phoneInfo(c: Column): Column = {
-    val n = digitsOnly(c)
+  def phoneInfo(c: Column): Column =
+    phoneInfoFromDigits(c, digitsOnly(c))
+
+  /** [[phoneInfo]] over a pre-extracted digit column — see
+    * [[phoneCountryFromDigits]] for why staging the digits matters.
+    */
+  def phoneInfoFromDigits(c: Column, n: Column): Column = {
     val nullStr = lit(null).cast(StringType)
     val fallback = struct(
       lit("Desconocido").as("pais"),

@@ -175,10 +175,17 @@ object RelationalQueries {
         lpad((col("c_custkey") % 1000000).cast(StringType), 10, "0"))
         .otherwise(lpad((col("c_custkey") % 1000000).cast(StringType), 9, "0"))
       val phone = concat(lit("+"), prefix, lit("-"), body)
-      val info = phoneInfo(phone)
-      Tables.customer(s, d)
+      // digits staged in their own projection: every prefix rule
+      // references them, and CollapseProject won't re-inline a
+      // non-cheap expression referenced more than once — one regexp
+      // per row instead of one per rule×field (was 250 µs/row)
+      val staged = Tables.customer(s, d)
         .select(col("c_custkey"), phone.as("numero_raw"),
-          phoneCountry(phone).as("pais"),
+          digitsOnly(phone).as("__digits"))
+      val info = phoneInfoFromDigits(col("numero_raw"), col("__digits"))
+      staged
+        .select(col("c_custkey"), col("numero_raw"),
+          phoneCountryFromDigits(col("numero_raw"), col("__digits")).as("pais"),
           info.getField("codigo_pais").as("codigo_pais"),
           info.getField("numero_e164").as("numero_e164"))
         .orderBy(col("c_custkey"))
