@@ -551,11 +551,30 @@ object RelationalQueries {
         COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  val q44ApproxSketches = Q("q44_approx_sketches",
+    // approximate aggregates for the 100 TB path: HyperLogLog++ distinct
+    // counts and quantile sketches replace exact distinct/percentile
+    // when a shuffle of the full key set is unaffordable. No DuckDB
+    // oracle — sketch implementations differ across engines by design
+    // (driver records the rows-only check; SketchSpec bounds the error
+    // against exact values instead).
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"),
+        percentile_approx(col("l_quantity"),
+          array(lit(0.25), lit(0.75)), lit(10000)).as("approx_qty_quartiles"))
+      .orderBy(col("l_returnflag")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
     q09DedupKeepLast, q10DistinctKeys, q11SemiJoin, q12AntiJoin, q13Union,
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
-    q24Having, q41ArrayFuncs, q43DistinctAgg)
+    q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches)
 }
