@@ -3,8 +3,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every catalog query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Contention robustness: the whole suite runs `Passes` times (cache
+  * cleared between passes, never within one — cross-query plan-fragment
+  * sharing, e.g. the q30/q31/q32 shingle frame, is part of the measured
+  * design) and each query reports its MEDIAN across passes, so one
+  * external CPU spike can't inflate a query 5–15× in the recorded JSON.
   */
 object Bench {
+
+  private val Passes = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,27 +29,53 @@ object Bench {
     // touches no benchmark data.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(10000).selectExpr("id % 7 as g").groupBy("g").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // full-row checksum, not count(): count() lets Catalyst prune
-      // every computed column the row count doesn't reference
-      // (aggregates under a key-only ORDER BY were silently skipped).
-      // The checksum forces every output column per row while still
-      // letting EliminateSorts drop the determinism-only ORDER BY the
-      // oracle harness needs — measuring the query, not the harness.
-      try {
-        val out = fn(spark, sfDir)
-        out.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.xxhash64(
-            out.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
-      } catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> dt
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // passes(p) = per-query (seconds, succeeded)
+    val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Passes).map { _ =>
+      spark.catalog.clearCache()
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // full-row checksum, not count(): count() lets Catalyst prune
+        // every computed column the row count doesn't reference
+        // (aggregates under a key-only ORDER BY were silently skipped).
+        // The checksum forces every output column per row while still
+        // letting EliminateSorts drop the determinism-only ORDER BY the
+        // oracle harness needs — measuring the query, not the harness.
+        val ok =
+          try {
+            val out = fn(spark, sfDir)
+            out.agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.xxhash64(
+                out.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
+            true
+          } catch { case e: Throwable =>
+            // a failed query must be VISIBLE in the output, not recorded
+            // as a near-zero timing that makes a regression look fast
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val medians = names.map { case (name, _) =>
+      val runs = passes.map(_(name))
+      val okTimes = runs.collect { case (t, true) => t }.sorted
+      // median of successful runs; if every pass failed, report the
+      // median attempt time and flag the query in "failed"
+      val ts = if (okTimes.nonEmpty) okTimes else runs.map(_._1).sorted
+      name -> ts(ts.size / 2)
+    }
+    val failed = names.collect {
+      case (name, _) if passes.exists(!_(name)._2) => name
+    }
+
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

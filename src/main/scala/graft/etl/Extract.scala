@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.functions.Functions.{fuzzyLookup, normalizeName}
 import graft.ops.Relational.ensureColumn
@@ -18,35 +18,82 @@ import graft.ops.Relational.ensureColumn
   */
 object Extract {
 
+  /** Quote-aware split of one CSV line — used only to size the schema
+    * from the HEADER line driver-side (values still flow through
+    * Spark's CSV parser).
+    */
+  private[etl] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.toString; cur.clear()
+        case _   => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   /** S5/S2–S4: read a CSV whose header is at 1-based row `headerRow`
     * (reference sheets: row 2 / 3 / 6 — etl/extract.py:172-180,
     * 222-230, 271-279); all columns string-typed, empty cells null.
     * Headers are trimmed (N4), empty headers become `col_{i}` and
     * duplicates get a `_N` suffix (N5, etl/extract.py:49-62); fully
     * empty rows are dropped (W4, etl/extract.py:98-100).
+    *
+    * The column count comes from the HEADER row, not the first file
+    * row: a pre-header title row shorter than the header (e.g. "TITLE"
+    * with no trailing commas) must not truncate the data columns —
+    * pandas `read_csv(header=N)` sizes from the header row too.
+    *
+    * `inferNumeric` (F13, etl/extract.py:82-93): opt-in per-column type
+    * inference — a column whose non-null values all match `-?\d+` is
+    * cast LONG; all matching int-or-decimal → DOUBLE; else stays string.
     */
-  def readSheet(spark: SparkSession, path: String, headerRow: Int): DataFrame = {
-    val raw = spark.read
-      .option("header", "false")
-      .option("inferSchema", "false")
-      .csv(path)
-    // zipWithIndex preserves file/split order — the positional contract
-    // "row N is the header" only exists in file order
-    val n = raw.columns.length
-    val indexed = raw.rdd.zipWithIndex()
-
-    val headerVals = indexed
+  def readSheet(spark: SparkSession, path: String, headerRow: Int,
+                inferNumeric: Boolean = false): DataFrame = {
+    // header line fetched via text scan (file order), split driver-side
+    // for its width — sheets are human-edited and small, and header
+    // rows are single-line by the positional contract
+    val headerLine = spark.read.text(path).rdd.zipWithIndex()
       .filter(_._2 == headerRow - 1)
-      .map(_._1)
+      .map(_._1.getString(0))
       .collect()
       .headOption
       .getOrElse(throw new IllegalArgumentException(
         s"$path has fewer than $headerRow rows — no header row"))
+    val headerCells = splitCsvLine(headerLine)
+    val n = headerCells.length
+
+    // explicit wide schema: rows narrower than the header (title rows,
+    // ragged data) are null-padded by the PERMISSIVE parser instead of
+    // dictating the table width
+    val wide = StructType((0 until n).map(i =>
+      StructField(s"_w$i", StringType, nullable = true)))
+    val raw = spark.read
+      .option("header", "false")
+      .option("inferSchema", "false")
+      .schema(wide)
+      .csv(path)
+    // zipWithIndex preserves file/split order — the positional contract
+    // "row N is the header" only exists in file order
+    val indexed = raw.rdd.zipWithIndex()
 
     // N4 trim + N5 unique-ify + empty header → col_{i}
     val seen = scala.collection.mutable.Map[String, Int]()
     val names = (0 until n).map { i =>
-      val rawName = Option(headerVals.get(i)).map(_.toString.trim).getOrElse("")
+      val rawName = headerCells(i).trim
       val base = if (rawName.isEmpty) s"col_$i" else rawName
       val k = seen.getOrElse(base, 0)
       seen(base) = k + 1
@@ -60,7 +107,33 @@ object Extract {
     val df = spark.createDataFrame(dataRows, schema)
     // W4: drop rows where every cell is null (CSV already maps empty
     // unquoted cells to null — F14)
-    df.na.drop("all")
+    val sheet = df.na.drop("all")
+    if (inferNumeric) inferNumericColumns(sheet) else sheet
+  }
+
+  /** F13 ingest-time numeric inference (etl/transform counterpart:
+    * etl/extract.py:82-93). One aggregate pass over the sheet computes
+    * per-column non-null / int-shaped / decimal-shaped counts; the
+    * single result row is collected driver-side (sheet-scale by
+    * contract — big data enters via parquet).
+    */
+  private[etl] def inferNumericColumns(df: DataFrame): DataFrame = {
+    if (df.columns.isEmpty) return df
+    val intRe = "^-?\\d+$"
+    val decRe = "^-?\\d+\\.\\d+$"
+    val aggs = df.columns.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"n_$i"),
+      count(when(col(c).rlike(intRe), 1)).as(s"i_$i"),
+      count(when(col(c).rlike(decRe), 1)).as(s"d_$i")) }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val casts = df.columns.zipWithIndex.map { case (c, i) =>
+      val (nn, ni, nd) = (r.getAs[Long](s"n_$i"), r.getAs[Long](s"i_$i"),
+        r.getAs[Long](s"d_$i"))
+      if (nn > 0 && ni == nn) col(c).cast(LongType).as(c)
+      else if (nn > 0 && ni + nd == nn) col(c).cast(DoubleType).as(c)
+      else col(c)
+    }
+    df.select(casts.toIndexedSeq: _*)
   }
 
   /** N2/N3 canonical rename (etl/extract.py:136-155): fuzzy-match the

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Relational.{antiJoin, dedupKeepLast, requireNonNull, semiJoin}
+import graft.ops.Relational.{antiJoin, dedupKeepLast, dedupKeepLastPositional, requireNonNull, semiJoin}
 
 /** Parquet-warehouse sinks with the reference's load semantics
   * (SURVEY.md §2.9): PK-merge upsert for master data (K2), duplicate-PK
@@ -34,7 +34,12 @@ object Load {
     * avoided.
     */
   def upsert(spark: SparkSession, df: DataFrame, dir: String, pk: String): Long = {
-    val incoming = df.withColumn("__prio", lit(1))
+    // The reference dedupes the INCOMING frame keep-last by pk before
+    // merging (etl/load.py:50-55). Without this, a batch carrying
+    // duplicate PKs would seed the warehouse with duplicate rows on the
+    // bootstrap write, and later merges would pick a nondeterministic
+    // winner among them (__prio ties).
+    val incoming = dedupKeepLastPositional(df, Seq(pk)).withColumn("__prio", lit(1))
     val merged = readTable(spark, dir) match {
       case Some(existing) =>
         dedupKeepLast(

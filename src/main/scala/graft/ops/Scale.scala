@@ -18,9 +18,20 @@ object Scale {
     * Trade-off: right side grows ×salts — use when right ≪ left but is
     * above the broadcast threshold, and left has hot keys.
     */
+  /** Join types for which replicating the right side is semantically
+    * invisible. "right"/"full" would emit the ×salts replicas of
+    * unmatched right rows — fail fast instead of silently duplicating.
+    */
+  private val SaltableJoinTypes =
+    Set("inner", "left_semi", "leftsemi", "left_anti", "leftanti",
+      "left", "left_outer", "leftouter")
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    require(SaltableJoinTypes(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType " +
+        "(right/full outer would duplicate unmatched right rows ×salts)")
     // deterministic salt: hash of the whole left row spreads a hot key
     // uniformly without an RNG (replays/retries stay stable)
     val leftCols = left.columns.map(col)

@@ -9,7 +9,7 @@ object Catalog {
 
   def allQueries: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all
+      EventQueries.all ++ PipelineQueries.all
 
   /** Session settings every catalog query relies on, applied defensively
     * in case the driver builds the session without them. All are

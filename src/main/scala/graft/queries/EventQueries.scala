@@ -183,6 +183,22 @@ object EventQueries {
       FROM events JOIN ranges ON value >= lo AND value < hi
       GROUP BY bucket ORDER BY bucket"""))
 
+  val q47ClickAttribution = Q("q47_click_attribution",
+    // the streaming twin under the correctness gate: runs
+    // StreamingJobs.clickToPurchase — the SAME code the stream-stream
+    // join executes (withWatermark is a no-op on batch frames) — and
+    // checks it against an external range-join oracle, proving
+    // batch/stream parity beyond the ScalaTest parity suite.
+    (s, d) => graft.streaming.StreamingJobs
+      .clickToPurchase(Tables.events(s, d))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id")),
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+        p.event_id AS purchase_id, p.value
+      FROM events c JOIN events p ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin,
-    q39MultimodalMeta, q40JsonProps, q42RangeJoin)
+    q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution)
 }

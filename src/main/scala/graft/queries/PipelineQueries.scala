@@ -1,0 +1,223 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.etl.{EtlPaths, Pipeline}
+import graft.functions.Functions.{AccountMapPrimeraCuota, AccountMapRegular}
+import graft.queries.RelationalQueries.{duckInitcap, duckMapCase, Q}
+
+/** The reference's actual four-table pipeline under the DuckDB oracle
+  * gate: q45 runs `graft.etl.Pipeline` end-to-end (positional-header
+  * extract → five transforms → FK-checked load) over the checked-in CSV
+  * fixtures and exposes all four warehouse tables as one tagged frame;
+  * the oracle replays the same transforms in SQL over `read_csv` of the
+  * same files (reference semantics: etl/pipeline.py:27-249).
+  *
+  * Everything is cast to string so the union is schema-uniform and the
+  * driver's sort/hash compare stays type-simple.
+  */
+object PipelineQueries {
+
+  /** Checked-in sheet fixtures (FIXTURES.md §A) — also used by
+    * EtlPipelineSpec, so spec and oracle exercise identical bytes.
+    */
+  val FixtureDir = "/root/repo/src/test/resources/graft/etl"
+
+  private val TargetDay = LocalDate.of(2026, 8, 11)
+
+  /** Lenient day-first parse ladder — DuckDB twin of
+    * Functions.lenientTimestamp.
+    */
+  private def duckLenient(c: String): String =
+    s"""try_strptime($c, ['%d/%m/%Y %H:%M:%S','%d/%m/%Y %H:%M',
+       '%d/%m/%Y','%Y-%m-%d %H:%M:%S','%Y-%m-%d'])"""
+
+  private def duckIso(c: String): String =
+    s"strftime(${duckLenient(c)}, '%Y-%m-%d')"
+
+  /** DuckDB twin of Functions.coerceMoney. */
+  private def duckMoney(c: String): String =
+    s"round(coalesce(TRY_CAST($c AS DOUBLE), 0.0), 2)"
+
+  /** DuckDB twin of Functions.accountNormalize. */
+  private def duckAccount(c: String, m: Map[String, String]): String =
+    s"""CASE WHEN $c IS NULL OR $c = '' THEN NULL
+       ELSE coalesce(${duckMapCase(s"upper(trim($c))", m, "NULL")},
+         ${duckInitcap(c)}) END"""
+
+  /** DuckDB twin of Functions.currencyForMethod (over the RAW string). */
+  private def duckCurrency(c: String): String =
+    s"""CASE WHEN $c IN ('Banco de México','Banco de Mexico',
+         'Banco de México / P','Banco de Ecuador / P') THEN 'MXN'
+       WHEN $c IN ('Banco de Ecuador','PAYPAL','Paypal') THEN 'USD'
+       WHEN $c = 'Banco de Chile' THEN 'CLP' ELSE 'PEN' END"""
+
+  /** DuckDB twin of Functions.phoneCountry over a digits expr `num`
+    * (null raw value handled by the caller's CASE).
+    */
+  private val duckPhonePais =
+    """CASE WHEN starts_with(num,'549') THEN 'Argentina'
+       WHEN starts_with(num,'569') THEN 'Chile'
+       WHEN starts_with(num,'51') THEN 'Perú'
+       WHEN starts_with(num,'57') THEN 'Colombia'
+       WHEN starts_with(num,'593') THEN 'Ecuador'
+       WHEN starts_with(num,'591') THEN 'Bolivia'
+       WHEN starts_with(num,'507') THEN 'Panamá'
+       WHEN starts_with(num,'521') OR starts_with(num,'52') THEN 'México'
+       WHEN starts_with(num,'55') THEN 'Brasil'
+       WHEN length(num) = 11 AND starts_with(num,'1')
+         THEN 'Estados Unidos / Puerto Rico'
+       WHEN starts_with(num,'39') THEN 'Italia'
+       WHEN starts_with(num,'34') THEN 'España'
+       WHEN starts_with(num,'33') THEN 'Francia'
+       WHEN starts_with(num,'49') THEN 'Alemania'
+       ELSE 'Desconocido' END"""
+
+  /** Tag a warehouse table and pad its stringified columns to c1..c9. */
+  private def shape(name: String, df: DataFrame): DataFrame = {
+    val cs = df.columns.toSeq.map(c => col(c).cast(StringType))
+    val padded = cs ++ Seq.fill(9 - cs.size)(lit(null).cast(StringType))
+    df.select(lit(name).as("tbl") +:
+      padded.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*)
+  }
+
+  val q45EtlPipeline = Q("q45_etl_pipeline",
+    (s, _) => {
+      // fresh warehouse per invocation: the pipeline's insert path
+      // aborts on duplicate PKs by design, so reruns need a clean root
+      val root = Files.createTempDirectory("graft_q45").toString
+      val paths = EtlPaths(
+        rawCursos = s"$FixtureDir/raw_cursos.csv",
+        rawEstudiantes = s"$FixtureDir/raw_estudiantes.csv",
+        rawMatriculas = s"$FixtureDir/raw_matriculas.csv",
+        rawPagos = s"$FixtureDir/raw_pagos.csv",
+        warehouseDir = s"$root/warehouse",
+        quarantineDir = s"$root/quarantine")
+      Pipeline.run(s, paths, TargetDay)
+      val wh = paths.warehouseDir
+      // explicit column order per table: the physical parquet order is
+      // an implementation detail (e.g. a USING-join floats its key to
+      // the front) — the contract is the transform's declared order
+      def tb(name: String, cols: String*) =
+        shape(name, s.read.parquet(s"$wh/$name").select(cols.map(col): _*))
+      tb("cursos", "codigo_curso", "nombre_curso", "numero_modulo",
+        "fecha_inicio", "codigo_profesor", "horarios")
+        .unionByName(tb("estudiantes", "codigo_estudiante", "nombres",
+          "apellidos", "correo", "numero", "pais", "genero", "red_contacto",
+          "nivel_educacion"))
+        .unionByName(tb("matriculas", "codigo_matricula", "codigo_curso",
+          "num_cursos", "fecha_matricula", "condicion_alumno",
+          "codigo_estudiante", "valor_matricula"))
+        .unionByName(tb("pagos", "codigo_matricula", "monto_pago",
+          "metodo_pago", "moneda", "encargado", "fecha_pago"))
+        .orderBy(col("tbl") +: (1 to 9).map(i => col(s"c$i")): _*)
+    },
+    Some {
+      val F = FixtureDir
+      // rn = file order: DuckDB preserves read_csv insertion order, the
+      // positional stand-in for the reference's pandas row order (the
+      // Spark side uses monotonically_increasing_id on the same single
+      // -file scan)
+      s"""WITH
+      cur_raw AS (SELECT *, row_number() OVER () AS rn
+        FROM read_csv('$F/raw_cursos.csv', skip=1, header=true, all_varchar=true)),
+      cur_t AS (SELECT "CÓDIGO_C" AS codigo_curso, "NOMBRE_C" AS nombre_curso,
+          CAST("I1" AS INTEGER) AS numero_modulo,
+          ${duckIso("\"FECHA DE INICIO\"")} AS fecha_inicio,
+          split_part("PROFESOR", ' ', 1) AS codigo_profesor,
+          "HORARIOS" AS horarios, rn
+        FROM cur_raw),
+      cursos AS (SELECT codigo_curso, nombre_curso, numero_modulo,
+          fecha_inicio, codigo_profesor, horarios
+        FROM (SELECT *, row_number() OVER (PARTITION BY codigo_curso
+                ORDER BY rn DESC) AS k FROM cur_t)
+        WHERE k = 1),
+      est_raw AS (SELECT *,
+          regexp_replace(coalesce("NUMERO_E", ''), '\\D', '', 'g') AS num
+        FROM read_csv('$F/raw_estudiantes.csv', skip=1, header=true, all_varchar=true)),
+      est AS (SELECT "CODIGO_E" AS codigo_estudiante,
+          ${duckInitcap("trim(\"NOMBRES_E\")")} AS nombres,
+          ${duckInitcap("trim(\"APELLIDOS_E\")")} AS apellidos,
+          lower(trim("CORREO_E")) AS correo,
+          trim("NUMERO_E") AS numero,
+          CASE WHEN "NUMERO_E" IS NULL THEN 'Desconocido'
+               ELSE $duckPhonePais END AS pais,
+          "GÉNERO_E" AS genero,
+          "RED DE CONTACTO_E" AS red_contacto,
+          "GRADO DE INSTRUCCIÓN_E" AS nivel_educacion
+        FROM est_raw),
+      mat_raw AS (SELECT *, row_number() OVER () AS rn
+        FROM read_csv('$F/raw_matriculas.csv', skip=2, header=true, all_varchar=true)),
+      mat_f AS (SELECT * FROM mat_raw
+        WHERE CAST(${duckLenient("\"Marca temporal\"")} AS DATE) = DATE '2026-08-11'),
+      mat_t AS (SELECT "Código de matrícula" AS codigo_matricula,
+          CASE WHEN "Cursos de matrícula" IS NOT NULL
+                 AND starts_with(trim("Cursos de matrícula"), 'P')
+               THEN split_part(trim("Cursos de matrícula"), ' ', 1)
+               ELSE "Cursos de matrícula" END AS codigo_curso,
+          CASE WHEN "Cursos de matrícula" IS NOT NULL
+                 AND starts_with(trim("Cursos de matrícula"), 'P')
+               THEN coalesce(TRY_CAST("num cursos" AS INTEGER), 0)
+               ELSE 0 END AS num_cursos,
+          ${duckIso("\"Fecha de pago de la primera cuota\"")} AS fecha_matricula,
+          "Condición del alumno" AS condicion_alumno,
+          "Código de estudiante FINAL" AS codigo_estudiante,
+          ${duckMoney("\"Monto de Pago\"")} AS valor_matricula, rn
+        FROM mat_f),
+      mat_valid AS (SELECT codigo_matricula, codigo_curso, num_cursos,
+          fecha_matricula, condicion_alumno, codigo_estudiante, valor_matricula
+        FROM (SELECT *, row_number() OVER (PARTITION BY codigo_matricula
+                ORDER BY rn DESC) AS k FROM mat_t)
+        WHERE k = 1 AND starts_with(codigo_curso, 'P')
+          AND codigo_estudiante IN
+            (SELECT codigo_estudiante FROM est WHERE codigo_estudiante IS NOT NULL)),
+      p1 AS (SELECT "Código de matrícula" AS codigo_matricula,
+          ${duckMoney("\"Primera Cuota\"")} AS monto_pago,
+          ${duckAccount("\"Método de Pago\"", AccountMapPrimeraCuota)} AS metodo_pago,
+          "Moneda" AS moneda,
+          "Encargado de Registro" AS encargado,
+          ${duckIso("\"Fecha de pago de la primera cuota\"")} AS fecha_pago
+        FROM mat_f
+        WHERE "Código de matrícula" IN (SELECT codigo_matricula FROM mat_valid)),
+      pg_f AS (SELECT * FROM read_csv('$F/raw_pagos.csv', skip=5, header=true, all_varchar=true)
+        WHERE CAST(${duckLenient("\"Marca temporal\"")} AS DATE) = DATE '2026-08-11'),
+      p2 AS (SELECT "Código de matrícula" AS codigo_matricula,
+          ${duckMoney("\"Monto de Pago\"")} AS monto_pago,
+          ${duckAccount("\"Método de Pago\"", AccountMapRegular)} AS metodo_pago,
+          ${duckCurrency("\"Método de Pago\"")} AS moneda,
+          "Encargado de Registro" AS encargado,
+          ${duckIso("\"fecha de pago\"")} AS fecha_pago
+        FROM pg_f
+        WHERE "Código de matrícula" IN (SELECT codigo_matricula FROM mat_valid)),
+      pagos AS (SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        WHERE fecha_pago IS NOT NULL
+          AND codigo_matricula IN (SELECT codigo_matricula FROM mat_valid))
+      SELECT * FROM (
+        SELECT 'cursos' AS tbl, codigo_curso AS c1, nombre_curso AS c2,
+          CAST(numero_modulo AS VARCHAR) AS c3, fecha_inicio AS c4,
+          codigo_profesor AS c5, horarios AS c6,
+          NULL AS c7, NULL AS c8, NULL AS c9 FROM cursos
+        UNION ALL
+        SELECT 'estudiantes', codigo_estudiante, nombres, apellidos, correo,
+          numero, pais, genero, red_contacto, nivel_educacion FROM est
+        UNION ALL
+        SELECT 'matriculas', codigo_matricula, codigo_curso,
+          CAST(num_cursos AS VARCHAR), fecha_matricula, condicion_alumno,
+          codigo_estudiante, CAST(valor_matricula AS VARCHAR), NULL, NULL
+          FROM mat_valid
+        UNION ALL
+        SELECT 'pagos', codigo_matricula, CAST(monto_pago AS VARCHAR),
+          metodo_pago, moneda, encargado, fecha_pago, NULL, NULL, NULL
+          FROM pagos)
+      ORDER BY tbl, c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST,
+        c4 NULLS FIRST, c5 NULLS FIRST, c6 NULLS FIRST, c7 NULLS FIRST,
+        c8 NULLS FIRST, c9 NULLS FIRST"""
+    })
+
+  val all: Seq[Q] = Seq(q45EtlPipeline)
+}

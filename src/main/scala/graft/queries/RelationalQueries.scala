@@ -557,18 +557,47 @@ object RelationalQueries {
     // when a shuffle of the full key set is unaffordable. No DuckDB
     // oracle — sketch implementations differ across engines by design
     // (driver records the rows-only check; SketchSpec bounds the error
-    // against exact values instead).
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_median_price"),
-        percentile_approx(col("l_quantity"),
-          array(lit(0.25), lit(0.75)), lit(10000)).as("approx_qty_quartiles"))
-      .orderBy(col("l_returnflag")),
+    // against exact values instead). All outputs are scalar columns so
+    // the check harness can sort/hash rows (an array<double> column
+    // broke pandas' lexsort in round 1).
+    (s, d) => {
+      val quartiles = percentile_approx(col("l_quantity"),
+        array(lit(0.25), lit(0.75)), lit(10000))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median_price"),
+          quartiles.as("q"))
+        .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+          col("approx_median_price"),
+          element_at(col("q"), 1).as("qty_p25"),
+          element_at(col("q"), 2).as("qty_p75"))
+        .orderBy(col("l_returnflag"))
+    },
     None)
+
+  val q46SaltedAgg = Q("q46_salted_agg",
+    // skew tool under the correctness gate: l_returnflag has only a
+    // handful of distinct values, so EVERY group key is a hot reduce key
+    // — exactly the shape Scale.saltedSumCount exists for. Salting must
+    // be semantically invisible, so the oracle is the plain GROUP BY.
+    // Values are summed in DECIMAL (exact, order-independent): a salted
+    // two-phase DOUBLE sum would be legal Spark but not bit-stable.
+    (s, d) => graft.ops.Scale.saltedSumCount(
+      Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty")),
+      Seq("l_returnflag"), "qty", salts = 16)
+      .select(col("l_returnflag"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"), col("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first),
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
@@ -576,5 +605,6 @@ object RelationalQueries {
     q09DedupKeepLast, q10DistinctKeys, q11SemiJoin, q12AntiJoin, q13Union,
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
-    q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches)
+    q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
+    q46SaltedAgg)
 }

@@ -85,10 +85,19 @@ object TextQueries {
   val q26LangId = Q("q26_lang_id",
     // n-gram/stopword-overlap language ID heuristic; fixed priority
     // en > es > fr > de on score ties. Pure expression — no shuffle.
+    // The four scores are staged in their own projection so the
+    // tie-break CASE references cheap attributes, not the filter+size
+    // pass itself (outer expressions referenced several times in ONE
+    // select re-evaluate per reference — the q07 CollapseProject
+    // lesson; a staging select is a real barrier for non-cheap exprs).
     (s, d) => {
       val t = toks(col("text"))
-      val score: Map[String, Column] = langWords.map { case (lang, ws) =>
-        lang -> size(filter(t, x => x.isin(ws: _*)))
+      val scored = Tables.documents(s, d).select(
+        Seq(col("doc_id"), col("lang")) ++ langWords.map { case (lang, ws) =>
+          size(filter(t, x => x.isin(ws: _*))).as(s"score_$lang")
+        }: _*)
+      val score: Map[String, Column] = langWords.map { case (lang, _) =>
+        lang -> col(s"score_$lang")
       }.toMap
       val predicted =
         when(score("en") >= score("es") && score("en") >= score("fr") &&
@@ -96,10 +105,9 @@ object TextQueries {
           .when(score("es") >= score("fr") && score("es") >= score("de"), "es")
           .when(score("fr") >= score("de"), "fr")
           .otherwise("de")
-      Tables.documents(s, d).select(
+      scored.select(
         col("doc_id"),
-        score("en").as("score_en"), score("es").as("score_es"),
-        score("fr").as("score_fr"), score("de").as("score_de"),
+        col("score_en"), col("score_es"), col("score_fr"), col("score_de"),
         predicted.as("lang_pred"),
         (predicted === col("lang")).as("is_match"))
         .orderBy(col("doc_id"))
@@ -285,27 +293,47 @@ object TextQueries {
               len(list_distinct(x.shingles || y.shingles)), 6) >= 0.5
       ORDER BY da, db"""))
 
+  /** Max document frequency a shingle may have and still enter the q31
+    * inverted index. The posting-list self-join is quadratic in each
+    * shingle's df, so one stop-shingle with df = 10⁶ would emit 10¹²
+    * join rows at corpus scale; shingles above the cap are dropped from
+    * the shingle universe on BOTH engines (Jaccard is then computed
+    * over the pruned space — the standard stop-shingle approximation;
+    * the LSH path, q30, still surfaces pairs that only share hot
+    * shingles). Bounds any single join key's output at DfCap².
+    */
+  private val DfCap = 64L
+
   val q31NgramJaccard = Q("q31_ngram_jaccard",
     // exhaustive n-gram Jaccard via inverted shingle index (equi-join on
-    // shingle, not cross join): pairs sharing ≥1 shingle, true Jaccard
+    // shingle, not cross join): pairs sharing ≥1 surviving shingle, true
+    // Jaccard over the df-capped shingle universe
     (s, d) => {
-      // persisted: feeds sizes (joined twice) and the inverted index
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-        .transform(eager)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
       // inverted index keyed by a 60-bit md5 of the shingle, not the
       // 3-gram string itself: the self-join shuffles/compares 8-byte
       // longs instead of ~30-byte strings. The oracle applies the SAME
       // hash, so semantics (including any hash collision) are identical
       // in both engines.
-      // persisted: self-joined a×b for the intersection counts
+      // persisted: feeds the df computation, per-doc sizes, and the
+      // a×b self-join — one shingle build total
       val inst = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .select(col("doc_id"),
           conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("h"))
         .transform(eager)
-      val inter = inst.as("a").join(inst.as("b"),
+      // stop-shingle prune: keys with df > DfCap never reach the
+      // self-join (partial-agg count, then broadcast anti-join — the
+      // hot-key set is small by construction)
+      val hot = inst.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap)
+        .select(col("h"))
+      val pruned = inst.join(broadcast(hot), Seq("h"), "left_anti")
+        .transform(eager)
+      val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = pruned.as("a").join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
@@ -321,12 +349,14 @@ object TextQueries {
     Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
         sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-        sz AS (SELECT doc_id, len(shingles) AS n FROM sh2),
         inst AS (SELECT doc_id,
                  CAST('0x' || substr(md5(unnest(shingles)), 1, 15) AS BIGINT) AS h
                  FROM sh2),
+        hot AS (SELECT h FROM inst GROUP BY h HAVING count(*) > $DfCap),
+        pruned AS (SELECT doc_id, h FROM inst WHERE h NOT IN (SELECT h FROM hot)),
+        sz AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
         p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-              FROM inst a JOIN inst b ON a.h = b.h AND a.doc_id < b.doc_id
+              FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
       SELECT da, db, round(inter / (x.n + y.n - inter), 6) AS jaccard
       FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db

@@ -54,31 +54,60 @@ object VectorQueries {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Tiles per side for the q33 block-nested-loop. The vector set is cut
+    * into B blocks; every unordered block pair (i ≤ j) is one tile, so
+    * each task's working set is ≤ 2·N/B vectors regardless of total N.
+    * Scale by raising B (tasks grow as B², per-task memory shrinks as
+    * 1/B) — no driver-side collect anywhere in the plan.
+    */
+  private val CosineTiles = 8
+
   val q33CosinePairs = Q("q33_cosine_pairs",
-    // embedding-cosine near-dup: exact all pairs ≥ 0.45. The small side
-    // (the whole vector set — 512 KB at bench SF) is broadcast and each
-    // partition streams its rows against it — the same distribution
-    // pattern a BroadcastNestedLoopJoin uses, WITHOUT materializing 2M
-    // join rows carrying two 64-float arrays each (that intermediate
-    // was pure GC churn: 3–17 s of run-to-run variance). Only surviving
-    // pairs become rows. The 100 TB path is q35's IVF bucketing (or
-    // tiled blocks); this kernel is the documented mapPartitions
-    // last-resort for a genuinely quadratic small-side kernel.
+    // embedding-cosine near-dup: exact all pairs ≥ 0.45, block-tiled.
+    // Each vector is shuffled into the B tiles whose block-pair contains
+    // its block (replication factor B — at 100 TB that is B copies of
+    // the vector column, not N² join rows), then flatMapGroups runs the
+    // quadratic kernel inside one tile per task WITHOUT materializing
+    // pair rows carrying two 64-float arrays each (that intermediate was
+    // pure GC churn in the equi-join form: 3–17 s of run-to-run
+    // variance). Only surviving pairs become rows. Prefer q35's IVF
+    // bucketing when approximate recall is acceptable; this is the exact
+    // kernel, with per-task memory bounded by the tile size.
     (s, d) => {
       import s.implicits._
+      val B = CosineTiles
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val all = e.as[(Long, Array[Float])].collect().sortBy(_._1)
-      val bc = s.sparkContext.broadcast(all)
-      e.as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val vs = bc.value
-          val norms = vs.map { case (_, v) => math.sqrt(dotD(v, v)) }
-          it.flatMap { case (da, va) =>
+        .as[(Long, Array[Float])]
+      val blkOf = (id: Long) => (((id % B) + B) % B).toInt
+      e.flatMap { case (id, v) =>
+          val b = blkOf(id)
+          (0 until B).iterator.map { o =>
+            val (i, j) = if (o < b) (o, b) else (b, o)
+            (i * B + j, id, v)
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (tileId: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+          val i = tileId / B; val j = tileId % B
+          val rows = it.map { case (_, id, v) => (id, v) }.toArray
+          val as = rows.filter { case (id, _) => blkOf(id) == i }
+          val bs = if (i == j) as else rows.filter { case (id, _) => blkOf(id) == j }
+          val bNorms = bs.map { case (_, v) => math.sqrt(dotD(v, v)) }
+          // Each unordered cross pair appears exactly once per tile, but
+          // not necessarily with the a-side id smaller — canonicalize to
+          // (min, max) instead of filtering (a plain da < db filter would
+          // silently drop pairs whose a-side id is the larger one). The
+          // diagonal tile (i == j) enumerates both orders, so there the
+          // filter IS the dedup. dotD is fold-order-symmetric (same index
+          // order, commutative multiply), so the cosine bits are
+          // identical either way.
+          as.iterator.flatMap { case (ida, va) =>
             val na = math.sqrt(dotD(va, va))
-            vs.iterator.zipWithIndex
-              .filter { case ((db, _), _) => da < db }
-              .map { case ((db, vb), j) =>
-                (da, db, round6(dotD(va, vb) / (na * norms(j))))
+            bs.iterator.zipWithIndex
+              .filter { case ((idb, _), _) => if (i == j) ida < idb else true }
+              .map { case ((idb, vb), k) =>
+                (math.min(ida, idb), math.max(ida, idb),
+                  round6(dotD(va, vb) / (na * bNorms(k))))
               }
               .filter(_._3 >= 0.45)
           }

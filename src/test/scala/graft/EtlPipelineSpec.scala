@@ -24,57 +24,23 @@ class EtlPipelineSpec extends SparkSpec {
 
   private val root = Files.createTempDirectory("graft_etl").toString
 
+  // the checked-in fixture CSVs (FIXTURES.md §A) — shared byte-for-byte
+  // with the q45_etl_pipeline oracle, so spec and DuckDB replay agree.
+  // The "fecha de pago" header variant exercises the N3 canonical
+  // rename; the exact-cased "Banco de México" cell exercises the
+  // reference's literal currency match (etl/transform.py:246-249).
+  private val FixtureDir = graft.queries.PipelineQueries.FixtureDir
+
   private def fixtures(): EtlPaths = fixtures(root)
 
-  private def fixtures(root: String): EtlPaths = {
-    write(s"$root/raw_cursos.csv", Seq(
-      "REGISTRO DE CURSOS 2026,,,,,,",
-      "CÓDIGO_C,NOMBRE_C,I1,FECHA DE INICIO,FECHA DE TERMINO,PROFESOR,HORARIOS",
-      "P101,Diseño Estructural I,3,15/3/2026,20/6/2026,T07 María Quispe,Lun-Mie 19:00",
-      "P102,Concreto Armado,2,bad-date,,T08 Luis Vega,Mar-Jue 18:00",
-      "P101,Diseño Estructural I v2,3,16/3/2026,20/6/2026,T07 María Quispe,Lun-Mie 19:00"))
-    write(s"$root/raw_estudiantes.csv", Seq(
-      "REGISTRO DE ESTUDIANTES,,,,,,,",
-      "CODIGO_E,NOMBRES_E,APELLIDOS_E,CORREO_E,NUMERO_E,GÉNERO_E,RED DE CONTACTO_E,GRADO DE INSTRUCCIÓN_E",
-      "E001,\"  juan carlos \",\"pérez rojas\",\" Juan.Perez@Mail.COM \",+51 987 654 321,Masculino,Facebook,Universitario",
-      "E002,maria,lópez,M@X.com,+52 155 5555 5555,Femenino,Instagram,Secundaria",
-      "E003,ana,díaz,a@b.co,999999,Femenino,Facebook,Universitario"))
-    write(s"$root/raw_matriculas.csv", Seq(
-      "MATRICULAS,,,,,,,,,,,",
-      ",,,,,,,,,,,",
-      "Marca temporal,Código de matrícula,Cursos de matrícula,num cursos," +
-        "Fecha de pago de la primera cuota,Condición del alumno," +
-        "Código de estudiante FINAL,Monto de Pago,Primera Cuota,Método de Pago," +
-        "Moneda,Encargado de Registro",
-      "11/8/2026 14:32:05,M-001,P101 Diseño Estructural,2,10/8/2026,Regular,E001,350.50,150.00,YAPE,PEN,A. Torres",
-      "11/8/2026 09:00:00,M-002,Taller libre,1,10/8/2026,Regular,E002,100,50,banco de la nación,PEN,A. Torres",
-      "10/8/2026 10:00:00,M-003,P102 Concreto,1,9/8/2026,Regular,E001,200,80,BCP,PEN,A. Torres",
-      "11/8/2026 11:00:00,M-004,P102 Concreto,1,10/8/2026,Becado,E999,abc,60,Efectivo Tienda,PEN,B. Ramos",
-      "11/8/2026 12:00:00,M-001,P101 Diseño Estructural,2,10/8/2026,Regular,E001,360.00,150.00,YAPE,PEN,A. Torres"))
-    write(s"$root/raw_pagos.csv", Seq(
-      "PAGOS REGULARES,,,,,",
-      ",,,,,",
-      ",,,,,",
-      ",,,,,",
-      ",,,,,",
-      // header variant "fecha de pago" exercises the N3 canonical rename
-      "Marca temporal,Código de matrícula,Monto de Pago,Método de Pago,fecha de pago,Encargado de Registro",
-      // exact-cased "Banco de México": the reference's currency_fixed
-      // matches raw cell values literally (etl/transform.py:246-249), so
-      // only this casing yields MXN — an uppercase cell would be PEN
-      "11/8/2026 09:10:00,M-001,175.25,Banco de México,11/8/2026,B. Ramos",
-      "11/8/2026 10:00:00,M-001,80.00,PAYPAL,11/8/2026,B. Ramos",
-      "11/8/2026 10:30:00,M-009,50.00,BANCO DE CHILE,11/8/2026,B. Ramos",
-      "11/8/2026 11:00:00,M-001,60.00,Efectivo Tienda,,B. Ramos",
-      "10/8/2026 09:00:00,M-001,99.00,BCP,10/8/2026,B. Ramos"))
+  private def fixtures(root: String): EtlPaths =
     EtlPaths(
-      rawCursos = s"$root/raw_cursos.csv",
-      rawEstudiantes = s"$root/raw_estudiantes.csv",
-      rawMatriculas = s"$root/raw_matriculas.csv",
-      rawPagos = s"$root/raw_pagos.csv",
+      rawCursos = s"$FixtureDir/raw_cursos.csv",
+      rawEstudiantes = s"$FixtureDir/raw_estudiantes.csv",
+      rawMatriculas = s"$FixtureDir/raw_matriculas.csv",
+      rawPagos = s"$FixtureDir/raw_pagos.csv",
       warehouseDir = s"$root/warehouse",
       quarantineDir = s"$root/quarantine")
-  }
 
   private lazy val summary = Pipeline.run(spark, fixtures(), LocalDate.of(2026, 8, 11))
 
@@ -151,10 +117,64 @@ class EtlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$r2/warehouse/pagos").count() == 5)
   }
 
+  test("upsert: incoming batch with duplicate PKs is deduped keep-last") {
+    // reference load() dedupes the incoming frame before merging
+    // (etl/load.py:50-55) — both the bootstrap write and later merges
+    // must keep exactly one (the last) row per PK
+    val dir = Files.createTempDirectory("graft_upsert_dup").toString
+    val dup = spark.createDataFrame(Seq(
+      ("K1", "first"), ("K2", "only"), ("K1", "last")))
+      .toDF("pk", "v")
+    assert(Load.upsert(spark, dup, s"$dir/t", "pk") == 2) // bootstrap dedupes
+    val v1 = spark.read.parquet(s"$dir/t").filter(col("pk") === "K1")
+      .select("v").collect()(0).getString(0)
+    assert(v1 == "last")
+    // merge path: incoming dups deduped, then incoming beats existing
+    val dup2 = spark.createDataFrame(Seq(("K1", "newer"), ("K1", "newest")))
+      .toDF("pk", "v")
+    assert(Load.upsert(spark, dup2, s"$dir/t", "pk") == 2)
+    val v2 = spark.read.parquet(s"$dir/t").filter(col("pk") === "K1")
+      .select("v").collect()(0).getString(0)
+    assert(v2 == "newest")
+  }
+
+  test("readSheet: short pre-header title row must not truncate columns") {
+    // ADVICE r1: column count must come from the HEADER row — a title
+    // row without trailing commas would otherwise set the table width
+    val p = s"$root/short_title.csv"
+    write(p, Seq(
+      "TITLE",
+      "A,B,C",
+      "1,2,3",
+      "4,5,6"))
+    val df = graft.etl.Extract.readSheet(spark, p, headerRow = 2)
+    assert(df.columns.toSeq == Seq("A", "B", "C"))
+    assert(df.count() == 2)
+    assert(df.select("C").collect().map(_.getString(0)).sorted.toSeq == Seq("3", "6"))
+  }
+
+  test("readSheet inferNumeric: int/double/string column typing (F13)") {
+    val p = s"$root/infer.csv"
+    write(p, Seq(
+      "i,d,s,mixed,empty",
+      "42,-1.5,x,7,",
+      "-7,2.25,y,z,",
+      "0,3.0,z,-1,"))
+    val df = graft.etl.Extract.readSheet(spark, p, headerRow = 1,
+      inferNumeric = true)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("i") == "long")       // all -?\d+
+    assert(types("d") == "double")     // all -?\d+.\d+  (3.0 is decimal-shaped)
+    assert(types("s") == "string")
+    assert(types("mixed") == "string") // "z" poisons the column
+    assert(types("empty") == "string") // no non-null values -> unchanged
+    assert(df.select(sum(col("i"))).collect()(0).getLong(0) == 35L)
+  }
+
   test("upsert: incoming row replaces existing on PK match") {
     summary // ensure pipeline ran
     val updated = Transform.cursos(
-      graft.etl.Extract.readSheet(spark, s"$root/raw_cursos.csv", headerRow = 2))
+      graft.etl.Extract.readSheet(spark, s"$FixtureDir/raw_cursos.csv", headerRow = 2))
       .withColumn("nombre_curso",
         when(col("codigo_curso") === "P101", lit("RENAMED"))
           .otherwise(col("nombre_curso")))

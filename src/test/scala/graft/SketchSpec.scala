@@ -34,8 +34,9 @@ class SketchSpec extends SparkSpec {
         a.getAs[Double]("approx_median_price") - e.getAs[Double]("median_price")) /
         e.getAs[Double]("median_price")
       assert(relMedian < 0.02, s"$flag quantile-sketch error $relMedian")
-      val quartiles = a.getAs[scala.collection.Seq[Double]]("approx_qty_quartiles")
-      assert(quartiles.length == 2 && quartiles(0) <= quartiles(1))
+      val p25 = a.getAs[Double]("qty_p25")
+      val p75 = a.getAs[Double]("qty_p75")
+      assert(p25 <= p75, s"$flag quartiles out of order: $p25 > $p75")
     }
   }
 }
