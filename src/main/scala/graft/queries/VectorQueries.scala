@@ -62,59 +62,70 @@ object VectorQueries {
     */
   private val CosineTiles = 8
 
+  /** Exact all-pairs cosine ≥ `threshold`, block-tiled: each vector is
+    * shuffled into the `tiles` tiles whose block-pair contains its block
+    * (replication factor = tiles — at 100 TB that is B copies of the
+    * vector column, not N² join rows), then flatMapGroups runs the
+    * quadratic kernel inside one tile per task WITHOUT materializing
+    * pair rows carrying two float arrays each (that intermediate was
+    * pure GC churn in the equi-join form: 3–17 s of run-to-run
+    * variance). Only surviving pairs become rows. Per-task memory is
+    * bounded by the tile size; the pair-evaluation work is inherently
+    * quadratic in N — prefer the IVF/LSH paths (q35/q30) when
+    * approximate recall is acceptable.
+    *
+    * `df` must have columns (vec_id: long, embedding: array<float>).
+    */
+  def cosinePairsTiled(df: DataFrame, tiles: Int, threshold: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val B = tiles
+    val blkOf = (id: Long) => (((id % B) + B) % B).toInt
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val b = blkOf(id)
+        (0 until B).iterator.map { o =>
+          val (i, j) = if (o < b) (o, b) else (b, o)
+          (i * B + j, id, v)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (tileId: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val i = tileId / B; val j = tileId % B
+        val rows = it.map { case (_, id, v) => (id, v) }.toArray
+        val as = rows.filter { case (id, _) => blkOf(id) == i }
+        val bs = if (i == j) as else rows.filter { case (id, _) => blkOf(id) == j }
+        val bNorms = bs.map { case (_, v) => math.sqrt(dotD(v, v)) }
+        // Each unordered cross pair appears exactly once per tile, but
+        // not necessarily with the a-side id smaller — canonicalize to
+        // (min, max) instead of filtering (a plain da < db filter would
+        // silently drop pairs whose a-side id is the larger one). The
+        // diagonal tile (i == j) enumerates both orders, so there the
+        // filter IS the dedup. dotD is fold-order-symmetric (same index
+        // order, commutative multiply), so the cosine bits are
+        // identical either way.
+        as.iterator.flatMap { case (ida, va) =>
+          val na = math.sqrt(dotD(va, va))
+          bs.iterator.zipWithIndex
+            .filter { case ((idb, _), _) => if (i == j) ida < idb else true }
+            .map { case ((idb, vb), k) =>
+              (math.min(ida, idb), math.max(ida, idb),
+                round6(dotD(va, vb) / (na * bNorms(k))))
+            }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("da", "db", "cosine")
+  }
+
   val q33CosinePairs = Q("q33_cosine_pairs",
-    // embedding-cosine near-dup: exact all pairs ≥ 0.45, block-tiled.
-    // Each vector is shuffled into the B tiles whose block-pair contains
-    // its block (replication factor B — at 100 TB that is B copies of
-    // the vector column, not N² join rows), then flatMapGroups runs the
-    // quadratic kernel inside one tile per task WITHOUT materializing
-    // pair rows carrying two 64-float arrays each (that intermediate was
-    // pure GC churn in the equi-join form: 3–17 s of run-to-run
-    // variance). Only surviving pairs become rows. Prefer q35's IVF
-    // bucketing when approximate recall is acceptable; this is the exact
-    // kernel, with per-task memory bounded by the tile size.
-    (s, d) => {
-      import s.implicits._
-      val B = CosineTiles
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      val blkOf = (id: Long) => (((id % B) + B) % B).toInt
-      e.flatMap { case (id, v) =>
-          val b = blkOf(id)
-          (0 until B).iterator.map { o =>
-            val (i, j) = if (o < b) (o, b) else (b, o)
-            (i * B + j, id, v)
-          }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (tileId: Int, it: Iterator[(Int, Long, Array[Float])]) =>
-          val i = tileId / B; val j = tileId % B
-          val rows = it.map { case (_, id, v) => (id, v) }.toArray
-          val as = rows.filter { case (id, _) => blkOf(id) == i }
-          val bs = if (i == j) as else rows.filter { case (id, _) => blkOf(id) == j }
-          val bNorms = bs.map { case (_, v) => math.sqrt(dotD(v, v)) }
-          // Each unordered cross pair appears exactly once per tile, but
-          // not necessarily with the a-side id smaller — canonicalize to
-          // (min, max) instead of filtering (a plain da < db filter would
-          // silently drop pairs whose a-side id is the larger one). The
-          // diagonal tile (i == j) enumerates both orders, so there the
-          // filter IS the dedup. dotD is fold-order-symmetric (same index
-          // order, commutative multiply), so the cosine bits are
-          // identical either way.
-          as.iterator.flatMap { case (ida, va) =>
-            val na = math.sqrt(dotD(va, va))
-            bs.iterator.zipWithIndex
-              .filter { case ((idb, _), _) => if (i == j) ida < idb else true }
-              .map { case ((idb, vb), k) =>
-                (math.min(ida, idb), math.max(ida, idb),
-                  round6(dotD(va, vb) / (na * bNorms(k))))
-              }
-              .filter(_._3 >= 0.45)
-          }
-        }
-        .toDF("da", "db", "cosine")
-        .orderBy(col("da"), col("db"))
-    },
+    // embedding-cosine near-dup: exact all pairs ≥ 0.45 via the tiled
+    // kernel above — no driver collect, per-task memory O(N/tiles)
+    (s, d) => cosinePairsTiled(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      CosineTiles, 0.45)
+      .orderBy(col("da"), col("db")),
     Some(s"""WITH e AS (SELECT vec_id, embedding,
           sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
         p AS (SELECT a.vec_id AS da, b.vec_id AS db,

@@ -91,6 +91,45 @@ object Stress {
     time("topk 100") {
       t.orderBy(col("value").desc, col("event_id")).limit(100).count()
     }
+
+    // ---- tiled all-pairs cosine (q33 shape): no driver collect, ----
+    // ---- per-task memory bounded by tile size.  Pair-evaluation  ----
+    // ---- work is inherently N² — what must stay flat is memory   ----
+    // ---- per task and shuffle volume per vector (= tiles copies) ----
+    val dim = 64
+    def vecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        k => (pmod(hash(col("id") * lit(dim) + k), lit(1000)) / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    for (n <- Seq(50000L, 100000L, 200000L)) {
+      // tiles sized so a tile holds ~2×12.5k vectors (~6 MB) at any n
+      val tiles = math.max(8, (n / 12500L).toInt)
+      time(s"tiled cosine all-pairs ${n / 1000}k (B=$tiles)") {
+        graft.queries.VectorQueries
+          .cosinePairsTiled(vecs(n), tiles, 0.995).count()
+      }
+    }
+
+    // ---- inverted-index join with df cap (q31 shape): a planted  ----
+    // ---- stop-shingle with df=rows/10 would alone emit (rows/10)² ----
+    // ---- join rows (10¹² at 100M docs); the cap prunes it before ----
+    // ---- the self-join so the output is bounded by df_cap² per key ----
+    time("posting self-join, hot key capped") {
+      val dfCap = 64L
+      // rows postings: 10% share one hot shingle hash, the rest are
+      // near-unique (df ≤ ~2)
+      val inst = spark.range(rows).select(
+        col("id").as("doc_id"),
+        when(col("id") % 10 === 0, lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(rows / 2))).as("h"))
+      val hot = inst.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("h"))
+      val pruned = inst.join(broadcast(hot), Seq("h"), "left_anti")
+      pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+    }
     spark.stop()
   }
 }
