@@ -599,6 +599,29 @@ object RelationalQueries {
       FROM lineitem GROUP BY l_returnflag
       ORDER BY l_returnflag ASC NULLS FIRST"""))
 
+  val q48SaltedJoin = Q("q48_salted_join",
+    // the second skew tool under the correctness gate: a salted inner
+    // equi-join (left's key spread over 8 sub-keys, right replicated ×8)
+    // must produce exactly the rows of the plain join — the oracle IS
+    // the plain join. Aggregated output keeps the comparison small;
+    // DECIMAL sums stay order-independent under the salt.
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val right = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Scale.saltedJoin(li, right, Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("qty")).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -606,5 +629,5 @@ object RelationalQueries {
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
-    q46SaltedAgg)
+    q46SaltedAgg, q48SaltedJoin)
 }
