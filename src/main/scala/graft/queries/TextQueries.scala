@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -427,6 +428,110 @@ object TextQueries {
       WHERE bit_count(xor(a.fp, b.fp)) <= 3
       ORDER BY da, db"""))
 
+  /** Shared DuckDB fragment: per-doc features + quality score (the q26
+    * language scores and the q27 quality formula over one token split).
+    */
+  private val duckFeatures =
+    s"""t AS (SELECT doc_id, source, text, string_split(text,' ') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, source, text,
+          len(toks) AS n_tokens,
+          len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS s_es,
+          len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('the','a','of','and','is','or','in'))) AS stop,
+          length(replace(text,' ','')) / len(toks) AS avg_len,
+          length(text) AS n_chars FROM t),
+        q AS (SELECT *, round((stop / n_tokens * 2.0 + avg_len * 0.1) /
+              (1.0 + n_chars * 0.001), 6) AS quality FROM f)"""
+
+  /** Spark twin of [[duckFeatures]]: one staged projection computing the
+    * language scores, token stats, and quality score (stages are real
+    * CollapseProject barriers — each filter/size pass runs once).
+    */
+  private def features(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val staged = docs.select(col("doc_id"), col("source"), col("text"),
+      size(t).as("n_tokens"),
+      size(filter(t, x => x.isin(langWords.toMap.apply("en"): _*))).as("s_en"),
+      size(filter(t, x => x.isin(langWords.toMap.apply("es"): _*))).as("s_es"),
+      size(filter(t, x => x.isin(langWords.toMap.apply("fr"): _*))).as("s_fr"),
+      size(filter(t, x => x.isin(langWords.toMap.apply("de"): _*))).as("s_de"),
+      size(filter(t, x => x.isin("the", "a", "of", "and", "is", "or", "in")))
+        .as("stop"),
+      (length(regexp_replace(col("text"), " ", "")) / size(t)).as("avg_len"),
+      length(col("text")).as("n_chars"))
+    staged.withColumn("quality",
+      round((col("stop") / col("n_tokens") * 2.0 + col("avg_len") * 0.1) /
+        (lit(1.0) + col("n_chars") * 0.001), 6))
+  }
+
+  val q49CorpusPrep = Q("q49_corpus_prep",
+    // the composed training-data prep flow a corpus pipeline actually
+    // runs, end to end in ONE plan: feature scoring → language gate
+    // (en-dominant) → quality gate → exact dedup (keep lowest doc_id
+    // per content hash) → deterministic 80% sample (salted md5 — no
+    // RNG, so replays/retries and the oracle agree) → per-source corpus
+    // stats. Shuffles: one for the dedup window, one for the final
+    // aggregate — everything upstream is expression-only.
+    (s, d) => {
+      val kept = features(Tables.documents(s, d))
+        .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_de") && col("quality") > 0.02)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val sampled = deduped.filter(
+        conv(substring(md5(concat(lit("s"), col("text"))), 1, 8), 16, 10)
+          .cast(LongType) % 100 < 80)
+      sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1))).as("avg_quality"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $duckFeatures,
+        kept AS (SELECT * FROM q
+          WHERE s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+            AND quality > 0.02),
+        ded AS (SELECT * FROM (SELECT *, row_number() OVER
+              (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept)
+          WHERE rn = 1),
+        samp AS (SELECT * FROM ded
+          WHERE CAST('0x' || substr(md5('s' || text), 1, 8) AS BIGINT) % 100 < 80)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          AS avg_quality
+      FROM samp GROUP BY source ORDER BY source"""))
+
+  val q50TokenBudget = Q("q50_token_budget",
+    // data-mixing budget selection: per source, take the
+    // highest-quality documents until a token budget is exhausted
+    // (running windowed sum + cutoff — the distributed form of
+    // "greedily fill each mixture bucket"). One shuffle on source.
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      features(Tables.documents(s, d))
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= 3000)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("quality"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    },
+    Some(s"""WITH $duckFeatures,
+        b AS (SELECT source, doc_id, n_tokens, quality,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_tokens FROM q)
+      SELECT source, doc_id, n_tokens, quality, cum_tokens FROM b
+      WHERE cum_tokens <= 3000 ORDER BY source, cum_tokens, doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
-    q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash)
+    q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
+    q49CorpusPrep, q50TokenBudget)
 }
