@@ -62,14 +62,19 @@ object Load {
     */
   def insert(spark: SparkSession, df: DataFrame, dir: String,
              pk: Option[String] = None): Long = {
-    for (key <- pk; existing <- readTable(spark, dir)) {
-      val dups = semiJoin(df.select(col(key)), existing, Seq(key)).count()
-      if (dups > 0) throw new IllegalStateException(
-        s"insert into $dir aborted: $dups incoming rows duplicate existing PK $key")
-    }
-    val n = df.count()
-    df.write.mode("append").parquet(dir)
-    n
+    // the incoming plan is consumed up to three times (dup probe, count,
+    // write) — persist so the upstream transforms run once
+    val cached = df.persist()
+    try {
+      for (key <- pk; existing <- readTable(spark, dir)) {
+        val dups = semiJoin(cached.select(col(key)), existing, Seq(key)).count()
+        if (dups > 0) throw new IllegalStateException(
+          s"insert into $dir aborted: $dups incoming rows duplicate existing PK $key")
+      }
+      val n = cached.count()
+      cached.write.mode("append").parquet(dir)
+      n
+    } finally cached.unpersist()
   }
 
   /** W3 required-non-null split: quarantine rows with nulls in required

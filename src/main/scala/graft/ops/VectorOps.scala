@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions.vecDot
+
+/** Distributed vector-index training ops — the piece that turns the
+  * q35 IVF *search* skeleton into a real index build at 100 TB.
+  *
+  * Spherical k-means (Lloyd iterations with cosine assignment):
+  *  - ASSIGN is a broadcast of the k×dim centroid model against the
+  *    full vector table — a BroadcastNestedLoop-shaped crossJoin with
+  *    the codegen'd VecDot, then a per-vector argmax window. The big
+  *    side never shuffles.
+  *  - UPDATE is posexplode → groupBy(cluster, dim) avg — one shuffle of
+  *    N·dim scalar rows with map-side partial aggregation, then a k×dim
+  *    collect. The model (k×dim doubles) is the ONLY driver-side data;
+  *    at k=4096, dim=1024 that is 32 MB — legitimately driver-sized.
+  *
+  * Deterministic by construction: init = lowest-k vec_ids, ties in the
+  * argmax broken by cluster id, means are exact double sums per (
+  * cluster, dim) group — reruns give identical models.
+  */
+object VectorOps {
+
+  /** Assign each vector to its max-cosine centroid. Input needs
+    * (vec_id: long, embedding: array<float>); output adds cluster_id.
+    */
+  def assignClusters(df: DataFrame,
+                     centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cdf = centroids.toSeq.toDF("cluster_id", "ce")
+    val sim = vecDot(col("embedding"), col("ce")) /
+      (sqrt(vecDot(col("embedding"), col("embedding"))) *
+        sqrt(vecDot(col("ce"), col("ce"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("cluster_id"))
+    val cols = df.columns.map(col).toSeq :+ col("cluster_id")
+    df.crossJoin(broadcast(cdf))
+      .withColumn("__sim", sim)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols: _*)
+  }
+
+  /** Train k spherical-k-means centroids with `iters` Lloyd iterations.
+    * Returns (cluster_id, centroid) — feed to [[assignClusters]] for
+    * index build / query routing.
+    */
+  def kmeansFit(df: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(k > 0 && iters >= 0)
+    // deterministic seed: the k lowest vec_ids (TakeOrderedAndProject —
+    // a k-row collect, not a full sort)
+    var cents: Array[(Int, Array[Float])] = df
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 0 until iters) {
+      val means = assignClusters(df, cents)
+        .select(col("cluster_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("cluster_id"))
+      cents = cents.map { case (cid, old) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val v = new Array[Float](old.length)
+            rows.foreach { r: Row =>
+              v(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat
+            }
+            (cid, v)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+}
