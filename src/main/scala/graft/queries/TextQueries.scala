@@ -531,7 +531,52 @@ object TextQueries {
       SELECT source, doc_id, n_tokens, quality, cum_tokens FROM b
       WHERE cum_tokens <= 3000 ORDER BY source, cum_tokens, doc_id"""))
 
+  // regexes shared verbatim by both engines — restricted to the common
+  // Java-regex ∩ RE2 dialect (char classes, +, bounded repeats)
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  private val PhoneRe = "\\+?[0-9][0-9 ]{7,}[0-9]"
+
+  val q51RedactPii = Q("q51_redact_pii",
+    // PII scrubbing, the redaction pass every training corpus runs
+    // before tokenization: detect + count + replace emails and
+    // phone-number-shaped digit runs. Expression-only (two
+    // regexp_extract_all + two regexp_replace per row), zero shuffles
+    // beyond the determinism sort. PII text is synthesized from
+    // customer rows so the redaction actually fires on the testdata.
+    (s, d) => {
+      val email = concat(
+        lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]", ".")),
+        lit("@example.com"))
+      val phone = concat(lit("+51 9"),
+        lpad((col("c_custkey") % 10000000L).cast(StringType), 8, "0"))
+      val text = concat(lit("contact "), email, lit(" or call "), phone,
+        lit(" about segment "), col("c_mktsegment"))
+      val staged = Tables.customer(s, d)
+        .select(col("c_custkey"), text.as("text"))
+      staged.select(
+        col("c_custkey"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""WITH t AS (SELECT c_custkey,
+          'contact ' || lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '.', 'g'))
+            || '@example.com or call +51 9'
+            || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 8, '0')
+            || ' about segment ' || c_mktsegment AS text
+        FROM customer)
+      SELECT c_custkey,
+        len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+        len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+        regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+          '$PhoneRe', '[PHONE]', 'g') AS redacted
+      FROM t ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
-    q49CorpusPrep, q50TokenBudget)
+    q49CorpusPrep, q50TokenBudget, q51RedactPii)
 }
