@@ -46,6 +46,49 @@ object VectorOps {
       .select(cols: _*)
   }
 
+  /** Multi-probe IVF top-k search: each query is routed to its `nprobe`
+    * nearest centroids and ranked against only those clusters' vectors.
+    * `nprobe` is the recall/cost lever (nprobe = k(clusters) ≡ exact
+    * brute force). Plan shape at scale: the vector table shuffles once
+    * on cluster_id (or is pre-bucketed by it at index-build time); the
+    * query set and its probe lists are broadcast. Output:
+    * (query_id, rank, neighbor_id, cosine).
+    */
+  def ivfTopK(df: DataFrame, centroids: Array[(Int, Array[Float])],
+              queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(k > 0 && nprobe > 0)
+    val assigned = df.transform(a => assignClusters(a, centroids))
+    val cdf = centroids.toSeq.toDF("cluster_id", "ce")
+    // probe lists: tiny (|queries| × |centroids|) cross product
+    val qsim = vecDot(col("qe"), col("ce")) /
+      (sqrt(vecDot(col("qe"), col("qe"))) * sqrt(vecDot(col("ce"), col("ce"))))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cluster_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__csim", qsim)
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      // query norm staged once here, not recomputed per candidate row
+      .select(col("query_id"), col("qe"),
+        sqrt(vecDot(col("qe"), col("qe"))).as("qn"), col("cluster_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned
+      .withColumn("__nrm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("qe"), col("embedding")) / (col("qn") * col("__nrm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Train k spherical-k-means centroids with `iters` Lloyd iterations.
     * Returns (cluster_id, centroid) — feed to [[assignClusters]] for
     * index build / query routing.

@@ -121,6 +121,30 @@ object StreamingJobs {
     * `Trigger.AvailableNow` IS the daily 06:00 batch, minus the
     * late-data loss.
     */
+  /** Incremental warehouse maintenance from a stream: every micro-batch
+    * is PK-upserted into the parquet warehouse via `foreachBatch` +
+    * `Load.upsert` — the streaming form of the reference's daily master
+    * -data upsert (K2), with the checkpoint guaranteeing each source
+    * file is merged exactly once across restarts. `foreachBatch` is the
+    * extension point for any sink without a native streaming writer
+    * (JDBC upserts, MERGE INTO, etc.).
+    */
+  def runUpsertAvailableNow(spark: SparkSession, srcDir: String,
+                            tableDir: String, pk: String,
+                            checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Load.upsert(batch.sparkSession, batch, tableDir, pk)
+        ()
+      }
+      .start()
+  }
+
   def runDailyAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
                            checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema

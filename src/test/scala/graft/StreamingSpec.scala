@@ -153,4 +153,30 @@ class StreamingSpec extends SparkSpec {
     val n2 = spark.read.parquet(out).count()
     assert(n2 >= n1)
   }
+
+  test("runUpsertAvailableNow merges each micro-batch by PK exactly once") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("ups_src").toString
+    val tbl = Files.createTempDirectory("ups_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("ups_ckpt").toString
+
+    def rows(vs: (String, String)*) =
+      spark.createDataFrame(vs).toDF("pk", "v")
+
+    rows("A" -> "a1", "B" -> "b1").write.mode("append").parquet(src)
+    StreamingJobs.runUpsertAvailableNow(spark, src, tbl, "pk", ckpt)
+      .awaitTermination()
+    // restart with no new files: checkpoint makes it a no-op
+    StreamingJobs.runUpsertAvailableNow(spark, src, tbl, "pk", ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(tbl).count() == 2)
+
+    // new file updates A and inserts C — merged, not appended
+    rows("A" -> "a2", "C" -> "c1").write.mode("append").parquet(src)
+    StreamingJobs.runUpsertAvailableNow(spark, src, tbl, "pk", ckpt)
+      .awaitTermination()
+    val m = spark.read.parquet(tbl).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("A" -> "a2", "B" -> "b1", "C" -> "c1"))
+  }
 }

@@ -44,4 +44,37 @@ class VectorOpsSpec extends SparkSpec {
     val cents2 = VectorOps.kmeansFit(v, k = 3, iters = 3)
     assert(cents.zip(cents2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
   }
+
+  test("ivfTopK: exact at full probe count, in-blob recall at nprobe=1") {
+    val v = blobs(300)
+    val cents = VectorOps.kmeansFit(v, k = 3, iters = 2)
+    val q = v.filter(col("vec_id") < 6)
+    // probing every cluster ≡ brute force: compare against a direct
+    // all-pairs top-5 on the collected data
+    val full = VectorOps.ivfTopK(v, cents, q, k = 5, nprobe = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val raw = {
+      import spark.implicits._
+      v.as[(Long, Array[Float])].collect()
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    for (qid <- 0L until 6L) {
+      val qv = raw.find(_._1 == qid).get._2
+      val expect = raw.filter(_._1 != qid)
+        .map { case (id, w) =>
+          (id, dot(qv, w) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(w, w)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      expect.zipWithIndex.foreach { case (id, i) =>
+        assert(full((qid, i + 1)) == id, s"query $qid rank ${i + 1}")
+      }
+    }
+    // nprobe=1 on separated blobs: every neighbor is from the query's blob
+    val one = VectorOps.ivfTopK(v, cents, q, k = 5, nprobe = 1).collect()
+    assert(one.length == 30)
+    assert(one.forall(r =>
+      r.getAs[Long]("neighbor_id") % 3 == r.getAs[Long]("query_id") % 3))
+  }
 }
