@@ -199,6 +199,29 @@ object EventQueries {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  private val EventTypes = Seq("view", "click", "purchase", "error", "signup")
+
+  val q52Pivot = Q("q52_pivot",
+    // long→wide reshape: day × event-type count matrix. The pivot value
+    // list is EXPLICIT — omitting it makes Spark run a values-discovery
+    // job over the whole table before planning, a hidden extra pass at
+    // 100 TB. Absent combinations are zero-filled (Spark pivot yields
+    // null; the oracle's FILTER'd counts yield 0).
+    (s, d) => {
+      val p = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+      p.select(col("day") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("day"))
+    },
+    Some(s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        ${EventTypes.map(t => s"COUNT(*) FILTER (event_type = '$t') AS \"$t\"")
+          .mkString(", ")}
+      FROM events GROUP BY 1 ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin,
-    q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution)
+    q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
+    q52Pivot)
 }

@@ -622,6 +622,32 @@ object RelationalQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST"""))
 
+  val q53SqlExists = Q("q53_sql_exists",
+    // the SQL entry path: temp views + spark.sql with correlated
+    // EXISTS / NOT EXISTS — Catalyst rewrites both to left-semi /
+    // left-anti joins (the same physical shapes as q11/q12), proving
+    // the textual interface plans identically to the Column API.
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_custkey, c_name FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -629,5 +655,5 @@ object RelationalQueries {
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
-    q46SaltedAgg, q48SaltedJoin)
+    q46SaltedAgg, q48SaltedJoin, q53SqlExists)
 }
