@@ -74,4 +74,26 @@ object Scale {
   def writePartitionedByDay(df: DataFrame, tsCol: Column, dir: String): Unit =
     df.withColumn("day", date_format(tsCol, "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+  /** Small-file compaction for a parquet table dir: incremental sinks
+    * (per-day inserts, streaming micro-batches) accumulate files far
+    * below the ideal scan unit, and at 100 TB the resulting task-per-
+    * tiny-file overhead dominates scans. Rewrite into
+    * ceil(bytes / targetFileBytes) files via a staged write + atomic
+    * rename (same never-half-written contract as Load.upsert).
+    * Returns the new file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 512L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir.__compacting")
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(path, true)
+    fs.rename(staging, path)
+    fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -55,4 +55,20 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
       s"day filter not pushed to partition pruning:\n$scan")
   }
+
+  test("compact merges an accumulation of tiny files, preserving data") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // 20 incremental appends of 50 rows each -> >= 20 small files
+    (0 until 20).foreach { i =>
+      spark.range(i * 50, (i + 1) * 50).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 20)
+    val after = Scale.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(ids.length == 1000 && ids.head == 0L && ids.last == 999L)
+  }
 }
