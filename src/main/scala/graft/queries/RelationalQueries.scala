@@ -648,6 +648,56 @@ object RelationalQueries {
                           AND o2.o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
+  val q54GroupingSets = Q("q54_grouping_sets",
+    // explicit GROUPING SETS (the general form rollup/cube specialize)
+    // + grouping_id to disambiguate which set produced each row —
+    // planned through Expand exactly like q18/q19, one shuffle
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+          grouping_id(o_orderstatus, o_orderpriority) AS gid,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+        GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        o_orderpriority ASC NULLS FIRST"""))
+
+  val q55Calendar = Q("q55_calendar",
+    // §2.5 calendar surface beyond the parse ladder: month truncation,
+    // end-of-month, day arithmetic — restricted to functions whose
+    // semantics Spark and DuckDB share exactly (dayofweek numbering and
+    // months_between conventions differ across engines; excluded)
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        datediff(lit("1998-12-31").cast(DateType),
+          col("o_orderdate").cast(DateType)).as("days_to_eoy"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+          AS days_to_eoy,
+        year(o_orderdate) AS y,
+        quarter(o_orderdate) AS q
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -655,5 +705,5 @@ object RelationalQueries {
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
-    q46SaltedAgg, q48SaltedJoin, q53SqlExists)
+    q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar)
 }
