@@ -698,6 +698,52 @@ object RelationalQueries {
         quarter(o_orderdate) AS q
       FROM orders ORDER BY o_orderkey"""))
 
+  val q56WindowRangeFrame = Q("q56_window_range_frame",
+    // RANGE window frame over a numeric day index: trailing-30-day
+    // revenue per customer. RANGE (not ROWS) so same-day peer rows
+    // aggregate identically regardless of intra-day row order —
+    // deterministic under any shuffle. One shuffle on o_custkey, then
+    // a sorted single-pass window scan per partition.
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rf")
+      s.sql("""SELECT o_orderkey, o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS rev_30d
+        FROM orders_rf ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1992-01-01',
+            CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+      FROM orders ORDER BY o_orderkey"""))
+
+  val q58ListAgg = Q("q58_listagg",
+    // ordered string aggregation (LISTAGG / STRING_AGG): per-order
+    // concatenation made deterministic by sorting the collected values
+    // before joining; collect_list is a partial-aggregable buffer, so
+    // the plan keeps map-side combine (one shuffle on l_orderkey)
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("l_linestatus"))), ",")
+          .as("statuses"),
+        array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))),
+            x => x.cast(StringType)), ",").as("lines"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_orderkey")),
+    Some("""SELECT l_orderkey,
+        string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        string_agg(CAST(l_linenumber AS VARCHAR), ','
+          ORDER BY l_linenumber) AS lines,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -705,5 +751,6 @@ object RelationalQueries {
     q14QuarantineNonNull, q15InnerJoin, q16OuterJoin, q17GroupbyAgg,
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
-    q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar)
+    q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar,
+    q56WindowRangeFrame, q58ListAgg)
 }

@@ -576,7 +576,31 @@ object TextQueries {
           '$PhoneRe', '[PHONE]', 'g') AS redacted
       FROM t ORDER BY c_custkey"""))
 
+  val q57RegexExtract = Q("q57_regex_extract",
+    // regexp extraction surface (Java∩RE2-safe dialect, q51 lesson):
+    // whole-match counts, first-match capture, and mask-replacement —
+    // reduced to scalar features because the driver's pandas sort can't
+    // hash array columns (the q44 lesson). Expression-only, zero
+    // shuffles; both engines return '' on no-match-vs-null differently,
+    // so nullif('' ) normalizes the capture on both sides.
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .as("n_alpha_tokens"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_numbers"),
+        nullif(regexp_extract(col("text"), "([0-9]+)", 1), lit(""))
+          .as("first_number"),
+        length(regexp_replace(col("text"), "[0-9]+", "#")).as("masked_len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+        nullif(regexp_extract(text, '([0-9]+)', 1), '') AS first_number,
+        len(regexp_replace(text, '[0-9]+', '#', 'g')) AS masked_len
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
-    q49CorpusPrep, q50TokenBudget, q51RedactPii)
+    q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract)
 }
