@@ -744,6 +744,46 @@ object RelationalQueries {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  val q59FilterAgg = Q("q59_filter_agg",
+    // FILTER-clause conditional aggregation: one scan computes several
+    // differently-predicated aggregates (vs N self-joined subqueries).
+    // DECIMAL sums keep the values order-independent and bit-identical
+    // across engines; one shuffle on the group key.
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_fa")
+      s.sql("""SELECT l_returnflag,
+          COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01')
+            AS DOUBLE) AS rev_95plus,
+          CAST(SUM(CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_f
+        FROM lineitem_fa GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+        COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+          FILTER (WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01')
+          AS DOUBLE) AS rev_95plus,
+        CAST(SUM(CAST(l_quantity AS BIGINT))
+          FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_f
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q60Explode = Q("q60_explode",
+    // lateral explode (Generate): row-expanding operator distinct from
+    // project/filter/agg — narrow (no shuffle), output rows carry their
+    // parent key so downstream joins/aggs shuffle on the expanded rows
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        explode(sequence(lit(1L), pmod(col("o_orderkey"), lit(3)) + 1))
+          .as("val"))
+      .orderBy(col("o_orderkey"), col("val")),
+    Some("""SELECT o_orderkey,
+        unnest(generate_series(1, o_orderkey % 3 + 1)) AS val
+      FROM orders ORDER BY o_orderkey, val"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -752,5 +792,5 @@ object RelationalQueries {
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
     q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar,
-    q56WindowRangeFrame, q58ListAgg)
+    q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode)
 }
