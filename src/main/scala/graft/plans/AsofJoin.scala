@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.GraftSqlShim
+
+/** As-of join as a first-class operator — the whole-operator extension
+  * path (logical node → strategy → physical exec) for semantics Spark's
+  * built-ins can't express directly: for every left row, the single
+  * latest right row of the same key with `rightTime <= leftTime`
+  * (left-outer: unmatched left rows pad the right side with nulls).
+  *
+  * Why a custom plan when q38 shows the union+window encoding: the
+  * encoding forces both sides through one union schema (manual column
+  * surgery per call site) and carries running-last state through a
+  * window operator. This node keeps each side's schema, and executes as
+  * a co-partitioned ordered merge: one shuffle per side on the key,
+  * one sort per side on (key, time), then a single forward pass per
+  * partition — O(n+m) per partition with O(1) state (the current
+  * candidate row), the same scale shape as sort-merge join. At 100 TB
+  * both sides stream; nothing is buffered per key.
+  *
+  * Semantics notes: key equality is null-safe ordering equality (callers
+  * should drop null keys if SQL join semantics are wanted); right rows
+  * with null time are dropped by the API wrapper; ties on rightTime are
+  * broken by the right side's sort order, so callers can append
+  * tie-break columns via `rightOrder`.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    rightTieBreak: Seq[Attribute]) extends BinaryNode {
+  require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the key (EnsureRequirements inserts the
+  // exchanges; AQE still free to pick partition counts)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // each side sorted by (key, time[, tie-break]) so the merge is one
+  // forward pass; the last right row taken for a (key, time) is then
+  // the max in tie-break order
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(output, output)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // one-row lookahead into the right side; rows are copied out of
+        // the iterator's reused buffer before being held across next()
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        private var cand: InternalRow = _   // latest right row <= current left time
+        private var curKey: UnsafeRow = _   // key of the current left group
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next().copy()
+            rHeadKey = rKeyProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          if (curKey == null || keyOrd.compare(lKey, curKey) != 0) {
+            cand = null
+            curKey = lKey.copy()
+          }
+          val lt = lTimeProj(l).copy()
+          var done = false
+          while (!done && rHead != null) {
+            val c = keyOrd.compare(rHeadKey, curKey)
+            if (c < 0) advanceRight() // right key exhausted by left order
+            else if (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0) {
+              cand = rHead // later rows in sort order overwrite: keep-last
+              advanceRight()
+            } else done = true
+          }
+          joined(l, if (cand != null) cand else nullRight)
+          resultProj(joined)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsofJoin.asof(trades, quotes, Seq("sym"), Seq("sym"),
+  * "t", "qt")` — all left columns plus the matched right row's columns
+  * (null-padded when no right row qualifies).
+  */
+object AsofJoin {
+
+  def asof(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlShim.addStrategy(spark, AsofJoinStrategy)
+    // null right times can never be "the latest ≤ t" under SQL
+    // comparison semantics, but the merge's ordering-based compare
+    // would rank them smallest — drop them up front
+    val lPlan = GraftSqlShim.analyzed(left)
+    val rPlan = GraftSqlShim.analyzed(
+      right.filter(col(rightTime).isNotNull))
+
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side column '$name' not found in ${plan.output.map(_.name)}"))
+
+    val lks = leftKeys.map(attr(lPlan, _, "left"))
+    val rks = rightKeys.map(attr(rPlan, _, "right"))
+    lks.zip(rks).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+    }
+    val lt = attr(lPlan, leftTime, "left")
+    val rt = attr(rPlan, rightTime, "right")
+    require(lt.dataType == rt.dataType,
+      s"time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    val tie = rightTieBreak.map(attr(rPlan, _, "right"))
+    GraftSqlShim.ofRows(spark,
+      AsofJoinPlan(lPlan, rPlan, lks, rks, lt, rt, tie))
+  }
+}

@@ -221,7 +221,34 @@ object EventQueries {
           .mkString(", ")}
       FROM events GROUP BY 1 ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin,
+  val q61AsofCustom = Q("q61_asof_custom",
+    // the same as-of semantics as q38, but through the custom
+    // whole-operator path (graft.plans.AsofJoin: logical node →
+    // strategy → co-partitioned ordered-merge exec) instead of the
+    // union+window encoding — one shuffle + sort per side, O(1) merge
+    // state, each side keeps its own schema
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(TimestampType).as("o_ts"))
+      graft.plans.AsofJoin.asof(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_ts",
+          rightTieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_order"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        (SELECT max(o.o_orderkey) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+             WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts))
+          AS last_order
+      FROM events e ORDER BY e.event_id"""))
+
+  val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsofJoin
+
+/** The custom as-of join operator (logical node → strategy → merge
+  * exec) against a brute-force reference and the q38 union+window
+  * encoding.
+  */
+class AsofPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join matches a brute-force reference on random data") {
+    val rnd = new Random(42)
+    val lefts = Seq.tabulate(400) { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong)
+    } // (k, t, id)
+    val rights = Seq.tabulate(300) { i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, i.toLong)
+    } // (k, rt, rid)
+
+    val l = lefts.toDF("k", "t", "id").repartition(5)
+    val r = rights.toDF("k", "rt", "rid").repartition(3)
+
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
+        rightTieBreak = Seq("rid"))
+      .select($"id", $"rid")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val expected = lefts.map { case (k, t, id) =>
+      val matches = rights.filter(x => x._1 == k && x._2 <= t)
+      val best = if (matches.isEmpty) None else {
+        val maxT = matches.map(_._2).max
+        Some(matches.filter(_._2 == maxT).map(_._3).max) // tie: max rid
+      }
+      id -> best
+    }.toMap
+
+    assert(got.size == lefts.size)
+    assert(got == expected)
+  }
+
+  test("empty right side null-pads every left row") {
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq.empty[(Long, Long)].toDF("k", "rt")
+    val out = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+    assert(out.count() == 2)
+    assert(out.filter($"rt".isNotNull).count() == 0)
+  }
+
+  test("null right times are never matched") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, Option.empty[Long], 7L), (1L, Some(5L), 8L))
+      .toDF("k", "rt", "rid")
+    val out = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+      .select($"rid").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(Some(8L)))
+  }
+
+  test("key or time type mismatch fails fast") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1, 5L)).toDF("k", "rt")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+    }
+  }
+
+  test("matches the q38 union+window encoding on events/orders") {
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val ord = graft.tables.Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("timestamp").as("o_ts"))
+
+    val got = AsofJoin.asof(ev, ord, Seq("user_id"), Seq("o_custkey"),
+        "ts", "o_ts", rightTieBreak = Seq("o_orderkey"))
+      .select($"event_id", $"o_orderkey".as("last_order"))
+
+    val viaWindow = graft.queries.EventQueries.q38AsofJoin
+      .run(spark, sfDir).select($"event_id", $"last_order")
+
+    assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
+  }
+
+  test("physical plan is the custom exec over two sorted exchanges") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("k", "rt")
+    val plan = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
