@@ -4,11 +4,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
-  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
-  UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+  AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan,
+  Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -47,6 +49,31 @@ case class AsofJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning through the custom node: Catalyst's ColumnPruning
+  * only knows built-in operators, so without this rule every column of
+  * both inputs rides the two exchanges and sorts even when the parent
+  * projects three of them — at scale that is the difference between
+  * shuffling key+time+payload and shuffling whole rows. Inserts a
+  * Project beneath each side keeping only columns the parent references
+  * plus the join's own keys/time/tie-break.
+  */
+object AsofColumnPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList,
+        aj @ AsofJoinPlan(l, r, lk, rk, lt, rt, tie)) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(lk ++ rk ++ (lt +: rt +: tie))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.size == child.output.size) child
+        else Project(keep, child)
+      }
+      val (nl, nr) = (prune(l), prune(r))
+      if ((nl eq l) && (nr eq r)) p
+      else p.copy(child = aj.copy(left = nl, right = nr))
+  }
 }
 
 object AsofJoinStrategy extends SparkStrategy {
@@ -119,7 +146,9 @@ case class AsofJoinExec(
             cand = null
             curKey = lKey.copy()
           }
-          val lt = lTimeProj(l).copy()
+          // lTimeProj and rTimeProj write to separate reused buffers,
+          // so the comparison needs no per-row copy
+          val lt = lTimeProj(l)
           var done = false
           while (!done && rHead != null) {
             val c = keyOrd.compare(rHeadKey, curKey)
@@ -153,6 +182,7 @@ object AsofJoin {
            rightTieBreak: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
     GraftSqlShim.addStrategy(spark, AsofJoinStrategy)
+    GraftSqlShim.addOptimization(spark, AsofColumnPruning)
     // null right times can never be "the latest ≤ t" under SQL
     // comparison semantics, but the merge's ordering-based compare
     // would rank them smallest — drop them up front

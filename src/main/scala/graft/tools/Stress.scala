@@ -92,6 +92,36 @@ object Stress {
       t.orderBy(col("value").desc, col("event_id")).limit(100).count()
     }
 
+    // ---- as-of join (q61 shape): custom ordered-merge exec vs the ----
+    // ---- union+window encoding, 10M left x 1M right.             ----
+    val asofRight = spark.range(rows / 10).select(
+      pmod(hash(col("id") * 17L), lit(100000)).cast(LongType)
+        .as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 7776670L)
+        .as("rt"),
+      col("id").as("order_id"))
+    time("asof join (custom exec)") {
+      force(graft.plans.AsofJoin.asof(
+        t.select("event_id", "user_id", "ts"), asofRight,
+        Seq("user_id"), Seq("user_id"), "ts", "rt",
+        rightTieBreak = Seq("order_id")))
+    }
+    time("asof join (union+window)") {
+      val l = t.select(col("user_id").as("k"), col("ts").as("tt"),
+        lit(null).cast(LongType).as("order_id"), lit(0).as("is_r"),
+        col("event_id"))
+      val r = asofRight.select(col("user_id").as("k"), col("rt").as("tt"),
+        col("order_id"), lit(1).as("is_r"),
+        lit(null).cast(LongType).as("event_id"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("tt"), col("is_r").desc, col("order_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      force(r.unionByName(l)
+        .withColumn("last_order", last(col("order_id"), ignoreNulls = true).over(w))
+        .filter(col("is_r") === 0)
+        .select(col("event_id"), col("k"), col("last_order")))
+    }
+
     // ---- tiled all-pairs cosine (q33 shape): no driver collect, ----
     // ---- per-task memory bounded by tile size.  Pair-evaluation  ----
     // ---- work is inherently N² — what must stay flat is memory   ----

@@ -32,4 +32,15 @@ object GraftSqlShim {
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ strategy
   }
+
+  /** Idempotently add an extra optimizer rule to a live session. */
+  def addOptimization(spark: SparkSession,
+                      rule: org.apache.spark.sql.catalyst.rules.Rule[
+                        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+                      ]): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+  }
 }

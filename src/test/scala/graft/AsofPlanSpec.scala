@@ -85,6 +85,21 @@ class AsofPlanSpec extends SparkSpec {
     assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
   }
 
+  test("column pruning narrows both sides to referenced columns") {
+    val l = Seq((1L, 10L, "a", "wide_l")).toDF("k", "t", "lval", "lunused")
+    val r = Seq((1L, 5L, "b", "wide_r")).toDF("k", "rt", "rval", "runused")
+    val df = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+      .select($"lval", $"rval")
+    val aj = df.queryExecution.optimizedPlan.collectFirst {
+      case p: graft.plans.AsofJoinPlan => p
+    }
+    assert(aj.isDefined, "AsofJoinPlan survived to the optimized plan")
+    assert(aj.get.left.output.map(_.name).toSet == Set("k", "t", "lval"))
+    assert(aj.get.right.output.map(_.name).toSet == Set("k", "rt", "rval"))
+    // and the result is still right
+    assert(df.as[(String, String)].collect().toSeq == Seq(("a", "b")))
+  }
+
   test("physical plan is the custom exec over two sorted exchanges") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "rt")
