@@ -100,6 +100,20 @@ class AsofPlanSpec extends SparkSpec {
     assert(df.as[(String, String)].collect().toSeq == Seq(("a", "b")))
   }
 
+  test("single hot key streams through O(1) merge state") {
+    // worst-case skew: every row one key — the merge must not buffer
+    // the key group (only the one candidate row)
+    val n = 100000
+    val l = spark.range(n).selectExpr("1L as k", "id as t", "id as id")
+    val r = spark.range(n / 2).selectExpr("1L as k", "id * 2 as rt",
+      "id as rid")
+    val out = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+      .selectExpr("id", "rid")
+    // for left t, latest rt = 2*floor(t/2) => rid = floor(t/2)
+    val wrong = out.filter($"rid" =!= ($"id" / 2).cast("long")).count()
+    assert(wrong == 0 && out.count() == n)
+  }
+
   test("physical plan is the custom exec over two sorted exchanges") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "rt")
