@@ -20,30 +20,10 @@ object Extract {
 
   /** Quote-aware split of one CSV line — used only to size the schema
     * from the HEADER line driver-side (values still flow through
-    * Spark's CSV parser).
+    * Spark's CSV parser). Shared with the `graft.sheet` DSv2 source.
     */
-  private[etl] def splitCsvLine(line: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    val cur = new StringBuilder
-    var inQuotes = false
-    var i = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
-          else inQuotes = false
-        } else cur += c
-      } else c match {
-        case '"' => inQuotes = true
-        case ',' => out += cur.toString; cur.clear()
-        case _   => cur += c
-      }
-      i += 1
-    }
-    out += cur.toString
-    out.toSeq
-  }
+  private[etl] def splitCsvLine(line: String): Seq[String] =
+    graft.sources.SheetCsv.splitLine(line)
 
   /** S5/S2–S4: read a CSV whose header is at 1-based row `headerRow`
     * (reference sheets: row 2 / 3 / 6 — etl/extract.py:172-180,
@@ -91,14 +71,7 @@ object Extract {
     val indexed = raw.rdd.zipWithIndex()
 
     // N4 trim + N5 unique-ify + empty header → col_{i}
-    val seen = scala.collection.mutable.Map[String, Int]()
-    val names = (0 until n).map { i =>
-      val rawName = headerCells(i).trim
-      val base = if (rawName.isEmpty) s"col_$i" else rawName
-      val k = seen.getOrElse(base, 0)
-      seen(base) = k + 1
-      if (k == 0) base else s"${base}_$k"
-    }
+    val names = graft.sources.SheetCsv.uniqueNames(headerCells)
 
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
     val dataRows = indexed

@@ -1,0 +1,51 @@
+package graft.sources
+
+/** Line-level CSV helpers shared by `graft.etl.Extract` (DataFrame
+  * path) and the `graft.sheet` DataSourceV2. Sheets are line-oriented
+  * by the positional-header contract ("the header IS row N"), so
+  * records never span lines.
+  */
+object SheetCsv {
+
+  /** Quote-aware split of one CSV line into cells ("" stays "", RFC
+    * 4180 double-quote escaping).
+    */
+  def splitLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            cur += '"'; i += 1
+          } else inQuotes = false
+        } else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.toString; cur.clear()
+        case _   => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** Header cells → column names: trim (N4), empty → col_{i}, and
+    * duplicates suffixed `_1`, `_2`, … (N5) — reference
+    * etl/extract.py:49-62.
+    */
+  def uniqueNames(cells: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map[String, Int]()
+    cells.zipWithIndex.map { case (cell, i) =>
+      val rawName = cell.trim
+      val base = if (rawName.isEmpty) s"col_$i" else rawName
+      val k = seen.getOrElse(base, 0)
+      seen(base) = k + 1
+      if (k == 0) base else s"${base}_$k"
+    }
+  }
+}

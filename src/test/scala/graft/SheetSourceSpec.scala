@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Extract
+
+/** The graft.sheet DataSourceV2 against Extract.readSheet (same
+  * semantics, same fixtures) and its column-pruning pushdown.
+  */
+class SheetSourceSpec extends SparkSpec {
+
+  private val fixtures = graft.queries.PipelineQueries.FixtureDir
+  private val headerRows = Seq(
+    ("raw_cursos.csv", 2), ("raw_estudiantes.csv", 2),
+    ("raw_matriculas.csv", 3), ("raw_pagos.csv", 6))
+
+  test("source matches Extract.readSheet on every fixture") {
+    headerRows.foreach { case (f, h) =>
+      val viaSource = spark.read.format("graft.sheet")
+        .option("headerRow", h).load(s"$fixtures/$f")
+      val viaExtract = Extract.readSheet(spark, s"$fixtures/$f", h)
+      assert(viaSource.schema == viaExtract.schema, s"$f schema")
+      assert(viaSource.exceptAll(viaExtract).isEmpty &&
+        viaExtract.exceptAll(viaSource).isEmpty, s"$f rows")
+    }
+  }
+
+  test("header row sizes the schema even after a short title row") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_src")
+    val p = dir.resolve("short_title.csv")
+    java.nio.file.Files.writeString(p,
+      "TITLE\na,b,c\n1,2,3\n,,\n4,,6\n")
+    val df = spark.read.format("graft.sheet")
+      .option("headerRow", 2).load(p.toString)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    // the ,,  row is fully empty -> dropped; empty cell -> null
+    assert(df.count() == 2)
+    assert(df.filter(col("b").isNull).count() == 1)
+  }
+
+  test("column pruning reaches the scan") {
+    val p = s"$fixtures/raw_matriculas.csv"
+    val df = spark.read.format("graft.sheet")
+      .option("headerRow", 3).load(p)
+      .select(col("Código de matrícula"))
+    val scan = df.queryExecution.executedPlan.toString
+    // SheetScan.description advertises kept/total column counts
+    assert(scan.contains("cols=1/12"), s"expected pruned scan in:\n$scan")
+    assert(df.count() > 0)
+  }
+
+  test("duplicate and empty headers are renamed like readSheet") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_src2")
+    val p = dir.resolve("dups.csv")
+    java.nio.file.Files.writeString(p, "x, x ,,y\n1,2,3,4\n")
+    val df = spark.read.format("graft.sheet").load(p.toString)
+    assert(df.columns.toSeq == Seq("x", "x_1", "col_2", "y"))
+  }
+}
