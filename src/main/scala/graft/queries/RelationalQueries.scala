@@ -784,6 +784,89 @@ object RelationalQueries {
         unnest(generate_series(1, o_orderkey % 3 + 1)) AS val
       FROM orders ORDER BY o_orderkey, val"""))
 
+  val q62RankingWindows = Q("q62_ranking_windows",
+    // the ranking-function family beyond q20: dense_rank, ntile,
+    // percent_rank, cume_dist — all over one window, so one shuffle +
+    // one sort serves four functions. Ordering key is the unique
+    // (l_orderkey, l_linenumber) pair, making every rank deterministic;
+    // percent_rank/cume_dist are exact integer ratios, so the doubles
+    // are bit-identical across engines.
+    // NOTE the synthetic lineitem has duplicate (orderkey, linenumber)
+    // pairs, so ranks over the raw table would be tie-order-dependent;
+    // the pre-aggregation makes the ordering key genuinely unique.
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_rw")
+      s.sql("""WITH li AS (
+          SELECT l_orderkey, l_linenumber, min(l_returnflag) AS rf
+          FROM lineitem_rw GROUP BY l_orderkey, l_linenumber)
+        SELECT l_orderkey, l_linenumber, rf,
+          dense_rank()   OVER w AS drank,
+          ntile(4)       OVER w AS quartile,
+          percent_rank() OVER w AS prank,
+          cume_dist()    OVER w AS cdist
+        FROM li
+        WINDOW w AS (PARTITION BY rf ORDER BY l_orderkey, l_linenumber)
+        ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""WITH li AS (
+        SELECT l_orderkey, l_linenumber, min(l_returnflag) AS rf
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      SELECT l_orderkey, l_linenumber, rf,
+        dense_rank()   OVER w AS drank,
+        ntile(4)       OVER w AS quartile,
+        percent_rank() OVER w AS prank,
+        cume_dist()    OVER w AS cdist
+      FROM li
+      WINDOW w AS (PARTITION BY rf ORDER BY l_orderkey, l_linenumber)
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val q63ConditionalFuncs = Q("q63_conditional_funcs",
+    // scalar conditional family: greatest/least/coalesce/nullif/CASE
+    // in one expression-only projection (zero shuffles; codegen'd)
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_quantity").cast(LongType),
+          (col("l_discount") * 100).cast(LongType)).as("g"),
+        least(col("l_quantity").cast(LongType),
+          col("l_linenumber").cast(LongType)).as("l"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+          .as("flag_or_none"),
+        when(col("l_quantity") > 25, "bulk")
+          .when(col("l_quantity") > 10, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+        greatest(CAST(l_quantity AS BIGINT),
+          CAST(l_discount * 100 AS BIGINT)) AS g,
+        least(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT)) AS l,
+        coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        CASE WHEN l_quantity > 25 THEN 'bulk'
+             WHEN l_quantity > 10 THEN 'mid'
+             ELSE 'small' END AS bucket
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val q64StringLadder = Q("q64_string_ladder",
+    // the remaining shared string surface in one projection: pad,
+    // translate, repeat, reverse, substring, position, concat_ws
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        concat_ws("|", col("c_mktsegment"),
+          reverse(col("c_name"))).as("joined"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        repeat(lit("ab"), 3).as("abab"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        concat_ws('|', c_mktsegment, reverse(c_name)) AS joined,
+        substring(c_name, 1, 8) AS prefix8,
+        instr(c_name, '#') AS hash_pos,
+        repeat('ab', 3) AS abab
+      FROM customer ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -792,5 +875,6 @@ object RelationalQueries {
     q18Rollup, q19Cube, q20WindowFuncs, q21TopK, q22Intersect, q23Except,
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
     q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar,
-    q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode)
+    q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode,
+    q62RankingWindows, q63ConditionalFuncs, q64StringLadder)
 }

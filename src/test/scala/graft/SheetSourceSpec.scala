@@ -49,6 +49,16 @@ class SheetSourceSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("usable from SQL DDL (CREATE TEMP VIEW ... USING graft.sheet)") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sheet_cursos
+      USING `graft.sheet`
+      OPTIONS (path '$fixtures/raw_cursos.csv', headerRow '2')""")
+    val out = spark.sql(
+      "SELECT `CÓDIGO_C` FROM sheet_cursos ORDER BY `CÓDIGO_C`")
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("P101", "P101", "P102"))
+  }
+
   test("duplicate and empty headers are renamed like readSheet") {
     val dir = java.nio.file.Files.createTempDirectory("sheet_src2")
     val p = dir.resolve("dups.csv")
