@@ -867,6 +867,35 @@ object RelationalQueries {
         repeat('ab', 3) AS abab
       FROM customer ORDER BY c_custkey"""))
 
+  val q65HigherOrderFuncs = Q("q65_higher_order_funcs",
+    // lambda higher-order functions (transform/filter/aggregate) over a
+    // per-group array — the codegen-friendly alternative to exploding
+    // and re-aggregating (one shuffle for the collect, then
+    // expression-only). Scalars only in the output (pandas-harness
+    // rule); sums cast to BIGINT on both sides (DuckDB widens to
+    // HUGEINT).
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_hof")
+      s.sql("""WITH t AS (SELECT l_orderkey,
+          sort_array(collect_list(CAST(l_linenumber AS BIGINT))) AS arr
+        FROM lineitem_hof GROUP BY l_orderkey)
+        SELECT l_orderkey,
+          aggregate(transform(arr, x -> x * x), 0L, (a, x) -> a + x)
+            AS sq_sum,
+          size(filter(arr, x -> x % 2 = 0)) AS n_even,
+          element_at(transform(arr, x -> x + 1), -1) AS last_plus1
+        FROM t ORDER BY l_orderkey""")
+    },
+    Some("""WITH t AS (SELECT l_orderkey,
+        list_sort(list(CAST(l_linenumber AS BIGINT))) AS arr
+      FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        CAST(list_aggregate(list_transform(arr, x -> x * x), 'sum')
+          AS BIGINT) AS sq_sum,
+        CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INTEGER) AS n_even,
+        list_transform(arr, x -> x + 1)[-1] AS last_plus1
+      FROM t ORDER BY l_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -876,5 +905,6 @@ object RelationalQueries {
     q24Having, q41ArrayFuncs, q43DistinctAgg, q44ApproxSketches,
     q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar,
     q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode,
-    q62RankingWindows, q63ConditionalFuncs, q64StringLadder)
+    q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
+    q65HigherOrderFuncs)
 }
