@@ -16,7 +16,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
+  StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,10 +67,16 @@ object SheetDataSource {
     h
   }
 
-  /** Driver-side: read just the header line for names/width. */
+  /** Driver-side: read the header line for names/width; with
+    * `inferNumeric` (F13, reference etl/extract.py:82-93) also scan the
+    * data rows — sheets are small by contract — and type columns whose
+    * non-null cells all match `-?\d+` as LONG, all int-or-decimal as
+    * DOUBLE (same rules as `Extract.inferNumericColumns`).
+    */
   private[sources] def schemaFor(options: CaseInsensitiveStringMap): StructType = {
     val path = new Path(pathOf(options))
     val headerRow = headerRowOf(options)
+    val infer = options.getBoolean("inferNumeric", false)
     val fs = path.getFileSystem(new Configuration())
     val in = new BufferedReader(
       new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
@@ -82,8 +89,38 @@ object SheetDataSource {
           s"$path has fewer than $headerRow rows — no header row")
         i += 1
       }
-      StructType(SheetCsv.uniqueNames(SheetCsv.splitLine(line))
-        .map(StructField(_, StringType, nullable = true)))
+      val names = SheetCsv.uniqueNames(SheetCsv.splitLine(line))
+      val types: Seq[org.apache.spark.sql.types.DataType] =
+        if (!infer) names.map(_ => StringType)
+        else {
+          val n = names.length
+          val intRe = "^-?\\d+$".r
+          val decRe = "^-?\\d+\\.\\d+$".r
+          val nn = new Array[Long](n)
+          val ni = new Array[Long](n)
+          val nd = new Array[Long](n)
+          var data = in.readLine()
+          while (data != null) {
+            val cells = SheetCsv.splitLine(data)
+            var c = 0
+            while (c < n) {
+              if (c < cells.length && cells(c).nonEmpty) {
+                nn(c) += 1
+                if (intRe.matches(cells(c))) ni(c) += 1
+                else if (decRe.matches(cells(c))) nd(c) += 1
+              }
+              c += 1
+            }
+            data = in.readLine()
+          }
+          (0 until n).map { c =>
+            if (nn(c) > 0 && ni(c) == nn(c)) LongType
+            else if (nn(c) > 0 && ni(c) + nd(c) == nn(c)) DoubleType
+            else StringType
+          }
+        }
+      StructType(names.zip(types).map { case (nm, t) =>
+        StructField(nm, t, nullable = true) })
     } finally in.close()
   }
 }
@@ -126,6 +163,7 @@ private class SheetScan(fullSchema: StructType, required: StructType,
     Array(SheetPartition(path, headerRow,
       // indices into the file row for each required column
       required.fieldNames.map(n => fullSchema.fieldIndex(n)),
+      required.fields.map(_.dataType),
       fullSchema.size))
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -133,7 +171,8 @@ private class SheetScan(fullSchema: StructType, required: StructType,
 }
 
 private case class SheetPartition(path: String, headerRow: Int,
-                                  keep: Array[Int], width: Int)
+                                  keep: Array[Int], types: Array[DataType],
+                                  width: Int)
     extends InputPartition
 
 private class SheetReaderFactory extends PartitionReaderFactory {
@@ -163,13 +202,19 @@ private class SheetReader(p: SheetPartition)
       val cells = SheetCsv.splitLine(line)
       // empty cell → null (F14); rows narrower than the header are
       // null-padded, wider are truncated to the header width
-      def cellAt(i: Int): UTF8String =
-        if (i >= cells.length || cells(i).isEmpty) null
-        else UTF8String.fromString(cells(i))
+      def rawAt(i: Int): String =
+        if (i >= cells.length || cells(i).isEmpty) null else cells(i)
       // W4: fully empty row (every cell of the FULL row null) dropped
-      if ((0 until p.width).exists(cellAt(_) != null)) {
-        current = InternalRow.fromSeq(
-          p.keep.toIndexedSeq.map(cellAt))
+      if ((0 until p.width).exists(rawAt(_) != null)) {
+        current = InternalRow.fromSeq(p.keep.indices.map { j =>
+          val raw = rawAt(p.keep(j))
+          if (raw == null) null
+          else p.types(j) match {
+            case LongType => java.lang.Long.valueOf(raw.toLong)
+            case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+            case _ => UTF8String.fromString(raw)
+          }
+        })
         return true
       }
       line = in.readLine()

@@ -59,6 +59,19 @@ class SheetSourceSpec extends SparkSpec {
       Seq("P101", "P101", "P102"))
   }
 
+  test("inferNumeric types columns like readSheet(inferNumeric=true)") {
+    headerRows.foreach { case (f, h) =>
+      val viaSource = spark.read.format("graft.sheet")
+        .option("headerRow", h).option("inferNumeric", true)
+        .load(s"$fixtures/$f")
+      val viaExtract = Extract.readSheet(spark, s"$fixtures/$f", h,
+        inferNumeric = true)
+      assert(viaSource.schema == viaExtract.schema, s"$f schema")
+      assert(viaSource.exceptAll(viaExtract).isEmpty &&
+        viaExtract.exceptAll(viaSource).isEmpty, s"$f rows")
+    }
+  }
+
   test("duplicate and empty headers are renamed like readSheet") {
     val dir = java.nio.file.Files.createTempDirectory("sheet_src2")
     val p = dir.resolve("dups.csv")
