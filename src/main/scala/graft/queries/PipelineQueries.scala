@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.etl.{EtlPaths, Pipeline}
 import graft.functions.Functions.{AccountMapPrimeraCuota, AccountMapRegular}
@@ -219,5 +219,34 @@ object PipelineQueries {
         c8 NULLS FIRST, c9 NULLS FIRST"""
     })
 
-  val all: Seq[Q] = Seq(q45EtlPipeline)
+  val q66SheetSource = Q("q66_sheet_source",
+    // the graft.sheet DataSourceV2 under the oracle gate: both fixture
+    // sheets read through spark.read.format("graft.sheet") (header-row
+    // positioning, hostile-header renaming, numeric inference), checked
+    // against DuckDB's own csv reader on the same bytes
+    (s, _) => {
+      val cur = s.read.format("graft.sheet")
+        .option("headerRow", 2).option("inferNumeric", true)
+        .load(s"$FixtureDir/raw_cursos.csv")
+        .select(col("CÓDIGO_C").as("code"), col("NOMBRE_C").as("name"),
+          col("I1").as("num"))
+      val est = s.read.format("graft.sheet")
+        .option("headerRow", 2)
+        .load(s"$FixtureDir/raw_estudiantes.csv")
+        .select(col("CODIGO_E").as("code"), col("NOMBRES_E").as("name"),
+          lit(null).cast(LongType).as("num"))
+      cur.unionByName(est).orderBy(col("code"), col("name"))
+    },
+    Some(s"""SELECT code, name, num FROM (
+        SELECT "CÓDIGO_C" AS code, "NOMBRE_C" AS name,
+          CAST("I1" AS BIGINT) AS num
+        FROM read_csv('$FixtureDir/raw_cursos.csv', skip=1, header=true,
+          all_varchar=true)
+        UNION ALL
+        SELECT "CODIGO_E" AS code, "NOMBRES_E" AS name, NULL AS num
+        FROM read_csv('$FixtureDir/raw_estudiantes.csv', skip=1,
+          header=true, all_varchar=true))
+      ORDER BY code, name"""))
+
+  val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource)
 }
