@@ -896,6 +896,41 @@ object RelationalQueries {
         list_transform(arr, x -> x + 1)[-1] AS last_plus1
       FROM t ORDER BY l_orderkey"""))
 
+  val q67SetOpsAll = Q("q67_setops_all",
+    // multiset set-ops (INTERSECT ALL / EXCEPT ALL): duplicate
+    // multiplicity is part of the semantics, unlike q22/q23's
+    // set-variants. Spark plans both through a single aggregate +
+    // generate (replicate min/residual counts) — one shuffle each.
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_linenumber") <= 4)
+        .select(col("l_suppkey"), col("l_returnflag"))
+      val b = li.filter(col("l_linenumber") >= 3)
+        .select(col("l_suppkey"), col("l_returnflag"))
+      a.intersectAll(b)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_intersect"))
+        .join(
+          a.exceptAll(b).groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_except")),
+          Seq("l_returnflag"), "full_outer")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem
+        WHERE l_linenumber <= 4),
+      b AS (SELECT l_suppkey, l_returnflag FROM lineitem
+        WHERE l_linenumber >= 3),
+      i AS (SELECT l_returnflag, COUNT(*) AS n_intersect
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        GROUP BY l_returnflag),
+      e AS (SELECT l_returnflag, COUNT(*) AS n_except
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        GROUP BY l_returnflag)
+      SELECT coalesce(i.l_returnflag, e.l_returnflag) AS l_returnflag,
+        n_intersect, n_except
+      FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -906,5 +941,5 @@ object RelationalQueries {
     q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar,
     q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode,
     q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
-    q65HigherOrderFuncs)
+    q65HigherOrderFuncs, q67SetOpsAll)
 }
