@@ -92,19 +92,20 @@ object Extract {
     */
   private[etl] def inferNumericColumns(df: DataFrame): DataFrame = {
     if (df.columns.isEmpty) return df
-    val intRe = "^-?\\d+$"
-    val decRe = "^-?\\d+\\.\\d+$"
+    // shape regexes + decision rule shared with the graft.sheet source
+    // (graft.sources.SheetCsv) so the two ingestion paths cannot drift
     val aggs = df.columns.zipWithIndex.flatMap { case (c, i) => Seq(
       count(col(c)).as(s"n_$i"),
-      count(when(col(c).rlike(intRe), 1)).as(s"i_$i"),
-      count(when(col(c).rlike(decRe), 1)).as(s"d_$i")) }
+      count(when(col(c).rlike(graft.sources.SheetCsv.IntRe), 1)).as(s"i_$i"),
+      count(when(col(c).rlike(graft.sources.SheetCsv.DecRe), 1)).as(s"d_$i")) }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val casts = df.columns.zipWithIndex.map { case (c, i) =>
-      val (nn, ni, nd) = (r.getAs[Long](s"n_$i"), r.getAs[Long](s"i_$i"),
-        r.getAs[Long](s"d_$i"))
-      if (nn > 0 && ni == nn) col(c).cast(LongType).as(c)
-      else if (nn > 0 && ni + nd == nn) col(c).cast(DoubleType).as(c)
-      else col(c)
+      graft.sources.SheetCsv.inferredType(r.getAs[Long](s"n_$i"),
+        r.getAs[Long](s"i_$i"), r.getAs[Long](s"d_$i")) match {
+        case LongType   => col(c).cast(LongType).as(c)
+        case DoubleType => col(c).cast(DoubleType).as(c)
+        case _          => col(c)
+      }
     }
     df.select(casts.toIndexedSeq: _*)
   }

@@ -4,10 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
-  AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan,
-  Project}
+  AttributeSet, Expression, GenericInternalRow, IsNotNull, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -183,12 +183,19 @@ object AsofJoin {
     val spark = left.sparkSession
     GraftSqlShim.addStrategy(spark, AsofJoinStrategy)
     GraftSqlShim.addOptimization(spark, AsofColumnPruning)
-    // null right times can never be "the latest ≤ t" under SQL
-    // comparison semantics, but the merge's ordering-based compare
-    // would rank them smallest — drop them up front
     val lPlan = GraftSqlShim.analyzed(left)
-    val rPlan = GraftSqlShim.analyzed(
-      right.filter(col(rightTime).isNotNull))
+    // self-join lineage: if the right side shares attribute ids with
+    // the left (asof(df, df, ...), or right built from left without
+    // aliasing), re-alias every right column so the two sides bind
+    // unambiguously — the same hazard Dataset.join solves with
+    // dedupRight
+    val rPlanRaw = {
+      val p = GraftSqlShim.analyzed(right)
+      if (p.output.exists(lPlan.outputSet.contains)) GraftSqlShim.analyzed(
+        right.select(right.columns.toIndexedSeq
+          .map(c => col(s"`$c`").as(c)): _*))
+      else p
+    }
 
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
       plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -196,16 +203,22 @@ object AsofJoin {
           s"$side column '$name' not found in ${plan.output.map(_.name)}"))
 
     val lks = leftKeys.map(attr(lPlan, _, "left"))
-    val rks = rightKeys.map(attr(rPlan, _, "right"))
+    val rks = rightKeys.map(attr(rPlanRaw, _, "right"))
     lks.zip(rks).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
         s"key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
     }
     val lt = attr(lPlan, leftTime, "left")
-    val rt = attr(rPlan, rightTime, "right")
+    val rt = attr(rPlanRaw, rightTime, "right")
     require(lt.dataType == rt.dataType,
       s"time type mismatch: ${lt.dataType} vs ${rt.dataType}")
-    val tie = rightTieBreak.map(attr(rPlan, _, "right"))
+    val tie = rightTieBreak.map(attr(rPlanRaw, _, "right"))
+    // null right times can never be "the latest ≤ t" under SQL
+    // comparison semantics, but the merge's ordering-based compare
+    // would rank them smallest — drop them up front. Filtering on the
+    // RESOLVED attribute (not a parsed column path) keeps names with
+    // dots working.
+    val rPlan = Filter(IsNotNull(rt), rPlanRaw)
     GraftSqlShim.ofRows(spark,
       AsofJoinPlan(lPlan, rPlan, lks, rks, lt, rt, tie))
   }

@@ -1,5 +1,8 @@
 package graft.sources
 
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
+  StringType}
+
 /** Line-level CSV helpers shared by `graft.etl.Extract` (DataFrame
   * path) and the `graft.sheet` DataSourceV2. Sheets are line-oriented
   * by the positional-header contract ("the header IS row N"), so
@@ -7,8 +10,11 @@ package graft.sources
   */
 object SheetCsv {
 
-  /** Quote-aware split of one CSV line into cells ("" stays "", RFC
-    * 4180 double-quote escaping).
+  /** Quote-aware split of one CSV line into cells (RFC 4180
+    * double-quote escaping). Empty cells — quoted or not — read as
+    * null downstream, matching Spark CSV's nullValue="" default
+    * (verified by SheetSourceSpec's quoted-empty parity test: Spark
+    * nulls `""` cells too).
     */
   def splitLine(line: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -48,4 +54,19 @@ object SheetCsv {
       if (k == 0) base else s"${base}_$k"
     }
   }
+
+  /** F13 numeric-inference shapes (reference etl/extract.py:82-93) —
+    * the single source of truth for both `Extract.inferNumericColumns`
+    * and the `graft.sheet` source's schema inference.
+    */
+  val IntRe = "^-?\\d+$"
+  val DecRe = "^-?\\d+\\.\\d+$"
+
+  /** Decision rule: all non-null cells int-shaped → LONG; all
+    * int-or-decimal-shaped → DOUBLE; anything else stays string.
+    */
+  def inferredType(nonNull: Long, ints: Long, decs: Long): DataType =
+    if (nonNull > 0 && ints == nonNull) LongType
+    else if (nonNull > 0 && ints + decs == nonNull) DoubleType
+    else StringType
 }

@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
@@ -27,19 +28,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   spark.read.format("graft.sheet")
   *     .option("headerRow", 3)            // 1-based; default 1
+  *     .option("inferNumeric", true)      // F13 typing; default false
   *     .load("/path/export.csv")
   *
   * Semantics match `Extract.readSheet`: schema sized and named from
-  * the HEADER row (trim, empty → col_{i}, duplicates suffixed), all
-  * columns string, empty cells null, ragged rows null-padded, fully
-  * empty rows dropped.
+  * the HEADER row (trim, empty → col_{i}, duplicates suffixed),
+  * unquoted empty cells null / quoted `""` a real empty string, ragged
+  * rows null-padded, fully empty rows dropped.
   *
   * Scale design: one InputPartition per sheet — sheets are small,
   * human-edited inputs by contract (the positional header only exists
   * in file order), so a split would be wrong, not just unnecessary;
   * big data enters via parquet. Column pruning IS pushed down
   * (`SupportsPushDownRequiredColumns`): `select(two cols)` parses but
-  * never materializes the other cells.
+  * never materializes the other cells. The session's Hadoop
+  * configuration (spark.hadoop.*) is snapshotted at planning and
+  * shipped to readers so non-local filesystems resolve correctly.
   */
 class SheetDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft.sheet"
@@ -67,17 +71,38 @@ object SheetDataSource {
     h
   }
 
+  /** The session's Hadoop conf when available (driver side), else
+    * classpath defaults.
+    */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Snapshot for shipping to executors (Configuration itself is not
+    * serializable).
+    */
+  private[sources] def confSnapshot(): Map[String, String] =
+    hadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+
+  private[sources] def confFrom(snapshot: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    snapshot.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Driver-side: read the header line for names/width; with
     * `inferNumeric` (F13, reference etl/extract.py:82-93) also scan the
-    * data rows — sheets are small by contract — and type columns whose
-    * non-null cells all match `-?\d+` as LONG, all int-or-decimal as
-    * DOUBLE (same rules as `Extract.inferNumericColumns`).
+    * data rows — sheets are small by contract — and type columns by
+    * `SheetCsv.inferredType` (the same rules as
+    * `Extract.inferNumericColumns`).
     */
   private[sources] def schemaFor(options: CaseInsensitiveStringMap): StructType = {
     val path = new Path(pathOf(options))
     val headerRow = headerRowOf(options)
     val infer = options.getBoolean("inferNumeric", false)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(hadoopConf())
     val in = new BufferedReader(
       new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
     try {
@@ -90,12 +115,12 @@ object SheetDataSource {
         i += 1
       }
       val names = SheetCsv.uniqueNames(SheetCsv.splitLine(line))
-      val types: Seq[org.apache.spark.sql.types.DataType] =
+      val types: Seq[DataType] =
         if (!infer) names.map(_ => StringType)
         else {
           val n = names.length
-          val intRe = "^-?\\d+$".r
-          val decRe = "^-?\\d+\\.\\d+$".r
+          val intRe = SheetCsv.IntRe.r
+          val decRe = SheetCsv.DecRe.r
           val nn = new Array[Long](n)
           val ni = new Array[Long](n)
           val nd = new Array[Long](n)
@@ -113,11 +138,7 @@ object SheetDataSource {
             }
             data = in.readLine()
           }
-          (0 until n).map { c =>
-            if (nn(c) > 0 && ni(c) == nn(c)) LongType
-            else if (nn(c) > 0 && ni(c) + nd(c) == nn(c)) DoubleType
-            else StringType
-          }
+          (0 until n).map(c => SheetCsv.inferredType(nn(c), ni(c), nd(c)))
         }
       StructType(names.zip(types).map { case (nm, t) =>
         StructField(nm, t, nullable = true) })
@@ -128,6 +149,14 @@ object SheetDataSource {
 private class SheetTable(tableSchema: StructType,
                          options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
+  // a user-supplied .schema(...) may carry types the cell parser does
+  // not produce — fail at planning, not with corrupt rows
+  tableSchema.fields.foreach { f =>
+    require(f.dataType == StringType || f.dataType == LongType ||
+      f.dataType == DoubleType,
+      s"graft.sheet supports string/bigint/double columns, " +
+        s"got ${f.name}: ${f.dataType.simpleString}")
+  }
   override def name(): String = s"sheet(${SheetDataSource.pathOf(options)})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -164,7 +193,8 @@ private class SheetScan(fullSchema: StructType, required: StructType,
       // indices into the file row for each required column
       required.fieldNames.map(n => fullSchema.fieldIndex(n)),
       required.fields.map(_.dataType),
-      fullSchema.size))
+      fullSchema.size,
+      SheetDataSource.confSnapshot()))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SheetReaderFactory
@@ -172,7 +202,7 @@ private class SheetScan(fullSchema: StructType, required: StructType,
 
 private case class SheetPartition(path: String, headerRow: Int,
                                   keep: Array[Int], types: Array[DataType],
-                                  width: Int)
+                                  width: Int, conf: Map[String, String])
     extends InputPartition
 
 private class SheetReaderFactory extends PartitionReaderFactory {
@@ -185,14 +215,17 @@ private class SheetReader(p: SheetPartition)
     extends PartitionReader[InternalRow] {
   private val fsPath = new Path(p.path)
   private val in = new BufferedReader(new InputStreamReader(
-    fsPath.getFileSystem(new Configuration()).open(fsPath),
+    fsPath.getFileSystem(SheetDataSource.confFrom(p.conf)).open(fsPath),
     StandardCharsets.UTF_8))
-  // consume pre-header + header lines
-  (0 until p.headerRow).foreach { _ =>
-    if (in.readLine() == null)
-      throw new IllegalArgumentException(
-        s"${p.path} has fewer than ${p.headerRow} rows — no header row")
-  }
+  // consume pre-header + header lines; close the stream if the file is
+  // shorter than promised (a throwing constructor never sees close())
+  try {
+    (0 until p.headerRow).foreach { _ =>
+      if (in.readLine() == null)
+        throw new IllegalArgumentException(
+          s"${p.path} has fewer than ${p.headerRow} rows — no header row")
+    }
+  } catch { case e: Throwable => in.close(); throw e }
 
   private var current: InternalRow = _
 
@@ -200,8 +233,9 @@ private class SheetReader(p: SheetPartition)
     var line = in.readLine()
     while (line != null) {
       val cells = SheetCsv.splitLine(line)
-      // empty cell → null (F14); rows narrower than the header are
-      // null-padded, wider are truncated to the header width
+      // empty cell (quoted or not) → null, matching Spark CSV's
+      // nullValue="" default (F14); rows narrower than the header are
+      // null-padded, wider truncated
       def rawAt(i: Int): String =
         if (i >= cells.length || cells(i).isEmpty) null else cells(i)
       // W4: fully empty row (every cell of the FULL row null) dropped
@@ -210,8 +244,15 @@ private class SheetReader(p: SheetPartition)
           val raw = rawAt(p.keep(j))
           if (raw == null) null
           else p.types(j) match {
-            case LongType => java.lang.Long.valueOf(raw.toLong)
-            case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+            // cast semantics (Extract parity): unparseable → null, so
+            // e.g. a LONG-inferred column with an out-of-range value
+            // nulls that cell instead of failing the task
+            case LongType =>
+              try java.lang.Long.valueOf(raw.trim.toLong)
+              catch { case _: NumberFormatException => null }
+            case DoubleType =>
+              try java.lang.Double.valueOf(raw.trim.toDouble)
+              catch { case _: NumberFormatException => null }
             case _ => UTF8String.fromString(raw)
           }
         })

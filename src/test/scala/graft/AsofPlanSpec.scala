@@ -100,6 +100,24 @@ class AsofPlanSpec extends SparkSpec {
     assert(df.as[(String, String)].collect().toSeq == Seq(("a", "b")))
   }
 
+  test("self as-of join re-aliases the shared-lineage right side") {
+    val df = Seq((1L, 5L, 50L), (1L, 10L, 100L), (2L, 3L, 30L))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asof(df, df, Seq("k"), Seq("k"), "t", "t")
+      .toDF("k", "t", "v", "rk", "rt", "rv")
+    // rt <= t includes equality, so every row matches itself
+    assert(out.count() == 3)
+    assert(out.filter($"rv" =!= $"v").count() == 0)
+  }
+
+  test("time column with a dot in its name resolves") {
+    val l = Seq((1L, 10L)).toDF("k", "t.s")
+    val r = Seq((1L, 5L, 7L)).toDF("k", "rt.s", "rid")
+    val out = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t.s", "rt.s")
+    assert(out.count() == 1)
+    assert(out.select($"rid").as[Option[Long]].head() == Some(7L))
+  }
+
   test("single hot key streams through O(1) merge state") {
     // worst-case skew: every row one key — the merge must not buffer
     // the key group (only the one candidate row)

@@ -72,6 +72,35 @@ class SheetSourceSpec extends SparkSpec {
     }
   }
 
+  test("quoted empty cells match the Spark CSV reader's semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_src3")
+    val p = dir.resolve("quoted.csv")
+    // row 1: quoted empties (present empty strings); row 2: unquoted
+    // empties (missing); row 3: mixed
+    java.nio.file.Files.writeString(p,
+      "a,b\n\"\",\"\"\n,\ny,\"\"\n")
+    val viaSource = spark.read.format("graft.sheet").load(p.toString)
+    val viaExtract = Extract.readSheet(spark, p.toString, 1)
+    assert(viaSource.schema == viaExtract.schema)
+    assert(viaSource.exceptAll(viaExtract).isEmpty &&
+      viaExtract.exceptAll(viaSource).isEmpty,
+      s"source=${viaSource.collect().toSeq} extract=${viaExtract.collect().toSeq}")
+  }
+
+  test("inferNumeric LONG overflow falls back to null like a cast") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_src4")
+    val p = dir.resolve("big.csv")
+    java.nio.file.Files.writeString(p,
+      "id\n42\n99999999999999999999\n")
+    val df = spark.read.format("graft.sheet")
+      .option("inferNumeric", true).load(p.toString)
+    assert(df.schema.head.dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet ==
+      Set(Some(42L), None))
+  }
+
   test("duplicate and empty headers are renamed like readSheet") {
     val dir = java.nio.file.Files.createTempDirectory("sheet_src2")
     val p = dir.resolve("dups.csv")
