@@ -115,6 +115,41 @@ object StreamingJobs {
       }
   }
 
+  case class SpendAlert(user_id: Long, threshold: Double, total: Double)
+
+  /** Threshold alerts via flatMapGroupsWithState — the 0..N-outputs-
+    * per-group form of arbitrary stateful processing (mapGroupsWithState
+    * must emit exactly one row per updated group): one alert row each
+    * time a user's running spend crosses another multiple of `step`,
+    * nothing otherwise. State is two numbers per user regardless of
+    * event volume — the shape that scales to unbounded streams.
+    */
+  def spendAlerts(events: DataFrame, step: Double): Dataset[SpendAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, SpendAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          val alerts = scala.collection.mutable.ArrayBuffer[SpendAlert]()
+          rows.foreach { e =>
+            val before = math.floor(total / step)
+            n += 1
+            total += e.value
+            val after = math.floor(total / step)
+            // one alert per threshold crossed, even within one batch
+            (before.toLong + 1 to after.toLong).foreach(k =>
+              alerts += SpendAlert(uid, k * step, total))
+          }
+          state.update(UserTotal(uid, n, total))
+          alerts.iterator
+      }
+  }
+
   /** The cron-replacement runner: process everything currently in
     * `srcDir` (parquet event files), append day aggregates to `outDir`,
     * checkpoint for exactly-once across runs, stop when caught up —

@@ -135,6 +135,30 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows.exceptAll(want).isEmpty && want.exceptAll(finalRows).isEmpty)
   }
 
+  test("flatMapGroupsWithState emits one alert per crossed threshold") {
+    val q = StreamingJobs.spendAlerts(
+        spark.readStream.schema(batchEvents.schema).parquet(eventsPath),
+        step = 100.0)
+      .writeStream.format("memory").queryName("s_alerts")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_alerts").toString)
+      .start()
+    q.awaitTermination()
+    val got = spark.table("s_alerts")
+    // exactly floor(total/step) alerts per user, thresholds distinct
+    val want = batchEvents.groupBy("user_id")
+      .agg(floor(sum(col("value")) / 100.0).cast("long").as("n_alerts"))
+      .filter(col("n_alerts") > 0)
+    val gotCounts = got.groupBy("user_id")
+      .agg(count(lit(1)).as("n_alerts"),
+        count_distinct(col("threshold")).as("n_distinct"))
+    assert(gotCounts.filter(col("n_alerts") =!= col("n_distinct")).count() == 0)
+    val counts = gotCounts.select("user_id", "n_alerts")
+    assert(counts.exceptAll(want).isEmpty && want.exceptAll(counts).isEmpty)
+  }
+
   test("runDailyAvailableNow is an idempotent cron replacement") {
     val src = Files.createTempDirectory("cron_src").toString
     val out = Files.createTempDirectory("cron_out").toString
