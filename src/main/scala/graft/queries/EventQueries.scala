@@ -248,7 +248,40 @@ object EventQueries {
           AS last_order
       FROM events e ORDER BY e.event_id"""))
 
+  val q71MapFuncs = Q("q71_map_funcs",
+    // map-typed column surface: construction from columns, map_concat,
+    // a str_to_map round-trip over a packed "k=v" string, map_filter,
+    // element_at and sorted key listing — reduced to scalar outputs
+    // because the driver's pandas harness can't hash map cells (the q44
+    // lesson). Expression-only inside whole-stage codegen, zero
+    // shuffles; the oracle states the expected semantics directly.
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 200)
+      val m = map_concat(
+        map(lit("type"), col("event_type")),
+        map(lit("uid"), col("user_id").cast(StringType)))
+      val packed = concat_ws(",",
+        concat(lit("type="), col("event_type")),
+        concat(lit("uid="), col("user_id").cast(StringType)))
+      e.select(col("event_id"), m.as("m"),
+          str_to_map(packed, lit(","), lit("=")).as("rt"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("rt"), "uid").cast(LongType).as("uid_back"),
+          size(col("m")).as("n_keys"),
+          size(map_filter(col("m"), (_, v) => v.isNotNull)).as("n_nonnull"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type AS m_type, user_id AS uid_back,
+        2 AS n_keys,
+        CAST((CASE WHEN event_type IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN user_id IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+          AS n_nonnull,
+        'type,uid' AS keys_sorted
+      FROM events WHERE event_id < 200 ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
-    q52Pivot)
+    q52Pivot, q71MapFuncs)
 }

@@ -931,6 +931,126 @@ object RelationalQueries {
       FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
       ORDER BY l_returnflag"""))
 
+  val q68Unpivot = Q("q68_unpivot",
+    // wide→long melt (Dataset.unpivot): the inverse of q52's pivot.
+    // Measures are cast to DECIMAL(18,4) BEFORE the melt so the value
+    // column has one exact type and the downstream sums are
+    // order-independent (the q46 lesson: double sums differ in the last
+    // ulp between engines/partitionings). Unpivot itself is a local
+    // Expand — rows × 4, zero shuffles — and the only shuffle is the
+    // 4-group aggregate after it.
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_quantity").cast(DecimalType(18, 4)).as("l_quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 4)).as("l_extendedprice"),
+        col("l_discount").cast(DecimalType(18, 4)).as("l_discount"),
+        col("l_tax").cast(DecimalType(18, 4)).as("l_tax"))
+      li.unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        // sums stay DECIMAL (exact, order-independent) through the
+        // aggregate; the FINAL cast to double is one deterministic
+        // conversion both engines format identically
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast(DoubleType).as("sum_value"),
+          min(col("value")).cast(DoubleType).as("min_value"),
+          max(col("value")).cast(DoubleType).as("max_value"))
+        .orderBy(col("metric"))
+    },
+    Some("""WITH u AS (
+        SELECT 'l_quantity' AS metric,
+          CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice',
+          CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+        UNION ALL SELECT 'l_discount',
+          CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+        UNION ALL SELECT 'l_tax',
+          CAST(l_tax AS DECIMAL(18,4)) FROM lineitem)
+      SELECT metric, COUNT(*) AS n,
+        CAST(SUM(value) AS DOUBLE) AS sum_value,
+        CAST(MIN(value) AS DOUBLE) AS min_value,
+        CAST(MAX(value) AS DOUBLE) AS max_value
+      FROM u GROUP BY metric ORDER BY metric"""))
+
+  val q69ScalarSubquery = Q("q69_scalar_subquery",
+    // scalar subqueries through the SQL interface: a correlated scalar
+    // aggregate (per-brand average) and an uncorrelated one (global
+    // max). Catalyst decorrelates the former into an aggregate +
+    // broadcast-able join on p_brand and evaluates the latter once as a
+    // one-row subquery plan — no per-row re-execution anywhere, which is
+    // what makes the textual form safe at 100 TB.
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""SELECT p_partkey, p_brand, p_retailprice FROM part_v p
+        WHERE p_retailprice > 1.15 * (SELECT avg(p2.p_retailprice)
+                                      FROM part_v p2
+                                      WHERE p2.p_brand = p.p_brand)
+          AND p_retailprice < (SELECT max(p3.p_retailprice) FROM part_v p3) - 1.0
+        ORDER BY p_partkey""")
+    },
+    Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
+      WHERE p_retailprice > 1.15 * (SELECT avg(p2.p_retailprice)
+                                    FROM part p2
+                                    WHERE p2.p_brand = p.p_brand)
+        AND p_retailprice < (SELECT max(p3.p_retailprice) FROM part p3) - 1.0
+      ORDER BY p_partkey"""))
+
+  val q70Percentiles = Q("q70_exact_percentiles",
+    // EXACT percentiles (type-7 linear interpolation, the convention
+    // both Spark's `percentile` and DuckDB's `quantile_cont` implement).
+    // Exact quantiles buffer each group's values in the aggregator, so
+    // this is the bounded-cardinality complement to q44's HLL/KLL
+    // sketches: right when groups are few (3 flags here), wrong at
+    // 100 TB with high-cardinality groups — use q44's approx sketches
+    // there. Plan: one partial/final aggregate shuffle on l_returnflag.
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25D)").as("p25"),
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.75D)").as("p75"),
+        expr("median(l_extendedprice)").as("med_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        median(l_extendedprice) AS med_price,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q76Profile = Q("q76_profile",
+    // column profiling (graft.ops.Profile): row/null/distinct counts for
+    // every column of `customer` in ONE aggregate pass — the per-column
+    // rows come from exploding an array of structs on the single result
+    // row, not from one job per column. Exact distincts plan through
+    // Expand (×5 here); Profile(approx = true) swaps in HLL++ partials
+    // for the 100 TB variant.
+    (s, d) => graft.ops.Profile.profile(Tables.customer(s, d)),
+    Some("""WITH p AS (
+        SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+        UNION ALL SELECT 'c_name', COUNT(*),
+          CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT c_name) FROM customer
+        UNION ALL SELECT 'c_nationkey', COUNT(*),
+          CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT c_nationkey) FROM customer
+        UNION ALL SELECT 'c_acctbal', COUNT(*),
+          CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT c_acctbal) FROM customer
+        UNION ALL SELECT 'c_mktsegment', COUNT(*),
+          CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT c_mktsegment) FROM customer)
+      SELECT col_name, n_rows, n_nulls, n_distinct
+      FROM p ORDER BY col_name"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -941,5 +1061,6 @@ object RelationalQueries {
     q46SaltedAgg, q48SaltedJoin, q53SqlExists, q54GroupingSets, q55Calendar,
     q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode,
     q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
-    q65HigherOrderFuncs, q67SetOpsAll)
+    q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
+    q70Percentiles, q76Profile)
 }

@@ -600,7 +600,139 @@ object TextQueries {
         len(regexp_replace(text, '[0-9]+', '#', 'g')) AS masked_len
       FROM documents ORDER BY doc_id"""))
 
+  val q72Contamination = Q("q72_contamination",
+    // benchmark-contamination check: flag corpus documents sharing any
+    // 3-word shingle with a held-out "benchmark" set (doc_id % 20 = 0
+    // stands in for the eval suite). The industry-standard n-gram
+    // decontamination shape: the benchmark's distinct gram set is SMALL
+    // by construction (eval suites are bounded, corpora are not), so it
+    // broadcasts and the corpus side stays a linear scan + map-side
+    // join — no shuffle of the 100 TB side. Shared-gram counts then
+    // aggregate per document (one shuffle on doc_id).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+        .select(col("doc_id"), md5Int(col("g")).as("gh"))
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("gh")).distinct()
+      val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+      val nsh = docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), size(shingles(col("text"))).as("n_shingles"))
+      corpus.join(broadcast(bench), Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_shared"))
+        .join(nsh, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          (col("n_shared").cast(DoubleType) / col("n_shingles"))
+            .as("contam_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+      g AS (SELECT doc_id,
+          CAST('0x' || substr(md5(unnest(shingles)), 1, 8) AS BIGINT) AS gh
+        FROM sh),
+      bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+      corpus AS (SELECT * FROM g WHERE doc_id % 20 <> 0),
+      hits AS (SELECT c.doc_id, COUNT(DISTINCT c.gh) AS n_shared
+        FROM corpus c JOIN bench b ON c.gh = b.gh GROUP BY c.doc_id),
+      ns AS (SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_shingles
+        FROM sh WHERE doc_id % 20 <> 0)
+      SELECT h.doc_id, n_shared, n_shingles,
+        n_shared::DOUBLE / n_shingles AS contam_frac
+      FROM hits h JOIN ns ON h.doc_id = ns.doc_id
+      ORDER BY h.doc_id"""))
+
+  val q73Repetition = Q("q73_repetition",
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    // -word fraction plus the corpus-mass share of the most frequent
+    // unigram and bigram. One posexplode Generate (split evaluated once
+    // per row — the q07/q26 CollapseProject lesson: HOF chains over an
+    // outer split re-tokenize per element, so frequency counting goes
+    // through explode + groupBy, Spark's canonical word-count shape with
+    // map-side partial aggregation), one window for the bigram pairing,
+    // then two aggregates over the same doc_id-clustered exchange.
+    (s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      val paired = tokens.withColumn("nxt",
+        lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val uni = paired.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"))
+      val bi = paired.filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat(col("w"), lit(" "), col("nxt")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bi_cnt"))
+      uni.join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"))
+            .as("dup_word_frac"),
+          (col("top_cnt").cast(DoubleType) / col("n_tokens"))
+            .as("top_unigram_frac"),
+          (col("top_bi_cnt").cast(DoubleType) / col("n_bigrams"))
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks,
+          list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1]) AS bis
+        FROM t),
+      uc AS (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM b) GROUP BY doc_id, w),
+      um AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+        FROM uc GROUP BY doc_id),
+      bc AS (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bis) AS g FROM b) GROUP BY doc_id, g),
+      bm AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          CAST(MAX(c) AS BIGINT) AS top_bi_cnt
+        FROM bc GROUP BY doc_id)
+      SELECT um.doc_id, n_tokens, n_distinct,
+        1.0 - n_distinct::DOUBLE / n_tokens AS dup_word_frac,
+        top_cnt::DOUBLE / n_tokens AS top_unigram_frac,
+        top_bi_cnt::DOUBLE / n_bigrams AS top_bigram_frac
+      FROM um JOIN bm ON um.doc_id = bm.doc_id ORDER BY um.doc_id"""))
+
+  val q74StratifiedSample = Q("q74_stratified_sample",
+    // deterministic stratified sampling: top-3 documents per source
+    // stratum ranked by a salted-free md5 of the key (reproducible
+    // across runs/engines, unlike rand()), plus a Bernoulli flag from
+    // the same hash (p = 13107/65536 ≈ 20%). At 100 TB the rank-window
+    // sort-per-stratum is preceded in practice by a hash-threshold
+    // pre-filter (keep md5 < k·ε before ranking) so the exchange carries
+    // a sliver of each stratum; with 20 strata here the plain window is
+    // the honest shape.
+    (s, d) => {
+      val h = md5(col("doc_id").cast(StringType))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          (conv(substring(h, 1, 4), 16, 10).cast(LongType) < 13107)
+            .as("in_hash_sample"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("source"), col("rn"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+          < 13107 AS in_hash_sample,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+      FROM documents)
+      SELECT source, doc_id, in_hash_sample, rn FROM t
+      WHERE rn <= 3 ORDER BY source, rn"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
-    q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract)
+    q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
+    q72Contamination, q73Repetition, q74StratifiedSample)
 }

@@ -226,5 +226,44 @@ object VectorQueries {
       SELECT query_id, cluster_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf)
+  val q75VectorNorms = Q("q75_vector_norms",
+    // per-label embedding statistics: L2 norms via the codegen'd VecDot
+    // self-dot (bit-identical fold order to DuckDB's list_reduce, see
+    // object scaladoc), quantized to DECIMAL(18,6) per row BEFORE the
+    // group-sum so the aggregate is addition-order-independent (the q46
+    // lesson — double sums differ in the last ulp across partitionings).
+    // Expression-only per row + one partial-agg shuffle on label: the
+    // shape that feeds embedding-table QC dashboards at corpus scale.
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("label"),
+        sqrt(vecDot(col("embedding"), col("embedding")))
+          .cast(DecimalType(18, 6)).as("nrm"),
+        // float → DOUBLE → decimal: both engines then quantize the same
+        // exact binary value (a direct float→decimal cast rounds the
+        // float's shortest decimal form in DuckDB but its double
+        // expansion in Spark — off-by-one-ulp at the 6th decimal)
+        element_at(col("embedding"), 1).cast(DoubleType)
+          .cast(DecimalType(18, 6)).as("d0"))
+      .groupBy(col("label"))
+      // decimal through the aggregate (order-independent), one final
+      // deterministic cast to double for cross-engine formatting parity
+      .agg(count(lit(1)).as("n"),
+        sum(col("nrm")).cast(DoubleType).as("sum_norm"),
+        min(col("nrm")).cast(DoubleType).as("min_norm"),
+        max(col("nrm")).cast(DoubleType).as("max_norm"),
+        sum(col("d0")).cast(DoubleType).as("sum_dim0"))
+      .orderBy(col("label")),
+    Some(s"""WITH e AS (SELECT label,
+        CAST(sqrt(${duckDot("embedding", "embedding")}) AS DECIMAL(18,6))
+          AS nrm,
+        CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)) AS d0
+      FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(nrm) AS DOUBLE) AS sum_norm,
+        CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+        CAST(MAX(nrm) AS DOUBLE) AS max_norm,
+        CAST(SUM(d0) AS DOUBLE) AS sum_dim0
+      FROM e GROUP BY label ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms)
 }
