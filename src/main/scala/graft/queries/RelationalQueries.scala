@@ -1051,6 +1051,130 @@ object RelationalQueries {
       SELECT col_name, n_rows, n_nulls, n_distinct
       FROM p ORDER BY col_name"""))
 
+  /** Exact decimal revenue term: extprice × (1 − discount), the TPC-H
+    * money expression, in DECIMAL so group sums are order-independent.
+    */
+  private def revenueDec: Column =
+    col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) -
+        col("l_discount").cast(DecimalType(18, 4)))
+
+  private val revenueDuck =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+  val q77MultijoinTopk = Q("q77_multijoin_topk",
+    // TPC-H Q3 shape: two fact-fact joins + a selective dimension
+    // filter, aggregate, global top-10. The filtered customer side is
+    // ~1/5 of all customers — NOT broadcastable at 100 TB, so both joins
+    // are honest shuffle joins on their keys (AQE may still demote at
+    // small SF); the final top-10 plans as TakeOrderedAndProject (per-
+    // partition heaps + driver merge of 10 rows), never a full sort.
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")) < to_date(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          // ISO string, not DateType: the check harness renders duckdb
+          // DATE cells as midnight timestamps, so string is the stable
+          // cross-engine form for a computed date output
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) > to_date(lit("1998-01-01")))
+        .select(col("l_orderkey"), revenueDec.as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        o_orderpriority, CAST(SUM($revenueDuck) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+      GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  val q78StarJoin = Q("q78_star_join",
+    // TPC-H Q5 shape: a star join with the local-supplier twist
+    // (c_nationkey = s_nationkey rides on the lineitem⋈supplier join).
+    // Dimension chain region→nation→supplier collapses to a broadcast
+    // (10s of rows even at 100 TB — suppliers-per-nation is the only
+    // fact-sized dim and it joins by key); the fact-side joins
+    // lineitem⋈orders⋈customer shuffle on their keys.
+    (s, d) => {
+      val n = Tables.nation(s, d).join(
+        broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d).join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")).between("1996-01-01", "1997-12-31"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), revenueDec.as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name, CAST(SUM($revenueDuck) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+          AND DATE '1997-12-31'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  val q79Scd2 = Q("q79_scd2_merge",
+    // graft.ops.Scd2 over a synthetic dimension change: customers with
+    // c_custkey % 10 < 3 change segment, 25 brand-new keys arrive.
+    // Changed keys yield a closed interval [0,1) plus an open row at
+    // version 1; everything else passes through. One full-outer shuffle
+    // join + explode — see Scd2's scaladoc for the 100 TB rationale.
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val current = cust
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast(LongType))
+      val incoming = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 10 < 3,
+          concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("segment"))
+        .unionByName(Tables.nation(s, d).select(
+          (col("n_nationkey").cast(LongType) + 10000000L).as("c_custkey"),
+          lit("NEW").as("segment")))
+      graft.ops.Scd2.merge(current, incoming,
+          Seq("c_custkey"), Seq("segment"), version = 1L)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""WITH cur AS (SELECT c_custkey, c_mktsegment AS segment
+        FROM customer)
+      SELECT c_custkey, segment, CAST(0 AS BIGINT) AS valid_from,
+        CAST(NULL AS BIGINT) AS valid_to
+      FROM cur WHERE c_custkey % 10 >= 3
+      UNION ALL SELECT c_custkey, segment, 0, 1
+      FROM cur WHERE c_custkey % 10 < 3
+      UNION ALL SELECT c_custkey, segment || '_V2', 1, NULL
+      FROM cur WHERE c_custkey % 10 < 3
+      UNION ALL SELECT CAST(n_nationkey AS BIGINT) + 10000000, 'NEW', 1, NULL
+      FROM nation
+      ORDER BY c_custkey, valid_from"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -1062,5 +1186,5 @@ object RelationalQueries {
     q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode,
     q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
-    q70Percentiles, q76Profile)
+    q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2)
 }
