@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation
+  * with pointer jumping: every node starts labelled with itself; each
+  * round a node adopts the smallest label among itself and its
+  * neighbours (one edge⋈label join + min-aggregate), then labels jump
+  * to their label's label (one label⋈label join), which halves chain
+  * depth — so convergence is O(log diameter) rounds, the same bound as
+  * the large-star/small-star scheme (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014).
+  *
+  * Iterative-Spark essentials encoded here, both learned the hard way:
+  *  - `localCheckpoint(eager)` each round. Persist alone does NOT
+  *    truncate lineage: round N's plan would embed round N−1's plan
+  *    multiple times (union + convergence join), so plan size grows
+  *    exponentially and analysis itself OOMs after ~20 rounds.
+  *  - one action per round: materializing the checkpoint and counting
+  *    changed labels for the convergence test.
+  *
+  * Production caveat: localCheckpoint blocks die with an executor; on a
+  * real cluster with preemption use `spark.sparkContext.setCheckpointDir`
+  * + reliable `checkpoint()` instead (same algorithm, swap one call).
+  */
+object Graph {
+
+  /** `nodes`: single column `node`; `edges`: columns `a`,`b` in either
+    * orientation (symmetrized internally). Returns (`node`, `lbl`)
+    * where `lbl` is the component's minimum node id — deterministic.
+    * Nodes absent from `edges` keep their own label (singletons).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true) // reused every round — compute once
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(labels.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node"), col("lbl"))
+      val gathered = labels.union(viaEdges)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: adopt the label of one's label. A component's
+      // minimum always labels itself, so the left join only misses when
+      // the label row landed elsewhere this round — coalesce keeps it.
+      val self = gathered.select(col("node").as("lbl"), col("lbl").as("__lbl2"))
+      val next = gathered.join(self, Seq("lbl"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("__lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "__old"), Seq("node"))
+        .filter(col("lbl") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

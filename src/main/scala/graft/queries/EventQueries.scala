@@ -281,7 +281,76 @@ object EventQueries {
         'type,uid' AS keys_sorted
       FROM events WHERE event_id < 200 ORDER BY event_id"""))
 
+  val q81Variant = Q("q81_variant_json",
+    // the VARIANT open-schema path (vs q40's fixed-schema from_json):
+    // parse_json ONCE into a variant value, then typed variant_get
+    // extraction over object and array paths plus try_variant_get on a
+    // missing path. A nested document is synthesized around the flat
+    // props column so there are real sub-paths to walk. Binary-encoded
+    // variant parse/extract stays per-row expression work — no shuffle.
+    (s, d) => {
+      val doc = concat(lit("{\"meta\": {\"t\": \""), col("event_type"),
+        lit("\"}, \"vals\": ["), col("user_id").cast(StringType), lit(", "),
+        get_json_object(col("props"), "$.k"), lit("]}"))
+      Tables.events(s, d).filter(col("event_id") < 300)
+        .select(col("event_id"), parse_json(doc).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.meta.t", "string").as("vt"),
+          variant_get(col("v"), "$.vals[0]", "bigint").as("v0"),
+          variant_get(col("v"), "$.vals[1]", "int").as("v1"),
+          try_variant_get(col("v"), "$.missing", "int").as("vmiss"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type AS vt, user_id AS v0,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS v1,
+        CAST(NULL AS INTEGER) AS vmiss
+      FROM events WHERE event_id < 300 ORDER BY event_id"""))
+
+  val q82GapFill = Q("q82_gap_fill",
+    // time-series resample + forward fill, the feature-store shape:
+    // per-user daily spend re-gridded onto a complete day spine
+    // (sequence + explode bounded by each user's own range) with gaps
+    // carrying the last observed value forward — window last(ignoreNulls)
+    // over a running frame. Day sums are DECIMAL (order-independent, the
+    // q46 lesson) and the fill is one window over the user-partitioned
+    // exchange; the spine join is an equi-join on (user, day).
+    (s, d) => {
+      val daily = Tables.events(s, d).filter(col("user_id") < 8)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("spend"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("spend").isNotNull.as("observed"),
+          last(col("spend"), ignoreNulls = true).over(w)
+            .cast(DoubleType).as("spend_ff"))
+        .orderBy(col("user_id"), col("day_s"))
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,4))) AS spend
+        FROM events WHERE user_id < 8 GROUP BY user_id, CAST(ts AS DATE)),
+      bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id),
+      spine AS (SELECT user_id,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      j AS (SELECT s.user_id, s.day, d.spend
+        FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
+        spend IS NOT NULL AS observed,
+        CAST(last_value(spend IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS spend_ff
+      FROM j ORDER BY user_id, day_s"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
-    q52Pivot, q71MapFuncs)
+    q52Pivot, q71MapFuncs, q81Variant, q82GapFill)
 }

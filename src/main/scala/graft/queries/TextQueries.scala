@@ -731,8 +731,49 @@ object TextQueries {
       SELECT source, doc_id, in_hash_sample, rn FROM t
       WHERE rn <= 3 ORDER BY source, rn"""))
 
+  val q80DedupClusters = Q("q80_dedup_clusters",
+    // near-dup pairs → duplicate CLUSTERS → canonical-document pick: the
+    // step the pairwise LSH queries stop short of. Edges are q30's
+    // verified pairs; graft.ops.Graph.connectedComponents labels every
+    // document with its component minimum (deterministic), canonical =
+    // that minimum, and the keep/drop decision is `is_canonical`. The
+    // oracle replays the same clustering as a recursive min-label CTE —
+    // labels only ever propagate downhill (lbl < target id), and the
+    // component minimum reaches every member because it is smaller than
+    // each hop target, so min-per-node equals the component minimum.
+    (s, d) => {
+      val pairs = q30MinhashLsh.run(s, d)
+        .select(col("da").as("a"), col("db").as("b"))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val lab = graft.ops.Graph.connectedComponents(nodes, pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      val sizes = lab.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("cluster")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+      pairs AS (SELECT da, db FROM (${q30MinhashLsh.oracle.get})),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+      cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+        WHERE c.lbl < e.b),
+      lab AS (SELECT node AS doc_id, min(lbl) AS cluster
+              FROM cc GROUP BY node),
+      sz AS (SELECT cluster, COUNT(*) AS cluster_size
+             FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, cluster_size,
+        l.doc_id = l.cluster AS is_canonical
+      FROM lab l JOIN sz ON l.cluster = sz.cluster
+      ORDER BY l.doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
-    q72Contamination, q73Repetition, q74StratifiedSample)
+    q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters)
 }
