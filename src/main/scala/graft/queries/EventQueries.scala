@@ -350,7 +350,64 @@ object EventQueries {
           AS DOUBLE) AS spend_ff
       FROM j ORDER BY user_id, day_s"""))
 
+  val q85Funnel = Q("q85_funnel",
+    // ordered funnel: signup → click → purchase per user, steps counted
+    // by first-occurrence time ordering. One conditional-min aggregate
+    // per user (single shuffle) then a one-row reduction — the shape
+    // stays two map-side-combinable aggregates at any event volume.
+    (s, d) => {
+      val m = Tables.events(s, d).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      m.agg(count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        sum(when(col("t_click") >= col("t_signup"), 1).otherwise(0))
+          .cast(LongType).as("n_signup_click"),
+        sum(when(col("t_click") >= col("t_signup") &&
+          col("t_purchase") >= col("t_click"), 1).otherwise(0))
+          .cast(LongType).as("n_full_funnel"))
+    },
+    Some("""WITH m AS (SELECT user_id,
+        min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_users, COUNT(t_signup) AS n_signup,
+        CAST(SUM(CASE WHEN t_click >= t_signup THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_signup_click,
+        CAST(SUM(CASE WHEN t_click >= t_signup AND t_purchase >= t_click
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      FROM m"""))
+
+  val q86Retention = Q("q86_retention",
+    // cohort retention: users grouped by first-active day, activity
+    // counted per (cohort, day-offset). distinct (user, day) first, so
+    // each user contributes once per day — the count after the cohort
+    // join is already a user count. Two aggregate shuffles + one join
+    // on user_id; cohort table is 1 row per user (join, not window, so
+    // the big activity side never re-sorts).
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+      act.join(cohort, Seq("user_id"))
+        .select(date_format(col("c0"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("c0")).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events),
+      cohort AS (SELECT user_id, min(day) AS c0 FROM act GROUP BY user_id)
+      SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+        CAST(date_diff('day', c0, day) AS INTEGER) AS day_offset,
+        COUNT(*) AS n_users
+      FROM act a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
-    q52Pivot, q71MapFuncs, q81Variant, q82GapFill)
+    q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention)
 }

@@ -1175,6 +1175,76 @@ object RelationalQueries {
       FROM nation
       ORDER BY c_custkey, valid_from"""))
 
+  val q83FeatureScale = Q("q83_feature_scale",
+    // ML feature scaling: per-group z-score and min-max normalization.
+    // Group statistics come from DECIMAL-exact sums (order-independent);
+    // mean/variance/z are then IDENTICAL double expressions over those
+    // exact inputs on both engines, so results are bit-equal with no
+    // rounding fudge. Plan: one partial-agg shuffle for the stats + a
+    // broadcast join back onto the rows (stats are one row per group —
+    // broadcastable at any scale).
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      val stats = li.groupBy(col("l_returnflag")).agg(
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("s1"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+          .cast(DoubleType).as("s2"),
+        count(lit(1)).cast(DoubleType).as("cnt"),
+        min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"))
+      val mean = col("s1") / col("cnt")
+      val variance = (col("s2") - col("s1") * col("s1") / col("cnt")) /
+        (col("cnt") - 1)
+      li.filter(col("l_orderkey") < 100)
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          ((col("l_quantity") - mean) / sqrt(variance)).as("z"),
+          ((col("l_quantity") - col("qmin")) / (col("qmax") - col("qmin")))
+            .as("minmax"))
+        // (orderkey, linenumber) is NOT unique in the synthetic data —
+        // include flag + quantity for a total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+    },
+    Some("""WITH stats AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+        CAST(COUNT(*) AS DOUBLE) AS cnt,
+        MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+        (l_quantity - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS z,
+        (l_quantity - qmin) / (qmax - qmin) AS minmax
+      FROM lineitem l JOIN stats st ON l.l_returnflag = st.l_returnflag
+      WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber, l.l_returnflag, l_quantity"""))
+
+  val q84Histogram = Q("q84_histogram",
+    // equal-width histogram: bin = clamp(floor((x - lo) / w), 0, n-1)
+    // with bounds from a one-row aggregate joined back by broadcast —
+    // two scans, one tiny shuffle, the distributed histogram shape
+    // (never a driver-side pass). Double floor/div are IEEE-identical
+    // across engines given identical inputs.
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      val w = (col("hi") - col("lo")) / 10.0
+      li.join(broadcast(bounds))
+        .select(least(floor((col("l_extendedprice") - col("lo")) / w), lit(9))
+          .cast(IntegerType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (SELECT min(l_extendedprice) AS lo,
+        max(l_extendedprice) AS hi FROM lineitem)
+      SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)), 9)
+          AS INTEGER) AS bin, COUNT(*) AS n
+      FROM lineitem, b GROUP BY 1 ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -1186,5 +1256,6 @@ object RelationalQueries {
     q56WindowRangeFrame, q58ListAgg, q59FilterAgg, q60Explode,
     q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
-    q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2)
+    q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
+    q83FeatureScale, q84Histogram)
 }
