@@ -1245,6 +1245,83 @@ object RelationalQueries {
           AS INTEGER) AS bin, COUNT(*) AS n
       FROM lineitem, b GROUP BY 1 ORDER BY bin"""))
 
+  val q87CorrRegression = Q("q87_corr_regression",
+    // correlation / covariance / least-squares line per group via the
+    // one-pass moments method — THE distributed form (n, Σx, Σy, Σxy,
+    // Σx², Σy² are map-side-combinable; the statistics are closed-form
+    // over them). Moments are DECIMAL-exact and small enough that the
+    // decimal→double conversion is exact (unscaled values < 2^53 even at
+    // sf1), so both engines run identical IEEE math — bit-equal output
+    // with no rounding fudge. One aggregate shuffle total.
+    (s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_discount")
+      val st = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x.cast(DecimalType(18, 4))).cast(DoubleType).as("sx"),
+        sum(y.cast(DecimalType(18, 4))).cast(DoubleType).as("sy"),
+        sum((x * y).cast(DecimalType(28, 6))).cast(DoubleType).as("sxy"),
+        sum((x * x).cast(DecimalType(28, 6))).cast(DoubleType).as("sxx"),
+        sum((y * y).cast(DecimalType(28, 6))).cast(DoubleType).as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("l_returnflag"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+            .as("covar_samp"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH st AS (SELECT l_returnflag,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+        (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      FROM st ORDER BY l_returnflag"""))
+
+  val q88FuzzyMatch = Q("q88_fuzzy_match",
+    // entity resolution: blocking + pairwise edit distance. Candidate
+    // pairs come from an equi-join on the blocking key (last name token
+    // + size) — never an all-pairs cross join; levenshtein runs only on
+    // in-block candidates. The classic record-linkage shape: block →
+    // score → match; at corpus scale the block key bounds per-task pair
+    // counts exactly like the LSH band keys in q30/q32.
+    (s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_size"), element_at(split(col("p_name"), " "), -1).as("blk"))
+      val a = p.select(col("blk"), col("p_size"),
+        col("p_partkey").as("ka"), col("p_name").as("na"))
+      val b = p.select(col("blk"), col("p_size"),
+        col("p_partkey").as("kb"), col("p_name").as("nb"))
+      a.join(b, Seq("blk", "p_size"))
+        .filter(col("ka") < col("kb"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist").between(1, 3))
+        .select(col("ka"), col("kb"), col("na"), col("nb"), col("dist"))
+        .orderBy(col("ka"), col("kb"))
+    },
+    Some("""SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+        a.p_name AS na, b.p_name AS nb,
+        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM part a JOIN part b
+        ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+       AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+      ORDER BY ka, kb"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -1257,5 +1334,5 @@ object RelationalQueries {
     q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
     q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
-    q83FeatureScale, q84Histogram)
+    q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch)
 }
