@@ -123,6 +123,27 @@ object Stress {
         .select(col("event_id"), col("k"), col("last_order")))
     }
 
+    // ---- connected components (q80 shape): dup-cluster graphs are ----
+    // ---- many small components; pointer jumping must converge in  ----
+    // ---- O(log diameter) rounds with bounded plans (localCheckpoint ----
+    // ---- truncates lineage — without it analysis OOMs ~20 rounds). ----
+    time("connected components 1M/2M") {
+      val n = math.min(rows / 10, 1000000L)
+      val nodes = spark.range(n).select(col("id").as("node"))
+      // ring-of-10 clusters (diameter 5 after symmetrize) + a few
+      // long chains to exercise the pointer-jumping path
+      val ring = spark.range(n).select(col("id").as("a"),
+        (col("id") - col("id") % 10 + (col("id") + 1) % 10).as("b"))
+      val chain = spark.range(1000).select(
+        (lit(n) - 1000 + col("id")).as("a"),
+        (lit(n) - 1000 + col("id") + 1).as("b"))
+        .filter(col("b") < n)
+      val labels = Graph.connectedComponents(nodes, ring.union(chain))
+      val comps = labels.select(col("lbl")).distinct().count()
+      labels.unpersist()
+      comps
+    }
+
     // ---- tiled all-pairs cosine (q33 shape): no driver collect, ----
     // ---- per-task memory bounded by tile size.  Pair-evaluation  ----
     // ---- work is inherently N² — what must stay flat is memory   ----
@@ -160,27 +181,6 @@ object Stress {
       pruned.as("a").join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .count()
-    }
-
-    // ---- connected components (q80 shape): dup-cluster graphs are ----
-    // ---- many small components; pointer jumping must converge in  ----
-    // ---- O(log diameter) rounds with bounded plans (localCheckpoint ----
-    // ---- truncates lineage — without it analysis OOMs ~20 rounds). ----
-    time("connected components 1M/2M") {
-      val n = math.min(rows / 10, 1000000L)
-      val nodes = spark.range(n).select(col("id").as("node"))
-      // ring-of-10 clusters (diameter 5 after symmetrize) + a few
-      // long chains to exercise the pointer-jumping path
-      val ring = spark.range(n).select(col("id").as("a"),
-        (col("id") - col("id") % 10 + (col("id") + 1) % 10).as("b"))
-      val chain = spark.range(1000).select(
-        (lit(n) - 1000 + col("id")).as("a"),
-        (lit(n) - 1000 + col("id") + 1).as("b"))
-        .filter(col("b") < n)
-      val labels = Graph.connectedComponents(nodes, ring.union(chain))
-      val comps = labels.select(col("lbl")).distinct().count()
-      labels.unpersist()
-      comps
     }
     spark.stop()
   }
