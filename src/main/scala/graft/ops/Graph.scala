@@ -34,6 +34,12 @@ object Graph {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    // storage note: localCheckpoint blocks are NOT freed by
+    // Dataset.unpersist (that only uncaches CacheManager entries); they
+    // are reclaimed asynchronously by the ContextCleaner once the
+    // superseded round's Dataset becomes unreachable — which the
+    // re-assignment below guarantees. Peak live state is therefore the
+    // current round ± the cleaner's lag, not the sum of all rounds.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -58,11 +64,15 @@ object Graph {
       val changed = next
         .join(labels.withColumnRenamed("lbl", "__old"), Seq("node"))
         .filter(col("lbl") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    // wrong labels are worse than no labels: a truncated run would feed
+    // callers bogus cluster ids with nothing signalling it
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter too large — raise maxIter)")
     labels
   }
 }

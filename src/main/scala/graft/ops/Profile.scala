@@ -36,7 +36,10 @@ object Profile {
         if (approx) approx_count_distinct(col(c))
         else countDistinct(col(c))
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls__$c"),
+        // sum over zero rows is NULL, not 0 — coalesce so an empty
+        // input profiles as all-zeros instead of null-propagating
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nulls__$c"),
         distinct.as(s"__distinct__$c"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)

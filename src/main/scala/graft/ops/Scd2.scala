@@ -34,10 +34,21 @@ object Scd2 {
     val sys = Seq("valid_from", "valid_to")
     val missing = (pk ++ track ++ sys).filterNot(current.columns.contains)
     require(missing.isEmpty, s"current frame lacks columns: $missing")
+    // the emitted row struct carries exactly pk ++ track ++ sys, so an
+    // extra attribute column would be SILENTLY dropped from the merged
+    // dimension — reject it loudly instead (add it to `track` to keep it)
+    val extra = current.columns.filterNot((pk ++ track ++ sys).contains)
+    require(extra.isEmpty,
+      s"current has columns outside pk/track/valid_*: ${extra.toSeq} — " +
+        "include them in `track` or project them away first")
 
     val open = current.filter(col("valid_to").isNull)
     val hist = current.filter(col("valid_to").isNotNull)
-    val incR = incoming.select(
+    // duplicate business keys in one snapshot would fan the join out and
+    // emit conflicting open rows; keep-last mirrors the warehouse upsert
+    // precedent (Load.upsert / reference etl/load.py dedupe-then-merge)
+    val incDeduped = Relational.dedupKeepLastPositional(incoming, pk)
+    val incR = incDeduped.select(
       pk.map(col) ++ track.map(c => col(c).as(s"__i_$c")) :+
         lit(true).as("__inc"): _*)
     val j = open.withColumn("__cur", lit(true))

@@ -984,16 +984,20 @@ object RelationalQueries {
     // one-row subquery plan — no per-row re-execution anywhere, which is
     // what makes the textual form safe at 100 TB.
     (s, d) => {
+      // no multiplier on the correlated average: the synthetic price
+      // range tightens with SF (900–920 at sf0.001), so any scaled
+      // threshold empties the result at some SF and the oracle gate
+      // becomes vacuous (empty-vs-empty proves nothing)
       Tables.part(s, d).createOrReplaceTempView("part_v")
       s.sql("""SELECT p_partkey, p_brand, p_retailprice FROM part_v p
-        WHERE p_retailprice > 1.15 * (SELECT avg(p2.p_retailprice)
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
                                       FROM part_v p2
                                       WHERE p2.p_brand = p.p_brand)
           AND p_retailprice < (SELECT max(p3.p_retailprice) FROM part_v p3) - 1.0
         ORDER BY p_partkey""")
     },
     Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
-      WHERE p_retailprice > 1.15 * (SELECT avg(p2.p_retailprice)
+      WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
                                     FROM part p2
                                     WHERE p2.p_brand = p.p_brand)
         AND p_retailprice < (SELECT max(p3.p_retailprice) FROM part p3) - 1.0

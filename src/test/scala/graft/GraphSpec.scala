@@ -63,4 +63,15 @@ class GraphSpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L)
     assert(run(nodes, Seq((3L, 1L))) == run(nodes, Seq((1L, 3L))))
   }
+
+  test("non-convergence within maxIter throws instead of returning wrong labels") {
+    val n = 64L
+    val nodes = (1L to n)
+    val edges = (1L until n).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(nodes.toDF("node"), edges.toDF("a", "b"),
+        maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

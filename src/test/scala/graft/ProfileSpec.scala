@@ -37,6 +37,13 @@ class ProfileSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(approx == exact)
   }
 
+  test("an empty frame profiles as zeros, not nulls") {
+    val got = Profile.profile(df.filter(col("id") < 0)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.values.toSet == Set((0L, 0L, 0L)))
+  }
+
   test("exact profile runs as a single aggregation job (no per-column scans)") {
     val plan = Profile.profile(df).queryExecution.executedPlan
     def scans(p: SparkPlan): Int = collectWithSubqueries(p) {

@@ -49,6 +49,25 @@ class Scd2Spec extends SparkSpec {
     assert(got.count() == 1 && got.filter(col("valid_to").isNull).count() == 1)
   }
 
+  test("duplicate business keys in a snapshot dedupe keep-last") {
+    val inc = Seq((1L, "first"), (1L, "second")).toDF("k", "attr")
+    val got = Scd2.merge(dim(initial), inc, Seq("k"), Seq("attr"), 1L)
+    val open1 = got.filter(col("k") === 1L && col("valid_to").isNull)
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(open1 == Seq((1L, "second", 1L, None))) // one open row, last wins
+    assert(got.filter(col("k") === 1L).count() == 2) // closed v1 + open
+  }
+
+  test("untracked attribute columns are rejected, not silently dropped") {
+    val cur = Seq((1L, "a", "Lima", 0L, Option.empty[Long]))
+      .toDF("k", "attr", "city", "valid_from", "valid_to")
+    val inc = Seq((1L, "a")).toDF("k", "attr")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(cur, inc, Seq("k"), Seq("attr"), 1L)
+    }
+    assert(e.getMessage.contains("city"))
+  }
+
   test("closed history is preserved verbatim across merges") {
     val inc1 = Seq((1L, "A")).toDF("k", "attr")
     val inc2 = Seq((1L, "B")).toDF("k", "attr")
