@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues,
+  Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming generalization of the reference's daily-batch
@@ -113,6 +115,43 @@ object StreamingJobs {
           state.update(next)
           next
       }
+  }
+
+  /** Running per-user totals via `transformWithState` — Spark 4's
+    * successor to map/flatMapGroupsWithState: named typed state handles
+    * (ValueState here; ListState/MapState, per-state TTL and timers on
+    * the same handle), backed by the RocksDB state store. Same contract
+    * as [[userRunningTotals]], so StreamingSpec asserts both APIs and
+    * the batch `groupBy(...).agg(sum)` twin agree row-for-row.
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState does not run on the
+    * default HDFS-backed store).
+    */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, UserEvent, UserTotal] {
+    @transient private var state: ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal]("total",
+        Encoders.product[UserTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserTotal] = {
+      val prev = Option(state.get()).getOrElse(UserTotal(key, 0L, 0.0))
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserTotal(key, n, total)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userRunningTotalsTws(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class SpendAlert(user_id: Long, threshold: Double, total: Double)

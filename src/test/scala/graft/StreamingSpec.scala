@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows.exceptAll(want).isEmpty && want.exceptAll(finalRows).isEmpty)
   }
 
+  test("transformWithState running totals match the batch aggregate") {
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val got = runToMemory("s_tws", OutputMode.Update(),
+        df => StreamingJobs.userRunningTotalsTws(df).toDF())
+      // Update mode emits one row per user per micro-batch; the LAST
+      // row per user is the final running total = the batch sum
+      val lastPerUser = got.withColumn("__r",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n").desc)))
+        .filter(col("__r") === 1).drop("__r")
+      val want = batchEvents.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      assert(lastPerUser.count() == want.count())
+      val joined = lastPerUser.as("g").join(want.as("w"), "user_id")
+        .filter(col("g.n") =!= col("w.n") ||
+          abs(col("g.total") - col("w.total")) > 1e-6)
+      assert(joined.count() == 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits one alert per crossed threshold") {
     val q = StreamingJobs.spendAlerts(
         spark.readStream.schema(batchEvents.schema).parquet(eventsPath),
