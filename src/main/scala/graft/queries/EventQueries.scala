@@ -407,7 +407,71 @@ object EventQueries {
       FROM act a JOIN cohort c ON a.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
 
+  val q89FromCsvXml = Q("q89_from_csv_xml",
+    // the remaining per-row semi-structured parsers: from_csv (schema'd
+    // line split, custom separator) and Spark 4's from_xml — completing
+    // the parse family with q40 (JSON) and q81 (VARIANT). Documents are
+    // synthesized from the flat columns so the oracle can state the
+    // expected round-trip directly; all expression work, zero shuffles.
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 250)
+      val csvLine = concat_ws("|", col("event_id"), col("event_type"),
+        col("user_id"))
+      val csvSchema = StructType(Seq(StructField("id", LongType),
+        StructField("typ", StringType), StructField("uid", LongType)))
+      val parsedCsv = from_csv(csvLine, csvSchema, Map("sep" -> "|"))
+      val xmlDoc = concat(lit("<e><t>"), col("event_type"), lit("</t><u>"),
+        col("user_id"), lit("</u></e>"))
+      val xmlSchema = StructType(Seq(StructField("t", StringType),
+        StructField("u", LongType)))
+      val parsedXml = from_xml(xmlDoc, xmlSchema)
+      e.select(col("event_id"),
+          parsedCsv.getField("typ").as("csv_type"),
+          parsedCsv.getField("uid").as("csv_uid"),
+          parsedXml.getField("t").as("xml_type"),
+          parsedXml.getField("u").as("xml_uid"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type AS csv_type, user_id AS csv_uid,
+        event_type AS xml_type, user_id AS xml_uid
+      FROM events WHERE event_id < 250 ORDER BY event_id"""))
+
+  val q90SessionWindow = Q("q90_session_window",
+    // the BUILT-IN session_window aggregate (q37 hand-rolls the same
+    // semantics with lag + running sum — this is the one-liner Spark
+    // form that also runs unchanged under readStream): sessions close
+    // after 45 minutes of silence, window end = last event + gap.
+    // Emitted as epoch micros (exact; no timestamp formatting parity
+    // to negotiate). One shuffle on user_id.
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "45 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("w_start_us"),
+        unix_micros(col("w.end")).as("w_end_us"),
+        col("n_events"), col("first_event"), col("total"))
+      .orderBy(col("user_id"), col("w_start_us")),
+    Some("""WITH o AS (SELECT user_id, event_id, value,
+          epoch_us(ts) AS us FROM events),
+      f AS (SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 2700 * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS new_s
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+      SELECT user_id, MIN(us) AS w_start_us,
+        MAX(us) + 2700 * CAST(1000000 AS BIGINT) AS w_end_us,
+        COUNT(*) AS n_events, MIN(event_id) AS first_event,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM g GROUP BY user_id, sid ORDER BY user_id, w_start_us"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
-    q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention)
+    q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
+    q89FromCsvXml, q90SessionWindow)
 }
