@@ -75,6 +75,25 @@ object Scale {
     df.withColumn("day", date_format(tsCol, "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
 
+  /** Range-sorted parquet layout for data skipping: repartitionByRange
+    * on the sort columns gives each output file a DISJOINT value range,
+    * and sortWithinPartitions orders rows inside it — so parquet's
+    * per-file and per-row-group min/max statistics let a range or point
+    * filter skip every non-overlapping file without reading it. At
+    * 100 TB this is the difference between a filter scanning the table
+    * and scanning ~1/numFiles of it; the single-column form of what a
+    * Z-order/Hilbert layout generalizes to multiple dimensions.
+    * (The range partitioner samples the data to pick balanced bounds —
+    * one extra pass, paid once at write time.)
+    */
+  def writeRangeSorted(df: DataFrame, sortCols: Seq[String], dir: String,
+                       files: Int): Unit = {
+    require(sortCols.nonEmpty && files > 0)
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Small-file compaction for a parquet table dir: incremental sinks
     * (per-day inserts, streaming micro-batches) accumulate files far
     * below the ideal scan unit, and at 100 TB the resulting task-per-

@@ -772,8 +772,39 @@ object TextQueries {
       FROM lab l JOIN sz ON l.cluster = sz.cluster
       ORDER BY l.doc_id"""))
 
+  val q91WeightedSample = Q("q91_weighted_sample",
+    // weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    // IPL 2006): each item draws u ~ U(0,1) deterministically from md5
+    // and keeps key = u^(1/w); the global top-k by key IS a weighted
+    // sample — here weight = n_chars, so longer documents are
+    // proportionally likelier. The distributed shape is per-partition
+    // top-k + driver merge (TakeOrderedAndProject), never a full sort;
+    // the corpus-mixing primitive for quality-weighted selection.
+    (s, d) => {
+      val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 6),
+        16, 10).cast(DoubleType) + lit(0.5)) / lit(16777216.0)
+      val key = pow(u, lit(1.0) / col("n_chars").cast(DoubleType))
+      // rank on the full-precision key; EMIT it rounded — libm pow may
+      // differ in the last ulp across engines, which a 6-decimal round
+      // absorbs (a rank flip would need two keys within 1 ulp)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), key.as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("k"), 6).as("sample_key"))
+    },
+    Some("""WITH t AS (SELECT doc_id, n_chars,
+        pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+               AS BIGINT) + 0.5) / 16777216.0,
+            1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents)
+      SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM t
+      ORDER BY k DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
-    q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters)
+    q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
+    q91WeightedSample)
 }

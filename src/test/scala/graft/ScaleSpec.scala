@@ -56,6 +56,34 @@ class ScaleSpec extends SparkSpec {
       s"day filter not pushed to partition pruning:\n$scan")
   }
 
+  test("writeRangeSorted yields disjoint per-file ranges (data skipping)") {
+    val dir = Files.createTempDirectory("rangesort").toString + "/t"
+    val df = spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      // shuffle the input so the layout is the writer's doing, not luck
+      .orderBy(org.apache.spark.sql.functions.md5(col("k").cast("string")))
+    Scale.writeRangeSorted(df, Seq("k"), dir, files = 8)
+
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(parts.length == 8)
+    // per-file min/max from reading each file alone: ranges must be
+    // pairwise disjoint — the property parquet stats-based skipping
+    // (and any engine's file pruning) relies on
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $hi >= $lo2")
+      case _ =>
+    }
+    // and nothing was lost in the re-layout
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("compact merges an accumulation of tiny files, preserving data") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     // 20 incremental appends of 50 rows each -> >= 20 small files
