@@ -43,40 +43,42 @@ object Extract {
     */
   def readSheet(spark: SparkSession, path: String, headerRow: Int,
                 inferNumeric: Boolean = false): DataFrame = {
-    // header line fetched via text scan (file order), split driver-side
-    // for its width — sheets are human-edited and small, and header
-    // rows are single-line by the positional contract
-    val headerLine = spark.read.text(path).rdd.zipWithIndex()
+    // ONE text scan provides both the header and the data rows.
+    // Spark's CSV reader silently drops truly blank lines, so indexing
+    // CSV-parsed rows by a text-scan line number desynchronizes the two
+    // whenever a pre-header filler line is EMPTY (not ',,,,'): each
+    // blank line before the header would silently swallow one data row.
+    // Parsing the text lines with the same splitter the graft.sheet
+    // source uses keeps one line numbering and one CSV dialect across
+    // both ingestion paths. zipWithIndex preserves file/split order —
+    // the positional contract "row N is the header" only exists there.
+    val lines = spark.read.text(path).rdd
+      .map(_.getString(0)).zipWithIndex()
+    val headerLine = lines
       .filter(_._2 == headerRow - 1)
-      .map(_._1.getString(0))
+      .map(_._1)
       .collect()
       .headOption
       .getOrElse(throw new IllegalArgumentException(
         s"$path has fewer than $headerRow rows — no header row"))
     val headerCells = splitCsvLine(headerLine)
+    // the column count comes from the HEADER row: shorter rows (title
+    // rows, ragged data) null-pad, wider rows truncate
     val n = headerCells.length
-
-    // explicit wide schema: rows narrower than the header (title rows,
-    // ragged data) are null-padded by the PERMISSIVE parser instead of
-    // dictating the table width
-    val wide = StructType((0 until n).map(i =>
-      StructField(s"_w$i", StringType, nullable = true)))
-    val raw = spark.read
-      .option("header", "false")
-      .option("inferSchema", "false")
-      .schema(wide)
-      .csv(path)
-    // zipWithIndex preserves file/split order — the positional contract
-    // "row N is the header" only exists in file order
-    val indexed = raw.rdd.zipWithIndex()
 
     // N4 trim + N5 unique-ify + empty header → col_{i}
     val names = graft.sources.SheetCsv.uniqueNames(headerCells)
 
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
-    val dataRows = indexed
+    val dataRows = lines
       .filter(_._2 >= headerRow)
-      .map { case (row, _) => Row.fromSeq(row.toSeq) }
+      .map { case (line, _) =>
+        val cells = splitCsvLine(line)
+        // empty cell (quoted or not) → null: Spark CSV's nullValue=""
+        // default (F14), same rule as the graft.sheet source
+        Row.fromSeq((0 until n).map(i =>
+          if (i >= cells.length || cells(i).isEmpty) null else cells(i)))
+      }
     val df = spark.createDataFrame(dataRows, schema)
     // W4: drop rows where every cell is null (CSV already maps empty
     // unquoted cells to null — F14)

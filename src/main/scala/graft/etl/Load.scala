@@ -25,8 +25,26 @@ object Load {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def readTable(spark: SparkSession, dir: String): Option[DataFrame] =
+  /** Crash recovery for [[upsert]]'s two-rename swap: a crash between
+    * "old aside" and "staging in" leaves the table only at `dir.__old`
+    * — restore it; a crash after "staging in" leaves a stale `__old`
+    * alongside the new table — drop it. Idempotent; called by both
+    * readers and writers so whichever touches the table first heals it.
+    */
+  private def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val old = new Path(s"$dir.__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) {
+      if (fs.exists(p)) fs.delete(old, true) // swap completed; stale aside
+      else fs.rename(old, p) // swap died mid-way; restore previous table
+    }
+  }
+
+  def readTable(spark: SparkSession, dir: String): Option[DataFrame] = {
+    recoverSwap(spark, dir)
     if (tableExists(spark, dir)) Some(spark.read.parquet(dir)) else None
+  }
 
   /** K2 batch UPSERT: existing rows lose to incoming rows on PK match.
     * Staged write + rename so the target is never half-written and the
@@ -38,7 +56,13 @@ object Load {
     // merging (etl/load.py:50-55). Without this, a batch carrying
     // duplicate PKs would seed the warehouse with duplicate rows on the
     // bootstrap write, and later merges would pick a nondeterministic
-    // winner among them (__prio ties).
+    // winner among them (__prio ties). NOTE: "last" is positional
+    // (monotonically_increasing_id), meaningful only for frames whose
+    // physical row order carries arrival order — fresh file scans, a
+    // foreachBatch micro-batch. For a post-shuffle frame the winner
+    // among intra-batch duplicates is partitioning-dependent; such
+    // callers should pre-dedupe with an explicit ordering column via
+    // dedupKeepLast before calling upsert.
     val incoming = dedupKeepLastPositional(df, Seq(pk)).withColumn("__prio", lit(1))
     val merged = readTable(spark, dir) match {
       case Some(existing) =>
@@ -51,8 +75,16 @@ object Load {
     val staging = s"$dir.__staging"
     merged.write.mode("overwrite").parquet(staging)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(dir), true)
+    // two renames, never delete-then-rename: a crash after a DELETE
+    // would leave NO table at the serving path and the next run's
+    // readTable(None) would silently bootstrap from the new batch
+    // alone. With rename-aside, every crash point leaves the full
+    // previous or the full new table recoverable — recoverSwap heals
+    // either direction on the next read or write.
+    val old = new Path(s"$dir.__old")
+    if (fs.exists(new Path(dir))) fs.rename(new Path(dir), old)
     fs.rename(new Path(staging), new Path(dir))
+    fs.delete(old, true)
     spark.read.parquet(dir).count()
   }
 
@@ -63,8 +95,12 @@ object Load {
   def insert(spark: SparkSession, df: DataFrame, dir: String,
              pk: Option[String] = None): Long = {
     // the incoming plan is consumed up to three times (dup probe, count,
-    // write) — persist so the upstream transforms run once
-    val cached = df.persist()
+    // write) — persist so the upstream transforms run once. If the
+    // CALLER already persisted (wider fan-out than ours), leave their
+    // cache alone: an unconditional unpersist here would evict it.
+    val alreadyCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (alreadyCached) df else df.persist()
     try {
       for (key <- pk; existing <- readTable(spark, dir)) {
         val dups = semiJoin(cached.select(col(key)), existing, Seq(key)).count()
@@ -74,7 +110,7 @@ object Load {
       val n = cached.count()
       cached.write.mode("append").parquet(dir)
       n
-    } finally cached.unpersist()
+    } finally if (!alreadyCached) cached.unpersist()
   }
 
   /** W3 required-non-null split: quarantine rows with nulls in required

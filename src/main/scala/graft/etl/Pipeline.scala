@@ -70,11 +70,13 @@ object Pipeline {
 
     val matriculas = Transform.matriculas(rawMat)
     // J4: FK to estudiantes (vs warehouse state), quarantine orphans
-    val matValid = Load.readTable(spark, s"$wh/estudiantes") match {
+    val matValid = (Load.readTable(spark, s"$wh/estudiantes") match {
       case Some(est) =>
         Load.enforceFk(matriculas, est, "codigo_estudiante", s"$q/matriculas_fk")
       case None => matriculas
-    }
+    }).persist() // fan-out wider than rawMat's: insert (3 actions) +
+    // pagos1 semi-join + the isEmpty quirk probe + pagos2 semi-join —
+    // without this the transform+FK join re-executes per consumer
     val nMat = Load.insert(spark, matValid, s"$wh/matriculas",
       pk = Some("codigo_matricula"))
 
@@ -113,6 +115,7 @@ object Pipeline {
     }
     val nPagos = Load.insert(spark, pagosValid, s"$wh/pagos")
 
+    matValid.unpersist()
     rawMat.unpersist()
     // O4: surface the observed metrics (populated by the actions above)
     matObs.getAsJava.forEach((k, v) => log.info(s"[etl] matriculas_raw $k=$v"))

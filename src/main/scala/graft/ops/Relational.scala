@@ -97,15 +97,26 @@ object Relational {
     p
   }
 
-  /** Rename all columns through a normalizer (N1-style pass). */
+  /** Rename all columns through a normalizer (N1-style pass).
+    * Duplicate post-rename names are suffixed `_1`, `_2`, … with the
+    * suffix probed against BOTH already-emitted and upcoming names, so
+    * a generated suffix can never collide with a later original
+    * (['a','a','a_1'] → ['a','a_2','a_1'], never 'a_1' twice).
+    */
   def renameNormalized(df: DataFrame, f: String => String): DataFrame = {
     val renames = df.columns.map(c => c -> f(c))
-    // pre-dedupe: Spark errors on duplicate names at analysis (N5)
-    val seen = scala.collection.mutable.Map[String, Int]()
+    val taken = scala.collection.mutable.Set[String](renames.map(_._2): _*)
+    val used = scala.collection.mutable.Set[String]()
     val unique = renames.map { case (orig, n) =>
-      val k = seen.getOrElse(n, 0)
-      seen(n) = k + 1
-      orig -> (if (k == 0) n else s"${n}_$k")
+      val name =
+        if (!used(n)) n
+        else {
+          var k = 1
+          while (used(s"${n}_$k") || taken(s"${n}_$k")) k += 1
+          s"${n}_$k"
+        }
+      used += name
+      orig -> name
     }
     df.withColumnsRenamed(unique.toMap)
   }

@@ -32,11 +32,14 @@ object Scale {
     require(SaltableJoinTypes(joinType.toLowerCase),
       s"saltedJoin does not support joinType=$joinType " +
         "(right/full outer would duplicate unmatched right rows ×salts)")
-    // deterministic salt: hash of the whole left row spreads a hot key
-    // uniformly without an RNG (replays/retries stay stable)
-    val leftCols = left.columns.map(col)
+    // content-INDEPENDENT salt: a row-hash salt silently collapses when
+    // the hot key's rows are identical (a repeated sentinel record —
+    // the exact shape salting exists for, every copy → one bucket).
+    // monotonically_increasing_id spreads every physical row regardless
+    // of content; the result set is salt-invariant, so determinism of
+    // the salt itself is not required
     val l = left.withColumn("__salt",
-      pmod(xxhash64(leftCols: _*), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(typedLit((0 until salts).toArray)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
@@ -51,7 +54,8 @@ object Scale {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(salts)).cast("int")
+    // content-independent spread — see saltedJoin's salt rationale
+    val salt = pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
     df.withColumn("__salt", salt)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -111,8 +115,13 @@ object Scale {
     val staging = new org.apache.hadoop.fs.Path(s"$dir.__compacting")
     spark.read.parquet(dir).repartition(parts)
       .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(path, true)
+    // rename-aside, never delete-then-rename: a crash between a delete
+    // and the rename would leave no table at the serving path (the
+    // Load.upsert lesson — its recoverSwap heals the same __old marker)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
+    fs.rename(path, old)
     fs.rename(staging, path)
+    fs.delete(old, true)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

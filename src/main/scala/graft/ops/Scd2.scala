@@ -41,6 +41,13 @@ object Scd2 {
     require(extra.isEmpty,
       s"current has columns outside pk/track/valid_*: ${extra.toSeq} — " +
         "include them in `track` or project them away first")
+    // same hazard on the snapshot side: an attribute arriving in
+    // `incoming` but missing from `track` (a NEW dimension column)
+    // would vanish from every opened row without a trace
+    val incExtra = incoming.columns.filterNot((pk ++ track).contains)
+    require(incExtra.isEmpty,
+      s"incoming has columns outside pk/track: ${incExtra.toSeq} — " +
+        "include them in `track` or project them away first")
 
     val open = current.filter(col("valid_to").isNull)
     val hist = current.filter(col("valid_to").isNotNull)

@@ -176,6 +176,40 @@ case class AsofJoinExec(
   */
 object AsofJoin {
 
+  /** The union + running-last(ignoreNulls) ENCODING of the as-of join
+    * (q38's composition, the built-in-operator alternative to
+    * [[AsofJoinExec]]): both sides unioned into one frame, ordered
+    * (time, right-before-left on ties, then right id, then left id —
+    * the full tie-break makes the result deterministic), and the
+    * latest right id carried forward per key. One shuffle + one sort,
+    * like the custom exec. Shared by the catalog query and both
+    * benchmarks so the measured baseline cannot drift from the
+    * catalog's semantics. `leftId` and `rightVal` must be integral
+    * (carried through one LONG column).
+    */
+  def asofUnionWindow(left: DataFrame, leftKey: String, leftTime: String,
+                      leftId: String, right: DataFrame, rightKey: String,
+                      rightTime: String, rightVal: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{last, lit}
+    import org.apache.spark.sql.types.LongType
+    val l = left.select(col(leftKey).as("k"), col(leftTime).as("tt"),
+      lit(null).cast(LongType).as("__rv"), lit(0).as("is_r"),
+      col(leftId).cast(LongType).as("__lid"))
+    val r = right.select(col(rightKey).as("k"), col(rightTime).as("tt"),
+      col(rightVal).cast(LongType).as("__rv"), lit(1).as("is_r"),
+      lit(null).cast(LongType).as("__lid"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("tt"), col("is_r").desc, col("__rv").asc_nulls_first,
+        col("__lid").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(l)
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("is_r") === 0)
+      .select(col("__lid").as(leftId), col("k").as(leftKey),
+        col("__last").as(s"last_$rightVal"))
+  }
+
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,

@@ -79,25 +79,12 @@ object EventQueries {
     // no asof-join operator — implemented as the union + running
     // last(ignoreNulls) pattern: one shuffle on the key, no range
     // explosion (scales linearly vs. an inequality join).
-    (s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("user_id").as("k"), col("ts").as("t"),
-        lit(null).cast(LongType).as("okey"), lit(0).as("is_order"),
-        col("event_id"))
-      val ord = Tables.orders(s, d).select(
-        col("o_custkey").as("k"), col("o_orderdate").as("t"),
-        col("o_orderkey").as("okey"), lit(1).as("is_order"),
-        lit(null).cast(LongType).as("event_id"))
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("t"), col("is_order").desc,
-          col("okey").asc_nulls_first, col("event_id").asc_nulls_first)
-      ord.unionByName(ev)
-        .withColumn("last_order", last(col("okey"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .filter(col("is_order") === 0)
-        .select(col("event_id"), col("k").as("user_id"), col("last_order"))
-        .orderBy(col("event_id"))
-    },
+    (s, d) => graft.plans.AsofJoin.asofUnionWindow(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey")
+      .withColumnRenamed("last_o_orderkey", "last_order")
+      .select(col("event_id"), col("user_id"), col("last_order"))
+      .orderBy(col("event_id")),
     Some("""SELECT e.event_id, e.user_id,
         (SELECT max(o.o_orderkey) FROM orders o
          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts

@@ -825,9 +825,13 @@ object RelationalQueries {
     // in one expression-only projection (zero shuffles; codegen'd)
     (s, d) => Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
-        greatest(col("l_quantity").cast(LongType),
-          (col("l_discount") * 100).cast(LongType)).as("g"),
-        least(col("l_quantity").cast(LongType),
+        // floor() BEFORE the long conversion on both sides: a bare
+        // double→long cast truncates toward zero in Spark but rounds to
+        // nearest in DuckDB (28.999999... → 28 vs 29), so the bit-exact
+        // gate would break on any non-ladder discount value
+        greatest(floor(col("l_quantity")),
+          floor(col("l_discount") * 100)).as("g"),
+        least(floor(col("l_quantity")),
           col("l_linenumber").cast(LongType)).as("l"),
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
           .as("flag_or_none"),
@@ -836,9 +840,10 @@ object RelationalQueries {
           .otherwise("small").as("bucket"))
       .orderBy(col("l_orderkey"), col("l_linenumber")),
     Some("""SELECT l_orderkey, l_linenumber,
-        greatest(CAST(l_quantity AS BIGINT),
-          CAST(l_discount * 100 AS BIGINT)) AS g,
-        least(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT)) AS l,
+        greatest(CAST(floor(l_quantity) AS BIGINT),
+          CAST(floor(l_discount * 100) AS BIGINT)) AS g,
+        least(CAST(floor(l_quantity) AS BIGINT),
+          CAST(l_linenumber AS BIGINT)) AS l,
         coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
         CASE WHEN l_quantity > 25 THEN 'bulk'
              WHEN l_quantity > 10 THEN 'mid'

@@ -45,13 +45,25 @@ object SheetCsv {
     * etl/extract.py:49-62.
     */
   def uniqueNames(cells: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map[String, Int]()
-    cells.zipWithIndex.map { case (cell, i) =>
+    val bases = cells.zipWithIndex.map { case (cell, i) =>
       val rawName = cell.trim
-      val base = if (rawName.isEmpty) s"col_$i" else rawName
-      val k = seen.getOrElse(base, 0)
-      seen(base) = k + 1
-      if (k == 0) base else s"${base}_$k"
+      if (rawName.isEmpty) s"col_$i" else rawName
+    }
+    // a generated suffix may collide with a LATER original header
+    // (['a','a','a_1'] must not emit 'a_1' twice) — probe against both
+    // the originals and everything already emitted
+    val taken = scala.collection.mutable.Set[String](bases: _*)
+    val used = scala.collection.mutable.Set[String]()
+    bases.map { base =>
+      val name =
+        if (!used(base)) base
+        else {
+          var k = 1
+          while (used(s"${base}_$k") || taken(s"${base}_$k")) k += 1
+          s"${base}_$k"
+        }
+      used += name
+      name
     }
   }
 

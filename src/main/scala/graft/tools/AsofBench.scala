@@ -39,22 +39,10 @@ object AsofBench {
       Seq("user_id"), Seq("user_id"), "ts", "rt",
       rightTieBreak = Seq("order_id"))
 
-    def encoded() = {
-      val l = left.select(col("user_id").as("k"), col("ts").as("tt"),
-        lit(null).cast(LongType).as("order_id"), lit(0).as("is_r"),
-        col("event_id"))
-      val r = right.select(col("user_id").as("k"), col("rt").as("tt"),
-        col("order_id"), lit(1).as("is_r"),
-        lit(null).cast(LongType).as("event_id"))
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("tt"), col("is_r").desc, col("order_id").asc_nulls_first)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      r.unionByName(l)
-        .withColumn("last_order",
-          last(col("order_id"), ignoreNulls = true).over(w))
-        .filter(col("is_r") === 0)
-        .select(col("event_id"), col("k"), col("last_order"))
-    }
+    // shared with q38 and Stress — one encoding, no drift between the
+    // benchmarked baseline and the catalog query's semantics
+    def encoded() = graft.plans.AsofJoin.asofUnionWindow(
+      left, "user_id", "ts", "event_id", right, "user_id", "rt", "order_id")
 
     def time(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()

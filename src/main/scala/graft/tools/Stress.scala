@@ -116,19 +116,9 @@ object Stress {
         rightTieBreak = Seq("order_id")))
     }
     time("asof join (union+window)") {
-      val l = t.select(col("user_id").as("k"), col("ts").as("tt"),
-        lit(null).cast(LongType).as("order_id"), lit(0).as("is_r"),
-        col("event_id"))
-      val r = asofRight.select(col("user_id").as("k"), col("rt").as("tt"),
-        col("order_id"), lit(1).as("is_r"),
-        lit(null).cast(LongType).as("event_id"))
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("tt"), col("is_r").desc, col("order_id").asc_nulls_first)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      noop(r.unionByName(l)
-        .withColumn("last_order", last(col("order_id"), ignoreNulls = true).over(w))
-        .filter(col("is_r") === 0)
-        .select(col("event_id"), col("k"), col("last_order")))
+      noop(graft.plans.AsofJoin.asofUnionWindow(
+        t.select("event_id", "user_id", "ts"), "user_id", "ts", "event_id",
+        asofRight, "user_id", "rt", "order_id"))
     }
 
     // ---- connected components (q80 shape): dup-cluster graphs are ----

@@ -45,6 +45,38 @@ class LoadSpec extends SparkSpec {
     assert(got == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"))
   }
 
+  test("readTable heals a crashed upsert swap from the __old aside") {
+    val dir = tmp("swap")
+    val df = Seq(("k1", 1), ("k2", 2)).toDF("pk", "v")
+    // crash AFTER "old aside", BEFORE "staging in": the table exists
+    // only at dir.__old — a reader must restore it, not report None
+    df.write.parquet(s"$dir.__old")
+    val recovered = Load.readTable(spark, dir)
+    assert(recovered.isDefined && recovered.get.count() == 2)
+    assert(!new java.io.File(s"$dir.__old").exists())
+
+    // crash AFTER "staging in", BEFORE the aside delete: both exist —
+    // the NEW table (at dir) wins and the stale aside is dropped
+    val dir2 = tmp("swap2")
+    Seq(("new", 9)).toDF("pk", "v").write.parquet(dir2)
+    df.write.parquet(s"$dir2.__old")
+    val kept = Load.readTable(spark, dir2)
+    assert(kept.get.collect().map(_.getString(0)).toSeq == Seq("new"))
+    assert(!new java.io.File(s"$dir2.__old").exists())
+  }
+
+  test("upsert never leaves the serving path empty (rename-aside swap)") {
+    val dir = tmp("noempty")
+    Load.upsert(spark, Seq(("k1", 1)).toDF("pk", "v"), dir, "pk")
+    Load.upsert(spark, Seq(("k1", 2), ("k2", 2)).toDF("pk", "v"), dir, "pk")
+    val m = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("k1" -> 2, "k2" -> 2))
+    // no stale staging/aside artifacts after a clean swap
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("t"))
+  }
+
   test("enforceFk quarantines exactly the orphans, keeps the rest") {
     val q = Files.createTempDirectory("fkq").toString + "/orphans"
     val facts = Seq(("k1", 10), ("kX", 20), ("k2", 30), ("kY", 40))

@@ -108,4 +108,32 @@ class SheetSourceSpec extends SparkSpec {
     val df = spark.read.format("graft.sheet").load(p.toString)
     assert(df.columns.toSeq == Seq("x", "x_1", "col_2", "y"))
   }
+
+  test("a generated dedup suffix never collides with a later header") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_src3")
+    val p = dir.resolve("collide.csv")
+    // ['a','a','a_1']: suffixing the second 'a' to 'a_1' would duplicate
+    // the literal third header — must probe past it to 'a_2'
+    java.nio.file.Files.writeString(p, "a,a,a_1\n1,2,3\n")
+    val df = spark.read.format("graft.sheet").load(p.toString)
+    assert(df.columns.toSeq == Seq("a", "a_2", "a_1"))
+    assert(df.columns.distinct.length == 3)
+  }
+
+  test("blank pre-header lines do not shift data rows (both paths)") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_src4")
+    val p = dir.resolve("blank_filler.csv")
+    // line 2 is TRULY empty (not ',,'): Spark's CSV reader drops such
+    // lines, which previously desynchronized readSheet's text-scan
+    // header index from its CSV-parsed data rows — losing data row 1
+    java.nio.file.Files.writeString(p, "TITLE\n\na,b\n1,x\n2,y\n")
+    val viaExtract = graft.etl.Extract.readSheet(spark, p.toString, headerRow = 3)
+    val viaSource = spark.read.format("graft.sheet")
+      .option("headerRow", 3).load(p.toString)
+    for (df <- Seq(viaExtract, viaSource)) {
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.orderBy("a").collect().map(_.getString(0)).toSeq ==
+        Seq("1", "2"), s"lost or shifted data rows:\n${df.collect().toSeq}")
+    }
+  }
 }
