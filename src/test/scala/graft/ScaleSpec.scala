@@ -56,6 +56,23 @@ class ScaleSpec extends SparkSpec {
       s"day filter not pushed to partition pruning:\n$scan")
   }
 
+  test("salting spreads a hot key even when its rows are IDENTICAL") {
+    // a repeated sentinel record: every copy is bit-identical, so a
+    // row-content hash would put the whole hot key in ONE salt bucket
+    // and the salting would silently do nothing
+    val sentinel = spark.range(0, 8192)
+      .select(lit(7L).as("k"), lit(1.0).as("v"))
+    val salted = sentinel
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(16L))
+        .cast("int"))
+    val buckets = salted.select("__salt").distinct().count()
+    assert(buckets > 8, s"identical rows collapsed to $buckets salt buckets")
+    // and the aggregate over the salted path is still exact
+    val got = Scale.saltedSumCount(sentinel, Seq("k"), "v", 16).collect()
+    assert(got.length == 1 && got(0).getDouble(1) == 8192.0 &&
+      got(0).getLong(2) == 8192L)
+  }
+
   test("writeRangeSorted yields disjoint per-file ranges (data skipping)") {
     val dir = Files.createTempDirectory("rangesort").toString + "/t"
     val df = spark.range(0, 10000)
