@@ -1331,6 +1331,77 @@ object RelationalQueries {
       WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
       ORDER BY ka, kb"""))
 
+  val q92BitwiseAgg = Q("q92_bitwise_agg",
+    // bitwise aggregate family (bit_and/bit_or/bit_xor) + scalar bit
+    // ops — order-independent by algebra, so no decimal staging needed;
+    // one partial-agg shuffle. The flag-mask shape used for permission
+    // sets / feature-presence rollups.
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_linenumber").cast(LongType) % 64).as("m"))
+      // shiftleft's Scala overload takes a STATIC bit count — the
+      // column-valued shift goes through the SQL function form
+      .select(col("l_returnflag"), col("m"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))").as("mask"))
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("mask")).as("and_mask"),
+        bit_or(col("mask")).as("or_mask"),
+        bit_xor(col("mask")).as("xor_mask"),
+        sum(bit_count(col("mask")).cast(LongType)).as("total_bits"))
+      .orderBy(col("l_returnflag")),
+    Some("""WITH t AS (SELECT l_returnflag,
+        (CAST(l_linenumber AS BIGINT) % 64) AS m FROM lineitem),
+      u AS (SELECT l_returnflag, (CAST(1 AS BIGINT) << m) AS mask FROM t)
+      SELECT l_returnflag,
+        bit_and(mask) AS and_mask, bit_or(mask) AS or_mask,
+        bit_xor(mask) AS xor_mask,
+        CAST(SUM(bit_count(mask)) AS BIGINT) AS total_bits
+      FROM u GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q93TryFuncs = Q("q93_try_funcs",
+    // error-safe arithmetic (try_divide/try_add/try_cast): invalid
+    // operations yield NULL instead of failing the job — the semantics
+    // a 100 TB pipeline needs (one malformed row must not kill a
+    // 10-hour run). The oracle states the same null outcomes with
+    // guard expressions, since DuckDB's plain operators throw.
+    (s, d) => Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"),
+          col("l_quantity") - col("l_quantity")).as("div0"),
+        try_divide(round(col("l_extendedprice"), 2), lit(4.0)).as("div_ok"),
+        // +1 first: orderkey 0 plus Long.MaxValue would NOT overflow
+        try_add(col("l_orderkey") + 1, lit(Long.MaxValue)).as("add_over"),
+        expr("try_cast(l_returnflag AS BIGINT)").as("cast_bad"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("div_ok")),
+    Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+             ELSE l_extendedprice / (l_quantity - l_quantity) END AS div0,
+        round(l_extendedprice, 2) / 4.0 AS div_ok,
+        CAST(NULL AS BIGINT) AS add_over,
+        TRY_CAST(l_returnflag AS BIGINT) AS cast_bad
+      FROM lineitem WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber, div_ok"""))
+
+  val q94Codecs = Q("q94_codecs",
+    // binary codec ladder: hex, base64 round-trip, byte length of the
+    // utf8 encoding — expression-only. DuckDB's to_base64 operates on
+    // BLOB and hex() uppercases, so the oracle normalizes case
+    // explicitly; the round-trip re-decodes to prove both directions.
+    (s, d) => Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        lower(hex(col("p_name").cast(BinaryType))).as("name_hex"),
+        base64(col("p_name").cast(BinaryType)).as("name_b64"),
+        unbase64(base64(col("p_name").cast(BinaryType))).cast(StringType)
+          .as("roundtrip"),
+        octet_length(col("p_name")).as("n_bytes"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+        lower(hex(CAST(p_name AS BLOB))) AS name_hex,
+        to_base64(CAST(p_name AS BLOB)) AS name_b64,
+        p_name AS roundtrip,
+        octet_length(CAST(p_name AS BLOB)) AS n_bytes
+      FROM part WHERE p_partkey < 300 ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -1343,5 +1414,6 @@ object RelationalQueries {
     q62RankingWindows, q63ConditionalFuncs, q64StringLadder,
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
     q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
-    q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch)
+    q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
+    q92BitwiseAgg, q93TryFuncs, q94Codecs)
 }
