@@ -72,20 +72,50 @@ object Load {
           .drop("__prio")
       case None => incoming.drop("__prio")
     }
+    swapIn(spark, merged, dir)
+  }
+
+  /** Stage `merged` next to `dir`, then swap it in with two renames —
+    * never delete-then-rename: a crash after a DELETE would leave NO
+    * table at the serving path and the next run's readTable(None) would
+    * silently bootstrap from the new batch alone. With rename-aside,
+    * every crash point leaves the full previous or the full new table
+    * recoverable — [[recoverSwap]] heals either direction on the next
+    * read or write. Returns the new row count.
+    */
+  private def swapIn(spark: SparkSession, merged: DataFrame,
+                     dir: String): Long = {
     val staging = s"$dir.__staging"
     merged.write.mode("overwrite").parquet(staging)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // two renames, never delete-then-rename: a crash after a DELETE
-    // would leave NO table at the serving path and the next run's
-    // readTable(None) would silently bootstrap from the new batch
-    // alone. With rename-aside, every crash point leaves the full
-    // previous or the full new table recoverable — recoverSwap heals
-    // either direction on the next read or write.
     val old = new Path(s"$dir.__old")
     if (fs.exists(new Path(dir))) fs.rename(new Path(dir), old)
     fs.rename(new Path(staging), new Path(dir))
     fs.delete(old, true)
     spark.read.parquet(dir).count()
+  }
+
+  /** CDC batch apply — the MERGE the reference's warehouse cannot
+    * express: `changes` carries the business key, an op column
+    * (`"u"` = upsert, `"d"` = delete; case-insensitive), and the new
+    * attribute values. The LAST change per key in batch order wins
+    * (same positional contract as [[upsert]]); surviving upserts
+    * replace/insert their key, deletes remove theirs, untouched keys
+    * pass through. One anti-join + union over the existing table, then
+    * the same crash-safe swap as upsert.
+    */
+  def applyCdc(spark: SparkSession, changes: DataFrame, dir: String,
+               pk: String, opCol: String = "op"): Long = {
+    require(changes.columns.contains(opCol), s"changes lacks op column $opCol")
+    val lastPerKey = dedupKeepLastPositional(changes, Seq(pk))
+    val upserts = lastPerKey.filter(lower(col(opCol)) =!= "d").drop(opCol)
+    val touched = lastPerKey.select(col(pk))
+    val merged = readTable(spark, dir) match {
+      case Some(existing) =>
+        antiJoin(existing, touched, Seq(pk)).unionByName(upserts)
+      case None => upserts
+    }
+    swapIn(spark, merged, dir)
   }
 
   /** K1 validated INSERT with J3 duplicate-PK abort: if any incoming PK

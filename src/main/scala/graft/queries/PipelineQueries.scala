@@ -248,5 +248,42 @@ object PipelineQueries {
           header=true, all_varchar=true))
       ORDER BY code, name"""))
 
-  val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource)
+  val q95CdcApply = Q("q95_cdc_apply",
+    // CDC batch apply against a live parquet warehouse (Load.applyCdc):
+    // seed a dimension from `customer`, then one change batch carrying
+    // updates (key % 7 = 0), deletes (key % 11 = 0, minus the update
+    // overlap so each key has ONE change) and inserts — the oracle
+    // restates the post-apply table in closed form. Exercises the
+    // anti-join + union merge AND the crash-safe swap end-to-end.
+    (s, d) => {
+      val wh = Files.createTempDirectory("graft_q95").toString + "/dim"
+      val cust = graft.tables.Tables.customer(s, d)
+      graft.etl.Load.upsert(s,
+        cust.select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        wh, "c_custkey")
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_U")).as("segment"),
+          lit("u").as("op"))
+      val deletes = cust
+        .filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), lit(null).cast(StringType).as("segment"),
+          lit("d").as("op"))
+      val inserts = graft.tables.Tables.nation(s, d).select(
+        (col("n_nationkey").cast(LongType) + 20000000L).as("c_custkey"),
+        lit("NEWSEG").as("segment"), lit("u").as("op"))
+      graft.etl.Load.applyCdc(s,
+        updates.unionByName(deletes).unionByName(inserts), wh, "c_custkey")
+      s.read.parquet(wh).orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_U'
+             ELSE c_mktsegment END AS segment
+      FROM customer
+      WHERE NOT (c_custkey % 11 = 0 AND c_custkey % 7 <> 0)
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT) + 20000000, 'NEWSEG' FROM nation
+      ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply)
 }

@@ -77,6 +77,36 @@ class LoadSpec extends SparkSpec {
     assert(parent.listFiles().map(_.getName).toSet == Set("t"))
   }
 
+  test("applyCdc upserts, deletes, and inserts in one batch") {
+    val dir = tmp("cdc")
+    Load.upsert(spark,
+      Seq(("A", 1), ("B", 2), ("C", 3)).toDF("pk", "v"), dir, "pk")
+    val changes = Seq(
+      ("B", 20, "u"), // update
+      ("C", 0, "d"), // delete
+      ("D", 4, "u")) // insert
+      .toDF("pk", "v", "op")
+    Load.applyCdc(spark, changes, dir, "pk")
+    val m = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("A" -> 1, "B" -> 20, "D" -> 4))
+  }
+
+  test("applyCdc: the LAST change per key in batch order wins") {
+    val dir = tmp("cdc2")
+    Load.upsert(spark, Seq(("A", 1)).toDF("pk", "v"), dir, "pk")
+    // update then delete for the same key: the delete is later → wins
+    Load.applyCdc(spark,
+      Seq(("A", 9, "u"), ("A", 0, "d")).toDF("pk", "v", "op"), dir, "pk")
+    assert(spark.read.parquet(dir).count() == 0)
+    // and on an absent key, a delete is a no-op while an upsert lands
+    Load.applyCdc(spark,
+      Seq(("Z", 0, "d"), ("A", 5, "u")).toDF("pk", "v", "op"), dir, "pk")
+    val m = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("A" -> 5))
+  }
+
   test("enforceFk quarantines exactly the orphans, keeps the rest") {
     val q = Files.createTempDirectory("fkq").toString + "/orphans"
     val facts = Seq(("k1", 10), ("kX", 20), ("k2", 30), ("kY", 40))
