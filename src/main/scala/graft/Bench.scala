@@ -75,7 +75,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing so no executor/log line can interleave
+    // with (or clip) the JSON in a captured stream, and also write it to
+    // a file — the recorded artifact must survive log buffering
     spark.stop()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), json)
+    println(json)
   }
 }

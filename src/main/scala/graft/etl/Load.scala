@@ -31,7 +31,7 @@ object Load {
     * alongside the new table — drop it. Idempotent; called by both
     * readers and writers so whichever touches the table first heals it.
     */
-  private def recoverSwap(spark: SparkSession, dir: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val old = new Path(s"$dir.__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -39,6 +39,31 @@ object Load {
       if (fs.exists(p)) fs.delete(old, true) // swap completed; stale aside
       else fs.rename(old, p) // swap died mid-way; restore previous table
     }
+  }
+
+  /** Heal-then-swap shared by every staged writer ([[swapIn]],
+    * [[graft.ops.Scale.compact]]): recover any stale `__old` from a
+    * prior crash FIRST (otherwise rename(dir, old) would move the live
+    * table inside the stale directory), then swap `staging` in with two
+    * return-value-checked renames. A failed second rename restores the
+    * previous table before aborting — the serving path is never left
+    * empty.
+    */
+  private[graft] def atomicSwap(spark: SparkSession, staging: String,
+                                dir: String): Unit = {
+    recoverSwap(spark, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$dir.__old")
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new IllegalStateException(
+        s"swap aborted: cannot move $dir aside to $old")
+    if (!fs.rename(new Path(staging), p)) {
+      if (fs.exists(old)) fs.rename(old, p)
+      throw new IllegalStateException(
+        s"swap aborted: cannot move $staging into $dir (previous table restored)")
+    }
+    fs.delete(old, true)
   }
 
   def readTable(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -87,11 +112,7 @@ object Load {
                      dir: String): Long = {
     val staging = s"$dir.__staging"
     merged.write.mode("overwrite").parquet(staging)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$dir.__old")
-    if (fs.exists(new Path(dir))) fs.rename(new Path(dir), old)
-    fs.rename(new Path(staging), new Path(dir))
-    fs.delete(old, true)
+    atomicSwap(spark, staging, dir)
     spark.read.parquet(dir).count()
   }
 
@@ -107,6 +128,14 @@ object Load {
   def applyCdc(spark: SparkSession, changes: DataFrame, dir: String,
                pk: String, opCol: String = "op"): Long = {
     require(changes.columns.contains(opCol), s"changes lacks op column $opCol")
+    // fail fast on malformed ops: a NULL op would otherwise slip past
+    // the "u"-filter below (lower(null) =!= "d" is null → row dropped)
+    // while its key still lands in `touched` — unannounced deletion
+    val badOps = changes
+      .filter(col(opCol).isNull || !lower(col(opCol)).isin("u", "d"))
+      .limit(1).count()
+    if (badOps > 0) throw new IllegalArgumentException(
+      s"applyCdc: $opCol contains values outside {u, d} (or NULL)")
     val lastPerKey = dedupKeepLastPositional(changes, Seq(pk))
     val upserts = lastPerKey.filter(lower(col(opCol)) =!= "d").drop(opCol)
     val touched = lastPerKey.select(col(pk))
@@ -121,9 +150,17 @@ object Load {
   /** K1 validated INSERT with J3 duplicate-PK abort: if any incoming PK
     * already exists in the target, the load fails before writing
     * (reference etl/load.py:59-85).
+    *
+    * `partitionDay`: name of an ISO-date string column to day-partition
+    * the table by (written as a derived `day` partition column, the
+    * source column stays in the data). This is the 100 TB layout for
+    * daily-incremental tables: each run appends into its own day
+    * directories and a day-equality query prunes to one directory
+    * instead of scanning the table.
     */
   def insert(spark: SparkSession, df: DataFrame, dir: String,
-             pk: Option[String] = None): Long = {
+             pk: Option[String] = None,
+             partitionDay: Option[String] = None): Long = {
     // the incoming plan is consumed up to three times (dup probe, count,
     // write) — persist so the upstream transforms run once. If the
     // CALLER already persisted (wider fan-out than ours), leave their
@@ -138,7 +175,11 @@ object Load {
           s"insert into $dir aborted: $dups incoming rows duplicate existing PK $key")
       }
       val n = cached.count()
-      cached.write.mode("append").parquet(dir)
+      partitionDay match {
+        case Some(c) => cached.withColumn("day", col(c))
+          .write.mode("append").partitionBy("day").parquet(dir)
+        case None => cached.write.mode("append").parquet(dir)
+      }
       n
     } finally if (!alreadyCached) cached.unpersist()
   }

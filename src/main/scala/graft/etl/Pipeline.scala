@@ -33,7 +33,11 @@ case class EtlSummary(
   *  - the shared raw matriculas scan is explicitly persisted for the
   *    fan-out (O2) — pandas got in-memory reuse for free, Spark must
   *    ask for it;
-  *  - quarantine CSVs replace the row-at-a-time fallback insert (K4).
+  *  - quarantine CSVs replace the row-at-a-time fallback insert (K4);
+  *  - the transactional tables (matriculas, pagos) are day-partitioned
+  *    parquet (`day=YYYY-MM-DD/`): the daily incremental contract means
+  *    every run appends one day's directories, and the reference's
+  *    day-equality reads become partition pruning instead of scans.
   */
 object Pipeline {
 
@@ -78,7 +82,7 @@ object Pipeline {
     // pagos1 semi-join + the isEmpty quirk probe + pagos2 semi-join —
     // without this the transform+FK join re-executes per consumer
     val nMat = Load.insert(spark, matValid, s"$wh/matriculas",
-      pk = Some("codigo_matricula"))
+      pk = Some("codigo_matricula"), partitionDay = Some("fecha_matricula"))
 
     // J1: first-installment payments ⋉ this run's valid enrollments
     val pagos1 = semiJoin(
@@ -113,7 +117,8 @@ object Pipeline {
         Load.enforceFk(pagosClean, mat, "codigo_matricula", s"$q/pagos_fk")
       case None => pagosClean
     }
-    val nPagos = Load.insert(spark, pagosValid, s"$wh/pagos")
+    val nPagos = Load.insert(spark, pagosValid, s"$wh/pagos",
+      partitionDay = Some("fecha_pago"))
 
     matValid.unpersist()
     rawMat.unpersist()

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *  - one action per round: materializing the checkpoint and counting
   *    changed labels for the convergence test.
   *
-  * Production caveat: localCheckpoint blocks die with an executor; on a
-  * real cluster with preemption use `spark.sparkContext.setCheckpointDir`
-  * + reliable `checkpoint()` instead (same algorithm, swap one call).
+  * Checkpoint durability is a parameter: localCheckpoint blocks die
+  * with an executor, so on a cluster with preemption configure
+  * `spark.sparkContext.setCheckpointDir` and the rounds automatically
+  * switch to reliable `checkpoint()` (same algorithm, slower rounds,
+  * survives executor loss).
   */
 object Graph {
 
@@ -30,10 +32,22 @@ object Graph {
     * orientation (symmetrized internally). Returns (`node`, `lbl`)
     * where `lbl` is the component's minimum node id — deterministic.
     * Nodes absent from `edges` keep their own label (singletons).
+    *
+    * `reliableCheckpoint`: None (default) = reliable iff the session
+    * has a checkpoint dir configured; Some(true) demands one (fails
+    * fast otherwise); Some(false) forces localCheckpoint.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          reliableCheckpoint: Option[Boolean] = None): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    val sc = nodes.sparkSession.sparkContext
+    val useReliable = reliableCheckpoint.getOrElse(sc.getCheckpointDir.isDefined)
+    require(!useReliable || sc.getCheckpointDir.isDefined,
+      "reliable checkpointing requested but no checkpoint dir is set " +
+        "(spark.sparkContext.setCheckpointDir)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint(true) else df.localCheckpoint(true)
     // storage note: localCheckpoint blocks are NOT freed by
     // Dataset.unpersist (that only uncaches CacheManager entries); they
     // are reclaimed asynchronously by the ContextCleaner once the
@@ -43,15 +57,22 @@ object Graph {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true) // reused every round — compute once
+      .transform(ckpt) // reused every round — compute once
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .transform(ckpt)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // both viaEdges columns are RE-ALIASED (fresh attribute ids): the
+      // select would otherwise carry labels' own `lbl` attribute into
+      // the union's right child, and Union's constraint rewriting hits
+      // "key not found" when children share attribute ids (seen live at
+      // 100k nodes in Stress)
       val viaEdges = sym.join(labels.withColumnRenamed("node", "a"), Seq("a"))
-        .select(col("b").as("node"), col("lbl"))
-      val gathered = labels.union(viaEdges)
+        .select(col("b").as("node"), col("lbl").as("lbl"))
+      val gathered = labels
+        .select(col("node").as("node"), col("lbl").as("lbl"))
+        .union(viaEdges)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       // pointer jump: adopt the label of one's label. A component's
       // minimum always labels itself, so the left join only misses when
@@ -60,7 +81,7 @@ object Graph {
       val next = gathered.join(self, Seq("lbl"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("__lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       val changed = next
         .join(labels.withColumnRenamed("lbl", "__old"), Seq("node"))
         .filter(col("lbl") =!= col("__old")).count()

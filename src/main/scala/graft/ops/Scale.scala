@@ -108,20 +108,20 @@ object Scale {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 512L * 1024 * 1024): Int = {
+    // heal any stale __old from a crashed prior swap BEFORE sizing the
+    // rewrite — and again inside atomicSwap before the renames
+    graft.etl.Load.recoverSwap(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val staging = new org.apache.hadoop.fs.Path(s"$dir.__compacting")
+    val staging = s"$dir.__compacting"
     spark.read.parquet(dir).repartition(parts)
-      .write.mode("overwrite").parquet(staging.toString)
-    // rename-aside, never delete-then-rename: a crash between a delete
-    // and the rename would leave no table at the serving path (the
-    // Load.upsert lesson — its recoverSwap heals the same __old marker)
-    val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
-    fs.rename(path, old)
-    fs.rename(staging, path)
-    fs.delete(old, true)
+      .write.mode("overwrite").parquet(staging)
+    // rename-aside with return-value checks, shared with Load.upsert —
+    // never delete-then-rename (a crash between delete and rename would
+    // leave no table at the serving path)
+    graft.etl.Load.atomicSwap(spark, staging, dir)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -25,8 +25,29 @@ object PipelineQueries {
 
   /** Checked-in sheet fixtures (FIXTURES.md §A) — also used by
     * EtlPipelineSpec, so spec and oracle exercise identical bytes.
+    * Resolved from SPARK_GRAFT_FIXTURE_DIR when set, else relative to
+    * the process working directory (sbt runs from the repo root) and
+    * made absolute, because the DuckDB oracle SQL embeds the literal
+    * path — a hardcoded checkout location would break anywhere else.
     */
-  val FixtureDir = "/root/repo/src/test/resources/graft/etl"
+  val FixtureDir: String = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+    new java.io.File("src/test/resources/graft/etl").getAbsolutePath)
+
+  /** Temp warehouse root, removed recursively at JVM exit. Bench's
+    * three passes invoke q45/q95 once each per pass — without cleanup
+    * every bench run leaks six warehouse trees into /tmp. Deletion
+    * can't be eager: the returned DataFrame lazily reads the warehouse
+    * parquet until the caller materializes it.
+    */
+  private def tempRoot(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+    p.toString
+  }
 
   private val TargetDay = LocalDate.of(2026, 8, 11)
 
@@ -90,7 +111,7 @@ object PipelineQueries {
     (s, _) => {
       // fresh warehouse per invocation: the pipeline's insert path
       // aborts on duplicate PKs by design, so reruns need a clean root
-      val root = Files.createTempDirectory("graft_q45").toString
+      val root = tempRoot("graft_q45")
       val paths = EtlPaths(
         rawCursos = s"$FixtureDir/raw_cursos.csv",
         rawEstudiantes = s"$FixtureDir/raw_estudiantes.csv",
@@ -256,7 +277,7 @@ object PipelineQueries {
     // restates the post-apply table in closed form. Exercises the
     // anti-join + union merge AND the crash-safe swap end-to-end.
     (s, d) => {
-      val wh = Files.createTempDirectory("graft_q95").toString + "/dim"
+      val wh = tempRoot("graft_q95") + "/dim"
       val cust = graft.tables.Tables.customer(s, d)
       graft.etl.Load.upsert(s,
         cust.select(col("c_custkey"), col("c_mktsegment").as("segment")),

@@ -554,30 +554,59 @@ object RelationalQueries {
   val q44ApproxSketches = Q("q44_approx_sketches",
     // approximate aggregates for the 100 TB path: HyperLogLog++ distinct
     // counts and quantile sketches replace exact distinct/percentile
-    // when a shuffle of the full key set is unaffordable. No DuckDB
-    // oracle — sketch implementations differ across engines by design
-    // (driver records the rows-only check; SketchSpec bounds the error
-    // against exact values instead). All outputs are scalar columns so
-    // the check harness can sort/hash rows (an array<double> column
-    // broke pandas' lexsort in round 1).
+    // when a shuffle of the full key set is unaffordable. Raw sketch
+    // values differ across engines by design, so the oracle gates the
+    // sketches' ERROR CONTRACT instead: Spark computes both sketch and
+    // exact per group and emits within-bound booleans (HLL++: |approx -
+    // exact| <= 3*rsd*exact; KLL-style quantiles: approx percentile
+    // lands between the exact percentiles at p +/- 0.02, far looser
+    // than the rank-error n/accuracy guarantee at every test SF); the
+    // DuckDB oracle emits the same exact values and literal TRUEs.
+    // Hash-match then machine-checks the bounds. Exact percentile here
+    // is Spark `percentile` == DuckDB quantile_cont (both type-7,
+    // proven bit-equal by q70).
     (s, d) => {
       val quartiles = percentile_approx(col("l_quantity"),
         array(lit(0.25), lit(0.75)), lit(10000))
+      val qtyBounds = percentile(col("l_quantity"),
+        array(lit(0.23), lit(0.27), lit(0.73), lit(0.77)))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"),
+          percentile(col("l_extendedprice"), lit(0.5))
+            .as("exact_median_price"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median_price"),
-          quartiles.as("q"))
-        .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
-          col("approx_median_price"),
-          element_at(col("q"), 1).as("qty_p25"),
-          element_at(col("q"), 2).as("qty_p75"))
+            .as("am"),
+          percentile(col("l_extendedprice"), array(lit(0.48), lit(0.52)))
+            .as("mb"),
+          quartiles.as("q"),
+          qtyBounds.as("qb"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          col("exact_median_price"),
+          // HLL++ default rsd = 0.05 -> 15% bound; explicit rsd = 0.01 -> 3%
+          (abs(col("ao") - col("exact_orders")) <=
+            lit(3 * 0.05) * col("exact_orders")).as("orders_ok"),
+          (abs(col("ap") - col("exact_parts")) <=
+            lit(3 * 0.01) * col("exact_parts")).as("parts_ok"),
+          (col("am").between(element_at(col("mb"), 1),
+            element_at(col("mb"), 2))).as("median_ok"),
+          (element_at(col("q"), 1).between(element_at(col("qb"), 1),
+            element_at(col("qb"), 2))).as("p25_ok"),
+          (element_at(col("q"), 2).between(element_at(col("qb"), 3),
+            element_at(col("qb"), 4))).as("p75_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+        TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS median_ok,
+        TRUE AS p25_ok, TRUE AS p75_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val q46SaltedAgg = Q("q46_salted_agg",
     // skew tool under the correctness gate: l_returnflag has only a

@@ -218,6 +218,34 @@ object TextQueries {
   }
   private val mhMod = 1000000007L
 
+  /** Max members an LSH band bucket may have and still enter the q30
+    * candidate self-join (quadratic in bucket size). Shared verbatim
+    * with the DuckDB oracle.
+    */
+  private val BandCap = 64L
+
+  /** LSH candidate generation with a hard band-bucket cap: buckets with
+    * more than `cap` members are dropped whole before the quadratic
+    * self-join (their members are exact dups — upstream's job — or get
+    * caught by a colder band), bounding any join key's output at cap².
+    * The hot-bucket aggregate is map-side-combined and its result is by
+    * construction small, so the prune is a broadcast anti-join, not a
+    * second full shuffle. Input: (doc_id, band, sig); output: distinct
+    * (da, db) with da < db. Used by q30; Stress drives it with 10⁵
+    * planted near-identical docs.
+    */
+  def cappedBandCandidates(exploded: DataFrame, cap: Long): DataFrame = {
+    val hot = exploded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select(col("band"), col("sig"))
+    val capped = exploded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+    capped.as("a").join(capped.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
   val q30MinhashLsh = Q("q30_minhash_lsh",
     // MinHash via a universal hashing family: ONE md5 per shingle
     // yields a base hash h, then 12 permutations are (a_i*h + b_i) mod p
@@ -226,6 +254,13 @@ object TextQueries {
     // LSH = 4 bands × 3 rows; candidates = same band signature; true
     // Jaccard verified on candidates only. Shuffles: one on the band
     // key (candidate join) + one re-join to shingle sets — never n².
+    // Band buckets are CAPPED at BandCap members (same shape as q31's
+    // df-cap): the candidate self-join is quadratic in bucket size, so
+    // a corpus with 10⁶ boilerplate near-identical pages would push
+    // 10¹² pairs through one band key. Buckets above the cap are
+    // dropped whole — members that popular are exact dups (q29's job)
+    // or get caught by another, colder band. Bounds any single join
+    // key's output at BandCap².
     (s, d) => {
       // persisted: re-joined twice for the Jaccard verify and feeds the
       // minhash computation — one shingle build instead of three
@@ -258,11 +293,7 @@ object TextQueries {
         .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
         .transform(eager)
-      val cand = exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+      val cand = cappedBandCandidates(exploded, BandCap)
       val j = cand
         .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
         .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
@@ -283,8 +314,13 @@ object TextQueries {
         bands AS (SELECT doc_id, i // 3 AS band,
                   string_agg(CAST(m AS VARCHAR), '|' ORDER BY i) AS sig
                   FROM mh GROUP BY doc_id, i // 3),
+        hot AS (SELECT band, sig FROM bands
+                GROUP BY band, sig HAVING count(*) > 64),
+        capped AS (SELECT * FROM bands b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.sig = b.sig)),
         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                 FROM bands a JOIN bands b
+                 FROM capped a JOIN capped b
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
       SELECT da, db,
         round(len(list_intersect(x.shingles, y.shingles)) /

@@ -32,9 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .load("/path/export.csv")
   *
   * Semantics match `Extract.readSheet`: schema sized and named from
-  * the HEADER row (trim, empty → col_{i}, duplicates suffixed),
-  * unquoted empty cells null / quoted `""` a real empty string, ragged
-  * rows null-padded, fully empty rows dropped.
+  * the HEADER row (trim, empty → col_{i}, duplicates suffixed), empty
+  * cells read as null whether quoted or not (matching Spark CSV's
+  * nullValue="" default — pinned by SheetSourceSpec's quoted-empty
+  * test), ragged rows null-padded, fully empty rows dropped.
   *
   * Scale design: one InputPartition per sheet — sheets are small,
   * human-edited inputs by contract (the positional header only exists

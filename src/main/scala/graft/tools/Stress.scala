@@ -182,6 +182,25 @@ object Stress {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .count()
     }
+    // ---- LSH band buckets with cap (q30 shape): 10⁵ planted       ----
+    // ---- near-identical docs land in the SAME bucket of all 4     ----
+    // ---- bands; uncapped that is 4×(10⁵ choose 2) ≈ 2·10¹⁰        ----
+    // ---- candidate rows through one key. The cap drops the hot    ----
+    // ---- buckets whole, so the join completes in seconds.         ----
+    time("LSH band cap, 100k near-dups") {
+      val nDocs = 1000000L
+      val exploded = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .select(col("doc_id"), col("band"),
+          // every 10th doc is a planted near-dup: one shared signature
+          // per band; the rest hash near-uniquely (bucket size ≤ ~2)
+          when(col("doc_id") % 10 === 0,
+            concat(lit("HOT"), col("band")))
+            .otherwise(concat_ws("|", col("band"),
+              pmod(hash(col("doc_id")), lit(nDocs / 2)))).as("sig"))
+      graft.queries.TextQueries.cappedBandCandidates(exploded, 64L).count()
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,21 @@ class EtlPipelineSpec extends SparkSpec {
     assert(day2.pagos == 4)
     assert(spark.read.parquet(s"$r2/warehouse/matriculas").count() == 2)
     assert(spark.read.parquet(s"$r2/warehouse/pagos").count() == 5)
+    // the transactional tables are day-partitioned on disk, and a
+    // day-equality filter must reach the scan as a PARTITION filter
+    // (prunes to one directory at 100 TB), not a post-scan predicate
+    assert(new java.io.File(s"$r2/warehouse/pagos/day=2026-08-11").isDirectory)
+    val oneDay = spark.read.parquet(s"$r2/warehouse/pagos")
+      .filter(col("day") === "2026-08-11")
+    val scan = oneDay.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in day-filter plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "day")),
+      "day filter did not become a partition filter")
+    // partition column agrees with the data column it derives from
+    val expected = spark.read.parquet(s"$r2/warehouse/pagos")
+      .filter(col("fecha_pago") === "2026-08-11").count()
+    assert(expected > 0 && oneDay.count() == expected)
   }
 
   test("upsert: incoming batch with duplicate PKs is deduped keep-last") {

@@ -64,6 +64,35 @@ class GraphSpec extends SparkSpec {
     assert(run(nodes, Seq((3L, 1L))) == run(nodes, Seq((1L, 3L))))
   }
 
+  test("reliable checkpoint mode: same labels, auto-detected from checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val nodes = (1L to 60L)
+    val edges = (1L until 60L by 2).map(i => (i, i + 1)) ++ Seq((2L, 5L), (10L, 33L))
+    val local = run(nodes, edges)
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      // None auto-detects the configured dir → reliable checkpoint path
+      val reliable = Graph.connectedComponents(
+        nodes.toDF("node"), edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // the reliable rounds must actually have written checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .count() > 1
+      assert(wrote, "no checkpoint files written in reliable mode")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("Some(true) without a checkpoint dir fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(Seq(1L).toDF("node"),
+        Seq((1L, 1L)).toDF("a", "b"), reliableCheckpoint = Some(true))
+    }
+    assert(e.getMessage.contains("checkpoint dir"))
+  }
+
   test("non-convergence within maxIter throws instead of returning wrong labels") {
     val n = 64L
     val nodes = (1L to n)
