@@ -98,6 +98,66 @@ object Scale {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Morton (Z-order) interleave of two non-negative integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Points
+    * close in (a, b) space get close z-values, so range-partitioning by
+    * the z-value clusters BOTH dimensions at once. Inputs must fit in
+    * `bits` bits (≤ 31 each with the default 21+21 → 42-bit long).
+    */
+  def morton2(a: Column, b: Column, bits: Int = 21): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .plus(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .plus(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ordered parquet layout: the two-dimensional generalization of
+    * [[writeRangeSorted]]. Range-partition + sort on the interleaved
+    * z-value gives every output file a compact RECTANGLE of (colA,
+    * colB) space instead of a slab of one dimension, so parquet min/max
+    * statistics skip files for a predicate on EITHER column (a linear
+    * sort on colA leaves colB spanning its full range in every file —
+    * colB filters skip nothing). The single-curve special case of what
+    * Delta/Iceberg expose as OPTIMIZE ZORDER BY. The z-value is a
+    * transient write-time column; the stored schema is unchanged.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, dir: String,
+                    files: Int): Unit = {
+    require(files > 0)
+    df.withColumn("__z", morton2(col(colA), col(colB)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Bucketed-table layout: pre-shuffle the table ONCE at write time
+    * into `buckets` hash buckets on `key` (sorted within each bucket),
+    * so every later equi-join or aggregation on `key` against another
+    * table bucketed the same way plans with ZERO exchanges — the
+    * amortize-the-shuffle layout for 100 TB fact tables that are
+    * repeatedly joined on the same key. Registered through the session
+    * catalog (`saveAsTable`) because bucket metadata lives there, not
+    * in the parquet footer.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String): Unit = {
+    require(buckets > 0)
+    val spark = df.sparkSession
+    // a PREVIOUS session's managed-table files can survive in the
+    // warehouse dir while this session's in-memory catalog starts
+    // empty — saveAsTable then refuses the orphaned location. Drop
+    // both the catalog entry and any leftover files first.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Small-file compaction for a parquet table dir: incremental sinks
     * (per-day inserts, streaming micro-batches) accumulate files far
     * below the ideal scan unit, and at 100 TB the resulting task-per-

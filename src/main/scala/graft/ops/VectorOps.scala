@@ -12,8 +12,9 @@ import graft.functions.VectorExpressions.vecDot
   * Spherical k-means (Lloyd iterations with cosine assignment):
   *  - ASSIGN is a broadcast of the k×dim centroid model against the
   *    full vector table — a BroadcastNestedLoop-shaped crossJoin with
-  *    the codegen'd VecDot, then a per-vector argmax window. The big
-  *    side never shuffles.
+  *    the codegen'd VecDot, then a per-vector argmax as a partial
+  *    aggregate: the shuffle carries one pre-reduced row per vector,
+  *    not the N·k crossJoin output.
   *  - UPDATE is posexplode → groupBy(cluster, dim) avg — one shuffle of
   *    N·dim scalar rows with map-side partial aggregation, then a k×dim
   *    collect. The model (k×dim doubles) is the ONLY driver-side data;
@@ -27,6 +28,16 @@ object VectorOps {
 
   /** Assign each vector to its max-cosine centroid. Input needs
     * (vec_id: long, embedding: array<float>); output adds cluster_id.
+    *
+    * The argmax is a partial-aggregating groupBy — max(struct(sim,
+    * -cluster_id, payload)) — NOT a window over the crossJoin output: a
+    * window would hash-exchange all N·k broadcast-joined rows every
+    * Lloyd iteration, while the hash aggregate map-side-combines the k
+    * candidates of each vector down to one row before the shuffle, so
+    * the exchange carries N rows regardless of k. Struct ordering is
+    * field-by-field, so max picks highest sim, ties broken toward the
+    * SMALLEST cluster_id via the negated id (both sides of a tie are
+    * the same bit-identical double — deterministic).
     */
   def assignClusters(df: DataFrame,
                      centroids: Array[(Int, Array[Float])]): DataFrame = {
@@ -36,14 +47,17 @@ object VectorOps {
     val sim = vecDot(col("embedding"), col("ce")) /
       (sqrt(vecDot(col("embedding"), col("embedding"))) *
         sqrt(vecDot(col("ce"), col("ce"))))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("cluster_id"))
-    val cols = df.columns.map(col).toSeq :+ col("cluster_id")
+    val payload = df.columns.filter(_ != "vec_id")
+    val best = max(struct(
+      sim.as("s"),
+      (-col("cluster_id")).as("nc"),
+      struct(payload.map(col): _*).as("p")))
     df.crossJoin(broadcast(cdf))
-      .withColumn("__sim", sim)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(cols: _*)
+      .groupBy(col("vec_id"))
+      .agg(best.as("b"))
+      .select(col("vec_id") +:
+        payload.map(c => col(s"b.p.$c").as(c)) :+
+        (-col("b.nc")).as("cluster_id"): _*)
   }
 
   /** Multi-probe IVF top-k search: each query is routed to its `nprobe`

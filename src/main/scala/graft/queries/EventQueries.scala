@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.multimodal.Multimodal
 import graft.queries.RelationalQueries.Q
 import graft.tables.Tables
 
@@ -120,6 +121,87 @@ object EventQueries {
         (octet_length(CAST(text AS BLOB)) * 7) % 480 + 32 AS height,
         CAST((n_chars % 30) + 1 AS INTEGER) AS n_frames
       FROM documents ORDER BY doc_id"""))
+
+  val q96MultimodalDecode = Q("q96_multimodal_decode",
+    // the multimodal DECODE path under the oracle gate (q39 covers only
+    // the expression-side meta path): asMedia wraps documents into the
+    // canonical (media_id, payload, meta) frame and decodeFeatures runs
+    // the partition-wise stub decoder — real mapPartitions plumbing,
+    // one decoder instance per partition, Row-encoded output. The stub
+    // is deterministic byte arithmetic (mean byte + 8-bin histogram of
+    // the high 3 bits), so DuckDB replays it in SQL over the same UTF-8
+    // bytes via hex() + per-byte unnest; a green row gates the
+    // partition-wise machinery, not just an expression tree.
+    (s, d) => {
+      val media = Multimodal.asMedia(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      val hist = (0 until 8).map(i =>
+        element_at(col("embedding"), i + 1).cast(DoubleType).as(s"h$i"))
+      Multimodal.decodeFeatures(media)
+        .select(Seq(col("media_id"), col("format"), col("n_bytes"),
+          col("mean_byte")) ++ hist: _*)
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+          octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        idx AS (SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM b),
+        vals AS (SELECT doc_id, n,
+          CAST('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER) AS v
+          FROM idx),
+        agg AS (SELECT doc_id,
+          CAST(sum(v) AS DOUBLE) / any_value(n) AS mean_byte,
+          CAST(count(*) FILTER (WHERE v // 32 = 0) AS DOUBLE) AS h0,
+          CAST(count(*) FILTER (WHERE v // 32 = 1) AS DOUBLE) AS h1,
+          CAST(count(*) FILTER (WHERE v // 32 = 2) AS DOUBLE) AS h2,
+          CAST(count(*) FILTER (WHERE v // 32 = 3) AS DOUBLE) AS h3,
+          CAST(count(*) FILTER (WHERE v // 32 = 4) AS DOUBLE) AS h4,
+          CAST(count(*) FILTER (WHERE v // 32 = 5) AS DOUBLE) AS h5,
+          CAST(count(*) FILTER (WHERE v // 32 = 6) AS DOUBLE) AS h6,
+          CAST(count(*) FILTER (WHERE v // 32 = 7) AS DOUBLE) AS h7
+          FROM vals GROUP BY doc_id)
+      SELECT b.doc_id AS media_id,
+        (['jpeg','png','webp'])[CAST(b.doc_id % 3 AS INTEGER) + 1] AS format,
+        CAST(b.n AS INTEGER) AS n_bytes,
+        coalesce(a.mean_byte, 0.0) AS mean_byte,
+        coalesce(a.h0, 0.0) AS h0, coalesce(a.h1, 0.0) AS h1,
+        coalesce(a.h2, 0.0) AS h2, coalesce(a.h3, 0.0) AS h3,
+        coalesce(a.h4, 0.0) AS h4, coalesce(a.h5, 0.0) AS h5,
+        coalesce(a.h6, 0.0) AS h6, coalesce(a.h7, 0.0) AS h7
+      FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
+      ORDER BY media_id"""))
+
+  val q98ZorderScan = Q("q98_zorder_scan",
+    // Z-order layout under the oracle gate: a copy of events is written
+    // through Scale.writeZOrdered on (user_id, day index) and a
+    // two-dimensional box predicate is answered from the z-ordered
+    // files. Results are layout-invariant — the oracle is the same box
+    // filter over the raw table — so the green row pins the layout
+    // machinery (morton interleave, range partition, transient z
+    // column) while ZOrderSpec pins the data-skipping property itself
+    // (every file covers a compact rectangle, not a full-range slab).
+    (s, d) => {
+      val dir = PipelineQueries.tempRoot("graft_q98") + "/events_z"
+      val ev = Tables.events(s, d).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day_idx"),
+        col("value"))
+      graft.ops.Scale.writeZOrdered(ev, "user_id", "day_idx", dir, files = 16)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(3, 9) && col("day_idx").between(10, 40))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).as("v"))
+        .select(col("user_id"), col("n_events"),
+          col("v").cast(DoubleType).as("total"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE user_id BETWEEN 3 AND 9
+        AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+          BETWEEN 10 AND 40
+      GROUP BY user_id ORDER BY user_id"""))
 
   val q40JsonProps = Q("q40_json_props",
     // §2.11 JSON scalar functions: extract from the props JSON column
@@ -460,5 +542,5 @@ object EventQueries {
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
-    q89FromCsvXml, q90SessionWindow)
+    q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan)
 }

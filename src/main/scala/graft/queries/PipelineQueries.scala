@@ -39,7 +39,7 @@ object PipelineQueries {
     * can't be eager: the returned DataFrame lazily reads the warehouse
     * parquet until the caller materializes it.
     */
-  private def tempRoot(prefix: String): String = {
+  private[queries] def tempRoot(prefix: String): String = {
     val p = Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._

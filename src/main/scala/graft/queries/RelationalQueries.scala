@@ -608,6 +608,42 @@ object RelationalQueries {
         TRUE AS p25_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  val q97BucketedJoin = Q("q97_bucketed_join",
+    // bucketed-layout join under the oracle gate: both fact tables are
+    // written through Scale.writeBucketed (8 hash buckets on the order
+    // key, sorted within buckets), then joined bucket-to-bucket. The
+    // merge hint pins sort-merge regardless of size thresholds, and the
+    // require() proves the layout claim — the join plans with ZERO
+    // exchanges (the shuffle was paid once at write time and is
+    // amortized over every later join on the key; at 100 TB this is
+    // the difference between re-shuffling the fact table per query and
+    // never shuffling it again). Results are layout-invariant, so the
+    // oracle is the plain join.
+    (s, d) => {
+      graft.ops.Scale.writeBucketed(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bkt_orders", 8, "o_orderkey")
+      graft.ops.Scale.writeBucketed(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")),
+        "graft_bkt_lineitem", 8, "l_orderkey")
+      val joined = s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange"),
+        s"bucketed join must plan without exchanges:\n$joinPlan")
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+        .select(col("o_orderpriority"), col("n_lines"),
+          col("q").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val q46SaltedAgg = Q("q46_salted_agg",
     // skew tool under the correctness gate: l_returnflag has only a
     // handful of distinct values, so EVERY group key is a hot reduce key
@@ -1444,5 +1480,5 @@ object RelationalQueries {
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
     q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
-    q92BitwiseAgg, q93TryFuncs, q94Codecs)
+    q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin)
 }
