@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge
@@ -91,6 +91,108 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane (sign) projection signature over a float/double
+  * array column — the LSH family for cosine similarity (Charikar,
+  * STOC'02: P[bit agrees] = 1 − θ/π). Returns a LONG with `bits`
+  * sign bits packed little-endian; banding slices of it groups
+  * near-duplicate embeddings into the same bucket.
+  *
+  * Cross-engine determinism (the property the DuckDB oracle relies
+  * on): elements are quantized to integers q_i = floor(1000·v_i) —
+  * double multiply and floor are IEEE-exact in both engines — and the
+  * hyperplane weights are ±1 from the parity of
+  * ((n·j + i + 1) · 2654435761) mod 1000000007 (a multiplicative hash
+  * over the flattened (bit, dim) index; 2654435761 = Knuth's 2^32/φ).
+  * All accumulation is then 64-bit integer arithmetic: exact,
+  * addition-order-independent, bit-identical across engines — unlike a
+  * double-precision projection, whose sign can differ in the last ulp
+  * under a different fold order. Null array or any null element →
+  * null. One pass per row inside whole-stage codegen; no shuffle.
+  */
+case class SignProjection(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_projection"
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_projection requires array<float> or array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val isFloat = elemType == FloatType
+    val sums = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val q = math.floor(v * 1000.0).toLong
+      var j = 0
+      while (j < bits) {
+        val h = (n.toLong * j + i + 1) * 2654435761L % 1000000007L
+        sums(j) += (if (h % 2 == 0) q else -q)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val q = ctx.freshName("q")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+        int $n = $a.numElements();
+        long[] $sums = new long[$bits];
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+          long $q = (long) Math.floor((double) $a.$getter($i) * 1000.0);
+          for (int $j = 0; $j < $bits; $j++) {
+            long $h = ((long) $n * $j + $i + 1) * 2654435761L % 1000000007L;
+            $sums[$j] += ($h % 2L == 0L) ? $q : -$q;
+          }
+        }
+        if (!${ev.isNull}) {
+          long $sig = 0L;
+          for (int $j = 0; $j < $bits; $j++) {
+            if ($sums[$j] >= 0L) $sig |= 1L << $j;
+          }
+          ${ev.value} = $sig;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjection =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-API entry point for [[VecDot]]. */
@@ -100,4 +202,8 @@ object VectorExpressions {
 
   /** L2 norm via the codegen'd dot product. */
   def vecNorm(a: Column): Column = org.apache.spark.sql.functions.sqrt(vecDot(a, a))
+
+  /** Column-API entry point for [[SignProjection]]. */
+  def signProjection(a: Column, bits: Int): Column =
+    graftbridge.column(SignProjection(graftbridge.expression(a), bits))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.VectorExpressions.vecDot
+import graft.functions.VectorExpressions.{signProjection, vecDot}
 import graft.ops.Relational.eager
 import graft.queries.RelationalQueries.Q
 import graft.tables.Tables
@@ -265,5 +265,80 @@ object VectorQueries {
         CAST(SUM(d0) AS DOUBLE) AS sum_dim0
       FROM e GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms)
+  /** Bits per LSH band for q99 (4 bands × 8 bits from one 32-bit
+    * signature); max members a band bucket may have before it is
+    * dropped whole (the q30 cap, same rationale — the candidate
+    * self-join is quadratic in bucket size). Shared with the oracle.
+    */
+  private val LshBandBits = 8
+  private val LshBands = 4
+  private val LshBandCap = 64L
+
+  val q99EmbedLsh = Q("q99_embed_lsh",
+    // Embedding near-dup detection via random-hyperplane LSH (the
+    // cosine analogue of q30's MinHash banding): one codegen'd
+    // SignProjection pass packs 32 sign bits per vector, 4 bands of 8
+    // bits group candidates, exact cosine verifies candidates only.
+    // Unlike q33's all-pairs kernel this never evaluates n² pairs —
+    // the work is one expression pass + one band-key equi-join whose
+    // per-key output is bounded by the bucket cap². The projection is
+    // integer-exact (see SignProjection scaladoc) so the DuckDB oracle
+    // replays the identical signature, banding and candidate set.
+    (s, d) => {
+      // persisted: feeds the band explode and both sides of the
+      // candidate cosine verify — one projection pass total
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"),
+          signProjection(col("embedding"), LshBandBits * LshBands).as("sig"))
+        .transform(eager)
+      val bandCols = (0 until LshBands).map { k =>
+        struct(lit(k).as("band"),
+          shiftright(col("sig"), LshBandBits * k)
+            .bitwiseAND(lit((1L << LshBandBits) - 1)).as("sig"))
+      }
+      val exploded = e
+        .select(col("vec_id").as("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val cand = TextQueries.cappedBandCandidates(exploded, LshBandCap)
+      cand
+        .join(e.select(col("vec_id").as("da"), col("embedding").as("va"),
+          col("nrm").as("na")), Seq("da"))
+        .join(e.select(col("vec_id").as("db"), col("embedding").as("vb"),
+          col("nrm").as("nb")), Seq("db"))
+        .select(col("da"), col("db"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL),
+        dims AS (SELECT vec_id, n, i.i AS i,
+          CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM e, range(0, 64) i(i) WHERE i.i < n),
+        sums AS (SELECT vec_id, j.j AS j,
+          sum(CASE WHEN (n * j.j + i + 1) * 2654435761 % 1000000007 % 2 = 0
+                   THEN q ELSE -q END) AS s
+          FROM dims, range(0, 32) j(j) GROUP BY vec_id, j.j),
+        bands AS (SELECT vec_id, j // 8 AS band,
+          sum(CASE WHEN s >= 0 THEN 1 << (j % 8) ELSE 0 END) AS sig
+          FROM sums GROUP BY vec_id, j // 8),
+        hot AS (SELECT band, sig FROM bands
+                GROUP BY band, sig HAVING count(*) > 64),
+        capped AS (SELECT * FROM bands b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.sig = b.sig)),
+        cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+                 FROM capped a JOIN capped b
+                 ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        p AS (SELECT da, db,
+          round(${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6)
+            AS cosine
+          FROM cand JOIN e x ON x.vec_id = da JOIN e y ON y.vec_id = db)
+      SELECT da, db, cosine FROM p WHERE cosine >= 0.3 ORDER BY da, db"""))
+
+  val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
+    q99EmbedLsh)
 }

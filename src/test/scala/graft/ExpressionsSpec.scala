@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 
 import graft.functions.ShingleExpression.wordShingles
 import graft.functions.SimHashExpression.simhash32
-import graft.functions.VectorExpressions.{vecDot, vecNorm}
+import graft.functions.VectorExpressions.{signProjection, vecDot, vecNorm}
 
 /** Native Catalyst expressions: VecDot, SimHash32, WordShingles.
   * Each is asserted against the equivalent built-in HOF formulation so
@@ -93,5 +93,44 @@ class ExpressionsSpec extends SparkSpec {
     val k2 = df.select(wordShingles(split(col("text"), " "), 2).as("sh"))
       .as[Seq[String]].collect()
     assert(k2(0) == Seq("a b"))
+  }
+
+  test("signProjection: reference recompute, determinism, nulls, locality") {
+    // recompute the signature in plain Scala with the documented formula
+    // — the compiled expression can never drift from the spec the
+    // DuckDB oracle replays
+    def ref(v: Array[Float], bits: Int): Long = {
+      val n = v.length
+      val sums = new Array[Long](bits)
+      for (i <- 0 until n; j <- 0 until bits) {
+        val q = math.floor(v(i).toDouble * 1000.0).toLong
+        val h = (n.toLong * j + i + 1) * 2654435761L % 1000000007L
+        sums(j) += (if (h % 2 == 0) q else -q)
+      }
+      (0 until bits).foldLeft(0L)((s, j) => if (sums(j) >= 0) s | (1L << j) else s)
+    }
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    val got = e.select(col("embedding"),
+      signProjection(col("embedding"), 32).as("sig"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      assert(r.getLong(1) == ref(v, 32))
+    }
+
+    // null array and null element → null
+    val nul = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<FLOAT>) a UNION ALL SELECT ARRAY(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))")
+      .select(signProjection(col("a"), 8))
+    assert(nul.collect().forall(_.isNullAt(0)))
+
+    // locality: identical vectors share the signature; a vector and its
+    // negation disagree (every bit with a nonzero projection flips)
+    val v = Array.tabulate(16)(i => (math.sin(i + 1) * 2).toFloat)
+    val df = Seq(v, v, v.map(x => -x)).toDF("a")
+      .select(signProjection(col("a"), 16).as("sig"))
+    val sigs = df.collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
   }
 }
