@@ -200,6 +200,33 @@ object Scale {
     pruned.join(dim, keys)
   }
 
+  /** Incremental partial-aggregate maintenance: fold a new batch into
+    * a persisted aggregate state of shape (keys..., agg_sum, agg_cnt)
+    * WITHOUT rescanning history — the batch is reduced to its own
+    * partial rows first (map-side combine, one small shuffle over the
+    * batch only), then merged with the state by re-aggregating the
+    * union. At 100 TB this is the difference between a daily refresh
+    * that reads one day and one that reads three years; it is the
+    * batch twin of the streaming jobs' running aggregates, and because
+    * sum/count are commutative monoids the folded state is exactly the
+    * full recompute (q102 pins that equality against the oracle).
+    * sum must be over an exact (decimal/long) type — a double sum
+    * would drift from the recompute by fold order.
+    * avg/stddev derive from (sum, cnt, sumsq) the same way; distinct
+    * counts need the HLL sketch path (q103) instead.
+    */
+  def incrementalAgg(state: Option[DataFrame], batch: DataFrame,
+                     keys: Seq[String], valueCol: String): DataFrame = {
+    val partial = batch.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as("agg_sum"), count(col(valueCol)).as("agg_cnt"))
+    state match {
+      case None => partial
+      case Some(st) => st.unionByName(partial)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("agg_sum")).as("agg_sum"), sum(col("agg_cnt")).as("agg_cnt"))
+    }
+  }
+
   /** Small-file compaction for a parquet table dir: incremental sinks
     * (per-day inserts, streaming micro-batches) accumulate files far
     * below the ideal scan unit, and at 100 TB the resulting task-per-

@@ -682,6 +682,104 @@ object RelationalQueries {
       WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 200000
       GROUP BY 1 ORDER BY omonth"""))
 
+  val q101OrcSource = Q("q101_orc_source",
+    // ORC as an alternate columnar source/sink: write a lineitem
+    // projection as ORC, read it back, and run a filtered aggregate
+    // over the round-trip. The require() pins that the scan really is
+    // the ORC reader with the quantity predicate pushed into it —
+    // format choice must not cost the filter/prune machinery the
+    // parquet path gets. Results are format-invariant, so the oracle
+    // is the same aggregate over the original parquet.
+    (s, d) => {
+      val dir = PipelineQueries.tempRoot("graft_orc_") + "/lineitem_orc"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(dir)
+      val back = s.read.orc(dir).filter(col("l_quantity") >= 30)
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.contains("Format: orc") || plan.toLowerCase.contains("orc"),
+        s"round-trip must scan ORC:\n$plan")
+      require(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+        s"quantity predicate must push into the ORC scan:\n$plan")
+      back.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"))
+        .select(col("l_returnflag"), col("n_lines"),
+          col("rev").cast(DoubleType).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem WHERE l_quantity >= 30
+      GROUP BY 1 ORDER BY l_returnflag"""))
+
+  val q102IncrementalAgg = Q("q102_incremental_agg",
+    // incremental aggregate maintenance under the oracle gate: the
+    // orders table arrives as three batches (split by order key — any
+    // partitioning works, the merge is a monoid fold); each batch is
+    // reduced to partial (sum, cnt) rows and folded into the running
+    // state via Scale.incrementalAgg. The folded state must equal the
+    // full recompute exactly — which is what the oracle is: one plain
+    // GROUP BY over everything. Sums stay DECIMAL through the fold so
+    // the equality is bit-exact, not approximate.
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val batches = (0 until 3).map(i =>
+        base.filter(col("o_orderkey") % 3 === i).drop("o_orderkey"))
+      val state = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (st, b) => Some(graft.ops.Scale.incrementalAgg(
+          st, b, Seq("o_orderpriority"), "price"))
+      }.get
+      state.select(col("o_orderpriority"),
+        col("agg_sum").cast(DoubleType).as("total_price"),
+        col("agg_cnt").as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        COUNT(o_totalprice) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+
+  val q103HllMerge = Q("q103_hll_merge",
+    // mergeable distinct-count sketches — the 100 TB distinct path:
+    // one Datasketches HLL sketch per month (partial-aggregated, never
+    // a global shuffle of raw values), merged downstream with
+    // hll_union_agg into the all-time estimate WITHOUT revisiting the
+    // rows. Correctness contract is the q44 pattern: Spark emits the
+    // exact distinct count plus a sketch-vs-exact within-5% boolean;
+    // the oracle computes the same exacts and pins the booleans to
+    // TRUE — hash-match then machine-checks the sketches' error bound.
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          col("o_custkey"))
+      // persisted: feeds the monthly sketch pass and the exact-total
+      // scan below
+      val monthly = base.groupBy(col("m"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .transform(graft.ops.Relational.eager)
+      val per = monthly.select(col("m"), col("exact_customers"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("within_bound"))
+      val tot = monthly.agg(hll_union_agg(col("sk")).as("sk"))
+        .crossJoin(base.agg(countDistinct(col("o_custkey"))
+          .as("exact_customers")))
+        .select(lit("ALL").as("m"), col("exact_customers"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
+            col("exact_customers") * 0.05).as("within_bound"))
+      per.unionByName(tot).orderBy(col("m"))
+    },
+    Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+        count(DISTINCT o_custkey) AS exact_customers, TRUE AS within_bound
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 'ALL' AS m, count(DISTINCT o_custkey), TRUE FROM orders
+      ORDER BY m"""))
+
   val q46SaltedAgg = Q("q46_salted_agg",
     // skew tool under the correctness gate: l_returnflag has only a
     // handful of distinct values, so EVERY group key is a hot reduce key
@@ -1518,5 +1616,6 @@ object RelationalQueries {
     q65HigherOrderFuncs, q67SetOpsAll, q68Unpivot, q69ScalarSubquery,
     q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
-    q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune)
+    q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
+    q101OrcSource, q102IncrementalAgg, q103HllMerge)
 }

@@ -145,4 +145,26 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sketchCount.contains("might_contain"))
   }
+
+  test("incrementalAgg fold equals the full recompute, any batch split") {
+    import spark.implicits._
+    val raw = spark.range(0, 5000)
+      .select(col("id"), (col("id") % 13) as "k",
+        (col("id") * 3).cast("decimal(18,2)") as "v")
+    val full = raw.select("k", "v")
+    // uneven batches, including an empty one mid-fold
+    val batches = Seq(
+      raw.filter(col("id") % 4 === 0), raw.filter(col("id") % 4 === 1),
+      raw.limit(0), raw.filter(col("id") % 4 >= 2)).map(_.select("k", "v"))
+    val state = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (st, b) => Some(Scale.incrementalAgg(st, b, Seq("k"), "v"))
+    }.get
+    val want = full.groupBy("k")
+      .agg(sum("v") as "agg_sum", count("v") as "agg_cnt")
+    val got = state.select("k", "agg_sum", "agg_cnt")
+      .as[(Long, BigDecimal, Long)].collect().sortBy(_._1)
+    val exp = want.select("k", "agg_sum", "agg_cnt")
+      .as[(Long, BigDecimal, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(exp))
+  }
 }
