@@ -47,6 +47,18 @@ object GraftExtensions {
       { args: Seq[Expression] =>
         require(args.length == 1, "word_shingles(tokens) takes 1 argument")
         WordShingles(args.head, 3)
+      }),
+    (FunctionIdentifier("sign_projection"),
+      info("sign_projection", classOf[SignProjection]),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "sign_projection(vec, bits) takes 2 arguments")
+        val bits = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e => throw new IllegalArgumentException(
+            s"sign_projection bits must be an integer literal, got $e")
+        }
+        SignProjection(args.head, bits)
       }))
 
   /** Register on a live session (tests, spark-shell). */

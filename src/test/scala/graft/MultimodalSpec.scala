@@ -96,5 +96,14 @@ class MultimodalSpec extends SparkSpec {
     val fp = spark.sql(
       "SELECT simhash32(array(3L, 3L, 2L)) AS fp").collect()(0).getLong(0)
     assert(fp == 3L) // bit0: 2/3, bit1: 3/3 -> both majority
+    val sp = spark.sql(
+      "SELECT sign_projection(embedding, 32) AS s FROM emb_sql LIMIT 5")
+      .collect()
+    // matches the Column-API form exactly
+    val api = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5)
+      .select(graft.functions.VectorExpressions
+        .signProjection(org.apache.spark.sql.functions.col("embedding"), 32))
+      .collect()
+    assert(sp.map(_.getLong(0)).sameElements(api.map(_.getLong(0))))
   }
 }
