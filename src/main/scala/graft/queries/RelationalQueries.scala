@@ -782,6 +782,131 @@ object RelationalQueries {
       SELECT 'ALL' AS m, count(DISTINCT o_custkey), TRUE FROM orders
       ORDER BY m"""))
 
+  val q104ThetaSetops = Q("q104_theta_setops",
+    // Theta sketches — the sketch family that supports SET ALGEBRA on
+    // distinct counts: |A|, |B|, |A∪B| via theta_union_agg and |A∩B|
+    // via theta_intersection_agg, all from per-segment sketches built
+    // in one pass each and merged WITHOUT revisiting rows (audience-
+    // overlap analytics at 100 TB: per-segment sketches are tiny,
+    // overlap questions compose after the fact). Error contract per
+    // the q44 pattern: exact values + within-bound booleans the oracle
+    // pins to TRUE. Intersection error scales with union size (Theta
+    // intersection is estimated from sampled unions), so its bound is
+    // relative to the union, not the intersection.
+    (s, d) => {
+      val base = Tables.orders(s, d).select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").as("in_a"),
+        (col("o_orderstatus") === "F").as("in_b"))
+      // per-customer membership: a customer is in a segment if ANY of
+      // their orders is — one partial-agg shuffle on custkey
+      val memb = base.groupBy(col("o_custkey"))
+        .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+        .transform(graft.ops.Relational.eager)
+      val exact = memb.agg(
+        count_if(col("a")).as("exact_a"),
+        count_if(col("b")).as("exact_b"),
+        count_if(col("a") || col("b")).as("exact_union"),
+        count_if(col("a") && col("b")).as("exact_inter"))
+      val sketches = memb
+        .select(col("o_custkey"),
+          explode(concat(
+            when(col("a"), array(lit("A"))).otherwise(array().cast("array<string>")),
+            when(col("b"), array(lit("B"))).otherwise(array().cast("array<string>"))))
+            .as("seg"))
+        .groupBy(col("seg"))
+        .agg(expr("theta_sketch_agg(o_custkey)").as("sk"))
+      val ests = sketches.agg(
+        expr("theta_sketch_estimate(theta_union_agg(sk))").as("est_union"),
+        expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est_inter"))
+      val perSeg = sketches
+        .select(col("seg"), expr("theta_sketch_estimate(sk)").as("est"))
+        .groupBy()
+        .pivot(col("seg"), Seq("A", "B")).agg(first(col("est")))
+      exact.crossJoin(ests).crossJoin(perSeg)
+        .select(col("exact_a"), col("exact_b"),
+          col("exact_union"), col("exact_inter"),
+          (abs(col("A") - col("exact_a")) <= col("exact_a") * 0.05)
+            .as("a_ok"),
+          (abs(col("B") - col("exact_b")) <= col("exact_b") * 0.05)
+            .as("b_ok"),
+          (abs(col("est_union") - col("exact_union")) <=
+            col("exact_union") * 0.05).as("union_ok"),
+          (abs(col("est_inter") - col("exact_inter")) <=
+            col("exact_union") * 0.05).as("inter_ok"))
+    },
+    Some("""WITH memb AS (SELECT o_custkey,
+          bool_or(o_orderpriority = '1-URGENT') AS a,
+          bool_or(o_orderstatus = 'F') AS b
+        FROM orders GROUP BY o_custkey)
+      SELECT count(*) FILTER (a) AS exact_a,
+        count(*) FILTER (b) AS exact_b,
+        count(*) FILTER (a OR b) AS exact_union,
+        count(*) FILTER (a AND b) AS exact_inter,
+        TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+      FROM memb"""))
+
+  val q105ApproxTopk = Q("q105_approx_topk",
+    // mergeable frequent-items sketches: per-day approx_top_k_accumulate
+    // states combined downstream (approx_top_k_combine) and estimated
+    // once — the per-partition-sketch-then-merge shape again, here for
+    // "top items" instead of distinct counts. With the tracked-item
+    // capacity above the column's true cardinality the sketch counts
+    // are EXACT, so the oracle is the plain exact GROUP BY top-k —
+    // a hash-match, not an error bound.
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 5)").as("acc"))
+      daily.agg(expr("approx_top_k_combine(acc)").as("st"))
+        .select(explode(expr("approx_top_k_estimate(st, 5)")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt FROM events
+      GROUP BY event_type ORDER BY cnt DESC, event_type"""))
+
+  val q106KllQuantiles = Q("q106_kll_quantiles",
+    // mergeable quantile sketches (KLL): one sketch per month of order
+    // totals, merged with kll_sketch_merge_double into the all-time
+    // sketch — the percentile analogue of q103's HLL merge (at 100 TB
+    // the exact percentile's global sort is the thing you cannot
+    // afford; per-partition KLL states merge in O(sketch) instead).
+    // Gate: the merged sketch's median must land inside the exact
+    // p47–p53 bracket (default k=200 ⇒ ~1.65% rank error at 99%
+    // confidence; the ±3% bracket is conservative), plus exact bracket
+    // values themselves — Spark percentile ≡ DuckDB quantile_cont
+    // (type-7, proven bit-equal by q70).
+    (s, d) => {
+      val monthly = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          col("o_totalprice"))
+        .groupBy(col("m"))
+        .agg(expr("kll_sketch_agg_double(o_totalprice)").as("sk"))
+      val merged = monthly
+        .agg(expr("kll_sketch_merge_double(sk)").as("sk"))
+        .select(expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est"),
+          expr("kll_sketch_get_n_double(sk)").as("n"))
+      val exact = Tables.orders(s, d).agg(
+        percentile(col("o_totalprice"),
+          array(lit(0.47), lit(0.5), lit(0.53))).as("p"),
+        count(col("o_totalprice")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n"), col("n_exact"),
+          element_at(col("p"), 1).as("exact_p47"),
+          element_at(col("p"), 2).as("exact_median"),
+          element_at(col("p"), 3).as("exact_p53"),
+          (col("n") === col("n_exact")).as("n_ok"),
+          col("est").between(element_at(col("p"), 1),
+            element_at(col("p"), 3)).as("median_ok"))
+    },
+    Some("""SELECT count(o_totalprice) AS n, count(o_totalprice) AS n_exact,
+        quantile_cont(o_totalprice, 0.47) AS exact_p47,
+        quantile_cont(o_totalprice, 0.5) AS exact_median,
+        quantile_cont(o_totalprice, 0.53) AS exact_p53,
+        TRUE AS n_ok, TRUE AS median_ok
+      FROM orders"""))
+
   val q46SaltedAgg = Q("q46_salted_agg",
     // skew tool under the correctness gate: l_returnflag has only a
     // handful of distinct values, so EVERY group key is a hot reduce key
@@ -1619,5 +1744,6 @@ object RelationalQueries {
     q70Percentiles, q76Profile, q77MultijoinTopk, q78StarJoin, q79Scd2,
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
-    q101OrcSource, q102IncrementalAgg, q103HllMerge)
+    q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
+    q105ApproxTopk, q106KllQuantiles)
 }

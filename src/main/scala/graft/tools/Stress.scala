@@ -17,11 +17,18 @@ import graft.streaming.StreamingJobs
   * driver-side materialization — if any op is accidentally quadratic
   * or collect-bound it shows up here long before a cluster does.
   *
-  * Usage: sbt "runMain graft.tools.Stress [rows]"   (default 10M)
+  * Usage: sbt "runMain graft.tools.Stress [rows] [phaseFilter]"
+  * (default 10M rows, all phases; phaseFilter = comma-separated label
+  * prefixes, e.g. "asof" — for isolating one op's A/B on a quiet
+  * machine without paying the full sweep)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 10000000L
+    val only: Option[Seq[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSeq) else None
+    def wanted(label: String): Boolean =
+      only.forall(_.exists(label.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +38,7 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(label: String)(f: => Long): Unit = {
+    def time(label: String)(f: => Long): Unit = if (wanted(label)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"[stress] $label%-28s rows=$n%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -53,10 +60,15 @@ object Stress {
       (pmod(hash(col("id") + 7L), lit(100000)) / 100.0).as("value"))
 
     val dir = "/tmp/graft_stress"
-    time("write parquet (partitioned)") {
-      Scale.writePartitionedByDay(ev, col("ts"), s"$dir/events")
-      rows
-    }
+    // the events table feeds every phase: when a phase filter skips the
+    // timed write, still (re)build it if it's not already on disk
+    val haveEvents = new java.io.File(s"$dir/events/_SUCCESS").exists
+    if (wanted("write parquet (partitioned)"))
+      time("write parquet (partitioned)") {
+        Scale.writePartitionedByDay(ev, col("ts"), s"$dir/events")
+        rows
+      }
+    else if (!haveEvents) Scale.writePartitionedByDay(ev, col("ts"), s"$dir/events")
     val t = spark.read.parquet(s"$dir/events")
 
     time("partition-pruned day scan") {
