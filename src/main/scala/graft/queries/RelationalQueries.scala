@@ -883,8 +883,13 @@ object RelationalQueries {
           col("o_totalprice"))
         .groupBy(col("m"))
         .agg(expr("kll_sketch_agg_double(o_totalprice)").as("sk"))
+      // kll_sketch_merge_double is a pairwise scalar merge, so the
+      // per-month sketches (one small binary each) fold via a lambda —
+      // the collect_list is bounded by the number of months, not rows
       val merged = monthly
-        .agg(expr("kll_sketch_merge_double(sk)").as("sk"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(expr("""aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)),
+            sks[0], (acc, x) -> kll_sketch_merge_double(acc, x))""").as("sk"))
         .select(expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est"),
           expr("kll_sketch_get_n_double(sk)").as("n"))
       val exact = Tables.orders(s, d).agg(
