@@ -570,13 +570,26 @@ object RelationalQueries {
         array(lit(0.25), lit(0.75)), lit(10000))
       val qtyBounds = percentile(col("l_quantity"),
         array(lit(0.23), lit(0.27), lit(0.73), lit(0.77)))
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, d)
+      // THREE aggregates joined on the (tiny) group key, NOT one.
+      // Mixing buffer-typed aggs with the multi-DISTINCT Expand plan
+      // is pathological: every non-distinct agg buffer is keyed by the
+      // expanded (group, gid, value) stream, so HLL++ registers (and
+      // percentile buffers) get allocated PER DISTINCT VALUE instead
+      // of per group — measured 31 s for the HLL×Expand mix and 100 s
+      // with percentile buffers riding along, vs ~1 s per split agg at
+      // sf0.1. Each agg below keeps one buffer per return flag; the
+      // re-joins are broadcasts over one row per flag.
+      val distincts = li.groupBy(col("l_returnflag"))
         .agg(
           count_distinct(col("l_orderkey")).as("exact_orders"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+      val approxes = li.groupBy(col("l_returnflag"))
+        .agg(
           approx_count_distinct(col("l_orderkey")).as("ao"),
-          count_distinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"))
+      val pcts = li.groupBy(col("l_returnflag"))
+        .agg(
           // one exact-percentile buffer for all three price points —
           // each percentile() agg keeps its own value buffer per group,
           // so folding 0.48/0.5/0.52 into one call is one sort instead
@@ -587,6 +600,8 @@ object RelationalQueries {
             .as("am"),
           quartiles.as("q"),
           qtyBounds.as("qb"))
+      distincts.join(broadcast(approxes), Seq("l_returnflag"))
+        .join(broadcast(pcts), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
           element_at(col("mb"), 2).as("exact_median_price"),
           // HLL++ default rsd = 0.05 -> 15% bound; explicit rsd = 0.01 -> 3%
