@@ -773,11 +773,16 @@ object RelationalQueries {
       val base = Tables.orders(s, d)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
           col("o_custkey"))
-      // persisted: feeds the monthly sketch pass and the exact-total
-      // scan below
-      val monthly = base.groupBy(col("m"))
-        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-          countDistinct(col("o_custkey")).as("exact_customers"))
+      // sketches and exact distincts in SEPARATE aggregates (the q44
+      // lesson: a buffer agg sharing a plan with count_distinct gets
+      // keyed by the Expand stream — one HLL buffer per distinct
+      // (month, custkey) instead of per month), re-joined on the
+      // bounded month key
+      val sketches = base.groupBy(col("m"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val exacts = base.groupBy(col("m"))
+        .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+      val monthly = sketches.join(broadcast(exacts), Seq("m"))
         .transform(graft.ops.Relational.eager)
       val per = monthly.select(col("m"), col("exact_customers"),
         (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
