@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking (the deequ shape): a
+  * rule set is evaluated in as few passes as the rules allow and comes
+  * back as one small (rule, metric, passed) report frame — the gate a
+  * pipeline consults before publishing a table.
+  *
+  * Scale design: all row-local rules (null fraction, range fraction,
+  * pattern fraction) share ONE aggregate over one scan — adding a rule
+  * adds a column to the agg, not a pass over the data. Uniqueness
+  * rules need distinct counts, and the q44 lesson applies: a distinct
+  * agg must not share a plan with other buffers, so each Unique rule
+  * runs as its own tiny aggregate; the report union is rows-per-rule,
+  * not rows-per-row. Nothing here shuffles more than the aggregates'
+  * 1-row partials.
+  *
+  * Determinism contract (for the q108 oracle): metrics are IEEE double
+  * divisions of exact long counts — bit-identical across engines.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+
+  /** Fraction of null values in `col` must be ≤ maxNullFrac. */
+  case class NotNull(col: String, maxNullFrac: Double = 0.0) extends Rule {
+    def name = s"not_null:$col"
+  }
+
+  /** No duplicate values of the key (metric = duplicate row count). */
+  case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique:${cols.mkString(",")}"
+  }
+
+  /** Fraction of non-null values inside [lo, hi] must be ≥ minFrac. */
+  case class InRange(col: String, lo: Double, hi: Double,
+                     minFrac: Double = 1.0) extends Rule {
+    def name = s"in_range:$col"
+  }
+
+  /** Fraction of non-null values matching `regex` must be ≥ minFrac.
+    * Keep the pattern inside the RE2∩Java common dialect (see q51/q57)
+    * if the report is oracle-compared.
+    */
+  case class Matches(col: String, regex: String,
+                     minFrac: Double = 1.0) extends Rule {
+    def name = s"matches:$col"
+  }
+
+  /** Evaluate `rules` against `df`; returns (rule, metric, passed)
+    * sorted by rule name. Row-local rules share one aggregate; each
+    * Unique rule is its own distinct aggregate.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Quality.check needs at least one rule")
+    val rowLocal = rules.collect {
+      case r: NotNull =>
+        val frac = sum(when(col(r.col).isNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1))
+        (r.name, frac, (m: Column) => m <= r.maxNullFrac)
+      case r: InRange =>
+        val frac = sum(when(col(r.col).between(r.lo, r.hi), 1L).otherwise(0L))
+          .cast("double") / count(col(r.col))
+        (r.name, frac, (m: Column) => m >= r.minFrac)
+      case r: Matches =>
+        val frac = sum(when(regexp_like(col(r.col), lit(r.regex)), 1L)
+          .otherwise(0L)).cast("double") / count(col(r.col))
+        (r.name, frac, (m: Column) => m >= r.minFrac)
+    }
+    val localReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val agged = df.agg(rowLocal.head._2.as(rowLocal.head._1),
+          rowLocal.tail.map { case (n, c, _) => c.as(n) }: _*)
+        Some(agged.select(rowLocal.map { case (n, _, pass) =>
+          struct(lit(n).as("rule"), col(n).cast("double").as("metric"),
+            pass(col(n)).as("passed")).as(n)
+        }: _*).select(explode(array(rowLocal.map(r => col(r._1)): _*)).as("r"))
+          .select(col("r.rule"), col("r.metric"), col("r.passed")))
+      }
+    val uniqueReports = rules.collect { case r: Unique =>
+      df.agg((count(lit(1)) -
+        count_distinct(struct(r.cols.map(col): _*))).cast("double")
+        .as("metric"))
+        .select(lit(r.name).as("rule"), col("metric"),
+          (col("metric") === 0.0).as("passed"))
+    }
+    (localReport.toSeq ++ uniqueReports)
+      .reduce(_.unionByName(_))
+      .orderBy(col("rule"))
+  }
+}

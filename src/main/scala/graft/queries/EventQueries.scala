@@ -36,6 +36,37 @@ object EventQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  val q107HoppingWindow = Q("q107_hopping_window",
+    // HOPPING (sliding) time windows — the overlap generalization of
+    // q36's tumbling day: 1-day windows advancing every 12 h, so each
+    // event lands in exactly 2 windows (Spark's `window()` explodes
+    // rows into their windows before the partial agg; the shuffle
+    // carries pre-combined per-window partials, not the ×2 row blowup).
+    // Runs unchanged under readStream — window() is the same operator
+    // there. The oracle replays the epoch-aligned window assignment
+    // with a range join against a generated start series.
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm").as("we"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("ws"), col("event_type")),
+    Some("""WITH b AS (SELECT date_trunc('day', min(ts))
+            - INTERVAL 12 HOUR AS t0, max(ts) AS t1 FROM events),
+        starts AS (SELECT unnest(generate_series(
+            (SELECT t0 FROM b), (SELECT t1 FROM b), INTERVAL 12 HOUR)) AS s0),
+        j AS (SELECT s.s0, e.event_type, e.value FROM events e
+              JOIN starts s ON e.ts >= s.s0
+                AND e.ts < s.s0 + INTERVAL 1 DAY)
+      SELECT strftime(s0, '%Y-%m-%d %H:%M') AS ws,
+        strftime(s0 + INTERVAL 1 DAY, '%Y-%m-%d %H:%M') AS we,
+        event_type, count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM j GROUP BY 1, 2, 3 ORDER BY 1, 3"""))
+
   val q37Sessionize = Q("q37_sessionize",
     // session windows: a >30-min silence starts a new session; the batch
     // twin of flatMapGroupsWithState sessionization
@@ -542,5 +573,6 @@ object EventQueries {
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
-    q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan)
+    q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
+    q107HoppingWindow)
 }

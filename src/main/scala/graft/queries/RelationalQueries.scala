@@ -932,6 +932,49 @@ object RelationalQueries {
         TRUE AS n_ok, TRUE AS median_ok
       FROM orders"""))
 
+  val q108QualityChecks = Q("q108_quality_checks",
+    // declarative data-quality gate (graft.ops.Quality, the deequ
+    // shape): null-fraction, key-uniqueness, range and pattern rules
+    // evaluated as one shared aggregate for the row-local rules plus
+    // one tiny distinct aggregate per uniqueness rule (the q44 Expand
+    // lesson baked into the operator), returning a (rule, metric,
+    // passed) report. The oracle recomputes every metric in closed
+    // form — exact long counts and IEEE double divisions, so the
+    // report hash-matches.
+    (s, d) => graft.ops.Quality.check(Tables.orders(s, d), Seq(
+      graft.ops.Quality.NotNull("o_custkey"),
+      graft.ops.Quality.NotNull("o_orderdate"),
+      graft.ops.Quality.Unique(Seq("o_orderkey")),
+      graft.ops.Quality.InRange("o_totalprice", 0.0, 1000000.0),
+      graft.ops.Quality.Matches("o_orderpriority", "^[1-5]-[A-Z]+$", 0.75))),
+    Some("""WITH m AS (SELECT count(*) AS n,
+          count(o_totalprice) AS n_price,
+          count(o_orderpriority) AS n_prio,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+          sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date,
+          sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+              THEN 1 ELSE 0 END) AS in_range,
+          sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+              THEN 1 ELSE 0 END) AS re_match,
+          count(*) - count(DISTINCT o_orderkey) AS dups
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'in_range:o_totalprice' AS rule,
+          CAST(in_range AS DOUBLE) / n_price AS metric,
+          CAST(in_range AS DOUBLE) / n_price >= 1.0 AS passed FROM m
+        UNION ALL SELECT 'matches:o_orderpriority',
+          CAST(re_match AS DOUBLE) / n_prio,
+          CAST(re_match AS DOUBLE) / n_prio >= 0.75 FROM m
+        UNION ALL SELECT 'not_null:o_custkey',
+          CAST(null_cust AS DOUBLE) / n,
+          CAST(null_cust AS DOUBLE) / n <= 0.0 FROM m
+        UNION ALL SELECT 'not_null:o_orderdate',
+          CAST(null_date AS DOUBLE) / n,
+          CAST(null_date AS DOUBLE) / n <= 0.0 FROM m
+        UNION ALL SELECT 'unique:o_orderkey',
+          CAST(dups AS DOUBLE), CAST(dups AS DOUBLE) = 0.0 FROM m)
+      ORDER BY rule"""))
+
   val q46SaltedAgg = Q("q46_salted_agg",
     // skew tool under the correctness gate: l_returnflag has only a
     // handful of distinct values, so EVERY group key is a hot reduce key
@@ -1770,5 +1813,5 @@ object RelationalQueries {
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
-    q105ApproxTopk, q106KllQuantiles)
+    q105ApproxTopk, q106KllQuantiles, q108QualityChecks)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quality
+import graft.ops.Quality.{InRange, Matches, NotNull, Unique}
+
+/** Quality.check: rule semantics including FAILING rules (the catalog
+  * query q108 exercises a mostly-green report; the gate only earns its
+  * keep if violations actually trip it).
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(rows: Seq[(String, Option[Double], Option[String])],
+                     rules: Seq[Quality.Rule]) = {
+    val df = rows.toDF("k", "v", "s")
+    Quality.check(df, rules).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+  }
+
+  test("all four rule kinds: metrics and pass/fail boundaries") {
+    val rows = Seq(
+      ("a", Some(1.0), Some("x1")),
+      ("a", Some(5.0), Some("x2")),   // dup key "a"
+      ("b", None, Some("zz")),        // null v, non-matching s
+      ("c", Some(50.0), None))        // out-of-range v, null s
+    val got = report(rows, Seq(
+      NotNull("v", maxNullFrac = 0.3),   // 1/4 null -> pass
+      NotNull("s"),                      // 1/4 null -> fail at 0.0
+      Unique(Seq("k")),                  // one dup -> fail, metric 1
+      InRange("v", 0, 10, minFrac = 0.5), // 2/3 non-null in range -> pass
+      Matches("s", "^x[0-9]$", minFrac = 0.7))) // 2/3 match -> fail
+    assert(got("not_null:v") == ((0.25, true)))
+    assert(got("not_null:s") == ((0.25, false)))
+    assert(got("unique:k") == ((1.0, false)))
+    assert(got("in_range:v")._2 && math.abs(got("in_range:v")._1 - 2.0 / 3) < 1e-15)
+    assert(!got("matches:s")._2 && math.abs(got("matches:s")._1 - 2.0 / 3) < 1e-15)
+  }
+
+  test("unique over a composite key; clean table passes everything") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("x", "y")
+    val rep = Quality.check(df, Seq(Unique(Seq("x", "y")), Unique(Seq("x"))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep("unique:x,y"))     // composite is unique
+    assert(!rep("unique:x"))      // x alone is not
+  }
+}
