@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeSet, Expression, GenericInternalRow, IsNotNull, JoinedRow,
@@ -210,10 +210,42 @@ object AsofJoin {
         col("__last").as(s"last_$rightVal"))
   }
 
+  /** As-of join. `direction = "backward"` (default) matches the latest
+    * right row with rt ≤ lt; `"forward"` matches the EARLIEST right row
+    * with rt ≥ lt (the next quote after a trade, the first shipment
+    * after an order). Both directions resolve ties at the matched
+    * timestamp to the greatest tie-break value.
+    *
+    * Forward reuses the same ordered-merge exec on NEGATED time (for
+    * timestamps: negated epoch micros) — "earliest ≥ t" is "latest ≤
+    * −t" under the reversed axis, so no second physical operator or
+    * planner path exists to drift from the backward one; the helper
+    * columns are dropped from the result.
+    */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
-           rightTieBreak: Seq[String] = Nil): DataFrame = {
+           rightTieBreak: Seq[String] = Nil,
+           direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.functions.unix_micros
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    direction match {
+      case "backward" => // fall through to the merge below
+      case "forward" =>
+        def neg(df: DataFrame, t: String): Column =
+          df.schema(t).dataType match {
+            case TimestampType => -unix_micros(df(t))
+            case _: NumericType => -df(t)
+            case dt => throw new IllegalArgumentException(
+              s"forward as-of needs a timestamp or numeric time column, got $dt")
+          }
+        return asof(left.withColumn("__graft_lnt", neg(left, leftTime)),
+          right.withColumn("__graft_rnt", neg(right, rightTime)),
+          leftKeys, rightKeys, "__graft_lnt", "__graft_rnt", rightTieBreak)
+          .drop("__graft_lnt", "__graft_rnt")
+      case other => throw new IllegalArgumentException(
+        s"direction must be 'backward' or 'forward', got '$other'")
+    }
     val spark = left.sparkSession
     GraftSqlShim.addStrategy(spark, AsofJoinStrategy)
     GraftSqlShim.addOptimization(spark, AsofColumnPruning)

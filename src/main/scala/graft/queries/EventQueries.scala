@@ -348,6 +348,34 @@ object EventQueries {
           AS last_order
       FROM events e ORDER BY e.event_id"""))
 
+  val q109AsofForward = Q("q109_asof_forward",
+    // forward as-of: each event matched to the EARLIEST order at or
+    // after it (q61's mirror image — "the next purchase after this
+    // click"); same custom ordered-merge exec on the negated time
+    // axis, so forward can never drift from the backward operator.
+    // Ties at the matched date resolve to the greatest order key,
+    // identical to backward.
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(TimestampType).as("o_ts"))
+      graft.plans.AsofJoin.asof(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_ts",
+          rightTieBreak = Seq("o_orderkey"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("next_order"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        (SELECT max(o.o_orderkey) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+           AND o.o_orderdate = (SELECT min(o2.o_orderdate) FROM orders o2
+             WHERE o2.o_custkey = e.user_id AND o2.o_orderdate >= e.ts))
+          AS next_order
+      FROM events e ORDER BY e.event_id"""))
+
   val q71MapFuncs = Q("q71_map_funcs",
     // map-typed column surface: construction from columns, map_concat,
     // a str_to_map round-trip over a packed "k=v" string, map_filter,
@@ -574,5 +602,5 @@ object EventQueries {
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
-    q107HoppingWindow)
+    q107HoppingWindow, q109AsofForward)
 }

@@ -43,6 +43,43 @@ class AsofPlanSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("forward direction matches brute force; bad direction fails fast") {
+    val rnd = new Random(7)
+    val lefts = Seq.tabulate(400) { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val rights = Seq.tabulate(300) { i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val l = lefts.toDF("k", "t", "id").repartition(5)
+    val r = rights.toDF("k", "rt", "rid").repartition(3)
+
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
+        rightTieBreak = Seq("rid"), direction = "forward")
+      .select($"id", $"rid")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val expected = lefts.map { case (k, t, id) =>
+      val matches = rights.filter(x => x._1 == k && x._2 >= t)
+      val best = if (matches.isEmpty) None else {
+        val minT = matches.map(_._2).min
+        Some(matches.filter(_._2 == minT).map(_._3).max) // tie: max rid
+      }
+      id -> best
+    }.toMap
+    assert(got == expected)
+
+    // helper time columns must not leak into the output schema
+    val cols = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
+      direction = "forward").columns.toSeq
+    assert(!cols.exists(_.startsWith("__graft_")))
+
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
+        direction = "nearest")
+    }
+  }
+
   test("empty right side null-pads every left row") {
     val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val r = Seq.empty[(Long, Long)].toDF("k", "rt")
