@@ -48,6 +48,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("hopping windows run unchanged under readStream (q107's claim)") {
+    import org.apache.spark.sql.functions._
+    def hop(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val got = runToMemory("s_hop", OutputMode.Complete(), hop)
+    val want = hop(batchEvents)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("dedupEvents drops a replayed file exactly (watermark dedup)") {
     // source dir with the events file twice = an at-least-once replay
     val dir = Files.createTempDirectory("dup_src").toString
