@@ -55,18 +55,25 @@ object Quality {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Quality.check needs at least one rule")
+    // degenerate-input conventions (0/0 would otherwise surface as
+    // NaN): an empty table has null-fraction 0 (no violations); a
+    // fraction-of-non-null rule over zero non-null values is vacuously
+    // compliant (metric 1, deequ's convention)
     val rowLocal = rules.collect {
       case r: NotNull =>
-        val frac = sum(when(col(r.col).isNull, 1L).otherwise(0L))
-          .cast("double") / count(lit(1))
+        val frac = when(count(lit(1)) === 0, 0.0)
+          .otherwise(sum(when(col(r.col).isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)))
         (r.name, frac, (m: Column) => m <= r.maxNullFrac)
       case r: InRange =>
-        val frac = sum(when(col(r.col).between(r.lo, r.hi), 1L).otherwise(0L))
-          .cast("double") / count(col(r.col))
+        val frac = when(count(col(r.col)) === 0, 1.0)
+          .otherwise(sum(when(col(r.col).between(r.lo, r.hi), 1L)
+            .otherwise(0L)).cast("double") / count(col(r.col)))
         (r.name, frac, (m: Column) => m >= r.minFrac)
       case r: Matches =>
-        val frac = sum(when(regexp_like(col(r.col), lit(r.regex)), 1L)
-          .otherwise(0L)).cast("double") / count(col(r.col))
+        val frac = when(count(col(r.col)) === 0, 1.0)
+          .otherwise(sum(when(regexp_like(col(r.col), lit(r.regex)), 1L)
+            .otherwise(0L)).cast("double") / count(col(r.col)))
         (r.name, frac, (m: Column) => m >= r.minFrac)
     }
     val localReport: Option[DataFrame] =

@@ -217,6 +217,9 @@ object Scale {
     */
   def incrementalAgg(state: Option[DataFrame], batch: DataFrame,
                      keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "incrementalAgg needs at least one key column")
+    require(!keys.contains("agg_sum") && !keys.contains("agg_cnt"),
+      "key columns must not collide with the state columns agg_sum/agg_cnt")
     val partial = batch.groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol)).as("agg_sum"), count(col(valueCol)).as("agg_cnt"))
     state match {

@@ -38,6 +38,29 @@ class QualitySpec extends SparkSpec {
     assert(!got("matches:s")._2 && math.abs(got("matches:s")._1 - 2.0 / 3) < 1e-15)
   }
 
+  test("degenerate inputs: empty table and all-null column") {
+    val empty = Seq.empty[(String, Option[Double], Option[String])]
+      .toDF("k", "v", "s")
+    val repEmpty = Quality.check(empty, Seq(
+      NotNull("v"), Unique(Seq("k")), InRange("v", 0, 1), Matches("s", "x")))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    // empty table: no nulls, no dups, fraction rules vacuously pass
+    assert(repEmpty.values.forall(_._2))
+    assert(repEmpty("not_null:v")._1 == 0.0)
+    assert(repEmpty("in_range:v")._1 == 1.0)
+
+    val allNull = Seq(("a", None: Option[Double], None: Option[String]),
+      ("b", None, None)).toDF("k", "v", "s")
+    val repNull = Quality.check(allNull, Seq(
+      NotNull("v"), InRange("v", 0, 1), Matches("s", "x")))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(repNull("not_null:v") == ((1.0, false)))   // 100% null fails
+    assert(repNull("in_range:v") == ((1.0, true)))    // vacuous over 0 values
+    assert(repNull("matches:s") == ((1.0, true)))
+  }
+
   test("unique over a composite key; clean table passes everything") {
     val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("x", "y")
     val rep = Quality.check(df, Seq(Unique(Seq("x", "y")), Unique(Seq("x"))))
