@@ -100,6 +100,15 @@ object Load {
     swapIn(spark, merged, dir)
   }
 
+  /** Replace the whole table with `df` through the same staged-write +
+    * rename-aside swap as [[upsert]] — the full-refresh sink for
+    * callers whose merge logic lives upstream (e.g. the streaming
+    * incremental-agg job folds state BEFORE writing). Returns the new
+    * row count.
+    */
+  def replaceTable(spark: SparkSession, df: DataFrame, dir: String): Long =
+    swapIn(spark, df, dir)
+
   /** Stage `merged` next to `dir`, then swap it in with two renames —
     * never delete-then-rename: a crash after a DELETE would leave NO
     * table at the serving path and the next run's readTable(None) would

@@ -219,6 +219,52 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming maintenance of an aggregate state table: each
+    * micro-batch is folded into the persisted (keys, agg_sum, agg_cnt)
+    * state via Scale.incrementalAgg and swapped in crash-safe
+    * (Load-style staged write + rename), so the serving table always
+    * equals the full recompute over everything ingested so far — the
+    * streaming face of q102.
+    *
+    * Exactly-once: the fold is ADDITIVE, so unlike the PK-upsert job a
+    * replayed batch would double-count. foreachBatch commits its
+    * checkpoint AFTER the user function, so a crash between the state
+    * swap and the commit replays the batch — the state therefore
+    * carries the last applied batch id (a constant `__batch_id`
+    * column; state is one row per key, so the overhead is a long per
+    * group) and the fold skips any batch id ≤ the recorded one. Every
+    * crash point then lands in one of two recoverable states: swap not
+    * yet done (replay re-folds, correct) or swap done (replay is
+    * skipped by the guard, correct).
+    */
+  def runIncrementalAggAvailableNow(spark: SparkSession, srcDir: String,
+                                    stateDir: String, keys: Seq[String],
+                                    valueCol: String,
+                                    checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prior = graft.etl.Load.readTable(s, stateDir)
+        val lastApplied = prior.flatMap(p =>
+          Option(p.agg(max(col("__batch_id"))).head.get(0))
+            .map(_.asInstanceOf[Long]))
+          .getOrElse(-1L)
+        if (batchId > lastApplied) {
+          val next = graft.ops.Scale.incrementalAgg(
+            prior.map(_.drop("__batch_id")), batch, keys, valueCol)
+            .withColumn("__batch_id", lit(batchId))
+          graft.etl.Load.replaceTable(s, next, stateDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   def runDailyAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
                            checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema

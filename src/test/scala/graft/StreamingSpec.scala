@@ -221,6 +221,49 @@ class StreamingSpec extends SparkSpec {
     assert(n2 >= n1)
   }
 
+  test("runIncrementalAggAvailableNow folds to the recompute, replay-safe") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("inc_src").toString
+    val state = Files.createTempDirectory("inc_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("inc_ckpt").toString
+    val ev = batchEvents.select(col("event_type"),
+      col("value").cast("decimal(18,2)").as("v"))
+    ev.write.mode("overwrite").parquet(src)
+
+    def run(ck: String) = {
+      val q = StreamingJobs.runIncrementalAggAvailableNow(
+        spark, src, state, Seq("event_type"), "v", ck)
+      q.awaitTermination()
+    }
+    run(ckpt)
+    val want = ev.groupBy("event_type")
+      .agg(sum("v").as("agg_sum"), count("v").as("agg_cnt"))
+    def stateNow() = spark.read.parquet(state).drop("__batch_id")
+    assert(stateNow().exceptAll(want).isEmpty &&
+      want.exceptAll(stateNow()).isEmpty)
+
+    // same checkpoint: nothing new to process, state unchanged
+    run(ckpt)
+    assert(stateNow().exceptAll(want).isEmpty)
+
+    // fresh checkpoint replays everything as batch 0: the __batch_id
+    // guard must refuse the re-fold instead of double-counting
+    run(Files.createTempDirectory("inc_ckpt2").toString)
+    assert(stateNow().exceptAll(want).isEmpty &&
+      want.exceptAll(stateNow()).isEmpty)
+
+    // a later file through the SAME checkpoint arrives as a higher
+    // batch id and folds in
+    val extra = spark.range(10).select(lit("extra").as("event_type"),
+      lit(java.math.BigDecimal.valueOf(2.5)).cast("decimal(18,2)").as("v"))
+    extra.write.mode("append").parquet(src)
+    run(ckpt)
+    val want2 = ev.unionByName(extra).groupBy("event_type")
+      .agg(sum("v").as("agg_sum"), count("v").as("agg_cnt"))
+    assert(stateNow().exceptAll(want2).isEmpty &&
+      want2.exceptAll(stateNow()).isEmpty)
+  }
+
   test("runUpsertAvailableNow merges each micro-batch by PK exactly once") {
     import org.apache.spark.sql.functions.col
     val src = Files.createTempDirectory("ups_src").toString
