@@ -42,7 +42,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightTieBreak: Seq[Attribute]) extends BinaryNode {
+    rightTieBreak: Seq[Attribute],
+    nearest: Boolean = false) extends BinaryNode {
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty)
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -62,7 +63,7 @@ case class AsofJoinPlan(
 object AsofColumnPruning extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projList,
-        aj @ AsofJoinPlan(l, r, lk, rk, lt, rt, tie)) =>
+        aj @ AsofJoinPlan(l, r, lk, rk, lt, rt, tie, _)) =>
       val needed = AttributeSet(projList.flatMap(_.references)) ++
         AttributeSet(lk ++ rk ++ (lt +: rt +: tie))
       def prune(child: LogicalPlan): LogicalPlan = {
@@ -78,8 +79,9 @@ object AsofColumnPruning extends Rule[LogicalPlan] {
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsofJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tie, near) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, near,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -88,7 +90,26 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    nearest: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  /** Numeric time reader for the nearest-direction distance compare;
+    * only resolved when `nearest` is set, so backward/forward keep
+    * working for any ordered time type.
+    */
+  private def timeValueReader: InternalRow => Double = {
+    import org.apache.spark.sql.types._
+    leftTime.dataType match {
+      case TimestampType | TimestampNTZType | LongType =>
+        r => r.getLong(0).toDouble
+      case IntegerType | DateType => r => r.getInt(0).toDouble
+      case ShortType => r => r.getShort(0).toDouble
+      case DoubleType => r => r.getDouble(0)
+      case FloatType => r => r.getFloat(0).toDouble
+      case dt => throw new UnsupportedOperationException(
+        s"nearest as-of needs a numeric/timestamp time column, got $dt")
+    }
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -121,6 +142,8 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      val timeVal: InternalRow => Double =
+        if (nearest) timeValueReader else null
 
       new Iterator[InternalRow] {
         // one-row lookahead into the right side; rows are copied out of
@@ -149,6 +172,11 @@ case class AsofJoinExec(
           // lTimeProj and rTimeProj write to separate reused buffers,
           // so the comparison needs no per-row copy
           val lt = lTimeProj(l)
+          // read the numeric value BEFORE the loop: `lt` is a reused
+          // buffer and the distance compare below needs the value after
+          // further projections
+          val ltNull = nearest && lt.isNullAt(0)
+          val ltv = if (nearest && !ltNull) timeVal(lt) else 0.0
           var done = false
           while (!done && rHead != null) {
             val c = keyOrd.compare(rHeadKey, curKey)
@@ -158,7 +186,30 @@ case class AsofJoinExec(
               advanceRight()
             } else done = true
           }
-          joined(l, if (cand != null) cand else nullRight)
+          // nearest: the one-row lookahead IS the forward candidate —
+          // rHead (same key) holds the smallest right time > leftTime.
+          // Pick the closer side; exact-tie prefers backward. Forward
+          // ties at the matched time resolve to the SMALLEST tie-break
+          // (first in right sort order — the lookahead cannot consume
+          // further rows without stealing later lefts' candidates),
+          // backward to the largest; a null left time matches nothing.
+          val matched =
+            if (!nearest) cand
+            else if (ltNull) null
+            else {
+              val fwd =
+                if (rHead != null && keyOrd.compare(rHeadKey, curKey) == 0)
+                  rHead
+                else null
+              if (cand == null) fwd
+              else if (fwd == null) cand
+              else {
+                val backDist = ltv - timeVal(rTimeProj(cand))
+                val fwdDist = timeVal(rTimeProj(fwd)) - ltv
+                if (backDist <= fwdDist) cand else fwd
+              }
+            }
+          joined(l, if (matched != null) matched else nullRight)
           resultProj(joined)
         }
       }
@@ -210,17 +261,22 @@ object AsofJoin {
         col("__last").as(s"last_$rightVal"))
   }
 
-  /** As-of join. `direction = "backward"` (default) matches the latest
-    * right row with rt ≤ lt; `"forward"` matches the EARLIEST right row
-    * with rt ≥ lt (the next quote after a trade, the first shipment
-    * after an order). Both directions resolve ties at the matched
-    * timestamp to the greatest tie-break value.
+  /** As-of join, pandas-merge_asof directions. `"backward"` (default)
+    * matches the latest right row with rt ≤ lt; `"forward"` the
+    * earliest right row with rt ≥ lt (the next quote after a trade);
+    * `"nearest"` whichever of the two is closer in time, preferring
+    * backward on an exact distance tie. Backward/forward resolve ties
+    * at the matched timestamp to the greatest tie-break value; for
+    * nearest's forward side the tie resolves to the smallest (the
+    * merge's one-row lookahead — see the exec).
     *
     * Forward reuses the same ordered-merge exec on NEGATED time (for
     * timestamps: negated epoch micros) — "earliest ≥ t" is "latest ≤
     * −t" under the reversed axis, so no second physical operator or
     * planner path exists to drift from the backward one; the helper
-    * columns are dropped from the result.
+    * columns are dropped from the result. Nearest runs the backward
+    * merge with the lookahead row as the forward candidate — still one
+    * pass, still O(1) state.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
@@ -230,7 +286,7 @@ object AsofJoin {
     import org.apache.spark.sql.functions.unix_micros
     import org.apache.spark.sql.types.{NumericType, TimestampType}
     direction match {
-      case "backward" => // fall through to the merge below
+      case "backward" | "nearest" => // fall through to the merge below
       case "forward" =>
         def neg(df: DataFrame, t: String): Column =
           df.schema(t).dataType match {
@@ -244,7 +300,7 @@ object AsofJoin {
           leftKeys, rightKeys, "__graft_lnt", "__graft_rnt", rightTieBreak)
           .drop("__graft_lnt", "__graft_rnt")
       case other => throw new IllegalArgumentException(
-        s"direction must be 'backward' or 'forward', got '$other'")
+        s"direction must be 'backward', 'forward' or 'nearest', got '$other'")
     }
     val spark = left.sparkSession
     GraftSqlShim.addStrategy(spark, AsofJoinStrategy)
@@ -286,6 +342,7 @@ object AsofJoin {
     // dots working.
     val rPlan = Filter(IsNotNull(rt), rPlanRaw)
     GraftSqlShim.ofRows(spark,
-      AsofJoinPlan(lPlan, rPlan, lks, rks, lt, rt, tie))
+      AsofJoinPlan(lPlan, rPlan, lks, rks, lt, rt, tie,
+        nearest = direction == "nearest"))
   }
 }

@@ -376,6 +376,48 @@ object EventQueries {
           AS next_order
       FROM events e ORDER BY e.event_id"""))
 
+  val q110AsofNearest = Q("q110_asof_nearest",
+    // nearest as-of: each event matched to the closest order in either
+    // direction, backward preferred on an exact distance tie —
+    // completing the pandas-merge_asof direction trio on the same
+    // single-pass merge exec (the one-row lookahead serves as the
+    // forward candidate, so nearest costs the same as backward).
+    // Tie-breaks at the matched date: backward side max order key,
+    // forward side min (documented lookahead semantics).
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(TimestampType).as("o_ts"))
+      graft.plans.AsofJoin.asof(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_ts",
+          rightTieBreak = Seq("o_orderkey"), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("near_order"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        CASE WHEN ch.use_b THEN
+          (SELECT max(o.o_orderkey) FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate = ch.chosen)
+        ELSE
+          (SELECT min(o.o_orderkey) FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate = ch.chosen)
+        END AS near_order
+      FROM events e, LATERAL (
+        SELECT CASE WHEN use_b THEN b ELSE f END AS chosen, use_b FROM (
+          SELECT b, f, (b IS NOT NULL AND (f IS NULL OR
+            date_diff('microsecond', b, e.ts) <=
+            date_diff('microsecond', e.ts, f))) AS use_b
+          FROM (SELECT
+            (SELECT max(o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS b,
+            (SELECT min(o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts) AS f)
+        )) ch
+      ORDER BY e.event_id"""))
+
   val q71MapFuncs = Q("q71_map_funcs",
     // map-typed column surface: construction from columns, map_concat,
     // a str_to_map round-trip over a packed "k=v" string, map_filter,
@@ -602,5 +644,5 @@ object EventQueries {
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
-    q107HoppingWindow, q109AsofForward)
+    q107HoppingWindow, q109AsofForward, q110AsofNearest)
 }

@@ -76,8 +76,49 @@ class AsofPlanSpec extends SparkSpec {
 
     intercept[IllegalArgumentException] {
       AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
-        direction = "nearest")
+        direction = "sideways")
     }
+  }
+
+  test("nearest direction matches brute force incl. distance ties") {
+    val rnd = new Random(13)
+    // small time range on purpose: plenty of exact-distance ties and
+    // equal-time duplicates to pin the tie rules
+    val lefts = Seq.tabulate(500) { i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(60).toLong, i.toLong)
+    }
+    val rights = Seq.tabulate(400) { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(60).toLong, i.toLong)
+    }
+    val l = lefts.toDF("k", "t", "id").repartition(4)
+    val r = rights.toDF("k", "rt", "rid").repartition(3)
+
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
+        rightTieBreak = Seq("rid"), direction = "nearest")
+      .select($"id", $"rid")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val expected = lefts.map { case (k, t, id) =>
+      val back = rights.filter(x => x._1 == k && x._2 <= t)
+      val fwd = rights.filter(x => x._1 == k && x._2 > t)
+      val b = if (back.isEmpty) None else {
+        val bt = back.map(_._2).max
+        Some((bt, back.filter(_._2 == bt).map(_._3).max)) // max tie
+      }
+      val f = if (fwd.isEmpty) None else {
+        val ft = fwd.map(_._2).min
+        Some((ft, fwd.filter(_._2 == ft).map(_._3).min)) // min tie
+      }
+      val best = (b, f) match {
+        case (None, None) => None
+        case (Some((_, rid)), None) => Some(rid)
+        case (None, Some((_, rid))) => Some(rid)
+        case (Some((bt, brid)), Some((ft, frid))) =>
+          if (t - bt <= ft - t) Some(brid) else Some(frid)
+      }
+      id -> best
+    }.toMap
+    assert(got == expected)
   }
 
   test("empty right side null-pads every left row") {
