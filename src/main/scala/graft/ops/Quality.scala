@@ -55,43 +55,54 @@ object Quality {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Quality.check needs at least one rule")
+    // Two rules of the same kind on the same column (e.g. InRange with
+    // different bounds at different minFrac) share a base name; keep
+    // the first occurrence's name stable and disambiguate repeats with
+    // a #k suffix so both report rows appear instead of colliding.
+    // Aggregate aliases are positional (_m<i>), never the display name,
+    // so duplicate display names can never produce an ambiguous col().
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val named: Seq[(Rule, String)] = rules.map { r =>
+      val n = seen.updateWith(r.name)(c => Some(c.getOrElse(0) + 1)).get
+      (r, if (n == 1) r.name else s"${r.name}#$n")
+    }
     // degenerate-input conventions (0/0 would otherwise surface as
     // NaN): an empty table has null-fraction 0 (no violations); a
     // fraction-of-non-null rule over zero non-null values is vacuously
     // compliant (metric 1, deequ's convention)
-    val rowLocal = rules.collect {
-      case r: NotNull =>
+    val rowLocal = named.zipWithIndex.collect {
+      case ((r: NotNull, dn), i) =>
         val frac = when(count(lit(1)) === 0, 0.0)
           .otherwise(sum(when(col(r.col).isNull, 1L).otherwise(0L))
             .cast("double") / count(lit(1)))
-        (r.name, frac, (m: Column) => m <= r.maxNullFrac)
-      case r: InRange =>
+        (dn, s"_m$i", frac, (m: Column) => m <= r.maxNullFrac)
+      case ((r: InRange, dn), i) =>
         val frac = when(count(col(r.col)) === 0, 1.0)
           .otherwise(sum(when(col(r.col).between(r.lo, r.hi), 1L)
             .otherwise(0L)).cast("double") / count(col(r.col)))
-        (r.name, frac, (m: Column) => m >= r.minFrac)
-      case r: Matches =>
+        (dn, s"_m$i", frac, (m: Column) => m >= r.minFrac)
+      case ((r: Matches, dn), i) =>
         val frac = when(count(col(r.col)) === 0, 1.0)
           .otherwise(sum(when(regexp_like(col(r.col), lit(r.regex)), 1L)
             .otherwise(0L)).cast("double") / count(col(r.col)))
-        (r.name, frac, (m: Column) => m >= r.minFrac)
+        (dn, s"_m$i", frac, (m: Column) => m >= r.minFrac)
     }
     val localReport: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
-        val agged = df.agg(rowLocal.head._2.as(rowLocal.head._1),
-          rowLocal.tail.map { case (n, c, _) => c.as(n) }: _*)
-        Some(agged.select(rowLocal.map { case (n, _, pass) =>
-          struct(lit(n).as("rule"), col(n).cast("double").as("metric"),
-            pass(col(n)).as("passed")).as(n)
-        }: _*).select(explode(array(rowLocal.map(r => col(r._1)): _*)).as("r"))
+        val agged = df.agg(rowLocal.head._3.as(rowLocal.head._2),
+          rowLocal.tail.map { case (_, a, c, _) => c.as(a) }: _*)
+        Some(agged.select(rowLocal.map { case (dn, a, _, pass) =>
+          struct(lit(dn).as("rule"), col(a).cast("double").as("metric"),
+            pass(col(a)).as("passed")).as(a)
+        }: _*).select(explode(array(rowLocal.map(r => col(r._2)): _*)).as("r"))
           .select(col("r.rule"), col("r.metric"), col("r.passed")))
       }
-    val uniqueReports = rules.collect { case r: Unique =>
+    val uniqueReports = named.collect { case (r: Unique, dn) =>
       df.agg((count(lit(1)) -
         count_distinct(struct(r.cols.map(col): _*))).cast("double")
         .as("metric"))
-        .select(lit(r.name).as("rule"), col("metric"),
+        .select(lit(dn).as("rule"), col("metric"),
           (col("metric") === 0.0).as("passed"))
     }
     (localReport.toSeq ++ uniqueReports)

@@ -93,17 +93,28 @@ case class AsofJoinExec(
     nearest: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  /** Numeric time reader for the nearest-direction distance compare;
-    * only resolved when `nearest` is set, so backward/forward keep
-    * working for any ordered time type.
+  /** Time readers for the nearest-direction distance compare; only
+    * resolved when `nearest` is set, so backward/forward keep working
+    * for any ordered time type. Integral time types (timestamps are
+    * epoch micros, dates day ordinals) compare in exact Long
+    * arithmetic — a Double distance would lose precision above 2^53
+    * (nanosecond-scale epochs), mis-picking the closer side; the
+    * Double reader only serves genuinely fractional columns.
     */
-  private def timeValueReader: InternalRow => Double = {
+  private def timeLongReader: Option[InternalRow => Long] = {
     import org.apache.spark.sql.types._
     leftTime.dataType match {
       case TimestampType | TimestampNTZType | LongType =>
-        r => r.getLong(0).toDouble
-      case IntegerType | DateType => r => r.getInt(0).toDouble
-      case ShortType => r => r.getShort(0).toDouble
+        Some(r => r.getLong(0))
+      case IntegerType | DateType => Some(r => r.getInt(0).toLong)
+      case ShortType => Some(r => r.getShort(0).toLong)
+      case _ => None
+    }
+  }
+
+  private def timeDoubleReader: InternalRow => Double = {
+    import org.apache.spark.sql.types._
+    leftTime.dataType match {
       case DoubleType => r => r.getDouble(0)
       case FloatType => r => r.getFloat(0).toDouble
       case dt => throw new UnsupportedOperationException(
@@ -142,8 +153,10 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
-      val timeVal: InternalRow => Double =
-        if (nearest) timeValueReader else null
+      val timeValL: InternalRow => Long =
+        if (nearest) timeLongReader.orNull else null
+      val timeValD: InternalRow => Double =
+        if (nearest && timeValL == null) timeDoubleReader else null
 
       new Iterator[InternalRow] {
         // one-row lookahead into the right side; rows are copied out of
@@ -176,7 +189,8 @@ case class AsofJoinExec(
           // buffer and the distance compare below needs the value after
           // further projections
           val ltNull = nearest && lt.isNullAt(0)
-          val ltv = if (nearest && !ltNull) timeVal(lt) else 0.0
+          val ltvL = if (timeValL != null && !ltNull) timeValL(lt) else 0L
+          val ltvD = if (timeValD != null && !ltNull) timeValD(lt) else 0.0
           var done = false
           while (!done && rHead != null) {
             val c = keyOrd.compare(rHeadKey, curKey)
@@ -203,9 +217,16 @@ case class AsofJoinExec(
                 else null
               if (cand == null) fwd
               else if (fwd == null) cand
-              else {
-                val backDist = ltv - timeVal(rTimeProj(cand))
-                val fwdDist = timeVal(rTimeProj(fwd)) - ltv
+              else if (timeValL != null) {
+                // exact: cand ≤ lt ≤ fwd, so both distances are
+                // non-negative and only overflow for a time spread
+                // beyond 2^63 units — out of range for any epoch
+                val backDist = ltvL - timeValL(rTimeProj(cand))
+                val fwdDist = timeValL(rTimeProj(fwd)) - ltvL
+                if (backDist <= fwdDist) cand else fwd
+              } else {
+                val backDist = ltvD - timeValD(rTimeProj(cand))
+                val fwdDist = timeValD(rTimeProj(fwd)) - ltvD
                 if (backDist <= fwdDist) cand else fwd
               }
             }
@@ -283,17 +304,27 @@ object AsofJoin {
            leftTime: String, rightTime: String,
            rightTieBreak: Seq[String] = Nil,
            direction: String = "backward"): DataFrame = {
-    import org.apache.spark.sql.functions.unix_micros
-    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    import org.apache.spark.sql.functions.{expr, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType,
+      TimestampType}
     direction match {
       case "backward" | "nearest" => // fall through to the merge below
       case "forward" =>
         def neg(df: DataFrame, t: String): Column =
           df.schema(t).dataType match {
             case TimestampType => -unix_micros(df(t))
+            case DateType => -unix_date(df(t)) // exact day ordinal
+            case TimestampNTZType =>
+              // no unix_micros for NTZ, and a cast through TimestampType
+              // would apply the session zone (non-monotonic across DST);
+              // timestampdiff subtracts wall-clock micros exactly, and
+              // end − start with end = epoch IS the negation
+              val q = s"`${t.replace("`", "``")}`"
+              expr("timestampdiff(MICROSECOND, " + q +
+                ", TIMESTAMP_NTZ'1970-01-01 00:00:00')")
             case _: NumericType => -df(t)
             case dt => throw new IllegalArgumentException(
-              s"forward as-of needs a timestamp or numeric time column, got $dt")
+              s"forward as-of needs a timestamp/date or numeric time column, got $dt")
           }
         return asof(left.withColumn("__graft_lnt", neg(left, leftTime)),
           right.withColumn("__graft_rnt", neg(right, rightTime)),

@@ -236,6 +236,17 @@ object StreamingJobs {
     * crash point then lands in one of two recoverable states: swap not
     * yet done (replay re-folds, correct) or swap done (replay is
     * skipped by the guard, correct).
+    *
+    * The batch-id guard is only meaningful within ONE checkpoint
+    * lifetime: a fresh checkpoint restarts batch ids at 0 while
+    * replaying every source file, so comparing its ids against state
+    * built under the old checkpoint would either double-count (no
+    * guard) or silently drop genuinely new data (naive guard). The
+    * state therefore also records the streaming query id (`__ckpt_id`,
+    * stable across restarts of the same checkpoint, fresh per new
+    * checkpoint), and the fold REFUSES loudly when the identity
+    * changes — the operator must either restore the original
+    * checkpoint or delete the state dir to rebuild from the replay.
     */
   def runIncrementalAggAvailableNow(spark: SparkSession, srcDir: String,
                                     stateDir: String, keys: Seq[String],
@@ -249,20 +260,52 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        val ckptId = checkpointIdentity(s, checkpointDir)
         val prior = graft.etl.Load.readTable(s, stateDir)
+        prior.filter(_.columns.contains("__ckpt_id")).foreach { p =>
+          p.select("__ckpt_id").head(1).foreach { r =>
+            require(r.getString(0) == ckptId,
+              s"state at $stateDir was built under checkpoint query " +
+                s"${r.getString(0)} but this run's checkpoint at " +
+                s"$checkpointDir has query id $ckptId — a fresh " +
+                "checkpoint restarts batch ids and replays all source " +
+                "files, so folding would double-count or drop data. " +
+                "Restore the original checkpoint, or delete the state " +
+                "dir to rebuild it from the full replay.")
+          }
+        }
         val lastApplied = prior.flatMap(p =>
           Option(p.agg(max(col("__batch_id"))).head.get(0))
             .map(_.asInstanceOf[Long]))
           .getOrElse(-1L)
         if (batchId > lastApplied) {
           val next = graft.ops.Scale.incrementalAgg(
-            prior.map(_.drop("__batch_id")), batch, keys, valueCol)
+            prior.map(_.drop("__batch_id").drop("__ckpt_id")),
+            batch, keys, valueCol)
             .withColumn("__batch_id", lit(batchId))
+            .withColumn("__ckpt_id", lit(ckptId))
           graft.etl.Load.replaceTable(s, next, stateDir)
         }
         ()
       }
       .start()
+  }
+
+  /** The streaming query id from `checkpointDir/metadata` — written by
+    * Spark at query start, stable across restarts that reuse the
+    * checkpoint, fresh for a new checkpoint dir: exactly the identity
+    * a cross-lifetime replay guard must be scoped to.
+    */
+  private def checkpointIdentity(spark: SparkSession,
+                                 checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse(sys.error(s"no query id in checkpoint metadata at $p"))
+    } finally in.close()
   }
 
   def runDailyAvailableNow(spark: SparkSession, srcDir: String, outDir: String,

@@ -61,14 +61,23 @@ object Stress {
 
     val dir = "/tmp/graft_stress"
     // the events table feeds every phase: when a phase filter skips the
-    // timed write, still (re)build it if it's not already on disk
-    val haveEvents = new java.io.File(s"$dir/events/_SUCCESS").exists
+    // timed write, still (re)build it if it's not already on disk AT
+    // THIS ROW COUNT — a _GRAFT_ROWS marker pins the scale the dataset
+    // was generated at, so a stale table from a prior run at a
+    // different [rows] never silently feeds the filtered phases
+    val marker = new java.io.File(s"$dir/events/_GRAFT_ROWS")
+    def writeEvents(): Unit = {
+      Scale.writePartitionedByDay(ev, col("ts"), s"$dir/events")
+      java.nio.file.Files.write(marker.toPath,
+        rows.toString.getBytes("UTF-8"))
+    }
+    val haveEvents = new java.io.File(s"$dir/events/_SUCCESS").exists &&
+      marker.exists &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim == rows.toString
     if (wanted("write parquet (partitioned)"))
-      time("write parquet (partitioned)") {
-        Scale.writePartitionedByDay(ev, col("ts"), s"$dir/events")
-        rows
-      }
-    else if (!haveEvents) Scale.writePartitionedByDay(ev, col("ts"), s"$dir/events")
+      time("write parquet (partitioned)") { writeEvents(); rows }
+    else if (!haveEvents) writeEvents()
     val t = spark.read.parquet(s"$dir/events")
 
     time("partition-pruned day scan") {

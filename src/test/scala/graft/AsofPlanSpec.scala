@@ -121,6 +121,48 @@ class AsofPlanSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("forward direction handles Date and TimestampNTZ time columns") {
+    // Date: forward = earliest right date >= left date
+    val lD = Seq((1L, "2024-01-10")).toDF("k", "d")
+      .select($"k", $"d".cast("date").as("d"))
+    val rD = Seq((1L, "2024-01-05", 1L), (1L, "2024-01-12", 2L),
+        (1L, "2024-02-01", 3L))
+      .toDF("k", "rd", "rid")
+      .select($"k", $"rd".cast("date").as("rd"), $"rid")
+    val gotD = AsofJoin.asof(lD, rD, Seq("k"), Seq("k"), "d", "rd",
+        direction = "forward")
+      .select($"rid").as[Option[Long]].collect().toSeq
+    assert(gotD == Seq(Some(2L)))
+
+    // TimestampNTZ: negation must be exact micros, not a session-zone
+    // cast — micro-second adjacency pins it
+    val lN = Seq((1L, "2024-01-10 00:00:00.000001")).toDF("k", "t")
+      .select($"k", $"t".cast("timestamp_ntz").as("t"))
+    val rN = Seq((1L, "2024-01-10 00:00:00.000000", 1L),
+        (1L, "2024-01-10 00:00:00.000002", 2L),
+        (1L, "2024-01-11 00:00:00.000000", 3L))
+      .toDF("k", "rt", "rid")
+      .select($"k", $"rt".cast("timestamp_ntz").as("rt"), $"rid")
+    val gotN = AsofJoin.asof(lN, rN, Seq("k"), Seq("k"), "t", "rt",
+        direction = "forward")
+      .select($"rid").as[Option[Long]].collect().toSeq
+    assert(gotN == Seq(Some(2L)))
+  }
+
+  test("nearest distances are exact Long arithmetic above 2^53") {
+    // at 2^60 the Double ulp is 256, so both distances round to 0.0
+    // and a Double compare would prefer backward; exact Long
+    // arithmetic must pick the closer forward row (distance 2 < 3)
+    val base = 1L << 60
+    val l = Seq((1L, base, 1L)).toDF("k", "t", "id")
+    val r = Seq((1L, base - 3L, 10L), (1L, base + 2L, 20L))
+      .toDF("k", "rt", "rid")
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt",
+        direction = "nearest")
+      .select($"rid").as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(20L)))
+  }
+
   test("empty right side null-pads every left row") {
     val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val r = Seq.empty[(Long, Long)].toDF("k", "rt")

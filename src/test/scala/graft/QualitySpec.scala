@@ -68,4 +68,21 @@ class QualitySpec extends SparkSpec {
     assert(rep("unique:x,y"))     // composite is unique
     assert(!rep("unique:x"))      // x alone is not
   }
+
+  test("duplicate rules on one column disambiguate instead of colliding") {
+    // a legitimate layered rule set: strict range at low minFrac plus a
+    // loose range at 1.0 — same base name, must yield two report rows
+    val df = Seq(1.0, 5.0, 9.0, 50.0).toDF("v")
+    val rep = Quality.check(df, Seq(
+      InRange("v", 0, 10, minFrac = 0.7),
+      InRange("v", 0, 100, minFrac = 1.0),
+      Unique(Seq("v")),
+      Unique(Seq("v"))))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(rep("in_range:v") == ((0.75, true)))     // 3/4 inside [0,10]
+    assert(rep("in_range:v#2") == ((1.0, true)))    // all inside [0,100]
+    assert(rep("unique:v") == rep("unique:v#2"))    // same rule, both rows
+    assert(rep.size == 4)
+  }
 }

@@ -238,7 +238,8 @@ class StreamingSpec extends SparkSpec {
     run(ckpt)
     val want = ev.groupBy("event_type")
       .agg(sum("v").as("agg_sum"), count("v").as("agg_cnt"))
-    def stateNow() = spark.read.parquet(state).drop("__batch_id")
+    def stateNow() =
+      spark.read.parquet(state).drop("__batch_id", "__ckpt_id")
     assert(stateNow().exceptAll(want).isEmpty &&
       want.exceptAll(stateNow()).isEmpty)
 
@@ -246,9 +247,17 @@ class StreamingSpec extends SparkSpec {
     run(ckpt)
     assert(stateNow().exceptAll(want).isEmpty)
 
-    // fresh checkpoint replays everything as batch 0: the __batch_id
-    // guard must refuse the re-fold instead of double-counting
-    run(Files.createTempDirectory("inc_ckpt2").toString)
+    // fresh checkpoint replays everything as batch 0 with a NEW query
+    // id: the identity guard must fail loudly — silently skipping
+    // (old behavior) is indistinguishable from dropping new data
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Files.createTempDirectory("inc_ckpt2").toString)
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(boom).exists(_.contains("built under checkpoint")))
+    // and the state survives untouched
     assert(stateNow().exceptAll(want).isEmpty &&
       want.exceptAll(stateNow()).isEmpty)
 
