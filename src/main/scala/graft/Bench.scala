@@ -71,12 +71,23 @@ object Bench {
       case (name, _) if passes.exists(!_(name)._2) => name
     }
 
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: sub-ms digits are noise, and at 110
+    // queries the full-precision line was ~8 KB — halving it keeps the
+    // whole JSON inside any size-limited tail capture
+    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
+    // self-describing: total_s/cpus/n_queries/passes ride along so the
+    // file artifact needs no re-derivation ("metric"/"value" stay for
+    // the driver's existing parse)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
+        s""""cpus":$cpus,"passes":$Passes,""" +
+        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no executor/log line can interleave
     // with (or clip) the JSON in a captured stream, and also write it to
     // a file — the recorded artifact must survive log buffering
@@ -84,5 +95,16 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), json)
     println(json)
+    // capture-proofing: sbt prints its own [success] banner AFTER main
+    // returns, so the println above is never the captured stream's last
+    // line. A shutdown hook writing straight to fd 1 (bypassing sbt's
+    // logger redirection of System.out) runs at sbt-JVM exit — the JSON
+    // is then the absolute last stdout line, unprefixed and unclipped.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val out = new java.io.PrintStream(new java.io.FileOutputStream(
+        java.io.FileDescriptor.out), true)
+      out.println(json)
+      out.flush()
+    }))
   }
 }
