@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational.{antiJoin, dedupKeepLast, dedupKeepLastPositional, requireNonNull, semiJoin}
@@ -13,10 +13,14 @@ import graft.ops.Relational.{antiJoin, dedupKeepLast, dedupKeepLastPositional, r
   * sinks for dropped rows (K5, W3, J4/J5).
   *
   * Scale notes: upsert = read-union-dedup-overwrite staged to a temp
-  * dir then atomically swapped — the parquet-world MERGE. At 100 TB the
-  * same code applies per partition (overwrite only touched partitions);
-  * batching/pacing/retry of the reference's HTTP sink (K3/K4) is
-  * subsumed by Spark task parallelism + task retry.
+  * dir then atomically swapped — the parquet-world MERGE. The whole-
+  * table form ([[upsert]]/[[applyCdc]]) is for catalog-scale tables;
+  * big tables use the SCOPED forms ([[upsertPartitioned]] for
+  * day-partitioned layouts, [[upsertBucketed]]/[[applyCdcBucketed]]
+  * for hash-bucketed PK layouts), which read and rewrite ONLY the
+  * partitions/buckets the batch touches — merge cost scales with the
+  * batch, not the table. Batching/pacing/retry of the reference's HTTP
+  * sink (K3/K4) is subsumed by Spark task parallelism + task retry.
   */
 object Load {
 
@@ -66,8 +70,28 @@ object Load {
     fs.delete(old, true)
   }
 
+  /** Heal per-partition swap remnants: a crash between a scoped
+    * merge's two renames leaves `part.__old` beside (or instead of) a
+    * partition dir; left alone, partition discovery would either miss
+    * the partition or surface a phantom `day=X.__old` value. One
+    * listStatus of the table root, then the same recoverSwap contract
+    * per remnant.
+    */
+  private[graft] def recoverScopedSwaps(spark: SparkSession,
+                                        dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".__old"))
+          recoverSwap(spark, s"$dir/${name.stripSuffix(".__old")}")
+      }
+  }
+
   def readTable(spark: SparkSession, dir: String): Option[DataFrame] = {
     recoverSwap(spark, dir)
+    recoverScopedSwaps(spark, dir)
     if (tableExists(spark, dir)) Some(spark.read.parquet(dir)) else None
   }
 
@@ -125,6 +149,201 @@ object Load {
     spark.read.parquet(dir).count()
   }
 
+  /** Scoped-merge core: merge `incoming` into the table at `dir`
+    * touching ONLY the `scopeCol` partitions the batch contains.
+    * `incoming` must carry `scopeCol`; the table layout must be
+    * `partitionBy(scopeCol)` (what the bootstrap path here writes).
+    *
+    * Plan shape: the existing side is read with an `isin` filter on
+    * the touched scope values — partition PRUNING, so the scan reads
+    * touched directories only, never the table. The merged result is
+    * staged `partitionBy(scopeCol)` and each touched partition dir is
+    * swapped in with the same two-rename contract as [[atomicSwap]] —
+    * untouched partition dirs are never opened, written, or renamed.
+    *
+    * Crash contract: each partition swap is individually atomic; a
+    * crash between partitions leaves earlier scopes merged and later
+    * ones not — re-running the SAME batch is idempotent (keep-last /
+    * anti-join merges converge), and [[readTable]] heals any
+    * mid-rename remnant first. The touched-scope list is a driver
+    * collect bounded by the batch's distinct scope values (days in a
+    * daily batch, ≤ bucket count for bucketed tables) — never by
+    * table size.
+    *
+    * Returns the merged row count across touched scopes (a full-table
+    * count would be the O(table) scan this operator exists to avoid).
+    */
+  private def scopedMerge(spark: SparkSession, incoming: DataFrame,
+                          dir: String, scopeCol: String,
+                          merge: (Option[DataFrame], DataFrame) => DataFrame)
+      : Long = {
+    require(incoming.columns.contains(scopeCol),
+      s"scoped merge: incoming batch lacks scope column $scopeCol")
+    readTable(spark, dir) match {
+      case None =>
+        val staging = s"$dir.__staging"
+        // repartition ON the scope column so each scope's rows land in
+        // one task → ONE file per partition dir. A naive partitionBy
+        // write sprays tasks×scopes files (32 tasks × 1024 buckets =
+        // 32k tiny files) and every later merge pays that listing.
+        merge(None, incoming).repartition(col(scopeCol))
+          .write.mode("overwrite").partitionBy(scopeCol).parquet(staging)
+        val n = spark.read.parquet(staging).count()
+        atomicSwap(spark, staging, dir)
+        n
+      case Some(existing) =>
+        val scopes = incoming.select(col(scopeCol).cast("string"))
+          .na.drop().distinct().collect().map(_.getString(0)).sorted
+        require(scopes.nonEmpty, "scoped merge: batch has no scope values")
+        val touched = col(scopeCol).cast("string").isin(scopes.toSeq: _*)
+        val merged = merge(Some(existing.filter(touched)), incoming)
+        val staging = s"$dir.__scoped_staging"
+        val sp = new Path(staging)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(sp, true) // stale staging from a crashed prior run
+        // one task (→ one file) per touched scope: the merge output is
+        // day/bucket-sized, and per-scope files keep later merges and
+        // scans from inheriting a tasks×scopes small-file spray
+        merged.repartition(scopes.length, col(scopeCol))
+          .write.mode("overwrite").partitionBy(scopeCol).parquet(staging)
+        // count the STAGING side (touched scopes only) — counting via
+        // the table root would re-run partition discovery over every
+        // untouched directory. Explicit schema: an all-deletes merge
+        // leaves staging with no files to infer from
+        val n = spark.read.schema(merged.schema).parquet(staging).count()
+        scopes.foreach { s =>
+          val part = s"$scopeCol=$s"
+          // a scope can be present in the batch but produce no output
+          // rows (all-deletes): swap in the now-empty partition by
+          // REMOVING the target dir (an absent dir is the empty
+          // partition; staging has no dir to rename in)
+          if (fs.exists(new Path(s"$staging/$part")))
+            atomicSwap(spark, s"$staging/$part", s"$dir/$part")
+          else fs.delete(new Path(s"$dir/$part"), true)
+        }
+        fs.delete(sp, true)
+        n
+    }
+  }
+
+  /** [[upsert]] for a day-partitioned table, rewriting only the `day=`
+    * partitions present in the batch. The merge key is (dayCol, pk):
+    * a PK that moves to a different day is a NEW row in that day — the
+    * standard partition-scoped-merge contract (Delta's replaceWhere has
+    * the same constraint); use the bucketed form when PKs migrate.
+    */
+  def upsertPartitioned(spark: SparkSession, df: DataFrame, dir: String,
+                        pk: String, dayCol: String = "day"): Long = {
+    require(df.columns.contains(dayCol),
+      s"upsertPartitioned: batch lacks day column $dayCol")
+    val incoming = dedupKeepLastPositional(df, Seq(dayCol, pk))
+    scopedMerge(spark, incoming, dir, dayCol, {
+      case (Some(ex), inc) =>
+        dedupKeepLast(
+          ex.withColumn("__prio", lit(0))
+            .unionByName(inc.withColumn("__prio", lit(1))),
+          Seq(dayCol, pk), Seq(col("__prio"))).drop("__prio")
+      case (None, inc) => inc
+    })
+  }
+
+  /** Deterministic bucket id for [[upsertBucketed]]'s layout: a PK
+    * always lands in the same bucket, so PK-merge within touched
+    * buckets is globally correct.
+    */
+  private def bucketOf(pk: Column, buckets: Int): Column =
+    pmod(xxhash64(pk), lit(buckets.toLong)).cast("int")
+
+  /** Persist/verify the bucket count the table was laid out with: a
+    * merge computing bucket ids under a DIFFERENT count would scope to
+    * the wrong directories and duplicate PKs. Underscore-prefixed so
+    * partition discovery ignores it.
+    */
+  private def checkBucketLayout(spark: SparkSession, dir: String,
+                                buckets: Int, bootstrap: Boolean): Unit = {
+    val marker = new Path(s"$dir/_GRAFT_BUCKETS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (bootstrap) {
+      val out = fs.create(marker, true)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    } else {
+      require(fs.exists(marker),
+        s"$dir is not a bucketed-layout table (no _GRAFT_BUCKETS marker)")
+      val in = fs.open(marker)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(recorded == buckets.toString,
+        s"$dir was bucketed with $recorded buckets, merge asked for $buckets")
+    }
+  }
+
+  /** [[upsert]] for a large PK table in a hash-bucketed layout
+    * (`__bucket=K` partition dirs, K = xxhash64(pk) mod buckets):
+    * rewrites only buckets containing touched keys. A daily batch of
+    * B keys costs O(B + touched-bucket bytes) I/O — independent of
+    * table size once `buckets` is sized so a bucket ≈ a comfortable
+    * task unit. Bootstraps the layout (and its bucket-count marker)
+    * when the table doesn't exist yet.
+    */
+  def upsertBucketed(spark: SparkSession, df: DataFrame, dir: String,
+                     pk: String, buckets: Int): Long = {
+    require(buckets > 0, "buckets must be positive")
+    val bootstrap = !tableExists(spark, dir)
+    if (!bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = false)
+    val incoming = dedupKeepLastPositional(df, Seq(pk))
+      .withColumn("__bucket", bucketOf(col(pk), buckets))
+    val n = scopedMerge(spark, incoming, dir, "__bucket", {
+      case (Some(ex), inc) =>
+        dedupKeepLast(
+          ex.withColumn("__prio", lit(0))
+            .unionByName(inc.withColumn("__prio", lit(1))),
+          Seq(pk), Seq(col("__prio"))).drop("__prio")
+      case (None, inc) => inc
+    })
+    if (bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = true)
+    n
+  }
+
+  /** [[applyCdc]] for a hash-bucketed PK table: deletes and upserts
+    * scope to the buckets their keys hash into; untouched buckets'
+    * files are never rewritten.
+    */
+  def applyCdcBucketed(spark: SparkSession, changes: DataFrame, dir: String,
+                       pk: String, buckets: Int,
+                       opCol: String = "op"): Long = {
+    require(buckets > 0, "buckets must be positive")
+    validateCdcOps(changes, opCol)
+    val bootstrap = !tableExists(spark, dir)
+    if (!bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = false)
+    val lastPerKey = dedupKeepLastPositional(changes, Seq(pk))
+      .withColumn("__bucket", bucketOf(col(pk), buckets))
+    val n = scopedMerge(spark, lastPerKey, dir, "__bucket", { (exOpt, inc) =>
+      val upserts = inc.filter(lower(col(opCol)) =!= "d").drop(opCol)
+      exOpt match {
+        case Some(ex) =>
+          antiJoin(ex, inc.select(col(pk)), Seq(pk)).unionByName(upserts)
+        case None => upserts
+      }
+    })
+    if (bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = true)
+    n
+  }
+
+  /** Fail fast on malformed CDC ops: a NULL op would otherwise slip
+    * past the "u"-filter (lower(null) =!= "d" is null → row dropped)
+    * while its key still lands in the touched set — unannounced
+    * deletion.
+    */
+  private def validateCdcOps(changes: DataFrame, opCol: String): Unit = {
+    require(changes.columns.contains(opCol), s"changes lacks op column $opCol")
+    val badOps = changes
+      .filter(col(opCol).isNull || !lower(col(opCol)).isin("u", "d"))
+      .limit(1).count()
+    if (badOps > 0) throw new IllegalArgumentException(
+      s"applyCdc: $opCol contains values outside {u, d} (or NULL)")
+  }
+
   /** CDC batch apply — the MERGE the reference's warehouse cannot
     * express: `changes` carries the business key, an op column
     * (`"u"` = upsert, `"d"` = delete; case-insensitive), and the new
@@ -136,15 +355,7 @@ object Load {
     */
   def applyCdc(spark: SparkSession, changes: DataFrame, dir: String,
                pk: String, opCol: String = "op"): Long = {
-    require(changes.columns.contains(opCol), s"changes lacks op column $opCol")
-    // fail fast on malformed ops: a NULL op would otherwise slip past
-    // the "u"-filter below (lower(null) =!= "d" is null → row dropped)
-    // while its key still lands in `touched` — unannounced deletion
-    val badOps = changes
-      .filter(col(opCol).isNull || !lower(col(opCol)).isin("u", "d"))
-      .limit(1).count()
-    if (badOps > 0) throw new IllegalArgumentException(
-      s"applyCdc: $opCol contains values outside {u, d} (or NULL)")
+    validateCdcOps(changes, opCol)
     val lastPerKey = dedupKeepLastPositional(changes, Seq(pk))
     val upserts = lastPerKey.filter(lower(col(opCol)) =!= "d").drop(opCol)
     val touched = lastPerKey.select(col(pk))

@@ -306,5 +306,47 @@ object PipelineQueries {
       SELECT CAST(n_nationkey AS BIGINT) + 20000000, 'NEWSEG' FROM nation
       ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply)
+  val q111ScopedMerge = Q("q111_scoped_merge",
+    // bucket-SCOPED merge (Load.upsertBucketed / applyCdcBucketed):
+    // the 100 TB answer to q95's whole-table rewrite. The warehouse is
+    // laid out as __bucket=K partition dirs (K = xxhash64(pk) mod 16),
+    // so an update/CDC batch reads and rewrites ONLY the buckets its
+    // keys hash into — merge I/O scales with the batch, not the table
+    // (ScopedMergeSpec pins byte-identity of untouched buckets; the
+    // Stress 'scoped merge' phase pins the cost scaling). Three-step
+    // lifecycle under one oracle: bootstrap from orders, a scoped
+    // price update (keys %97), then CDC deletes (%101) + inserts.
+    (s, d) => {
+      val wh = tempRoot("graft_q111") + "/fact"
+      val ord = graft.tables.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.etl.Load.upsertBucketed(s, ord, wh, "o_orderkey", buckets = 16)
+      val updates = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      graft.etl.Load.upsertBucketed(s, updates, wh, "o_orderkey", buckets = 16)
+      val deletes = ord.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey"), lit(null).cast(LongType).as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"), lit("d").as("op"))
+      val inserts = graft.tables.Tables.nation(s, d).select(
+        (col("n_nationkey").cast(LongType) + 900000000L).as("o_orderkey"),
+        col("n_nationkey").cast(LongType).as("o_custkey"),
+        lit(42.5).as("o_totalprice"), lit("u").as("op"))
+      graft.etl.Load.applyCdcBucketed(s, deletes.unionByName(inserts), wh,
+        "o_orderkey", buckets = 16)
+      s.read.parquet(wh)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT 900000000 + n_nationkey, CAST(n_nationkey AS BIGINT), 42.5
+      FROM nation
+      ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
+    q111ScopedMerge)
 }

@@ -142,6 +142,50 @@ object Stress {
         asofRight, "user_id", "rt", "order_id"))
     }
 
+    // ---- scoped merge (q111 shape): merge cost must scale with the ----
+    // ---- BATCH, not the table. A/B: day-partition-scoped and       ----
+    // ---- bucket-scoped upsert vs the whole-table rewrite, same     ----
+    // ---- batches. Expect the scoped sides flat-cheap and the whole ----
+    // ---- sides paying the full table rewrite every time.           ----
+    if (Seq("scoped", "bucketed", "whole").exists(p =>
+        only.forall(_.exists(p.startsWith)) || wanted(p))) {
+      val fsRoot = new org.apache.hadoop.fs.Path(dir)
+      val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("merge_day", "merge_whole", "merge_bucket").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true))
+      val pdir = s"$dir/merge_day"
+      val wdir = s"$dir/merge_whole"
+      val bdir = s"$dir/merge_bucket"
+      time("scoped bootstrap day-partitioned") {
+        graft.etl.Load.upsertPartitioned(spark, t, pdir, "event_id")
+      }
+      time("whole bootstrap plain") {
+        graft.etl.Load.upsert(spark, t.drop("day"), wdir, "event_id")
+      }
+      val oneDay = t.filter(col("day") === "2024-01-15").limit(10000)
+        .withColumn("value", lit(0.0)).cache()
+      oneDay.count()
+      time("scoped merge one-day 10k batch") {
+        graft.etl.Load.upsertPartitioned(spark, oneDay, pdir, "event_id")
+      }
+      time("whole merge same 10k batch") {
+        graft.etl.Load.upsert(spark, oneDay.drop("day"), wdir, "event_id")
+      }
+      time("bucketed bootstrap (1024 buckets)") {
+        graft.etl.Load.upsertBucketed(spark, t.drop("day"), bdir,
+          "event_id", 1024)
+      }
+      // 32 keys touch ≤32/1024 buckets (~3% of files); 1000 keys ≤63%
+      // — cost follows the touched-bucket count, never the table
+      for (b <- Seq(32, 1000)) {
+        val batch = t.drop("day").limit(b).withColumn("value", lit(-1.0))
+        time(s"bucketed merge $b-key batch") {
+          graft.etl.Load.upsertBucketed(spark, batch, bdir, "event_id", 1024)
+        }
+      }
+      oneDay.unpersist()
+    }
+
     // ---- connected components (q80 shape): dup-cluster graphs are ----
     // ---- many small components; pointer jumping must converge in  ----
     // ---- O(log diameter) rounds with bounded plans (localCheckpoint ----
