@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * (`mapPartitions`) so per-partition setup (codec init, model load) is
   * amortized over thousands of rows — the Scala analogue of
   * `mapInPandas`. Everything Spark-side (schemas, batch shape,
-  * partition-wise init, explode fan-out) is real; only the codec call
-  * itself is stubbed (STUB markers below) because no image/audio
-  * libraries exist in this environment. Swapping a real decoder in
-  * changes one function body and nothing else.
+  * partition-wise init, explode fan-out) is real. IMAGE formats decode
+  * to actual pixels via the JDK's own `javax.imageio` codecs
+  * ([[ImageDecoder]] — PNG/JPEG/GIF/BMP, no extra jars); payloads that
+  * aren't decodable images, and audio/video formats, take the
+  * byte-domain [[StubDecoder]] path (STUB markers below), whose
+  * interface is the production shape for codecs this JVM doesn't
+  * bundle.
   */
 object Multimodal {
 
@@ -38,8 +41,53 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB decoder — a deterministic stand-in for an image/audio codec.
-    * Real implementation would parse `payload` with the codec matching
+  /** Formats [[decodeFeatures]] tries real pixel decode for — the set
+    * javax.imageio handles out of the box.
+    */
+  val ImageFormats: Set[String] = Set("png", "jpeg", "jpg", "gif", "bmp")
+
+  /** Real image decode via the JDK-bundled `javax.imageio` codecs:
+    * pixel-domain features — integer-luminance mean (Rec.601 weights in
+    * exact integer arithmetic, so results are bit-stable across
+    * platforms) and an 8-bin luminance histogram, the pixel twin of
+    * [[StubDecoder]]'s byte histogram. Returns None when the payload
+    * isn't a decodable image (ImageIO sniffs magic bytes), letting the
+    * caller fall back to byte-domain features instead of failing the
+    * partition.
+    */
+  class ImageDecoder extends Serializable {
+    def decodePixels(payload: Array[Byte])
+        : Option[(Double, Array[Float], Int, Int)] = {
+      val img = try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      } catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            sum += lum
+            hist(lum >>> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        Some((sum.toDouble / (w.toLong * h), hist, w, h))
+      }
+    }
+  }
+
+  /** STUB decoder — a deterministic stand-in for an audio/video codec
+    * (and the fallback for undecodable image payloads). Real
+    * implementation would parse `payload` with the codec matching
     * `format`; the fake derives features from the raw bytes so tests
     * are reproducible. The *interface* (bytes → features, constructed
     * once per partition) is the production shape.
@@ -80,18 +128,28 @@ object Multimodal {
   /** Partition-wise decode + feature extraction: ONE decoder per
     * partition (init amortization — the reason this is mapPartitions
     * and not a per-row UDF), rows streamed through it lazily (no
-    * partition-sized materialization).
+    * partition-sized materialization). Image formats decode real
+    * pixels ([[ImageDecoder]]); non-image formats and payloads ImageIO
+    * can't parse fall back to byte-domain features.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(FeatureSchema)
     media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
       .mapPartitions { rows =>
-        val decoder = new StubDecoder // per-partition, NOT per-row
+        val img = new ImageDecoder // per-partition, NOT per-row
+        val stub = new StubDecoder
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val (mean, emb) = decoder.decode(payload)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
+          val format = r.getAs[String]("format")
+          val (mean, emb) =
+            if (format != null && ImageFormats(format.toLowerCase))
+              img.decodePixels(payload) match {
+                case Some((m, h, _, _)) => (m, h)
+                case None => stub.decode(payload)
+              }
+            else stub.decode(payload)
+          Row(r.getAs[Long]("media_id"), format,
             payload.length, mean, emb.toSeq)
         }
       }(enc)

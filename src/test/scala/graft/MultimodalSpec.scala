@@ -81,6 +81,45 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Double]("cosine") <= 1.0000001))
   }
 
+  test("ImageDecoder decodes the checked-in PNG to exact pixel features") {
+    // src/test/resources/graft/media/tiny.png: 2x2 RGB — black, white /
+    // red, blue. Integer Rec.601 luminances: 0, 255, 76, 29.
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.png").toURI))
+    val dec = new Multimodal.ImageDecoder
+    val Some((mean, hist, w, h)) = dec.decodePixels(png)
+    assert(w == 2 && h == 2)
+    assert(mean == (0 + 255 + 76 + 29) / 4.0) // 90.0
+    assert(hist.toSeq == Seq(2f, 0f, 1f, 0f, 0f, 0f, 0f, 1f))
+    // garbage bytes are not an image — None, not an exception
+    assert(dec.decodePixels("not a png".getBytes("UTF-8")).isEmpty)
+    assert(dec.decodePixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeFeatures uses real pixels for images, byte stub otherwise") {
+    import org.apache.spark.sql.Row
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.png").toURI))
+    val fake = "definitely not an image".getBytes("UTF-8")
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, png, Row("png", 2, 2, 1)),
+        Row(2L, fake, Row("png", 0, 0, 1)),   // labeled png, not decodable
+        Row(3L, fake, Row("mp4", 0, 0, 30))), // non-image format
+      Multimodal.MediaSchema)
+    val out = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Double]("mean_byte"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))).toMap
+    // real PNG: pixel-domain features
+    assert(out(1L) == ((90.0, Seq(2f, 0f, 1f, 0f, 0f, 0f, 0f, 1f))))
+    // undecodable "png" and non-image format: byte-domain stub — both
+    // identical to the direct stub call (the q96 oracle contract)
+    val (sm, se) = new Multimodal.StubDecoder().decode(fake)
+    assert(out(2L) == ((sm, se.toSeq)))
+    assert(out(3L) == ((sm, se.toSeq)))
+  }
+
   test("native expressions callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
