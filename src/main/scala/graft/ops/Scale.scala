@@ -144,19 +144,34 @@ object Scale {
     * catalog (`saveAsTable`) because bucket metadata lives there, not
     * in the parquet footer.
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    key: String): Unit = {
-    require(buckets > 0)
-    val spark = df.sparkSession
-    // a PREVIOUS session's managed-table files can survive in the
-    // warehouse dir while this session's in-memory catalog starts
-    // empty — saveAsTable then refuses the orphaned location. Drop
-    // both the catalog entry and any leftover files first.
+  /** Drop `table` from the catalog AND delete any leftover warehouse
+    * files: a PREVIOUS session's managed-table files can survive in
+    * the warehouse dir while this session's in-memory catalog starts
+    * empty — saveAsTable then refuses the orphaned location.
+    */
+  private def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Register `df` as a managed catalog table (replacing any previous
+    * incarnation) — the precondition for catalog-level facilities:
+    * `ANALYZE TABLE` statistics, CBO join planning (q112), bucketed
+    * layouts ([[writeBucketed]]).
+    */
+  def saveManagedTable(df: DataFrame, table: String): Unit = {
+    dropManagedTable(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String): Unit = {
+    require(buckets > 0)
+    dropManagedTable(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)

@@ -661,6 +661,77 @@ object RelationalQueries {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  val q112CboStats = Q("q112_cbo_stats",
+    // cost-based planning from CATALOG COLUMN STATISTICS, no hints:
+    // file sizes alone can size a raw table, but only column stats can
+    // size a FILTERED one — exactly the case where a selective dim is
+    // "the output of an upstream stage" and the optimizer can't see
+    // the selectivity. Setup: orders filtered to the top ~3% of
+    // o_totalprice's range (min + 0.97·span, computed from data so the
+    // oracle can restate it), joined hint-free to lineitem; the
+    // broadcast threshold sits at half the orders FILE size, so the
+    // unfiltered estimate can never broadcast. Before ANALYZE, filter
+    // estimation has no column stats → the filter's size estimate is
+    // the whole table → sort-merge (pinned in-plan). After ANALYZE
+    // ... FOR ALL COLUMNS, CBO's range interpolation estimates ~3%
+    // → the SAME hint-free plan broadcasts (pinned in-plan). At
+    // 100 TB this is how plans stay good without per-query broadcast()
+    // hints. (sparkPlan, not executedPlan: AQE could rescue the
+    // stats-less plan at runtime — the claim is the STATIC choice.)
+    // Results are plan-invariant, so the oracle is the plain join.
+    (s, d) => {
+      graft.ops.Scale.saveManagedTable(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice")), "graft_cbo_orders")
+      graft.ops.Scale.saveManagedTable(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        "graft_cbo_lineitem")
+      val Array(mn, mx) = s.table("graft_cbo_orders")
+        .agg(min(col("o_totalprice")), max(col("o_totalprice")))
+        .head.toSeq.map(_.asInstanceOf[Double]).toArray
+      val cut = mn + 0.97 * (mx - mn)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(s"$wh/graft_cbo_orders")
+      val fileBytes = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(loc).getLength
+      val prior = Seq("spark.sql.cbo.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (fileBytes / 2).toString)
+        def joined = s.table("graft_cbo_lineitem")
+          .join(s.table("graft_cbo_orders")
+            .filter(col("o_totalprice") >= cut),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+          .select(col("l_returnflag"), col("n_lines"),
+            col("q").cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+        val before = joined.queryExecution.sparkPlan.toString
+        require(!before.contains("BroadcastHashJoin"),
+          s"without column stats the planner must not broadcast:\n$before")
+        Seq("graft_cbo_orders", "graft_cbo_lineitem").foreach(t =>
+          s.sql(s"ANALYZE TABLE `$t` COMPUTE STATISTICS FOR ALL COLUMNS"))
+        val result = joined
+        val after = result.queryExecution.sparkPlan.toString
+        require(after.contains("BroadcastHashJoin"),
+          s"with column stats the hint-free plan must broadcast:\n$after")
+        result
+      } finally prior.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_lines,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice >= (SELECT min(o_totalprice)
+          + 0.97 * (max(o_totalprice) - min(o_totalprice)) FROM orders)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val q100BloomPrune = Q("q100_bloom_prune",
     // runtime bloom pruning under the oracle gate: a ~10%-selective
     // dimension (urgent, high-value orders) builds a mergeable
@@ -1813,5 +1884,5 @@ object RelationalQueries {
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
-    q105ApproxTopk, q106KllQuantiles, q108QualityChecks)
+    q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats)
 }
