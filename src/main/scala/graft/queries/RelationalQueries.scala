@@ -732,6 +732,44 @@ object RelationalQueries {
           + 0.97 * (max(o_totalprice) - min(o_totalprice)) FROM orders)
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  val q113SchemaDrift = Q("q113_schema_drift",
+    // schema-DRIFT ingestion for the big-data path — the reference's
+    // hostile-header ethos (S2-S6/N7) applied to parquet: one table
+    // directory whose files disagree on schema, the long-lived-table
+    // reality at 100 TB (producers add columns, old files stay). Two
+    // generations written into ONE dir (gen1 carries o_custkey, gen2
+    // replaces it with o_orderpriority); `mergeSchema` unions the
+    // footers by name, null-filling what each generation lacks — the
+    // require pins that every generation's columns surfaced. The
+    // oracle restates the same union in SQL (DuckDB's union_by_name
+    // semantics over the base table).
+    (s, d) => {
+      val dir = PipelineQueries.tempRoot("graft_q113") + "/drift"
+      val ord = Tables.orders(s, d)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(dir)
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(dir)
+      val merged = s.read.option("mergeSchema", "true").parquet(dir)
+      require(merged.columns.toSet == Set("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderpriority"),
+        s"mergeSchema must surface every generation's columns, " +
+          s"got ${merged.columns.mkString(",")}")
+      merged.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+        NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+      ORDER BY o_orderkey"""))
+
   val q100BloomPrune = Q("q100_bloom_prune",
     // runtime bloom pruning under the oracle gate: a ~10%-selective
     // dimension (urgent, high-value orders) builds a mergeable
@@ -1884,5 +1922,6 @@ object RelationalQueries {
     q83FeatureScale, q84Histogram, q87CorrRegression, q88FuzzyMatch,
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
-    q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats)
+    q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
+    q113SchemaDrift)
 }
