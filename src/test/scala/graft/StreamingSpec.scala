@@ -273,6 +273,67 @@ class StreamingSpec extends SparkSpec {
       want2.exceptAll(stateNow()).isEmpty)
   }
 
+  test("ProcessingTime micro-batches: the watermark DROPS a late row, " +
+      "stream == batch on the on-time subset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingJobs.dailyAgg(
+      ms.toDF().toDF("ts", "event_type", "value"), lateness = "1 hour")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("wm_drop_test")
+      .start()
+    try {
+      // batch 1: two day-1 rows; the 01:00:01 sentinel pushes the
+      // watermark to 00:00:01 of day 2 — past day 1's window end
+      ms.addData((ts("2024-01-01 10:00:00"), "view", 1.0),
+        (ts("2024-01-01 11:00:00"), "view", 2.0),
+        (ts("2024-01-02 01:00:01"), "view", 4.0))
+      q.processAllAvailable()
+      // batch 2: a LATE day-1 row, behind the watermark: its window is
+      // closed, the row must be discarded — this is the documented
+      // late-data contract (the reference silently lost late rows; we
+      // drop only beyond the declared lateness), now an assertion
+      ms.addData((ts("2024-01-01 05:00:00"), "view", 100.0))
+      q.processAllAvailable()
+      // batches 3-4: sentinels marching the watermark forward so day 2
+      // finalizes and emits under Append mode
+      ms.addData((ts("2024-01-03 02:00:00"), "view", 8.0))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-04 02:00:00"), "view", 16.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("wm_drop_test").collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    // day 1 emitted WITHOUT the late 100.0 — 2 rows, total 3.0
+    assert(got("2024-01-01") == ((2L, 3.0)))
+    assert(got("2024-01-02") == ((1L, 4.0)))
+
+    // parity: the same dailyAgg code over the ON-TIME subset as a
+    // batch frame (withWatermark is a no-op in batch) agrees exactly
+    // on every window the stream emitted
+    val onTime = Seq(
+      (ts("2024-01-01 10:00:00"), "view", 1.0),
+      (ts("2024-01-01 11:00:00"), "view", 2.0),
+      (ts("2024-01-02 01:00:01"), "view", 4.0),
+      (ts("2024-01-03 02:00:00"), "view", 8.0),
+      (ts("2024-01-04 02:00:00"), "view", 16.0))
+      .toDF("ts", "event_type", "value")
+    val batchMap = StreamingJobs.dailyAgg(onTime).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    got.keys.foreach(day => assert(got(day) == batchMap(day),
+      s"stream/batch mismatch on $day"))
+  }
+
   test("runUpsertAvailableNow merges each micro-batch by PK exactly once") {
     import org.apache.spark.sql.functions.col
     val src = Files.createTempDirectory("ups_src").toString
