@@ -209,6 +209,30 @@ object Stress {
       labels.select(col("lbl")).distinct().count()
     }
 
+    // ---- connected components at 10M nodes / 20M edges with the   ----
+    // ---- RELIABLE checkpoint path active (HDFS-style durability:   ----
+    // ---- rounds survive executor loss; localCheckpoint above would ----
+    // ---- not). Two intra-ring strides double the edge count; a 5k  ----
+    // ---- chain forces genuine pointer-jumping depth.               ----
+    time("connected components 10M/20M reliable") {
+      val n = 10000000L
+      spark.sparkContext.setCheckpointDir(s"$dir/ckpt")
+      try {
+        val nodes = spark.range(n).select(col("id").as("node"))
+        def ring(stride: Long) = spark.range(n).select(col("id").as("a"),
+          (col("id") - col("id") % 10 + (col("id") + stride) % 10).as("b"))
+          .filter(col("b") < n)
+        val chain = spark.range(5000).select(
+          (lit(n) - 5000 + col("id")).as("a"),
+          (lit(n) - 5000 + col("id") + 1).as("b"))
+          .filter(col("b") < n)
+        val labels = Graph.connectedComponents(nodes,
+          ring(1).union(ring(3)).union(chain),
+          reliableCheckpoint = Some(true))
+        labels.select(col("lbl")).distinct().count()
+      } finally spark.sparkContext.setCheckpointDir(null)
+    }
+
     // ---- tiled all-pairs cosine (q33 shape): no driver collect, ----
     // ---- per-task memory bounded by tile size.  Pair-evaluation  ----
     // ---- work is inherently N² — what must stay flat is memory   ----
