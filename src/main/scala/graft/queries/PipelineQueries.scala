@@ -347,6 +347,33 @@ object PipelineQueries {
       FROM nation
       ORDER BY o_orderkey"""))
 
+  val q114DayMerge = Q("q114_day_merge",
+    // day-partition-SCOPED merge (Load.upsertPartitioned): the other
+    // scoped-merge layout — time-partitioned facts where a correction
+    // batch lands in known days and only those day= dirs are rewritten
+    // (merge key day+pk; ScopedMergeSpec pins untouched-day byte
+    // identity). Bootstrap orders day-partitioned by order MONTH
+    // (bounded dir count at every SF), then a correction batch that
+    // re-prices January 1995: exactly one partition dir is touched.
+    (s, d) => {
+      val wh = tempRoot("graft_q114") + "/fact"
+      val ord = graft.tables.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("day"))
+      graft.etl.Load.upsertPartitioned(s, ord, wh, "o_orderkey")
+      val batch = ord.filter(col("day") === "1995-01")
+        .withColumn("o_totalprice", col("o_totalprice") * lit(0.9))
+      graft.etl.Load.upsertPartitioned(s, batch, wh, "o_orderkey")
+      s.read.parquet(wh)
+        .select(col("o_orderkey"), col("day"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS day,
+        CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-01'
+             THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
-    q111ScopedMerge)
+    q111ScopedMerge, q114DayMerge)
 }
