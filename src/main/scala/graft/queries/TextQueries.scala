@@ -838,9 +838,135 @@ object TextQueries {
       SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM t
       ORDER BY k DESC, doc_id LIMIT 20"""))
 
+  val q115ChunkDedup = Q("q115_chunk_dedup",
+    // cross-document CHUNK dedup — the C4/RefinedWeb step that removes
+    // boilerplate shared across pages: each doc is cut into
+    // non-overlapping 10-word chunks (pure expression work — sequence +
+    // slice inside codegen, no explode until the frequency join), the
+    // corpus-wide frequency of every chunk text is counted (ONE shuffle
+    // on the chunk hash — the same shape as exact dedup q29), and
+    // chunks occurring more than twice anywhere are struck from every
+    // document, which is then reassembled in chunk order. At 100 TB
+    // the frequency side is a (chunk, count) frame — prunable with the
+    // same df-cap/broadcast tools as q31's posting lists.
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val chunks = docs.select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0)
+            |  as int) - 1),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10)))"""
+            .stripMargin)).as(Seq("idx", "ctext")))
+      val freq = chunks.groupBy(col("ctext")).agg(count(lit(1)).as("cnt"))
+      val kept = chunks.join(freq, Seq("ctext")).filter(col("cnt") <= 2)
+      val rebuilt = kept.groupBy(col("doc_id")).agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(idx, ctext))), s -> s.ctext)"))
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, i AS idx,
+            array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS ctext
+          FROM t, unnest(range(0,
+            CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(i)),
+        f AS (SELECT ctext, count(*) AS cnt FROM c GROUP BY ctext),
+        k AS (SELECT c.doc_id, c.idx, c.ctext
+          FROM c JOIN f USING (ctext) WHERE f.cnt <= 2),
+        agg AS (SELECT doc_id,
+            string_agg(ctext, ' ' ORDER BY idx) AS clean_text,
+            count(*) AS n_kept
+          FROM k GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        coalesce(a.n_kept, 0) AS n_kept
+      FROM t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""))
+
+  val q116TemperatureMix = Q("q116_temperature_mix",
+    // data-mixing math — temperature resampling across language groups
+    // (the multilingual rebalancing every LLM data pipeline runs, after
+    // Arivazhagan et al. 2019's p^alpha scheme at alpha = 0.5): group
+    // shares are raised to alpha and renormalized, flattening the
+    // distribution so low-resource groups are upsampled. Output per
+    // lang: natural share, temperature share, expected docs at a 10k
+    // budget, and the upsample factor. One tiny aggregate + a 1-row
+    // scalar attach; every figure derives from exact counts (sqrt is
+    // IEEE correctly-rounded; results rounded to 9 dp so cross-engine
+    // summation order can't flip a last ulp).
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum(col("n_docs")).cast(DoubleType).as("n_total"),
+        sum(sqrt(col("n_docs"))).as("w_total"))
+      counts.crossJoin(tot) // 1-row scalar attach
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast(DoubleType) / col("n_total"), 9)
+            .as("natural_share"),
+          round(sqrt(col("n_docs")) / col("w_total"), 9).as("temp_share"),
+          round(lit(10000.0) * sqrt(col("n_docs")) / col("w_total"), 9)
+            .as("expected_docs"),
+          round((sqrt(col("n_docs")) / col("w_total")) /
+            (col("n_docs").cast(DoubleType) / col("n_total")), 9)
+            .as("upsample"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs
+          FROM documents GROUP BY lang),
+        t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+            sum(sqrt(n_docs)) AS w_total FROM c)
+      SELECT lang, n_docs,
+        round(CAST(n_docs AS DOUBLE) / n_total, 9) AS natural_share,
+        round(sqrt(n_docs) / w_total, 9) AS temp_share,
+        round(10000.0 * sqrt(n_docs) / w_total, 9) AS expected_docs,
+        round((sqrt(n_docs) / w_total) /
+          (CAST(n_docs AS DOUBLE) / n_total), 9) AS upsample
+      FROM c, t ORDER BY lang"""))
+
+  val q117SequencePack = Q("q117_sequence_pack",
+    // sequence PACKING — the concat-and-chunk step that turns variable-
+    // length documents into fixed 2048-token training sequences: docs
+    // are laid end-to-end in doc_id order WITHIN each source shard
+    // (the production shape: packing is per-shard, so the window is
+    // partitioned and scales out; a single global ordering would
+    // serialize), and each doc reports the sequence range it spans.
+    // Exact Long arithmetic end-to-end (token counts, running offsets,
+    // integer div) — bit-identical across engines by construction.
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("tok_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tok_before"),
+          expr("tok_before div 2048").as("start_seq"),
+          expr("(tok_before + n_tokens - 1) div 2048").as("end_seq"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_before FROM t)
+      SELECT doc_id, source, n_tokens, tok_before,
+        CAST(tok_before // 2048 AS BIGINT) AS start_seq,
+        CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
     q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
-    q91WeightedSample)
+    q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack)
 }
