@@ -245,6 +245,33 @@ object Scale {
     }
   }
 
+  /** Retention expiry for a partitioned table: drop whole `dayCol=`
+    * partition dirs whose value sorts strictly below `cutoff` (ISO
+    * date/month strings compare lexicographically). Deleting a
+    * directory is O(1) metadata work per expired partition — no data
+    * file is read or rewritten, the retention twin of the scoped
+    * merge. Heals any crashed-swap remnant first so an expired
+    * partition can't resurrect from a stale `.__old`. Returns the
+    * dropped partition values.
+    */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, dayCol: String,
+                       cutoff: String): Seq[String] = {
+    graft.etl.Load.recoverSwap(spark, dir)
+    graft.etl.Load.recoverScopedSwaps(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val prefix = s"$dayCol="
+    val expired = fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.stripPrefix(prefix) < cutoff)
+      .sorted
+    expired.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
+    expired.map(_.stripPrefix(prefix))
+  }
+
   /** Small-file compaction for a parquet table dir: incremental sinks
     * (per-day inserts, streaming micro-batches) accumulate files far
     * below the ideal scan unit, and at 100 TB the resulting task-per-

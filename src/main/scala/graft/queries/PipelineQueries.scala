@@ -374,6 +374,33 @@ object PipelineQueries {
              THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
       FROM orders ORDER BY o_orderkey"""))
 
+  val q118Retention = Q("q118_retention",
+    // retention expiry (Scale.expirePartitions): the lifecycle
+    // counterpart of the scoped merge — a day/month-partitioned table
+    // ages out whole partition dirs with O(1) metadata deletes, no
+    // data read or rewritten. Bootstrap orders month-partitioned
+    // (the data spans 1995-01..2001-08), expire everything before
+    // 1996-01, return the surviving rows; the require pins that ONLY
+    // pre-cutoff months were dropped.
+    (s, d) => {
+      val wh = tempRoot("graft_q118") + "/fact"
+      val ord = graft.tables.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("day"))
+      graft.etl.Load.upsertPartitioned(s, ord, wh, "o_orderkey")
+      val dropped = graft.ops.Scale.expirePartitions(s, wh, "day", "1996-01")
+      require(dropped.nonEmpty && dropped.forall(_ < "1996-01"),
+        s"expiry must drop exactly the pre-cutoff months, got $dropped")
+      s.read.parquet(wh)
+        .select(col("o_orderkey"), col("day"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS day,
+        o_totalprice AS price
+      FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
-    q111ScopedMerge, q114DayMerge)
+    q111ScopedMerge, q114DayMerge, q118Retention)
 }

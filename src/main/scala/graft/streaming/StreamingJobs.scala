@@ -219,6 +219,32 @@ object StreamingJobs {
       .start()
   }
 
+  /** [[runUpsertAvailableNow]] with the bucket-SCOPED sink
+    * (Load.upsertBucketed): a streaming CDC feed against a large
+    * master table rewrites only the hash buckets each micro-batch
+    * touches instead of the whole table — the streaming face of the
+    * scoped merge (q111). Exactly-once by the same argument as the
+    * plain upsert job: the merge is idempotent per batch, so the
+    * foreachBatch replay window re-merges harmlessly.
+    */
+  def runUpsertBucketedAvailableNow(spark: SparkSession, srcDir: String,
+                                    tableDir: String, pk: String,
+                                    buckets: Int,
+                                    checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Load.upsertBucketed(batch.sparkSession, batch, tableDir,
+          pk, buckets)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming maintenance of an aggregate state table: each
     * micro-batch is folded into the persisted (keys, agg_sum, agg_cnt)
     * state via Scale.incrementalAgg and swapped in crash-safe

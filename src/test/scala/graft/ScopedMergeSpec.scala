@@ -151,6 +151,26 @@ class ScopedMergeSpec extends SparkSpec {
     assert(left.count() == 3 - keys.size)
   }
 
+  test("expirePartitions drops only pre-cutoff dirs, untouched files intact") {
+    val dir = tmp("ret")
+    val seed = Seq(
+      ("2024-01-05", "k1", "a"), ("2024-02-05", "k2", "b"),
+      ("2024-03-05", "k3", "c")).toDF("day", "pk", "v")
+    Load.upsertPartitioned(spark, seed, dir, "pk")
+    val before = fileBytes(dir)
+    val dropped = graft.ops.Scale.expirePartitions(
+      spark, dir, "day", "2024-02-01")
+    assert(dropped == Seq("2024-01-05"))
+    val after = fileBytes(dir)
+    // surviving partitions byte-identical; expired one gone
+    assert(after == before.filter(!_._1.startsWith("day=2024-01-05")))
+    assert(spark.read.parquet(dir).select("pk").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("k2", "k3"))
+    // idempotent; nothing left below the cutoff
+    assert(graft.ops.Scale.expirePartitions(
+      spark, dir, "day", "2024-02-01").isEmpty)
+  }
+
   test("readTable heals a crashed per-partition swap remnant") {
     val dir = tmp("heal")
     val seed = Seq(("2024-01-01", "k1", "a"), ("2024-01-02", "k2", "b"))

@@ -359,4 +359,39 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m == Map("A" -> "a2", "B" -> "b1", "C" -> "c1"))
   }
+
+  test("runUpsertBucketedAvailableNow: scoped streaming merge, same semantics") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("upb_src").toString
+    val tbl = Files.createTempDirectory("upb_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("upb_ckpt").toString
+
+    def rows(vs: (String, String)*) =
+      spark.createDataFrame(vs).toDF("pk", "v")
+
+    rows("A" -> "a1", "B" -> "b1").write.mode("append").parquet(src)
+    StreamingJobs.runUpsertBucketedAvailableNow(spark, src, tbl, "pk", 8, ckpt)
+      .awaitTermination()
+    // bucketed layout bootstrapped (marker + __bucket partition dirs)
+    assert(Files.exists(java.nio.file.Paths.get(s"$tbl/_GRAFT_BUCKETS")))
+    // restart, no new files: checkpoint no-op; then a merge batch
+    StreamingJobs.runUpsertBucketedAvailableNow(spark, src, tbl, "pk", 8, ckpt)
+      .awaitTermination()
+    rows("A" -> "a2", "C" -> "c1").write.mode("append").parquet(src)
+    StreamingJobs.runUpsertBucketedAvailableNow(spark, src, tbl, "pk", 8, ckpt)
+      .awaitTermination()
+    val m = spark.read.parquet(tbl).select(col("pk"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("A" -> "a2", "B" -> "b1", "C" -> "c1"))
+    // a mismatched bucket count on the same table fails fast
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      rows("D" -> "d1").write.mode("append").parquet(src)
+      StreamingJobs.runUpsertBucketedAvailableNow(
+        spark, src, tbl, "pk", 16, ckpt).awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(boom).exists(_.contains("bucketed with 8")))
+  }
 }
