@@ -179,6 +179,12 @@ object Load {
       : Long = {
     require(incoming.columns.contains(scopeCol),
       s"scoped merge: incoming batch lacks scope column $scopeCol")
+    // a NULL scope value would fall outside every touched scope: its
+    // rows would stage into the default partition dir and never be
+    // swapped in — silent data loss. Fail before any work instead.
+    require(incoming.filter(col(scopeCol).isNull).limit(1).count() == 0,
+      s"scoped merge: batch contains NULL $scopeCol values " +
+        "(null day / null merge key) — fix or filter the batch upstream")
     readTable(spark, dir) match {
       case None =>
         val staging = s"$dir.__staging"

@@ -171,6 +171,28 @@ class ScopedMergeSpec extends SparkSpec {
       spark, dir, "day", "2024-02-01").isEmpty)
   }
 
+  test("a NULL scope value (day or pk) fails fast instead of losing rows") {
+    val dir = tmp("null_scope")
+    val withNullDay = Seq((Some("2024-01-01"), "k1", "a"),
+      (Option.empty[String], "k2", "b")).toDF("day", "pk", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Load.upsertPartitioned(spark, withNullDay, dir, "pk")
+    }
+    assert(e1.getMessage.contains("NULL day"))
+    // bucketed layout: xxhash64(null) is the seed, so a null pk maps
+    // to a real bucket deterministically — merged like any key, no loss
+    val nullPkDir = tmp("null_pk")
+    val withNullPk = Seq((Some("k1"), "a"), (Option.empty[String], "b"))
+      .toDF("pk", "v")
+    Load.upsertBucketed(spark, withNullPk, nullPkDir, "pk", 4)
+    Load.upsertBucketed(spark,
+      Seq((Option.empty[String], "b2")).toDF("pk", "v"),
+      nullPkDir, "pk", 4)
+    val m = spark.read.parquet(nullPkDir).select("pk", "v").collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(m == Map(Some("k1") -> "a", None -> "b2"))
+  }
+
   test("readTable heals a crashed per-partition swap remnant") {
     val dir = tmp("heal")
     val seed = Seq(("2024-01-01", "k1", "a"), ("2024-01-02", "k2", "b"))
