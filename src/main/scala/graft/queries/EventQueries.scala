@@ -640,9 +640,38 @@ object EventQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM g GROUP BY user_id, sid ORDER BY user_id, w_start_us"""))
 
+  val q119AsofTolerance = Q("q119_asof_tolerance",
+    // as-of join with TOLERANCE — pandas merge_asof's remaining knob
+    // after backward (q61), forward (q109) and nearest (q110):
+    // composed from the existing custom merge exec (compose before
+    // building a new operator), with matches older than the tolerance
+    // nulled AFTER the merge. Correct because backward picks the
+    // LATEST right row ≤ ts: any other candidate is older still, so
+    // "nearest match outside tolerance" always means "no match".
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.plans.AsofJoin.asof(ev, ord, Seq("user_id"), Seq("o_custkey"),
+          "ts", "o_ts", rightTieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          when(col("o_ts") >= col("ts") - expr("INTERVAL 60 DAYS"),
+            col("o_orderkey")).as("last_order_60d"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        (SELECT max(o.o_orderkey) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL 60 DAY
+           AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+             WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts))
+          AS last_order_60d
+      FROM events e ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
-    q107HoppingWindow, q109AsofForward, q110AsofNearest)
+    q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance)
 }
