@@ -182,11 +182,16 @@ object Load {
     // a NULL scope value would fall outside every touched scope: its
     // rows would stage into the default partition dir and never be
     // swapped in — silent data loss. Fail before any work instead.
-    require(incoming.filter(col(scopeCol).isNull).limit(1).count() == 0,
-      s"scoped merge: batch contains NULL $scopeCol values " +
-        "(null day / null merge key) — fix or filter the batch upstream")
+    // (In the merge path the check rides the scopes collect for free;
+    // the bootstrap path pays one small limit(1) job.)
+    def requireNoNullScopes(hasNull: => Boolean): Unit =
+      require(!hasNull,
+        s"scoped merge: batch contains NULL $scopeCol values " +
+          "(null day / null merge key) — fix or filter the batch upstream")
     readTable(spark, dir) match {
       case None =>
+        requireNoNullScopes(
+          incoming.filter(col(scopeCol).isNull).limit(1).count() > 0)
         val staging = s"$dir.__staging"
         // repartition ON the scope column so each scope's rows land in
         // one task → ONE file per partition dir. A naive partitionBy
@@ -198,8 +203,10 @@ object Load {
         atomicSwap(spark, staging, dir)
         n
       case Some(existing) =>
-        val scopes = incoming.select(col(scopeCol).cast("string"))
-          .na.drop().distinct().collect().map(_.getString(0)).sorted
+        val scopeVals = incoming.select(col(scopeCol).cast("string"))
+          .distinct().collect().map(_.getString(0))
+        requireNoNullScopes(scopeVals.contains(null))
+        val scopes = scopeVals.sorted
         require(scopes.nonEmpty, "scoped merge: batch has no scope values")
         val touched = col(scopeCol).cast("string").isin(scopes.toSeq: _*)
         val merged = merge(Some(existing.filter(touched)), incoming)
