@@ -838,6 +838,36 @@ object TextQueries {
       SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM t
       ORDER BY k DESC, doc_id LIMIT 20"""))
 
+  /** q115's operator form — cross-document chunk dedup: cut every doc
+    * into non-overlapping `chunkWords`-word chunks (expression-only),
+    * count corpus-wide chunk frequency (one shuffle on the chunk
+    * text), strike chunks occurring more than `maxFreq` times
+    * anywhere, reassemble in chunk order. Input needs (doc_id, text);
+    * returns (doc_id, clean_text, n_kept).
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int,
+                 maxFreq: Long): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val chunks = base.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) /
+           |  $chunkWords.0) as int) - 1),
+           |  i -> concat_ws(' ',
+           |    slice(split(text, ' '), i * $chunkWords + 1, $chunkWords)))"""
+          .stripMargin)).as(Seq("idx", "ctext")))
+    val freq = chunks.groupBy(col("ctext")).agg(count(lit(1)).as("cnt"))
+    val kept = chunks.join(freq, Seq("ctext")).filter(col("cnt") <= maxFreq)
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(idx, ctext))), s -> s.ctext)"))
+        .as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    base.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   val q115ChunkDedup = Q("q115_chunk_dedup",
     // cross-document CHUNK dedup — the C4/RefinedWeb step that removes
     // boilerplate shared across pages: each doc is cut into
@@ -849,27 +879,8 @@ object TextQueries {
     // document, which is then reassembled in chunk order. At 100 TB
     // the frequency side is a (chunk, count) frame — prunable with the
     // same df-cap/broadcast tools as q31's posting lists.
-    (s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val chunks = docs.select(col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0)
-            |  as int) - 1),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10)))"""
-            .stripMargin)).as(Seq("idx", "ctext")))
-      val freq = chunks.groupBy(col("ctext")).agg(count(lit(1)).as("cnt"))
-      val kept = chunks.join(freq, Seq("ctext")).filter(col("cnt") <= 2)
-      val rebuilt = kept.groupBy(col("doc_id")).agg(
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(idx, ctext))), s -> s.ctext)"))
-          .as("clean_text"),
-        count(lit(1)).as("n_kept"))
-      docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => chunkDedup(Tables.documents(s, d), 10, 2)
+      .orderBy(col("doc_id")),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents),
         c AS (SELECT doc_id, i AS idx,

@@ -271,6 +271,28 @@ object Stress {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .count()
     }
+    // ---- chunk dedup (q115 shape): corpus-wide chunk-frequency    ----
+    // ---- join over 1M docs × 3 chunks; boilerplate planted in 10% ----
+    // ---- of docs is struck from every one of them. One shuffle on ----
+    // ---- the chunk text — the same scale shape as exact dedup.    ----
+    time("chunk dedup 1M docs") {
+      val nDocs = 1000000L
+      def uniq(seed: Int) = concat_ws(" ", (0 until 10).map(k =>
+        concat(lit("w"), pmod(hash(col("doc_id") * 131 + lit(seed * 17 + k)),
+          lit(1000000000)))): _*)
+      val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("doc_id") % 10 === 0, lit(boiler)).otherwise(uniq(1)),
+          uniq(2), uniq(3)).as("text"))
+      val out = graft.queries.TextQueries.chunkDedup(docs, 10, 2)
+      // boilerplate must be gone: planted docs keep 2 of 3 chunks
+      val planted = out.filter(col("doc_id") % 10 === 0)
+        .filter(col("n_kept") =!= 2).count()
+      require(planted == 0, s"$planted planted docs kept boilerplate")
+      out.count()
+    }
+
     // ---- LSH band buckets with cap (q30 shape): 10⁵ planted       ----
     // ---- near-identical docs land in the SAME bucket of all 4     ----
     // ---- bands; uncapped that is 4×(10⁵ choose 2) ≈ 2·10¹⁰        ----

@@ -193,6 +193,39 @@ class ScopedMergeSpec extends SparkSpec {
     assert(m == Map(Some("k1") -> "a", None -> "b2"))
   }
 
+  test("re-running the same batch converges after a mid-merge crash") {
+    // a multi-scope merge can die between per-scope swaps, leaving
+    // some days merged and others not; the contract is that replaying
+    // the SAME batch converges to the full merge. Emulate the crash
+    // state by restoring one touched day from a pre-merge backup.
+    val dir = tmp("crash_mid")
+    val seed = Seq(
+      ("2024-01-01", "k1", "a"), ("2024-01-02", "k2", "b"),
+      ("2024-01-03", "k3", "c")).toDF("day", "pk", "v")
+    Load.upsertPartitioned(spark, seed, dir, "pk")
+    val backup = fileBytes(dir) // pre-merge state of every partition
+
+    val batch = Seq( // touches days 1 and 2
+      ("2024-01-01", "k1", "A2"), ("2024-01-02", "k9", "new"))
+      .toDF("day", "pk", "v")
+    Load.upsertPartitioned(spark, batch, dir, "pk")
+    val fullMerge = sortedRows(spark.read.parquet(dir).select("day", "pk", "v"))
+
+    // "crash": day 2's swap never happened — restore its old files
+    val d2 = Paths.get(s"$dir/day=2024-01-02")
+    Files.walk(d2).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists)
+    Files.createDirectories(d2)
+    backup.filter(_._1.startsWith("day=2024-01-02")).foreach {
+      case (rel, bytes) =>
+        Files.write(Paths.get(s"$dir/$rel"), bytes.toArray)
+    }
+    // replaying the identical batch converges to the full merge
+    Load.upsertPartitioned(spark, batch, dir, "pk")
+    assert(sortedRows(spark.read.parquet(dir).select("day", "pk", "v")) ==
+      fullMerge)
+  }
+
   test("readTable heals a crashed per-partition swap remnant") {
     val dir = tmp("heal")
     val seed = Seq(("2024-01-01", "k1", "a"), ("2024-01-02", "k2", "b"))
