@@ -343,6 +343,30 @@ object Load {
     n
   }
 
+  /** [[applyCdc]] for a day-partitioned table: changes carry the day
+    * column (a delete names the day it deletes from), and only the
+    * named `day=` partitions are rewritten. Merge key is (dayCol, pk),
+    * same contract as [[upsertPartitioned]].
+    */
+  def applyCdcPartitioned(spark: SparkSession, changes: DataFrame,
+                          dir: String, pk: String,
+                          dayCol: String = "day",
+                          opCol: String = "op"): Long = {
+    require(changes.columns.contains(dayCol),
+      s"applyCdcPartitioned: changes lack day column $dayCol")
+    validateCdcOps(changes, opCol)
+    val lastPerKey = dedupKeepLastPositional(changes, Seq(dayCol, pk))
+    scopedMerge(spark, lastPerKey, dir, dayCol, { (exOpt, inc) =>
+      val upserts = inc.filter(lower(col(opCol)) =!= "d").drop(opCol)
+      exOpt match {
+        case Some(ex) =>
+          antiJoin(ex, inc.select(col(dayCol), col(pk)), Seq(dayCol, pk))
+            .unionByName(upserts)
+        case None => upserts
+      }
+    })
+  }
+
   /** Fail fast on malformed CDC ops: a NULL op would otherwise slip
     * past the "u"-filter (lower(null) =!= "d" is null → row dropped)
     * while its key still lands in the touched set — unannounced

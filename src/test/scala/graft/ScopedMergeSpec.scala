@@ -133,6 +133,30 @@ class ScopedMergeSpec extends SparkSpec {
     }
   }
 
+  test("applyCdcPartitioned scopes deletes and upserts to named days") {
+    val dir = tmp("cdc_day")
+    val seed = Seq(
+      ("2024-01-01", "k1", "a"), ("2024-01-01", "k2", "b"),
+      ("2024-01-02", "k3", "c"), ("2024-01-03", "k4", "d"))
+      .toDF("day", "pk", "v")
+    Load.upsertPartitioned(spark, seed, dir, "pk")
+    val before = fileBytes(dir)
+    // update k1, delete k2 (both day 1), insert k5 into day 2
+    val changes = Seq(
+      ("2024-01-01", "k1", "A2", "u"), ("2024-01-01", "k2", null, "d"),
+      ("2024-01-02", "k5", "e", "u")).toDF("day", "pk", "v", "op")
+    Load.applyCdcPartitioned(spark, changes, dir, "pk")
+    val want = Seq(
+      ("2024-01-01", "k1", "A2"), ("2024-01-02", "k3", "c"),
+      ("2024-01-02", "k5", "e"), ("2024-01-03", "k4", "d"))
+      .toDF("day", "pk", "v")
+    assert(sortedRows(spark.read.parquet(dir).select("day", "pk", "v")) ==
+      sortedRows(want))
+    // day 3 untouched: byte-identical files
+    assert(fileBytes(dir).filter(_._1.startsWith("day=2024-01-03")) ==
+      before.filter(_._1.startsWith("day=2024-01-03")))
+  }
+
   test("an all-deletes batch can empty a whole partition") {
     val dir = tmp("cdc_empty")
     // two keys that land in the same 2-bucket layout bucket, plus one
