@@ -855,8 +855,15 @@ object TextQueries {
            |  i -> concat_ws(' ',
            |    slice(split(text, ' '), i * $chunkWords + 1, $chunkWords)))"""
           .stripMargin)).as(Seq("idx", "ctext")))
-    val freq = chunks.groupBy(col("ctext")).agg(count(lit(1)).as("cnt"))
-    val kept = chunks.join(freq, Seq("ctext")).filter(col("cnt") <= maxFreq)
+    // strike LIST, not frequency table: only over-frequent chunks
+    // matter, and boilerplate is rare by nature — the anti-join prunes
+    // against a small set (broadcast-eligible) instead of re-joining
+    // every chunk row against the mostly-unique full freq frame (the
+    // q31 df-cap pattern). One shuffle total: the frequency groupBy.
+    val strikes = chunks.groupBy(col("ctext"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxFreq).select(col("ctext"))
+    val kept = chunks.join(strikes, Seq("ctext"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id")).agg(
       concat_ws(" ", expr(
         "transform(array_sort(collect_list(struct(idx, ctext))), s -> s.ctext)"))
