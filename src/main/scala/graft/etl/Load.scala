@@ -208,6 +208,18 @@ object Load {
         requireNoNullScopes(scopeVals.contains(null))
         val scopes = scopeVals.sorted
         require(scopes.nonEmpty, "scoped merge: batch has no scope values")
+        // partitionBy URL-escapes special characters in directory names
+        // while the swap below addresses partitions by raw value — a
+        // value needing escaping would stage under a different name
+        // than the swap looks for and the target partition would be
+        // wrongly treated as all-deletes. Scope values are dates,
+        // months and bucket ids; anything else is a caller bug.
+        scopes.filterNot(_.matches("[A-Za-z0-9._=-]+")) match {
+          case bad if bad.nonEmpty => throw new IllegalArgumentException(
+            s"scoped merge: $scopeCol values need path escaping and " +
+              s"cannot be swapped by raw name: ${bad.take(3).mkString(", ")}")
+          case _ =>
+        }
         val touched = col(scopeCol).cast("string").isin(scopes.toSeq: _*)
         val merged = merge(Some(existing.filter(touched)), incoming)
         val staging = s"$dir.__scoped_staging"

@@ -250,6 +250,19 @@ class ScopedMergeSpec extends SparkSpec {
       fullMerge)
   }
 
+  test("scope values needing path escaping are rejected, not mis-swapped") {
+    val dir = tmp("esc")
+    Load.upsertPartitioned(spark,
+      Seq(("2024-01-01", "k1", "a")).toDF("day", "pk", "v"), dir, "pk")
+    val e = intercept[IllegalArgumentException] {
+      Load.upsertPartitioned(spark,
+        Seq(("2024:01:02", "k2", "b")).toDF("day", "pk", "v"), dir, "pk")
+    }
+    assert(e.getMessage.contains("path escaping"))
+    // table untouched by the refused merge
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("readTable heals a crashed per-partition swap remnant") {
     val dir = tmp("heal")
     val seed = Seq(("2024-01-01", "k1", "a"), ("2024-01-02", "k2", "b"))
