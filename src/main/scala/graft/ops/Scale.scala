@@ -265,7 +265,11 @@ object Scale {
     val prefix = s"$dayCol="
     val expired = fs.listStatus(p).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && n.stripPrefix(prefix) < cutoff)
+      // '%' marks a URL-escaped partition value (written by some other
+      // tool — our scoped merges refuse them): its dir name doesn't
+      // compare like its value, so never expire it by name
+      .filter(n => n.startsWith(prefix) && !n.contains("%") &&
+        n.stripPrefix(prefix) < cutoff)
       .sorted
     expired.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
