@@ -732,6 +732,45 @@ object RelationalQueries {
           + 0.97 * (max(o_totalprice) - min(o_totalprice)) FROM orders)
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  val q120JsonSource = Q("q120_json_source",
+    // JSON-lines as a first-class SOURCE format (alongside sheet-CSV,
+    // parquet and ORC): write orders as JSON, read back with an
+    // EXPLICIT schema — at 100 TB schema inference is a full second
+    // pass over the data, so production JSON reads declare their
+    // schema — filter, aggregate. The oracle reads the same files
+    // with DuckDB's read_json_auto, so the round-trip (double
+    // shortest-representation text, string days) is pinned
+    // cross-engine. Fixed path because the oracle SQL is a static
+    // string; Verify rewrites it every run.
+    (s, d) => {
+      val path = "/tmp/graft_q120_json"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+          col("o_totalprice"))
+        .write.mode("overwrite").json(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", LongType),
+        org.apache.spark.sql.types.StructField("o_day", StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", DoubleType)))
+      s.read.schema(schema).json(path)
+        .filter(col("o_day") >= "1996-01-01")
+        .groupBy(col("o_day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("o_day"))
+    },
+    Some("""SELECT o_day, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_json('/tmp/graft_q120_json/*.json',
+        format = 'newline_delimited',
+        columns = {o_orderkey: 'BIGINT', o_custkey: 'BIGINT',
+                   o_day: 'VARCHAR', o_totalprice: 'DOUBLE'})
+      WHERE o_day >= '1996-01-01'
+      GROUP BY o_day ORDER BY o_day"""))
+
   val q113SchemaDrift = Q("q113_schema_drift",
     // schema-DRIFT ingestion for the big-data path — the reference's
     // hostile-header ethos (S2-S6/N7) applied to parquet: one table
@@ -1923,5 +1962,5 @@ object RelationalQueries {
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
     q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
-    q113SchemaDrift)
+    q113SchemaDrift, q120JsonSource)
 }
