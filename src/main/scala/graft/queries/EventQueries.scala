@@ -669,9 +669,45 @@ object EventQueries {
           AS last_order_60d
       FROM events e ORDER BY e.event_id"""))
 
+  val q121TextLog = Q("q121_text_log",
+    // raw TEXT ingestion — the log-file workload: events serialized as
+    // pipe-delimited log lines, read back with spark.read.text (one
+    // string column, no structure assumed) and parsed by regex into
+    // typed columns — the schema-on-read path for data that was never
+    // a table. Doubles round-trip through their own written text, so
+    // both engines parse identical bytes. Fixed path because the
+    // oracle SQL is a static string (DuckDB reads the same lines as
+    // delimited CSV with declared columns).
+    (s, d) => {
+      val path = "/tmp/graft_q121_log"
+      Tables.events(s, d).select(concat_ws("|",
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+          col("user_id"), col("event_type"), col("value")).as("line"))
+        .write.mode("overwrite").text(path)
+      val re = "^([0-9]+)\\|([^|]+)\\|([0-9]+)\\|([^|]+)\\|(.+)$"
+      s.read.text(path).select(
+          regexp_extract(col("value"), re, 1).cast(LongType).as("event_id"),
+          regexp_extract(col("value"), re, 2).as("ts_str"),
+          regexp_extract(col("value"), re, 3).cast(LongType).as("user_id"),
+          regexp_extract(col("value"), re, 4).as("event_type"),
+          regexp_extract(col("value"), re, 5).cast(DoubleType).as("value"))
+        .filter(col("event_type") =!= "error")
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, ts_str, user_id, event_type, value
+      FROM read_csv('/tmp/graft_q121_log/*.txt',
+        delim = '|', header = false,
+        columns = {event_id: 'BIGINT', ts_str: 'VARCHAR',
+                   user_id: 'BIGINT', event_type: 'VARCHAR',
+                   value: 'DOUBLE'})
+      WHERE event_type <> 'error'
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
-    q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance)
+    q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance,
+    q121TextLog)
 }
