@@ -771,6 +771,79 @@ object RelationalQueries {
       WHERE o_day >= '1996-01-01'
       GROUP BY o_day ORDER BY o_day"""))
 
+  val q122XmlSource = Q("q122_xml_source",
+    // XML as the FIFTH source format (after sheet-CSV, parquet, ORC,
+    // JSON-lines, raw text): Spark 4 ships a native XML datasource
+    // (`XmlFileFormat` in sql/core), so document-style feeds plan
+    // through the same DSv1 scan machinery as CSV — no extra jars.
+    // Part rows round-trip through <part> elements and are read back
+    // with an EXPLICIT schema (same rationale as q120: inference is a
+    // second full pass at 100 TB). Money goes through DECIMAL(12,2) so
+    // both engines see identical canonical text. DuckDB cannot parse
+    // XML, so the oracle replays the same projection+aggregate from
+    // the base parquet table — any XML escaping/round-trip corruption
+    // of the string or numeric columns would break the hash compare.
+    (s, d) => {
+      val path = PipelineQueries.tempRoot("graft_q122") + "/xml"
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"),
+          col("p_retailprice").cast(DecimalType(12, 2)).as("p_price"))
+        .write.mode("overwrite").option("rowTag", "part")
+        .format("xml").save(path)
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_brand", StringType),
+        StructField("p_type", StringType),
+        StructField("p_size", LongType),
+        StructField("p_price", DecimalType(12, 2))))
+      s.read.schema(schema).option("rowTag", "part").format("xml")
+        .load(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size")).as("total_size"),
+          min(col("p_type")).as("min_type"),
+          sum(col("p_price")).cast(DoubleType).as("total_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+        CAST(SUM(p_size) AS BIGINT) AS total_size,
+        min(p_type) AS min_type,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS total_price
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  val q123LateralJoin = Q("q123_lateral_join",
+    // LATERAL correlated derived table — the "top-N related rows per
+    // outer row" idiom that window functions can't always replace
+    // (the subquery can filter/sort on its own columns before the
+    // limit). Catalyst decorrelates the LATERAL into a ranked join —
+    // no per-outer-row re-execution, so the shape scales as one
+    // shuffle + window rather than O(customers) subquery runs.
+    // DuckDB runs the identical SQL: LATERAL is standard in both.
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer_v c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      FROM customer c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      ) t ON true
+      WHERE c.c_custkey <= 300
+      ORDER BY c.c_custkey, t.o_orderkey"""))
+
   val q113SchemaDrift = Q("q113_schema_drift",
     // schema-DRIFT ingestion for the big-data path — the reference's
     // hostile-header ethos (S2-S6/N7) applied to parquet: one table
@@ -1962,5 +2035,5 @@ object RelationalQueries {
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
     q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
-    q113SchemaDrift, q120JsonSource)
+    q113SchemaDrift, q120JsonSource, q122XmlSource, q123LateralJoin)
 }
