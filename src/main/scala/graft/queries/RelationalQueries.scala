@@ -844,6 +844,93 @@ object RelationalQueries {
       WHERE c.c_custkey <= 300
       ORDER BY c.c_custkey, t.o_orderkey"""))
 
+  val q125RecursiveCte = Q("q125_recursive_cte",
+    // WITH RECURSIVE — iterative queries inside one SQL statement
+    // (hierarchy walks, transitive closure), new in Spark 4. Each
+    // customer key walks the implicit binary-tree hierarchy
+    // parent(k) = floor(k/2) up to the root; output is the depth
+    // distribution. Each recursion step is one self-referential
+    // iteration Catalyst unrolls as a loop of plans — O(log maxKey)
+    // rounds here, each a narrow projection+filter (the same
+    // pointer-walk shape Graph.connectedComponents implements by hand
+    // for when convergence needs checkpointing). DuckDB runs the
+    // identical standard SQL.
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(recursiveCteSql("customer_v"))
+    },
+    Some(recursiveCteSql("customer")))
+
+  private def recursiveCteSql(tbl: String): String =
+    s"""WITH RECURSIVE walk(start_id, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM $tbl
+        UNION ALL
+        SELECT start_id, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+        FROM walk WHERE cur > 1
+      )
+      SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+        CAST(MIN(start_id) AS BIGINT) AS min_id,
+        CAST(MAX(start_id) AS BIGINT) AS max_id
+      FROM walk WHERE cur = 1
+      GROUP BY depth ORDER BY depth"""
+
+  val q126NullSafeJoin = Q("q126_nullsafe_join",
+    // null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    // keys match each other — the semantics needed when joining on a
+    // nullable business key without first null-filtering both sides.
+    // Plans as a normal equi-join (the null-safe operator is a valid
+    // hash key because NULL hashes to a single bucket), NOT a
+    // cartesian with a filter — same one-shuffle shape at any scale.
+    // Keys are synthesized with NULLIF so every SF exercises the
+    // NULL-matches-NULL row.
+    (s, d) => {
+      val left = Tables.orders(s, d)
+        .groupBy(nullif(col("o_custkey") % 7, lit(0)).as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val right = Tables.orders(s, d)
+        .groupBy(nullif(col("o_custkey") % 7, lit(0)).as("k2"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      left.join(right, col("k") <=> col("k2"))
+        .select(col("k"), col("n_orders"), col("total"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+    Some("""WITH l AS (SELECT NULLIF(o_custkey % 7, 0) AS k,
+          count(*) AS n_orders FROM orders GROUP BY 1),
+        r AS (SELECT NULLIF(o_custkey % 7, 0) AS k2,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders GROUP BY 1)
+      SELECT k, n_orders, total FROM l JOIN r ON k IS NOT DISTINCT FROM k2
+      ORDER BY k NULLS FIRST"""))
+
+  val q127ShuffleHashJoin = Q("q127_shuffle_hash_join",
+    // physical join-strategy control: the SHUFFLE_HASH hint forces a
+    // ShuffledHashJoin where Catalyst would default to sort-merge.
+    // At scale SHJ skips BOTH sort passes when the per-partition build
+    // side fits in memory — the right call for a medium dimension too
+    // big to broadcast but far smaller than the fact side. The require
+    // pins the physical operator in-plan (q97-style), so a planner
+    // regression that silently falls back to SMJ fails the query; the
+    // oracle pins that the strategy change never changes results.
+    (s, d) => {
+      val ord = Tables.orders(s, d).hint("shuffle_hash")
+      val li = Tables.lineitem(s, d)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_qty"))
+        .orderBy(col("o_orderpriority"))
+      val phys = joined.queryExecution.executedPlan.toString
+      require(phys.contains("ShuffledHashJoin"),
+        s"SHUFFLE_HASH hint did not produce a ShuffledHashJoin:\n$phys")
+      joined
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val q113SchemaDrift = Q("q113_schema_drift",
     // schema-DRIFT ingestion for the big-data path — the reference's
     // hostile-header ethos (S2-S6/N7) applied to parquet: one table
@@ -2035,5 +2122,6 @@ object RelationalQueries {
     q92BitwiseAgg, q93TryFuncs, q94Codecs, q97BucketedJoin, q100BloomPrune,
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
     q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
-    q113SchemaDrift, q120JsonSource, q122XmlSource, q123LateralJoin)
+    q113SchemaDrift, q120JsonSource, q122XmlSource, q123LateralJoin,
+    q125RecursiveCte, q126NullSafeJoin, q127ShuffleHashJoin)
 }

@@ -982,9 +982,58 @@ object TextQueries {
         CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
       FROM c ORDER BY doc_id"""))
 
+  val q124BinaryFiles = Q("q124_binary_files",
+    // raw-FILE ingestion via the built-in `binaryFile` format — the
+    // multimodal on-ramp: training corpora arrive as directories of
+    // opaque files (images, audio, scraped documents), not tables.
+    // A deterministic subset of documents is exported one-file-per-doc
+    // by executor-side writes (foreachPartition — the distributed blob
+    // -export shape; no driver collect), then read back as (path,
+    // length, content) rows, the exact schema `spark.read.format(
+    // "binaryFile")` hands a decode stage (q96). The oracle reads the
+    // same files with DuckDB's read_blob and UTF-8-decodes the bytes,
+    // so content fidelity is pinned byte-for-byte cross-engine. Fixed
+    // path because the oracle SQL is a static string; Verify rewrites
+    // the files every run.
+    (s, d) => {
+      val dir = "/tmp/graft_q124_bin"
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.list(root).iterator()
+        while (it.hasNext) java.nio.file.Files.delete(it.next())
+      }
+      java.nio.file.Files.createDirectories(root)
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").as("n_bytes"),
+          col("content").cast(StringType).as("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(regexp_extract(filename, '([0-9]+)\.bin$', 1)
+          AS BIGINT) AS doc_id,
+        CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        decode(content) AS text
+      FROM read_blob('/tmp/graft_q124_bin/*.bin')
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
     q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
-    q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack)
+    q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
+    q124BinaryFiles)
 }
