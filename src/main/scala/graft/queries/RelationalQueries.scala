@@ -931,6 +931,75 @@ object RelationalQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  val q128CorruptJson = Q("q128_corrupt_json",
+    // corrupt-record-tolerant ingestion — the reference's robust-scan
+    // ethos (S6/W3) applied to JSON feeds: at 100 TB some producer
+    // always emits garbage lines, and failing the whole scan (or
+    // silently dropping them) is wrong. Every 13th line is
+    // deterministically mangled; the PERMISSIVE reader surfaces each
+    // malformed line in `columnNameOfCorruptRecord` instead of
+    // aborting, so bad rows are counted/quarantined in the same pass
+    // that aggregates the good ones — one scan, no retry loop. The
+    // oracle replays the same validity split with DuckDB's
+    // json_valid over the identical bytes.
+    (s, d) => {
+      val path = "/tmp/graft_q128_json"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))).as("j"))
+        .select(when(col("o_orderkey") % 13 === 0,
+            concat(lit("{corrupt "), col("j"))).otherwise(col("j"))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .groupBy(col("_bad").isNull.as("valid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("valid"))
+    },
+    Some("""SELECT json_valid(line) AS valid, count(*) AS n,
+        CAST(SUM(CASE WHEN json_valid(line) THEN
+          CAST(CAST(line AS JSON)->>'$.o_totalprice' AS DECIMAL(18,2))
+        END) AS DOUBLE) AS total
+      FROM read_csv('/tmp/graft_q128_json/*.txt',
+        columns = {line: 'VARCHAR'}, delim = e'\t',
+        quote = '', escape = '', header = false)
+      GROUP BY 1 ORDER BY valid"""))
+
+  val q129UnionByName = Q("q129_union_by_name",
+    // union-by-NAME with missing-column synthesis — schema-drift union
+    // across frames whose column sets disagree (the in-memory twin of
+    // q113's on-disk drift, and the reference's N7 missing-column
+    // synthesis applied to set operations): positional UNION would
+    // mis-bind or reject, unionByName aligns by name and null-fills
+    // what either side lacks. DuckDB's UNION ALL BY NAME is the same
+    // standard semantics.
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val a = sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val b = sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey, NULL AS s_acctbal
+        FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier WHERE s_suppkey % 2 = 1
+      ORDER BY s_suppkey"""))
+
   val q113SchemaDrift = Q("q113_schema_drift",
     // schema-DRIFT ingestion for the big-data path — the reference's
     // hostile-header ethos (S2-S6/N7) applied to parquet: one table
@@ -2123,5 +2192,6 @@ object RelationalQueries {
     q101OrcSource, q102IncrementalAgg, q103HllMerge, q104ThetaSetops,
     q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
     q113SchemaDrift, q120JsonSource, q122XmlSource, q123LateralJoin,
-    q125RecursiveCte, q126NullSafeJoin, q127ShuffleHashJoin)
+    q125RecursiveCte, q126NullSafeJoin, q127ShuffleHashJoin,
+    q128CorruptJson, q129UnionByName)
 }
