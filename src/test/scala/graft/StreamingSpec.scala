@@ -334,6 +334,42 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch on $day"))
   }
 
+  test("state-store reader: checkpoint state is queryable and reconciles " +
+      "with the emitted aggregates") {
+    // Spark 4's `statestore` / `state-metadata` DataFrame readers turn a
+    // streaming checkpoint into ordinary tables — the ops surface for
+    // debugging stateful jobs at scale (inspect skewed keys, audit state
+    // size, rehydrate after an incident) without replaying the stream.
+    val ckpt = Files.createTempDirectory("ckpt_statereader").toString
+    val q = StreamingJobs.dailyAgg(
+        spark.readStream.schema(batchEvents.schema).parquet(eventsPath))
+      .writeStream.format("memory").queryName("s_statereader")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("s_statereader")
+
+    // operator metadata: one stateful operator, the streaming aggregate
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    assert(meta.count() == 1)
+    assert(meta.select("operatorName").head().getString(0) == "stateStoreSave")
+
+    // the live state rows ARE the aggregation buffers: one per
+    // (window, event_type) group, counts matching the emitted output
+    val state = spark.read.format("statestore").load(ckpt)
+      .select(
+        date_format(col("key.window.start"), "yyyy-MM-dd").as("day"),
+        col("key.event_type").as("event_type"),
+        // the value struct holds the raw aggregation buffers
+        // (count/sum/isEmpty), not the output aliases
+        col("value.count").as("n"))
+    assert(state.count() == emitted.count())
+    val want = emitted.select("day", "event_type", "n")
+    assert(state.exceptAll(want).isEmpty && want.exceptAll(state).isEmpty)
+  }
+
   test("runUpsertAvailableNow merges each micro-batch by PK exactly once") {
     import org.apache.spark.sql.functions.col
     val src = Files.createTempDirectory("ups_src").toString
