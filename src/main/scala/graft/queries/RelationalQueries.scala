@@ -957,10 +957,16 @@ object RelationalQueries {
         StructField("o_custkey", LongType),
         StructField("o_totalprice", DoubleType),
         StructField("_bad", StringType)))
-      s.read.schema(schema)
+      // materialize the parsed rows before the validity split: Spark
+      // refuses raw-file scans whose pruned schema is ONLY the corrupt
+      // -record column (a count() over the validity grouping prunes to
+      // exactly that), and its documented remedy is to cache/save the
+      // parse first — which is also the production shape: parse once,
+      // land the typed+quarantine columns, query the landed copy.
+      graft.ops.Relational.eager(s.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
-        .json(path)
+        .json(path))
         .groupBy(col("_bad").isNull.as("valid"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))

@@ -339,6 +339,53 @@ object VectorQueries {
           FROM cand JOIN e x ON x.vec_id = da JOIN e y ON y.vec_id = db)
       SELECT da, db, cosine FROM p WHERE cosine >= 0.3 ORDER BY da, db"""))
 
+  val q130QuantizeEmbed = Q("q130_quantize_embed",
+    // int8 scalar quantization of the embedding column — the storage
+    // operator for vector corpora: 4 bytes/dim float32 → 1 byte/dim
+    // plus one scale per vector (75% smaller at 100 TB, and int8 dot
+    // products are what ANN serving kernels run on). Per-vector
+    // symmetric scheme: scale = 127/max|v|, q_i = floor(v_i*scale+0.5)
+    // — the explicit floor(+0.5) form because Spark's round() is
+    // HALF_UP while DuckDB's is HALF_EVEN, and quantization must be
+    // bit-identical cross-engine. All expression work inside codegen,
+    // zero shuffles. The result pins the quantized array via its exact
+    // sum/min/max and the reconstruction-error bound (≤ maxabs/254 by
+    // construction, asserted as a rounded max).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("maxabs", array_max(transform(col("embedding"),
+          x => abs(x.cast(DoubleType)))))
+        .filter(col("maxabs") > 0)
+        .withColumn("qv", transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * (lit(127.0) / col("maxabs")) + 0.5)
+            .cast(IntegerType)))
+      e.select(col("vec_id"),
+          size(col("qv")).as("n_dims"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+          array_min(col("qv")).as("min_q"),
+          array_max(col("qv")).as("max_q"),
+          round(array_max(zip_with(col("embedding"), col("qv"),
+            (v, q) => abs(v.cast(DoubleType) -
+              q.cast(DoubleType) * col("maxabs") / 127.0))), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH t AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      q AS (SELECT vec_id, embedding, maxabs,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5)
+                 AS INTEGER)) AS qv
+        FROM t WHERE maxabs > 0)
+      SELECT vec_id, len(qv) AS n_dims,
+        CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        list_min(qv) AS min_q, list_max(qv) AS max_q,
+        round(list_max(list_transform(range(1, len(qv)+1),
+          k -> abs(CAST(embedding[k] AS DOUBLE)
+               - CAST(qv[k] AS DOUBLE) * maxabs / 127.0))), 6) AS max_err
+      FROM q ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
-    q99EmbedLsh)
+    q99EmbedLsh, q130QuantizeEmbed)
 }
