@@ -22,6 +22,67 @@ class ScaleSpec extends SparkSpec {
   private lazy val dim = spark.range(0, 100)
     .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
 
+  test("AQE splits the skewed partition of a shuffle join (skew=true " +
+      "in the final adaptive plan)") {
+    // the runtime complement to manual salting: AQE detects the
+    // oversized post-shuffle partition and splits it into sub-reads,
+    // each joined against a duplicated build side — no key rewrite,
+    // no result change. Thresholds are lowered so the 20k-row fixture
+    // crosses the same code path a 100 TB hot key would.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    val helper = new AdaptiveSparkPlanHelper {}
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+      // bigger fixture than `skewed`: the skew detector reads COMPRESSED
+      // shuffle-partition sizes, so the hot key needs real volume, and
+      // `pad` depends on data so it shuffles with the rows instead of
+      // being constant-folded above the join
+      val fat = spark.range(0, 100000)
+        .select(
+          when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100)
+            .as("k"),
+          (col("id") % 1000).cast("double").as("v"),
+          lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val j = fat.join(dim, Seq("k"))
+      // run THIS frame's own query execution (a count() would plan and
+      // adapt a separate one, leaving this plan isFinalPlan=false)
+      assert(j.queryExecution.toRdd.count() == 100000)
+
+      val skewJoins = helper.collectWithSubqueries(
+        j.queryExecution.executedPlan) {
+        case s: SortMergeJoinExec if s.isSkewJoin => s: Any
+        case s: ShuffledHashJoinExec if s.isSkewJoin => s: Any
+      }
+      assert(skewJoins.nonEmpty,
+        s"no skew-handled join in:\n${j.queryExecution.executedPlan}")
+
+      // and it is purely a physical rewrite: same rows as the plain join
+      val plain = fat.drop("pad").join(dim, Seq("k"))
+      val got = j.drop("pad")
+      assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain join, inner and left_semi") {
     val plain = skewed.join(dim, Seq("k"))
     val salted = Scale.saltedJoin(skewed, dim, Seq("k"), salts = 8)
