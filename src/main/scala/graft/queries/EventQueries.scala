@@ -202,6 +202,53 @@ object EventQueries {
       FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
       ORDER BY media_id"""))
 
+  val q131DppPrune = Q("q131_dpp_prune",
+    // DYNAMIC partition pruning — the third pillar of runtime
+    // optimization alongside AQE (ScaleSpec) and CBO (q112): when the
+    // dimension filter is only known at run time, Catalyst injects the
+    // dim's surviving join keys as a partition filter on the fact scan
+    // (reusing the broadcast exchange), so a 100 TB day-partitioned
+    // fact table reads ONLY the days the filtered dim selects —
+    // partition pruning without a literal predicate on the fact. The
+    // require pins `dynamicpruning` into the scan's partition filters;
+    // the oracle replays the join from the base table. Layout notes:
+    // repartition on the partition column before partitionBy (one file
+    // per day, not tasks×days), and the calendar dim carries DATE keys
+    // to match the inferred partition-column type.
+    (s, d) => {
+      val root = PipelineQueries.tempRoot("graft_q131")
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      ev.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(root + "/fact")
+      ev.select(col("day")).distinct()
+        .write.mode("overwrite").parquet(root + "/dim")
+
+      val fact = s.read.parquet(root + "/fact")
+      val dim = s.read.parquet(root + "/dim")
+        .filter(dayofmonth(col("day")).isin(5, 15, 25))
+        .withColumnRenamed("day", "dim_day")
+      val joined = fact.join(dim, col("day") === col("dim_day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("total"))
+        .orderBy(col("day"))
+      val phys = joined.queryExecution.executedPlan.toString
+      require(phys.contains("dynamicpruning"),
+        s"fact scan lacks a dynamic partition filter:\n$phys")
+      joined
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE date_part('day', date_trunc('day', ts)) IN (5, 15, 25)
+      GROUP BY 1 ORDER BY day"""))
+
   val q98ZorderScan = Q("q98_zorder_scan",
     // Z-order layout under the oracle gate: a copy of events is written
     // through Scale.writeZOrdered on (user_id, day index) and a
@@ -709,5 +756,5 @@ object EventQueries {
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
     q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance,
-    q121TextLog)
+    q121TextLog, q131DppPrune)
 }
