@@ -249,6 +249,84 @@ object EventQueries {
       WHERE date_part('day', date_trunc('day', ts)) IN (5, 15, 25)
       GROUP BY 1 ORDER BY day"""))
 
+  /** Avro record schema for q132 (parsed executor-side per task). */
+  private val q132AvroSchema =
+    """{"type":"record","name":"Event","fields":[
+       {"name":"event_id","type":"long"},
+       {"name":"event_type","type":"string"},
+       {"name":"value","type":"double"}]}"""
+
+  val q132AvroContainer = Q("q132_avro_container",
+    // Avro container files WITHOUT the spark-avro module (not on this
+    // classpath): the avro core jars ship with Spark itself, so the
+    // library reads/writes Avro through the extension-source pattern —
+    // executor-side DataFileWriter per partition on the way out, and
+    // `binaryFile` + a per-partition GenericDatumReader decode on the
+    // way in. This is the identical plumbing shape as the multimodal
+    // decode path (q96) but with a REAL container codec end-to-end:
+    // schema declared, not inferred; one file per partition, not per
+    // row; all decode work in executors. The oracle replays the
+    // aggregate from the base table, so any round-trip corruption of
+    // ids, types or doubles breaks the hash compare.
+    (s, d) => {
+      val dir = PipelineQueries.tempRoot("graft_q132") + "/avro"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val schemaJson = q132AvroSchema
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(4)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          import org.apache.avro.Schema
+          import org.apache.avro.file.DataFileWriter
+          import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+            GenericRecord}
+          val schema = new Schema.Parser().parse(schemaJson)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          w.create(schema, new java.io.File(dir, f"part-$pid%05d.avro"))
+          try rows.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("event_id", r.getLong(0))
+            rec.put("event_type", r.getString(1))
+            rec.put("value", r.getDouble(2))
+            w.append(rec)
+          } finally w.close()
+        }
+      val sp = s
+      import sp.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+        .load(dir)
+        .select(col("content"))
+        .as[Array[Byte]]
+        .mapPartitions { blobs =>
+          import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+          import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+          blobs.flatMap { bytes =>
+            val rd = new DataFileReader[GenericRecord](
+              new SeekableByteArrayInput(bytes),
+              new GenericDatumReader[GenericRecord]())
+            val out = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
+            try while (rd.hasNext) {
+              val rec = rd.next()
+              out += ((rec.get("event_id").asInstanceOf[Long],
+                rec.get("event_type").toString,
+                rec.get("value").asInstanceOf[Double]))
+            } finally rd.close()
+            out
+          }
+        }
+        .toDF("event_id", "event_type", "value")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val q98ZorderScan = Q("q98_zorder_scan",
     // Z-order layout under the oracle gate: a copy of events is written
     // through Scale.writeZOrdered on (user_id, day index) and a
@@ -756,5 +834,5 @@ object EventQueries {
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
     q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance,
-    q121TextLog, q131DppPrune)
+    q121TextLog, q131DppPrune, q132AvroContainer)
 }
