@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.NfcNormalize
 import graft.functions.ShingleExpression.wordShingles
 import graft.functions.SimHashExpression.simhash32
 import graft.ops.Relational.eager
@@ -1030,10 +1031,112 @@ object TextQueries {
       FROM read_blob('/tmp/graft_q124_bin/*.bin')
       ORDER BY doc_id"""))
 
+  val q133NfcNormalize = Q("q133_nfc_normalize",
+    // Unicode NORMALIZATION — the corpus-cleaning step every text
+    // pipeline runs before hashing/dedup/tokenization: canonical
+    // composition (NFC) so decomposed `e`+U+0301 and composed `é`
+    // are one code point, plus zero-width/BOM stripping (U+200B/C/D,
+    // U+FEFF — the invisible chars that break exact dedup and inflate
+    // token counts). Spark ships no normalizer, so this is the custom
+    // codegen'd NfcNormalize expression (functions/NormalizeExpression
+    // .scala) — whole-stage codegen, zero-copy on already-NFC input,
+    // zero shuffles: the ideal 100 TB map-only shape. The corpus is
+    // ASCII, so hostile input is injected deterministically first
+    // (combining accent after every 'e', zero-width space after every
+    // 'o' — both engines apply the identical replace), making the
+    // normalize step do real composition work the oracle replays via
+    // DuckDB's utf8proc `nfc_normalize` — byte-identical md5s pin it.
+    (s, d) => {
+      val zw = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          replace(replace(col("text"), lit("e"), lit("e\u0301")),
+            lit("o"), lit("o\u200B")).as("a"))
+        // staged: `a` and `c` are each referenced twice downstream
+        // (the q26 CollapseProject lesson)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          length(col("a")).as("n_chars_aug"),
+          NfcNormalize.nfcNormalize(
+            regexp_replace(col("a"), zw, "")).as("c"))
+        .select(col("doc_id"), col("n_chars_raw"), col("n_chars_aug"),
+          length(col("c")).as("n_chars_norm"),
+          substring(col("c"), 1, 60).as("norm_prefix"),
+          md5(col("c").cast(BinaryType)).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (SELECT doc_id, text,
+          replace(replace(text, 'e', 'e' || chr(769)),
+                  'o', 'o' || chr(8203)) AS a
+          FROM documents),
+        cln AS (SELECT doc_id,
+          length(text) AS n_chars_raw, length(a) AS n_chars_aug,
+          nfc_normalize(regexp_replace(a,
+            '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')) AS c
+          FROM aug)
+      SELECT doc_id, n_chars_raw, n_chars_aug,
+        length(c) AS n_chars_norm,
+        substr(c, 1, 60) AS norm_prefix, md5(c) AS norm_md5
+      FROM cln ORDER BY doc_id"""))
+
+  val q134VocabTokenize = Q("q134_vocab_tokenize",
+    // vocabulary TOKENIZATION — the encode step that turns cleaned text
+    // into training token ids: build a frequency-ranked vocab (top-16
+    // words here so OOV is real; id = rank, 0 = <unk>), then map every
+    // word to its id and reassemble each document's id sequence in
+    // token order. The 100 TB shape: the vocab is tiny by construction
+    // (top-V of a frequency aggregate — one shuffle) and BROADCAST to
+    // the encode join, so encoding itself is map-side; the only other
+    // shuffle is the per-document reassembly groupBy. Order is carried
+    // by posexplode's position through array_sort(struct(pos, id)) —
+    // never by implicit row order.
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .transform(eager) // feeds vocab build AND the encode join
+      val byFreq = Window.orderBy(col("cnt").desc, col("word"))
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(16)
+        .select(col("word"),
+          row_number().over(byFreq).cast(IntegerType).as("tok_id"))
+      val enc = words.join(broadcast(vocab), Seq("word"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("tok_id"), lit(0)).as("tok_id"))
+      enc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tok_id") === 0, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("tok_id")).cast(LongType).as("sum_ids"),
+          concat_ws(",", slice(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+            x => x.getField("tok_id").cast(StringType)), 1, 16))
+            .as("ids_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        w AS (SELECT doc_id, r.pos AS pos, toks[r.pos] AS word
+          FROM t, range(1, 128) r(pos)
+          WHERE r.pos <= len(toks) AND length(toks[r.pos]) > 0),
+        v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+          ORDER BY cnt DESC, word LIMIT 16),
+        vid AS (SELECT word, CAST(row_number() OVER
+            (ORDER BY cnt DESC, word) AS INTEGER) AS tok_id FROM v),
+        enc AS (SELECT w.doc_id, w.pos, coalesce(vid.tok_id, 0) AS tok_id
+          FROM w LEFT JOIN vid USING (word))
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(sum(tok_id) AS BIGINT) AS sum_ids,
+        array_to_string((list(tok_id ORDER BY pos))[1:16], ',')
+          AS ids_head
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
     q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
     q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
-    q124BinaryFiles)
+    q124BinaryFiles, q133NfcNormalize, q134VocabTokenize)
 }

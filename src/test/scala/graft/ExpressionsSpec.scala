@@ -133,4 +133,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
     assert(sigs(0) != sigs(2))
   }
+
+  test("nfcNormalize: composition, fast path, nulls, java parity") {
+    import graft.functions.NfcNormalize.nfcNormalize
+    // decomposed e + U+0301 composes to é (2 code points → 1); composed
+    // input is the fast path (returned untouched); ASCII unaffected
+    val df = Seq("e\u0301clair", "\u00E9clair", "plain ascii", "")
+      .toDF("s")
+      .select(col("s"), nfcNormalize(col("s")).as("n"),
+        length(col("s")).as("ls"), length(col("n")).as("ln"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "\u00E9clair")
+    assert(rows(0).getInt(2) == 7 && rows(0).getInt(3) == 6)
+    assert(rows(1).getString(1) == "\u00E9clair")
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "")
+
+    // null → null
+    val nul = spark.sql("SELECT CAST(NULL AS STRING) s")
+      .select(nfcNormalize(col("s")))
+    assert(nul.collect()(0).isNullAt(0))
+
+    // whole-corpus parity with java.text.Normalizer applied row-side
+    // (the codegen path must agree with the library semantics exactly),
+    // over text with injected decomposed accents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select(regexp_replace(col("text"), "a", "a\u0300").as("s"))
+    val got = docs.select(col("s"), nfcNormalize(col("s")).as("n")).collect()
+    got.foreach { r =>
+      val want = java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == want)
+      assert(r.getString(1).length < r.getString(0).length)
+    }
+  }
 }
