@@ -215,6 +215,62 @@ object Scale {
     pruned.join(dim, keys)
   }
 
+  /** Write parquet with a NATIVE parquet bloom filter on `bloomCol` —
+    * the storage-side point-lookup structure complementing the
+    * query-side [[bloomPrunedJoin]]: the filter lives in the file
+    * footer, so a `col = k` / `col IN (...)` scan skips whole row
+    * groups whose bloom rejects k WITHOUT reading any data pages
+    * (Spark's parquet reader applies bloom row-group filtering under
+    * `spark.sql.parquet.filterPushdown`, default on). Min/max stats
+    * can't do this for high-cardinality keys scattered across the
+    * file — every row group spans the full key range — which is
+    * exactly the needle-in-100 TB lookup shape. Dictionary encoding
+    * is disabled for the column because a dictionary page is itself a
+    * complete row-group key list: at real cardinalities it overflows
+    * and silently stops filtering, while the bloom stays O(ndv) bits
+    * with a bounded false-positive rate. `rowGroupBytes` sizes
+    * `parquet.block.size` — the skipping granularity.
+    */
+  def writeWithBloom(df: DataFrame, bloomCol: String, expectedNdv: Long,
+                     dir: String, rowGroupBytes: Long = 1L << 20): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        expectedNdv.toString)
+      .option(s"parquet.enable.dictionary#$bloomCol", "false")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(dir)
+
+  /** Per-row-group bloom-filter footer offsets for `column` across all
+    * parquet files under `dir` (−1 = that row group has no bloom) —
+    * the layout assertion surface for [[writeWithBloom]]: callers
+    * `require` every offset ≥ 0 to pin that the write really produced
+    * the structure the read path's skipping depends on. Footer-only
+    * reads — no data pages touched.
+    */
+  def parquetBloomOffsets(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, column: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map(_.getBloomFilterOffset)
+              .getOrElse(-1L)
+          }
+        } finally r.close()
+      }
+  }
+
   /** Incremental partial-aggregate maintenance: fold a new batch into
     * a persisted aggregate state of shape (keys..., agg_sum, agg_cnt)
     * WITHOUT rescanning history — the batch is reduced to its own

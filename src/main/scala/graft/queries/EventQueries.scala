@@ -359,6 +359,42 @@ object EventQueries {
           BETWEEN 10 AND 40
       GROUP BY user_id ORDER BY user_id"""))
 
+  val q135ParquetBloom = Q("q135_parquet_bloom",
+    // Parquet-NATIVE bloom filter layout under the oracle gate — the
+    // needle-in-100 TB point-lookup structure completing the scan-
+    // pruning family (q98 z-order = range boxes, q131 DPP = partition
+    // dirs, q100 = query-side bloom join): lineitem is rewritten
+    // hash-SCATTERED on the key so every row group spans the full key
+    // range (min/max stats provably useless), with a native bloom on
+    // l_orderkey in each row-group footer via Scale.writeWithBloom.
+    // The in-plan require pins the layout (every row group carries a
+    // bloom offset — footer-only check); a key IN-list point lookup
+    // then answers from the bloom-equipped files. Results are layout-
+    // invariant, so the oracle is the same lookup over the raw table;
+    // ScaleSpec pins the skipping behavior itself (absent-key probe
+    // reads ZERO rows from bloom files vs the full scatter without).
+    (s, d) => {
+      val dir = PipelineQueries.tempRoot("graft_q135") + "/li_bloom"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(xxhash64(col("l_orderkey"), col("l_linenumber")))
+      // expectedNdv bounds PER-ROW-GROUP distincts (≈8k rows fit a
+      // 256 KB group), not table ndv — ~24 KB of bloom per group
+      graft.ops.Scale.writeWithBloom(li, "l_orderkey", expectedNdv = 20000,
+        dir, rowGroupBytes = 256 * 1024)
+      val offs = graft.ops.Scale.parquetBloomOffsets(s, dir, "l_orderkey")
+      require(offs.nonEmpty && offs.forall(_ >= 0),
+        s"parquet bloom filter missing from row groups: $offs")
+      s.read.parquet(dir)
+        .filter(col("l_orderkey").isin(32L, 407L, 1118L))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey IN (32, 407, 1118)
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
+
   val q40JsonProps = Q("q40_json_props",
     // §2.11 JSON scalar functions: extract from the props JSON column
     // both path-wise (get_json_object) and schema-wise (from_json),
@@ -834,5 +870,5 @@ object EventQueries {
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
     q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance,
-    q121TextLog, q131DppPrune, q132AvroContainer)
+    q121TextLog, q131DppPrune, q132AvroContainer, q135ParquetBloom)
 }

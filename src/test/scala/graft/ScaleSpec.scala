@@ -228,4 +228,53 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, BigDecimal, Long)].collect().sortBy(_._1)
     assert(got.sameElements(exp))
   }
+
+  test("parquet-native bloom filter skips row groups for absent keys") {
+    // data deliberately hash-scattered: every row group spans the full
+    // key range, so min/max stats prune NOTHING — any skipping below
+    // is the bloom filter's. 200k rows / 256 KB groups ≈ dozens of
+    // groups; keys are the even numbers, probes are odd (absent).
+    val base = Files.createTempDirectory("graft_bloom").toString
+    val df = spark.range(0, 200000)
+      .select((col("id") * 2).as("k"), rand(42).as("payload"))
+      .orderBy(xxhash64(col("k")))
+    Scale.writeWithBloom(df, "k", expectedNdv = 20000,
+      s"$base/bloom", rowGroupBytes = 256 * 1024)
+    df.write.option("parquet.enable.dictionary#k", "false")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(s"$base/plain")
+
+    // layout: every row group of the bloom copy carries a filter; the
+    // plain copy carries none
+    val offs = Scale.parquetBloomOffsets(spark, s"$base/bloom", "k")
+    assert(offs.size > 4, s"expected several row groups, got ${offs.size}")
+    assert(offs.forall(_ >= 0), s"row groups missing blooms: $offs")
+    assert(Scale.parquetBloomOffsets(spark, s"$base/plain", "k")
+      .forall(_ == -1L))
+
+    // behavior: an absent-key probe against the bloom copy reads zero
+    // rows out of the scan (every row group rejected from the footer);
+    // the plain copy must surface rows from every group (stats can't
+    // prune a scattered layout). No exchange in the plan, so the scan
+    // leaf's metric is the rows the reader actually decoded.
+    def scannedRows(dir: String): Long = {
+      val q = spark.read.parquet(dir)
+        .filter(col("k").isin(99991L, 99993L, 99995L))
+      assert(q.count() == 0)
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      q.collect()
+      scan.metrics("numOutputRows").value
+    }
+    val bloomRows = scannedRows(s"$base/bloom")
+    val plainRows = scannedRows(s"$base/plain")
+    assert(bloomRows == 0,
+      s"bloom layout decoded $bloomRows rows for an absent key")
+    assert(plainRows == 200000L,
+      s"scattered plain layout should decode everything, got $plainRows")
+
+    // and present-key lookups are layout-invariant
+    val got = spark.read.parquet(s"$base/bloom")
+      .filter(col("k") === 123456L).count()
+    assert(got == 1)
+  }
 }
