@@ -14,6 +14,22 @@ object Bench {
 
   private val Passes = 3
 
+  // Single static shutdown hook over a volatile payload: repeated
+  // Bench.main invocations inside one long-lived JVM must not stack
+  // hooks, or at exit every prior run's stale JSON would print after
+  // the current one and a last-line tail capture would record an old
+  // run's figures.
+  @volatile private var lastLine: String = null
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (lastLine != null) {
+        val out = new java.io.PrintStream(new java.io.FileOutputStream(
+          java.io.FileDescriptor.out), true)
+        out.println(lastLine)
+        out.flush()
+      }
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,6 +104,23 @@ object Bench {
         s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
         s""""cpus":$cpus,"passes":$Passes,""" +
         s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The capture that records this run keeps only the LAST ~2000
+    // characters of stdout, and sbt appends a ~70-char [success] banner
+    // after the forked JVM exits — a 135-query JSON line (~4 KB) can
+    // therefore never be fully inside the captured tail. The full JSON
+    // goes to target/bench.json and the (sbt-logger-prefixed) console;
+    // the LAST line written is a compact headline JSON — same
+    // metric/value/unit contract, per-query map cut to the slowest 12,
+    // pointer to the full file — sized to fit the tail window whole.
+    val slowest = medians.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
+        s""""cpus":$cpus,"passes":$Passes,"failed":$failedJson,""" +
+        s""""queries":$slowest,""" +
+        s""""queries_full":"target/bench.json","sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no executor/log line can interleave
     // with (or clip) the JSON in a captured stream, and also write it to
     // a file — the recorded artifact must survive log buffering
@@ -95,16 +128,11 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), json)
     println(json)
-    // capture-proofing: sbt prints its own [success] banner AFTER main
-    // returns, so the println above is never the captured stream's last
-    // line. A shutdown hook writing straight to fd 1 (bypassing sbt's
-    // logger redirection of System.out) runs at sbt-JVM exit — the JSON
-    // is then the absolute last stdout line, unprefixed and unclipped.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val out = new java.io.PrintStream(new java.io.FileOutputStream(
-        java.io.FileDescriptor.out), true)
-      out.println(json)
-      out.flush()
-    }))
+    // A shutdown hook writing straight to fd 1 (bypassing sbt's logger
+    // redirection of System.out) runs at forked-JVM exit, after every
+    // other line this process prints — the compact JSON is then the
+    // last unprefixed stdout line before sbt's own banner.
+    hookInstalled
+    lastLine = compact
   }
 }

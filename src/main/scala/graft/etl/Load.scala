@@ -175,7 +175,8 @@ object Load {
     */
   private def scopedMerge(spark: SparkSession, incoming: DataFrame,
                           dir: String, scopeCol: String,
-                          merge: (Option[DataFrame], DataFrame) => DataFrame)
+                          merge: (Option[DataFrame], DataFrame) => DataFrame,
+                          bootstrapFiles: Map[String, String] = Map.empty)
       : Long = {
     require(incoming.columns.contains(scopeCol),
       s"scoped merge: incoming batch lacks scope column $scopeCol")
@@ -200,6 +201,16 @@ object Load {
         merge(None, incoming).repartition(col(scopeCol))
           .write.mode("overwrite").partitionBy(scopeCol).parquet(staging)
         val n = spark.read.parquet(staging).count()
+        // layout markers (e.g. _GRAFT_BUCKETS) ride the atomic rename:
+        // written into staging BEFORE the swap, so no crash window can
+        // leave a valid table whose later merges are rejected for a
+        // missing marker. Underscore names are invisible to readers.
+        val sfs = new Path(staging)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        bootstrapFiles.foreach { case (name, contents) =>
+          val out = sfs.create(new Path(s"$staging/$name"), true)
+          try out.write(contents.getBytes("UTF-8")) finally out.close()
+        }
         atomicSwap(spark, staging, dir)
         n
       case Some(existing) =>
@@ -231,6 +242,25 @@ object Load {
         // scans from inheriting a tasks×scopes small-file spray
         merged.repartition(scopes.length, col(scopeCol))
           .write.mode("overwrite").partitionBy(scopeCol).parquet(staging)
+        // Guard against a non-deterministic batch (limit/sample/rand):
+        // the scopes list was collected in one job and the staging write
+        // RE-EXECUTED the incoming plan — if re-evaluation produced rows
+        // under a scope absent from the collected list, that staged dir
+        // would never be swapped in and would vanish with staging:
+        // silent row loss. Fail loudly instead; the cost is one driver
+        // directory listing of batch-bounded staging.
+        val staged = fs.listStatus(sp).map(_.getPath.getName)
+          .filter(_.startsWith(s"$scopeCol="))
+          .map(_.stripPrefix(s"$scopeCol="))
+        val unplanned = staged.toSet -- scopes.toSet
+        if (unplanned.nonEmpty) {
+          fs.delete(sp, true)
+          throw new IllegalStateException(
+            "scoped merge: incoming batch is non-deterministic — staging " +
+              s"produced $scopeCol values not in the collected scope list " +
+              s"(${unplanned.take(3).mkString(", ")}). Materialize the " +
+              "batch (cache/eager) before merging.")
+        }
         // count the STAGING side (touched scopes only) — counting via
         // the table root would re-run partition discovery over every
         // untouched directory. Explicit schema: an all-deletes merge
@@ -279,28 +309,27 @@ object Load {
   private def bucketOf(pk: Column, buckets: Int): Column =
     pmod(xxhash64(pk), lit(buckets.toLong)).cast("int")
 
-  /** Persist/verify the bucket count the table was laid out with: a
-    * merge computing bucket ids under a DIFFERENT count would scope to
-    * the wrong directories and duplicate PKs. Underscore-prefixed so
-    * partition discovery ignores it.
+  /** Marker file recording the bucket count a table was laid out with:
+    * a merge computing bucket ids under a DIFFERENT count would scope
+    * to the wrong directories and duplicate PKs. Underscore-prefixed so
+    * partition discovery ignores it. WRITTEN only via [[scopedMerge]]'s
+    * `bootstrapFiles` (inside staging, riding the atomic rename — no
+    * crash window can leave a marker-less valid table).
     */
+  private val BucketMarker = "_GRAFT_BUCKETS"
+
   private def checkBucketLayout(spark: SparkSession, dir: String,
-                                buckets: Int, bootstrap: Boolean): Unit = {
-    val marker = new Path(s"$dir/_GRAFT_BUCKETS")
+                                buckets: Int): Unit = {
+    val marker = new Path(s"$dir/$BucketMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (bootstrap) {
-      val out = fs.create(marker, true)
-      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
-    } else {
-      require(fs.exists(marker),
-        s"$dir is not a bucketed-layout table (no _GRAFT_BUCKETS marker)")
-      val in = fs.open(marker)
-      val recorded =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(recorded == buckets.toString,
-        s"$dir was bucketed with $recorded buckets, merge asked for $buckets")
-    }
+    require(fs.exists(marker),
+      s"$dir is not a bucketed-layout table (no $BucketMarker marker)")
+    val in = fs.open(marker)
+    val recorded =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    require(recorded == buckets.toString,
+      s"$dir was bucketed with $recorded buckets, merge asked for $buckets")
   }
 
   /** [[upsert]] for a large PK table in a hash-bucketed layout
@@ -314,20 +343,17 @@ object Load {
   def upsertBucketed(spark: SparkSession, df: DataFrame, dir: String,
                      pk: String, buckets: Int): Long = {
     require(buckets > 0, "buckets must be positive")
-    val bootstrap = !tableExists(spark, dir)
-    if (!bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = false)
+    if (tableExists(spark, dir)) checkBucketLayout(spark, dir, buckets)
     val incoming = dedupKeepLastPositional(df, Seq(pk))
       .withColumn("__bucket", bucketOf(col(pk), buckets))
-    val n = scopedMerge(spark, incoming, dir, "__bucket", {
+    scopedMerge(spark, incoming, dir, "__bucket", {
       case (Some(ex), inc) =>
         dedupKeepLast(
           ex.withColumn("__prio", lit(0))
             .unionByName(inc.withColumn("__prio", lit(1))),
           Seq(pk), Seq(col("__prio"))).drop("__prio")
       case (None, inc) => inc
-    })
-    if (bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = true)
-    n
+    }, bootstrapFiles = Map(BucketMarker -> buckets.toString))
   }
 
   /** [[applyCdc]] for a hash-bucketed PK table: deletes and upserts
@@ -339,20 +365,17 @@ object Load {
                        opCol: String = "op"): Long = {
     require(buckets > 0, "buckets must be positive")
     validateCdcOps(changes, opCol)
-    val bootstrap = !tableExists(spark, dir)
-    if (!bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = false)
+    if (tableExists(spark, dir)) checkBucketLayout(spark, dir, buckets)
     val lastPerKey = dedupKeepLastPositional(changes, Seq(pk))
       .withColumn("__bucket", bucketOf(col(pk), buckets))
-    val n = scopedMerge(spark, lastPerKey, dir, "__bucket", { (exOpt, inc) =>
+    scopedMerge(spark, lastPerKey, dir, "__bucket", { (exOpt, inc) =>
       val upserts = inc.filter(lower(col(opCol)) =!= "d").drop(opCol)
       exOpt match {
         case Some(ex) =>
           antiJoin(ex, inc.select(col(pk)), Seq(pk)).unionByName(upserts)
         case None => upserts
       }
-    })
-    if (bootstrap) checkBucketLayout(spark, dir, buckets, bootstrap = true)
-    n
+    }, bootstrapFiles = Map(BucketMarker -> buckets.toString))
   }
 
   /** [[applyCdc]] for a day-partitioned table: changes carry the day

@@ -1116,9 +1116,10 @@ object TextQueries {
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents),
-        w AS (SELECT doc_id, r.pos AS pos, toks[r.pos] AS word
-          FROM t, range(1, 128) r(pos)
-          WHERE r.pos <= len(toks) AND length(toks[r.pos]) > 0),
+        w AS (SELECT doc_id, pos, word FROM (
+            SELECT doc_id, unnest(toks) AS word,
+              generate_subscripts(toks, 1) AS pos FROM t)
+          WHERE length(word) > 0),
         v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
           ORDER BY cnt DESC, word LIMIT 16),
         vid AS (SELECT word, CAST(row_number() OVER

@@ -263,6 +263,28 @@ class ScopedMergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("scoped merge fails loudly on a non-deterministic batch") {
+    val dir = tmp("nd_guard")
+    val seed = Seq(("2024-01-01", "k1", "a")).toDF("day", "pk", "v")
+    Load.upsertPartitioned(spark, seed, dir, "pk")
+    // a day column that yields a DIFFERENT value on every evaluation —
+    // the pathological form of limit/sample/rand batches: the scope
+    // list is collected from one evaluation, the staging write re-runs
+    // the plan and stages rows under days not in that list. Without
+    // the staged-scope guard those rows silently vanish with staging.
+    val ndDay = udf(() => "d" + NdClock.next.getAndIncrement())
+      .asNondeterministic()
+    val batch = Seq(("k9", "z")).toDF("pk", "v").withColumn("day", ndDay())
+    val e = intercept[IllegalStateException] {
+      Load.upsertPartitioned(spark, batch, dir, "pk")
+    }
+    assert(e.getMessage.contains("non-deterministic"))
+    // the refused merge left the table (and no staging debris) behind
+    assert(sortedRows(spark.read.parquet(dir).select("day", "pk", "v")) ==
+      sortedRows(seed))
+    assert(!Files.exists(Paths.get(s"$dir.__scoped_staging")))
+  }
+
   test("readTable heals a crashed per-partition swap remnant") {
     val dir = tmp("heal")
     val seed = Seq(("2024-01-01", "k1", "a"), ("2024-01-02", "k2", "b"))
@@ -277,4 +299,11 @@ class ScopedMergeSpec extends SparkSpec {
     assert(Files.exists(part) &&
       !Files.exists(Paths.get(s"$dir/day=2024-01-02.__old")))
   }
+}
+
+/** Executor-visible monotonic counter backing the non-determinism
+  * guard test (local mode shares the JVM, so a static suffices).
+  */
+object NdClock {
+  val next = new java.util.concurrent.atomic.AtomicLong()
 }
