@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
   * `mapInPandas`. Everything Spark-side (schemas, batch shape,
   * partition-wise init, explode fan-out) is real. IMAGE formats decode
   * to actual pixels via the JDK's own `javax.imageio` codecs
-  * ([[ImageDecoder]] — PNG/JPEG/GIF/BMP, no extra jars); payloads that
-  * aren't decodable images, and audio/video formats, take the
-  * byte-domain [[StubDecoder]] path (STUB markers below), whose
-  * interface is the production shape for codecs this JVM doesn't
-  * bundle.
+  * ([[ImageDecoder]] — PNG/JPEG/GIF/BMP, no extra jars); AUDIO WAV/PCM
+  * decodes to actual samples via the JDK's `javax.sound.sampled`
+  * ([[AudioDecoder]]). Payloads neither codec can parse, and VIDEO
+  * formats, take the byte-domain [[StubDecoder]] path (STUB markers
+  * below), whose interface is the production shape for codecs this JVM
+  * doesn't bundle.
   */
 object Multimodal {
 
@@ -46,6 +47,11 @@ object Multimodal {
     */
   val ImageFormats: Set[String] = Set("png", "jpeg", "jpg", "gif", "bmp")
 
+  /** Formats [[decodeFeatures]] tries real sample decode for — the
+    * container javax.sound.sampled parses out of the box.
+    */
+  val AudioFormats: Set[String] = Set("wav", "wave")
+
   /** Real image decode via the JDK-bundled `javax.imageio` codecs:
     * pixel-domain features — integer-luminance mean (Rec.601 weights in
     * exact integer arithmetic, so results are bit-stable across
@@ -58,9 +64,13 @@ object Multimodal {
   class ImageDecoder extends Serializable {
     def decodePixels(payload: Array[Byte])
         : Option[(Double, Array[Float], Int, Int)] = {
+      // NonFatal, not just IOException: ImageIO plugins throw unchecked
+      // exceptions (IndexOutOfBounds, NegativeArraySize, IllegalArgument)
+      // on corrupt/truncated headers — a hostile payload must take the
+      // byte-domain fallback, not fail the task.
       val img = try {
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      } catch { case _: java.io.IOException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth
@@ -85,8 +95,69 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — a deterministic stand-in for an audio/video codec
-    * (and the fallback for undecodable image payloads). Real
+  /** Real audio decode via the JDK-bundled `javax.sound.sampled` WAV/
+    * PCM parser (no extra jars): sample-domain features — RMS amplitude
+    * normalized to [0, 1] (in [[FeatureSchema]]'s `mean_byte` slot) and
+    * an 8-bin |amplitude| histogram, the audio twin of
+    * [[ImageDecoder]]'s luminance histogram. 8-bit samples are lifted
+    * to the 16-bit domain so both depths land in the same bins.
+    * Returns None for anything that isn't parseable 8/16-bit PCM
+    * (compressed codecs stay on the byte-domain stub path).
+    */
+  class AudioDecoder extends Serializable {
+    def decodeSamples(payload: Array[Byte]): Option[(Double, Array[Float])] = {
+      import javax.sound.sampled._
+      // NonFatal throughout: the parser throws unchecked exceptions on
+      // hostile/truncated headers; any failure takes the stub fallback
+      val stream = try {
+        AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+      } catch { case scala.util.control.NonFatal(_) => null }
+      if (stream == null) None
+      else try {
+        val f = stream.getFormat
+        val bits = f.getSampleSizeInBits
+        val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        val pcm = unsigned || f.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        if (!pcm || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = stream.readAllBytes()
+          val be = f.isBigEndian
+          val n = bytes.length / (bits / 8)
+          if (n == 0) None
+          else {
+            val hist = new Array[Float](8)
+            var sumSq = 0.0
+            var i = 0
+            while (i < n) {
+              // every channel's sample counts once: per-sample stats,
+              // not per-frame — channel layout doesn't change the math
+              val s16 =
+                if (bits == 16) {
+                  val b0 = bytes(i * 2) & 0xff
+                  val b1 = bytes(i * 2 + 1) & 0xff
+                  val raw = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+                  if (unsigned) raw - 32768 else raw.toShort.toInt
+                } else {
+                  val c = if (unsigned) (bytes(i) & 0xff) - 128
+                          else bytes(i).toInt
+                  c << 8
+                }
+              val abs = math.abs(s16)
+              hist(math.min(7, abs >> 12)) += 1f // 4096-wide bins
+              sumSq += s16.toDouble * s16
+              i += 1
+            }
+            Some((math.sqrt(sumSq / n) / 32768.0, hist))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally stream.close()
+    }
+  }
+
+  /** STUB decoder — a deterministic stand-in for a VIDEO codec (and
+    * the fallback for undecodable image/audio payloads). Real
     * implementation would parse `payload` with the codec matching
     * `format`; the fake derives features from the raw bytes so tests
     * are reproducible. The *interface* (bytes → features, constructed
@@ -138,16 +209,20 @@ object Multimodal {
     media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
       .mapPartitions { rows =>
         val img = new ImageDecoder // per-partition, NOT per-row
+        val aud = new AudioDecoder
         val stub = new StubDecoder
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val format = r.getAs[String]("format")
+          val lc = if (format == null) "" else format.toLowerCase
           val (mean, emb) =
-            if (format != null && ImageFormats(format.toLowerCase))
+            if (ImageFormats(lc))
               img.decodePixels(payload) match {
                 case Some((m, h, _, _)) => (m, h)
                 case None => stub.decode(payload)
               }
+            else if (AudioFormats(lc))
+              aud.decodeSamples(payload).getOrElse(stub.decode(payload))
             else stub.decode(payload)
           Row(r.getAs[Long]("media_id"), format,
             payload.length, mean, emb.toSeq)

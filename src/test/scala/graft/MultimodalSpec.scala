@@ -96,6 +96,44 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.decodePixels(Array.emptyByteArray).isEmpty)
   }
 
+  test("AudioDecoder decodes the checked-in WAV to exact sample features") {
+    // src/test/resources/graft/media/tiny.wav: 8 mono 16-bit PCM
+    // samples 0, 16384, -16384, 32767, -32768, 4096, -4096, 8192.
+    // |amplitude| >> 12 bins: 0,4,4,7,7(capped),1,1,2 ->
+    // hist = [1,2,1,0,2,0,0,2]; sum of squares = 2784952321.
+    val wav = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.wav").toURI))
+    val dec = new Multimodal.AudioDecoder
+    val Some((rms, hist)) = dec.decodeSamples(wav)
+    assert(rms == math.sqrt(2784952321.0 / 8) / 32768.0)
+    assert(hist.toSeq == Seq(1f, 2f, 1f, 0f, 2f, 0f, 0f, 2f))
+    // garbage bytes are not a WAV — None, not an exception
+    assert(dec.decodeSamples("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(dec.decodeSamples(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeFeatures uses real samples for wav, byte stub for video") {
+    import org.apache.spark.sql.Row
+    val wav = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.wav").toURI))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, wav, Row("wav", 0, 0, 1)),
+        Row(2L, "junk".getBytes("UTF-8"), Row("wav", 0, 0, 1)),
+        Row(3L, wav, Row("mp4", 0, 0, 30))), // video: stub even for wav bytes
+      Multimodal.MediaSchema)
+    val out = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Double]("mean_byte"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))).toMap
+    assert(out(1L) == ((math.sqrt(2784952321.0 / 8) / 32768.0,
+      Seq(1f, 2f, 1f, 0f, 2f, 0f, 0f, 2f))))
+    val (sm, se) = new Multimodal.StubDecoder().decode("junk".getBytes("UTF-8"))
+    assert(out(2L) == ((sm, se.toSeq)))
+    val (vm, ve) = new Multimodal.StubDecoder().decode(wav)
+    assert(out(3L) == ((vm, ve.toSeq)))
+  }
+
   test("decodeFeatures uses real pixels for images, byte stub otherwise") {
     import org.apache.spark.sql.Row
     val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
