@@ -356,6 +356,45 @@ object Load {
     }, bootstrapFiles = Map(BucketMarker -> buckets.toString))
   }
 
+  /** [[upsertBucketed]] generalized to a LOOKUP-KEY bucket layout: rows
+    * land in `__bucket = xxhash64(keyCols) mod buckets` while merge
+    * identity is the (possibly different) composite `pk`. This is the
+    * persisted-secondary-index shape: a probe for a set of key values
+    * reads ONLY the bucket dirs those keys hash into (partition-pruned
+    * `isin`), never the index — e.g. the near-dup signature index
+    * ([[graft.ops.IncrementalDedup]]): located by (band, sig),
+    * identified by (doc_id, band). Correctness needs every row of one
+    * key in one bucket, which the key-derived bucket id guarantees;
+    * the pk-dedup inside a merge is then globally correct because a
+    * pk's key columns are part of the pk (or functionally determined
+    * by it), so both versions of a pk land in the same bucket.
+    */
+  def upsertKeyBucketed(spark: SparkSession, df: DataFrame, dir: String,
+                        pk: Seq[String], keyCols: Seq[String],
+                        buckets: Int): Long = {
+    require(buckets > 0, "buckets must be positive")
+    require(keyCols.nonEmpty && pk.nonEmpty, "pk and keyCols required")
+    if (tableExists(spark, dir)) checkBucketLayout(spark, dir, buckets)
+    val incoming = dedupKeepLastPositional(df, pk)
+      .withColumn("__bucket", keyBucket(keyCols.map(col), buckets))
+    scopedMerge(spark, incoming, dir, "__bucket", {
+      case (Some(ex), inc) =>
+        dedupKeepLast(
+          ex.withColumn("__prio", lit(0))
+            .unionByName(inc.withColumn("__prio", lit(1))),
+          pk, Seq(col("__prio"))).drop("__prio")
+      case (None, inc) => inc
+    }, bootstrapFiles = Map(BucketMarker -> buckets.toString))
+  }
+
+  /** Bucket id of a composite lookup key — the single definition both
+    * the [[upsertKeyBucketed]] writer and scoped readers must share
+    * (a probe computing ids under a different formula would read the
+    * wrong directories and silently miss rows).
+    */
+  def keyBucket(keys: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(keys: _*), lit(buckets.toLong)).cast("int")
+
   /** [[applyCdc]] for a hash-bucketed PK table: deletes and upserts
     * scope to the buckets their keys hash into; untouched buckets'
     * files are never rewritten.

@@ -211,14 +211,6 @@ object TextQueries {
         count(*) AS n_copies
       FROM u GROUP BY md5(text) ORDER BY keeper_id"""))
 
-  /** Deterministic universal-hash MinHash seeds (a, b) — literal
-    * constants shared verbatim by the DuckDB oracle.
-    */
-  private val mhSeeds: Seq[(Long, Long)] = (0 until 12).map { i =>
-    (2L * i + 3L, 7919L * (i + 1))
-  }
-  private val mhMod = 1000000007L
-
   /** Max members an LSH band bucket may have and still enter the q30
     * candidate self-join (quadratic in bucket size). Shared verbatim
     * with the DuckDB oracle.
@@ -269,31 +261,13 @@ object TextQueries {
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
         .transform(eager)
-      val seedA = typedLit(mhSeeds.map(_._1))
-      val seedB = typedLit(mhSeeds.map(_._2))
-      // single fold pass: base md5 appears once in the expression tree;
-      // the accumulator (12-wide running min) and the per-shingle hash
-      // are lambda variables — no outer expression re-inlined per slot
-      val sig = aggregate(
-        transform(col("sh"), x => md5Int(x) % mhMod),
-        array_repeat(lit(Long.MaxValue), 12),
-        (acc, h) => zip_with(acc, sequence(lit(0), lit(11)), (m, i) =>
-          least(m, (element_at(seedA, i + 1) * h + element_at(seedB, i + 1))
-            % mhMod)))
-      val withMh = docs.select(col("doc_id"), sig.as("sig12"))
-      val bands = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|",
-            element_at(col("sig12"), 3 * b + 1),
-            element_at(col("sig12"), 3 * b + 2),
-            element_at(col("sig12"), 3 * b + 3)).as("sig"))
-      }
+      // signature pipeline shared with the persisted-index form
+      // (ops/IncrementalDedup, q136): one md5 per shingle, 12
+      // permutations in a single fold pass, 4 bands of 3.
       // persisted: self-joined a×b — otherwise the minhash pass
       // (every md5 of every shingle) executes once per join side
-      val exploded = withMh
-        .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-        .transform(eager)
+      val exploded = graft.ops.IncrementalDedup.bandRows(
+        graft.ops.IncrementalDedup.signatures(docs)).transform(eager)
       val cand = cappedBandCandidates(exploded, BandCap)
       val j = cand
         .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
@@ -1134,10 +1108,97 @@ object TextQueries {
           AS ids_head
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  val q136IncrementalNeardup = Q("q136_incremental_neardup",
+    // INCREMENTAL near-dup dedup against a PERSISTED signature index
+    // (ops/IncrementalDedup): the production form of q30 at 100 TB.
+    // Corpus = documents with doc_id % 5 != 0, whose MinHash band rows
+    // bootstrap a bucket(band,sig)-partitioned index table; the new
+    // batch = the held-out % 5 == 0 docs plus re-ingested copies of
+    // % 7 == 1 docs under shifted ids (planted batch-vs-corpus and
+    // batch-vs-batch near-dups). The probe reads ONLY the bucket dirs
+    // the batch's band keys hash into, applies q30's group cap on
+    // corpus ∪ batch counts, emits candidate pairs with at least one
+    // batch side, and merges the batch's signatures back in — daily
+    // dedup cost scales with the batch, not the corpus. True Jaccard
+    // is verified on candidates only, exactly as q30. The oracle is
+    // the closed-form replay: q30's pipeline over corpus ∪ batch,
+    // restricted to pairs involving a batch document.
+    (s, d) => {
+      val wh = PipelineQueries.tempRoot("graft_q136") + "/sigidx"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      def withSh(f: DataFrame) = f
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val baseSh = withSh(base).transform(eager)
+      val batchSh = withSh(batch).transform(eager)
+      val buckets = 32
+      val dd = graft.ops.IncrementalDedup
+      // day 0: bootstrap the index from the corpus
+      dd.mergeSignatures(s, dd.bandRows(dd.signatures(baseSh)), wh, buckets)
+      // day 1: probe the batch (eager: the merge below swaps the very
+      // bucket dirs a lazy probe plan would later re-read), then merge
+      // its signatures in
+      val batchBands = dd.bandRows(dd.signatures(batchSh)).transform(eager)
+      val pairs = dd.probe(s, batchBands, wh, buckets).transform(eager)
+      dd.mergeSignatures(s, batchBands, wh, buckets)
+      val allSh = baseSh.unionByName(batchSh)
+      pairs
+        .join(allSh.select(col("doc_id").as("da"), col("sh").as("sha")),
+          Seq("da"))
+        .join(allSh.select(col("doc_id").as("db"), col("sh").as("shb")),
+          Seq("db"))
+        .select(col("da"), col("db"),
+          round(size(array_intersect(col("sha"), col("shb"))) /
+            size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 <> 0),
+        batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 1),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+        t AS (SELECT doc_id, string_split(text,' ') AS toks FROM u),
+        sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+        sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        inst AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(unnest(shingles)), 1, 8) AS BIGINT)
+                   % 1000000007 AS h FROM sh2),
+        mh AS (SELECT doc_id, r.i AS i,
+               min(((2*r.i + 3) * h + 7919*(r.i + 1)) % 1000000007) AS m
+               FROM inst, range(0, 12) r(i) GROUP BY doc_id, r.i),
+        bands AS (SELECT doc_id, i // 3 AS band,
+                  string_agg(CAST(m AS VARCHAR), '|' ORDER BY i) AS sig
+                  FROM mh GROUP BY doc_id, i // 3),
+        hot AS (SELECT band, sig FROM bands
+                GROUP BY band, sig HAVING count(*) > 64),
+        capped AS (SELECT * FROM bands b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.sig = b.sig)),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM capped a JOIN capped b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        bcand AS (SELECT da, db FROM cand
+                  WHERE da IN (SELECT doc_id FROM batch)
+                     OR db IN (SELECT doc_id FROM batch))
+      SELECT da, db,
+        round(len(list_intersect(x.shingles, y.shingles)) /
+              len(list_distinct(x.shingles || y.shingles)), 6) AS jaccard
+      FROM bcand JOIN sh2 x ON x.doc_id = da JOIN sh2 y ON y.doc_id = db
+      WHERE round(len(list_intersect(x.shingles, y.shingles)) /
+              len(list_distinct(x.shingles || y.shingles)), 6) >= 0.5
+      ORDER BY da, db"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
     q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
     q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
-    q124BinaryFiles, q133NfcNormalize, q134VocabTokenize)
+    q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
+    q136IncrementalNeardup)
 }
