@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Load
+
+/** Persisted-vocabulary tokenization with a TRAIN / APPLY split — the
+  * production form of q134's in-query vocab: production tokenization
+  * trains a vocabulary once and applies it everywhere, so ids must be
+  * STABLE across vocabulary growth (a re-ranked vocab would silently
+  * re-map every previously encoded corpus). The vocab is a warehouse
+  * table (word, tok_id, cnt):
+  *
+  *  - [[train]] bootstraps it from a corpus — frequency-ranked top-V,
+  *    id = rank (1-based; 0 is reserved for <unk>);
+  *  - [[extend]] admits NEW words under NEW ids (max_id + freq-rank
+  *    among the additions) and never touches an existing word's id —
+  *    the drift contract;
+  *  - [[encode]] maps a document frame to id sequences by BROADCAST
+  *    joining the vocab (vocab tables are top-V small by construction,
+  *    so encoding is map-side at any corpus scale; order is carried by
+  *    posexplode positions, never row order).
+  */
+object Vocab {
+
+  /** Non-empty whitespace words of a (doc_id, text) frame. */
+  private def words(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("word"))
+    .filter(length(col("word")) > 0)
+
+  private def counts(docs: DataFrame): DataFrame =
+    words(docs).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Bootstrap the vocab table from `docs`: top-`size` words by
+    * (count desc, word), tok_id = rank. The unpartitioned window runs
+    * over the already-limited top-V frame — driver-scale by
+    * construction, like q134's.
+    */
+  def train(spark: SparkSession, docs: DataFrame, dir: String,
+            size: Int): Long = {
+    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
+    val vocab = counts(docs)
+      .orderBy(col("cnt").desc, col("word")).limit(size)
+      .select(col("word"),
+        row_number().over(byFreq).cast(IntegerType).as("tok_id"),
+        col("cnt"))
+    Load.replaceTable(spark, vocab, dir)
+  }
+
+  /** Admit up to `maxNew` unseen words from `docs` under fresh ids
+    * starting at max(tok_id) + 1, ranked by their frequency in `docs`.
+    * Existing rows are untouched (the merge's incoming side contains
+    * only new words), so every previously issued id stays valid.
+    */
+  def extend(spark: SparkSession, docs: DataFrame, dir: String,
+             maxNew: Int): Long = {
+    val existing = Load.readTable(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no vocab table at $dir — train first"))
+    val maxId = existing.agg(max(col("tok_id"))).collect()(0).getInt(0)
+    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
+    val fresh = counts(docs)
+      .join(broadcast(existing.select(col("word"))), Seq("word"), "left_anti")
+      .orderBy(col("cnt").desc, col("word")).limit(maxNew)
+      .select(col("word"),
+        (row_number().over(byFreq) + maxId).cast(IntegerType).as("tok_id"),
+        col("cnt"))
+    Load.upsert(spark, fresh, dir, "word")
+  }
+
+  /** Encode (doc_id, text) into per-document id sequences against a
+    * vocab frame (typically `Load.readTable(spark, dir).get`): OOV
+    * words map to 0; output is (doc_id, ids, n_tokens, n_oov) with
+    * `ids` in token order via position sort.
+    */
+  def encode(docs: DataFrame, vocab: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    .filter(length(col("word")) > 0)
+    .join(broadcast(vocab.select(col("word"), col("tok_id"))),
+      Seq("word"), "left")
+    .select(col("doc_id"), col("pos"),
+      coalesce(col("tok_id"), lit(0)).as("tok_id"))
+    .groupBy(col("doc_id"))
+    .agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+        x => x.getField("tok_id")).as("ids"),
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tok_id") === 0, 1L).otherwise(0L)).as("n_oov"))
+}

@@ -1108,6 +1108,54 @@ object TextQueries {
           AS ids_head
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  val q137PersistedVocab = Q("q137_persisted_vocab",
+    // persisted-vocab tokenization with a TRAIN / APPLY split
+    // (ops/Vocab): q134 rebuilds its vocab inside the query; production
+    // tokenization trains ONCE on a corpus and applies the stored vocab
+    // to every later batch. Train: top-16 words of the % 3 != 0 corpus
+    // become a warehouse table (word, tok_id, cnt). Apply: the held-out
+    // % 3 == 0 batch encodes against the PERSISTED table (read back +
+    // broadcast — map-side encode at any batch scale), OOV → 0, with
+    // the per-document OOV rate reported. The drift contract (extend
+    // admits new words under NEW ids, old ids never re-map) is pinned
+    // by VocabSpec; the oracle replays train-then-apply closed-form.
+    (s, d) => {
+      val wh = PipelineQueries.tempRoot("graft_q137") + "/vocab"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.ops.Vocab.train(s, docs.filter(col("doc_id") % 3 =!= 0), wh, 16)
+      val vocab = graft.etl.Load.readTable(s, wh).get
+      graft.ops.Vocab.encode(docs.filter(col("doc_id") % 3 === 0), vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"),
+          concat_ws(",", slice(transform(col("ids"),
+            x => x.cast(StringType)), 1, 16)).as("ids_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % 3 <> 0),
+        batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        cw AS (SELECT unnest(string_split(text, ' ')) AS word FROM corpus),
+        v AS (SELECT word, count(*) AS cnt FROM cw WHERE length(word) > 0
+              GROUP BY word ORDER BY cnt DESC, word LIMIT 16),
+        vid AS (SELECT word, CAST(row_number() OVER
+                (ORDER BY cnt DESC, word) AS INTEGER) AS tok_id FROM v),
+        w AS (SELECT doc_id, pos, word FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM batch)
+            WHERE length(word) > 0),
+        enc AS (SELECT w.doc_id, w.pos, coalesce(vid.tok_id, 0) AS tok_id
+                FROM w LEFT JOIN vid USING (word))
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(sum(tok_id) AS BIGINT) AS sum_ids,
+        round(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+          AS oov_rate,
+        array_to_string((list(tok_id ORDER BY pos))[1:16], ',') AS ids_head
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
   val q136IncrementalNeardup = Q("q136_incremental_neardup",
     // INCREMENTAL near-dup dedup against a PERSISTED signature index
     // (ops/IncrementalDedup): the production form of q30 at 100 TB.
@@ -1200,5 +1248,5 @@ object TextQueries {
     q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
     q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
     q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
-    q136IncrementalNeardup)
+    q136IncrementalNeardup, q137PersistedVocab)
 }
