@@ -823,22 +823,44 @@ object TextQueries {
   def chunkDedup(docs: DataFrame, chunkWords: Int,
                  maxFreq: Long): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    val chunks = base.select(col("doc_id"),
+    // strike LIST, not frequency table: only over-frequent chunks
+    // matter, and boilerplate is rare by nature — the anti-join prunes
+    // against a small set (broadcast-eligible) instead of re-joining
+    // every chunk row against the mostly-unique full freq frame (the
+    // q31 df-cap pattern). One shuffle total: the frequency groupBy.
+    val strikes = chunkRows(base, chunkWords).groupBy(col("ctext"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxFreq).select(col("ctext"))
+    chunkStrike(base, strikes, chunkWords)
+  }
+
+  /** The chunking step of [[chunkDedup]] alone: (doc_id, text) →
+    * one row per non-overlapping `chunkWords`-word chunk
+    * (doc_id, idx, ctext). Expression-only until the posexplode.
+    */
+  def chunkRows(docs: DataFrame, chunkWords: Int): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) /
            |  $chunkWords.0) as int) - 1),
            |  i -> concat_ws(' ',
            |    slice(split(text, ' '), i * $chunkWords + 1, $chunkWords)))"""
           .stripMargin)).as(Seq("idx", "ctext")))
-    // strike LIST, not frequency table: only over-frequent chunks
-    // matter, and boilerplate is rare by nature — the anti-join prunes
-    // against a small set (broadcast-eligible) instead of re-joining
-    // every chunk row against the mostly-unique full freq frame (the
-    // q31 df-cap pattern). One shuffle total: the frequency groupBy.
-    val strikes = chunks.groupBy(col("ctext"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > maxFreq).select(col("ctext"))
-    val kept = chunks.join(strikes, Seq("ctext"), "left_anti")
+
+  /** The strike-and-reassemble step of [[chunkDedup]] alone: remove
+    * every chunk of `docs` whose text appears in `strikes` (a one-
+    * column `ctext` frame — e.g. the over-frequent rows of a PERSISTED
+    * corpus-wide frequency state maintained by
+    * `StreamingJobs.runChunkFreqAvailableNow`), reassemble in chunk
+    * order. Splitting the strike computation from its application is
+    * what makes the operator incremental: frequency maintenance scales
+    * with the batch, cleaning is a view over the current strike list.
+    */
+  def chunkStrike(docs: DataFrame, strikes: DataFrame,
+                  chunkWords: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val kept = chunkRows(base, chunkWords)
+      .join(strikes.select(col("ctext")), Seq("ctext"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id")).agg(
       concat_ws(" ", expr(
         "transform(array_sort(collect_list(struct(idx, ctext))), s -> s.ctext)"))

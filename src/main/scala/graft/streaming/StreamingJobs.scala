@@ -277,7 +277,54 @@ object StreamingJobs {
   def runIncrementalAggAvailableNow(spark: SparkSession, srcDir: String,
                                     stateDir: String, keys: Seq[String],
                                     valueCol: String,
-                                    checkpointDir: String): StreamingQuery = {
+                                    checkpointDir: String): StreamingQuery =
+    runGuardedFoldAvailableNow(spark, srcDir, stateDir, checkpointDir) {
+      (prior, batch) =>
+        graft.ops.Scale.incrementalAgg(prior, batch, keys, valueCol)
+    }
+
+  /** Streaming maintenance of the corpus-wide chunk-frequency state
+    * behind chunk dedup (q115): each micro-batch of documents is cut
+    * into `chunkWords`-word chunks and their counts folded into the
+    * persisted (ctext, cnt) table — the GLOBAL half of the operator,
+    * now scaling with the batch instead of the corpus. Cleaning is a
+    * view over the current state
+    * (`TextQueries.chunkStrike(docs, state.filter(cnt > maxFreq))`),
+    * so the cleaned corpus always equals the batch `chunkDedup`
+    * recompute over everything ingested so far — including chunks that
+    * only BECOME boilerplate after later batches, which a clean-at-
+    * ingest design would miss. Same exactly-once argument as
+    * [[runIncrementalAggAvailableNow]]: additive fold + batch-id
+    * guard + checkpoint-identity guard.
+    */
+  def runChunkFreqAvailableNow(spark: SparkSession, srcDir: String,
+                               stateDir: String, chunkWords: Int,
+                               checkpointDir: String): StreamingQuery =
+    runGuardedFoldAvailableNow(spark, srcDir, stateDir, checkpointDir) {
+      (prior, batch) =>
+        val partial = graft.queries.TextQueries
+          .chunkRows(batch.select(col("doc_id"), col("text")), chunkWords)
+          .groupBy(col("ctext")).agg(count(lit(1)).as("cnt"))
+        prior match {
+          case None => partial
+          case Some(st) => st.unionByName(partial)
+            .groupBy(col("ctext")).agg(sum(col("cnt")).as("cnt"))
+        }
+    }
+
+  /** The shared exactly-once fold harness of the incremental state
+    * jobs: reads `srcDir` with AvailableNow, and per micro-batch folds
+    * `fold(prior state without meta columns, batch)` into the staged-
+    * swap table at `stateDir`, tagged with `__batch_id` (skip replayed
+    * batches — the folds are additive, so a replay would double-count)
+    * and `__ckpt_id` (refuse loudly when the state was built under a
+    * DIFFERENT checkpoint lifetime — a fresh checkpoint restarts batch
+    * ids while replaying every file, so the guard above would
+    * otherwise silently drop genuinely new data).
+    */
+  private def runGuardedFoldAvailableNow(spark: SparkSession,
+      srcDir: String, stateDir: String, checkpointDir: String)(
+      fold: (Option[DataFrame], DataFrame) => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
@@ -305,9 +352,8 @@ object StreamingJobs {
             .map(_.asInstanceOf[Long]))
           .getOrElse(-1L)
         if (batchId > lastApplied) {
-          val next = graft.ops.Scale.incrementalAgg(
-            prior.map(_.drop("__batch_id").drop("__ckpt_id")),
-            batch, keys, valueCol)
+          val next = fold(
+            prior.map(_.drop("__batch_id").drop("__ckpt_id")), batch)
             .withColumn("__batch_id", lit(batchId))
             .withColumn("__ckpt_id", lit(ckptId))
           graft.etl.Load.replaceTable(s, next, stateDir)

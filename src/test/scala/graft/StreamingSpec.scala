@@ -430,4 +430,56 @@ class StreamingSpec extends SparkSpec {
         Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(boom).exists(_.contains("bucketed with 8")))
   }
+
+  test("runChunkFreqAvailableNow: incremental chunk dedup state — the " +
+      "cleaned view equals the batch chunkDedup recompute across waves") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("cf_src").toString
+    val state = Files.createTempDirectory("cf_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("cf_ckpt").toString
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    def docs(ids: (Long, String)*) =
+      spark.createDataFrame(ids).toDF("doc_id", "text")
+    def uniq(id: Long) = (0 until 10).map(k => s"w${id}_$k").mkString(" ")
+
+    // wave 1: boilerplate in docs 1 and 2 only — at maxFreq=2 it is
+    // NOT yet over-frequent, so the wave-1 cleaned view keeps it
+    val wave1 = docs(
+      1L -> s"$boiler ${uniq(1)}",
+      2L -> s"$boiler ${uniq(2)}",
+      3L -> uniq(3))
+    wave1.write.mode("append").parquet(src)
+    StreamingJobs.runChunkFreqAvailableNow(spark, src, state, 10, ckpt)
+      .awaitTermination()
+    def stateNow() = spark.read.parquet(state)
+      .drop("__batch_id", "__ckpt_id")
+    def cleaned(all: DataFrame) = graft.queries.TextQueries.chunkStrike(
+      all, stateNow().filter(col("cnt") > 2).select("ctext"), 10)
+    def sameAs(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(sameAs(cleaned(wave1),
+      graft.queries.TextQueries.chunkDedup(wave1, 10, 2)))
+    // boilerplate survived wave 1 (freq 2 ≤ maxFreq)
+    assert(cleaned(wave1).filter(col("doc_id") === 1L)
+      .head.getString(1).startsWith("boiler1"))
+
+    // wave 2 pushes the SAME chunk over the threshold: the state fold
+    // sees only the new docs, but the cleaned view must now strike the
+    // boilerplate from wave-1 docs too — late-arriving boilerplate is
+    // exactly what clean-at-ingest designs miss
+    val wave2 = docs(4L -> s"$boiler ${uniq(4)}", 5L -> uniq(5))
+    wave2.write.mode("append").parquet(src)
+    StreamingJobs.runChunkFreqAvailableNow(spark, src, state, 10, ckpt)
+      .awaitTermination()
+    val all = wave1.unionByName(wave2)
+    assert(sameAs(cleaned(all),
+      graft.queries.TextQueries.chunkDedup(all, 10, 2)))
+    assert(cleaned(all).filter(col("doc_id") === 1L)
+      .head.getString(1) == uniq(1))
+    // replay through the same checkpoint: nothing new, state unchanged
+    val before = stateNow().collect().toSet
+    StreamingJobs.runChunkFreqAvailableNow(spark, src, state, 10, ckpt)
+      .awaitTermination()
+    assert(stateNow().collect().toSet == before)
+  }
 }
