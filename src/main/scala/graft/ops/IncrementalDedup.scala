@@ -120,19 +120,32 @@ object IncrementalDedup {
     // driver-side list bounded by min(batch bands, bucket count)
     val touched = keyed.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // bucket pruning narrows the SCAN; the broadcast semi-join on the
+    // batch's exact (band, sig) keys narrows the ROWS — only groups
+    // containing a batch member can emit pairs or need a cap count, so
+    // dropping the rest before the membership aggregate keeps every
+    // shuffle downstream O(batch), never O(bucket contents)
+    val batchKeys = keyed.select(col("band"), col("sig")).distinct()
     val corpus = Load.readTable(spark, dir) match {
       case Some(t) => t.filter(col("__bucket").isin(touched: _*))
         .select(col("doc_id"), col("band"), col("sig"))
+        .join(broadcast(batchKeys), Seq("band", "sig"), "left_semi")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandSchema)
     }
     // membership over corpus ∪ batch; a re-submitted doc counts once,
-    // flagged as batch (max boolean = OR)
-    val members = corpus.withColumn("is_batch", lit(false))
-      .unionByName(keyed.select(col("doc_id"), col("band"), col("sig"))
-        .withColumn("is_batch", lit(true)))
-      .groupBy(col("band"), col("sig"), col("doc_id"))
-      .agg(max(col("is_batch")).as("is_batch"))
+    // flagged as batch (max boolean = OR). Materialized (persist +
+    // count): four downstream consumers (the hot-group count, both
+    // sides of the pair join, the batch filter) would otherwise each
+    // re-scan the index buckets; the frame itself is O(batch) rows by
+    // the semi-join above, so the cache is small. Blocks are reclaimed
+    // by the ContextCleaner once the result frame is dropped.
+    val members = graft.ops.Relational.eager(
+      corpus.withColumn("is_batch", lit(false))
+        .unionByName(keyed.select(col("doc_id"), col("band"), col("sig"))
+          .withColumn("is_batch", lit(true)))
+        .groupBy(col("band"), col("sig"), col("doc_id"))
+        .agg(max(col("is_batch")).as("is_batch")))
     // union-count cap — the by-construction-small hot list broadcasts
     // into an anti-join, mirroring TextQueries.cappedBandCandidates
     val hot = members.groupBy(col("band"), col("sig"))

@@ -1264,11 +1264,152 @@ object TextQueries {
               len(list_distinct(x.shingles || y.shingles)), 6) >= 0.5
       ORDER BY da, db"""))
 
+  val q138BigramLm = Q("q138_bigram_lm",
+    // n-gram language-model QUALITY SCORING — the CCNet-style filter
+    // (Wenzek et al. 2020): train bigram counts on the corpus, score
+    // every document by its average negative log2 bigram probability
+    // (add-one smoothed); low-probability (high-NLL) documents are the
+    // gibberish/boilerplate candidates. Train and apply are both plain
+    // aggregates/joins: bigram extraction is expression-only (zip_with
+    // over two slices — no window, no explode until the count join),
+    // model training is one shuffle per n-gram order, scoring joins
+    // each doc bigram against the model (shuffle on the bigram key —
+    // at 100 TB the model table is vocabulary-bounded, far smaller
+    // than the corpus, and prunable to top-K with unigram backoff).
+    // Float discipline: each per-bigram term rounds the two integer
+    // log2s to 9 dp (absorbing any cross-engine last-ulp in libm), and
+    // the per-doc mean rounds to 5 dp (absorbing summation-order
+    // drift), so the hash compare is stable.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val bi = docs.select(col("doc_id"), explode(expr(
+        """zip_with(slice(t, 1, greatest(size(t)-1, 0)),
+          |  slice(t, 2, greatest(size(t)-1, 0)),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val biCnt = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val ctxCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = bi.agg(count_distinct(col("w2")).as("v"))
+      val term = round(
+        round(log2(col("c1") + col("v")), 9) -
+          round(log2(col("c2") + lit(1L)), 9), 9)
+      val scored = bi
+        .join(biCnt, Seq("w1", "w2"))
+        .join(ctxCnt, Seq("w1"))
+        .crossJoin(broadcast(vocab)) // 1-row scalar attach
+        .groupBy(col("doc_id"))
+        .agg(round(sum(term) / count(lit(1)), 5).as("avg_nll"),
+          count(lit(1)).as("n_bigrams"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("avg_nll"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        cc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        vv AS (SELECT count(DISTINCT w2) AS v FROM bi),
+        sc AS (SELECT doc_id,
+            round(sum(round(log2(c1 + v), 9) - round(log2(c2 + 1), 9))
+              / count(*), 5) AS avg_nll,
+            count(*) AS n_bigrams
+          FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1), vv
+          GROUP BY doc_id)
+      SELECT t.doc_id, sc.avg_nll,
+        coalesce(sc.n_bigrams, 0) AS n_bigrams
+      FROM t LEFT JOIN sc USING (doc_id)
+      ORDER BY t.doc_id"""))
+
+  val q139ShuffleShard = Q("q139_shuffle_shard",
+    // deterministic GLOBAL SHUFFLE + shard assignment — the final step
+    // of every training-data pipeline: documents are dealt into shards
+    // and ordered within each shard by a seeded hash, so the "random"
+    // order is reproducible across reruns and engines (md5 keying, the
+    // established cross-engine primitive — never engine hash()). The
+    // within-shard position is a window row_number: parallelism equals
+    // the shard count, so production runs size nShards >> cores (the
+    // 32 here stands in for the 1024+ a real run deals); no global
+    // sort ever happens — ordering is per shard by construction.
+    (s, d) => {
+      val k = conv(substring(md5(concat(lit("seed42:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("k"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), k.as("k"))
+        .withColumn("shard", pmod(col("k"), lit(32)).cast(IntegerType))
+        .select(col("doc_id"), col("shard"),
+          row_number().over(w).as("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          CAST('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)),
+            1, 15) AS BIGINT) AS k
+        FROM documents)
+      SELECT doc_id, CAST(k % 32 AS INTEGER) AS shard,
+        CAST(row_number() OVER (PARTITION BY k % 32 ORDER BY k, doc_id)
+          AS INTEGER) AS pos
+      FROM t ORDER BY shard, pos"""))
+
+  val q140GopherRules = Q("q140_gopher_rules",
+    // Gopher QUALITY-RULE filter (Rae et al. 2021 §A1.1) — the
+    // threshold ruleset every web-scale corpus applies before
+    // training: word-count bounds, mean-word-length bounds, minimum
+    // alphabetic-word fraction, minimum stopword hits; keep = all
+    // pass, with per-rule booleans kept for filter diagnostics.
+    // Pure expression work, zero shuffles, and every ratio compare is
+    // integer-multiplied (5*n_alpha >= 4*n_words, never a float
+    // division) so the result is bit-exact across engines.
+    (s, d) => {
+      val t = toks(col("text"))
+      val nWords = size(t)
+      val sumLen = expr("aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))")
+      val nAlpha = size(filter(t, x => x.rlike("[A-Za-z]")))
+      val stops = typedLit(Seq("the", "be", "to", "of", "and",
+        "that", "have", "with"))
+      val nStop = size(array_intersect(t, stops))
+      Tables.documents(s, d).select(col("doc_id"),
+          nWords.as("n_words"),
+          (nWords >= 50 && nWords <= 100000).as("ok_count"),
+          (sumLen >= nWords * 3 && sumLen <= nWords * 10).as("ok_len"),
+          (nAlpha * 5 >= nWords * 4).as("ok_alpha"),
+          (nStop >= 2).as("ok_stop"))
+        .withColumn("keep",
+          col("ok_count") && col("ok_len") && col("ok_alpha") &&
+            col("ok_stop"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, len(toks) AS n_words,
+            list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+            len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS n_alpha,
+            len(list_intersect(toks, ['the', 'be', 'to', 'of', 'and',
+              'that', 'have', 'with'])) AS n_stop
+          FROM t)
+      SELECT doc_id, n_words,
+        n_words >= 50 AND n_words <= 100000 AS ok_count,
+        sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS ok_len,
+        n_alpha * 5 >= n_words * 4 AS ok_alpha,
+        n_stop >= 2 AS ok_stop,
+        (n_words >= 50 AND n_words <= 100000) AND
+          (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AND
+          (n_alpha * 5 >= n_words * 4) AND (n_stop >= 2) AS keep
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
     q72Contamination, q73Repetition, q74StratifiedSample, q80DedupClusters,
     q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
     q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
-    q136IncrementalNeardup, q137PersistedVocab)
+    q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
+    q139ShuffleShard, q140GopherRules)
 }

@@ -141,6 +141,32 @@ object Stress {
         t.select("event_id", "user_id", "ts"), "user_id", "ts", "event_id",
         asofRight, "user_id", "rt", "order_id"))
     }
+    // the rest of the merge_asof matrix through the SAME exec: forward
+    // rides the negated-time encoding, nearest adds the one-row
+    // lookahead, tolerance is the post-merge null-out (q119) — all
+    // must stay O(1)-state single-pass merges, so their wall times
+    // should track the backward run, not blow up
+    time("asof join (forward)") {
+      noop(graft.plans.AsofJoin.asof(
+        t.select("event_id", "user_id", "ts"), asofRight,
+        Seq("user_id"), Seq("user_id"), "ts", "rt",
+        rightTieBreak = Seq("order_id"), direction = "forward"))
+    }
+    time("asof join (nearest)") {
+      noop(graft.plans.AsofJoin.asof(
+        t.select("event_id", "user_id", "ts"), asofRight,
+        Seq("user_id"), Seq("user_id"), "ts", "rt",
+        rightTieBreak = Seq("order_id"), direction = "nearest"))
+    }
+    time("asof join (tolerance 1h)") {
+      noop(graft.plans.AsofJoin.asof(
+        t.select("event_id", "user_id", "ts"), asofRight,
+        Seq("user_id"), Seq("user_id"), "ts", "rt",
+        rightTieBreak = Seq("order_id"))
+        .withColumn("order_id",
+          when(col("rt") >= col("ts") - expr("INTERVAL 1 HOUR"),
+            col("order_id"))))
+    }
 
     // ---- scoped merge (q111 shape): merge cost must scale with the ----
     // ---- BATCH, not the table. A/B: day-partition-scoped and       ----
@@ -298,6 +324,118 @@ object Stress {
     // ---- bands; uncapped that is 4×(10⁵ choose 2) ≈ 2·10¹⁰        ----
     // ---- candidate rows through one key. The cap drops the hot    ----
     // ---- buckets whole, so the join completes in seconds.         ----
+    // ---- incremental near-dup dedup (q136 shape): a daily batch   ----
+    // ---- probing the PERSISTED band index vs rebuilding the LSH    ----
+    // ---- join over the whole corpus. The bootstrap is one-time;    ----
+    // ---- the recurring cost to compare is probe vs rebuild — the   ----
+    // ---- probe must scale with the batch (10k docs), the rebuild   ----
+    // ---- with the corpus (1M), so expect ~corpus/batch separation. ----
+    // The production cost structure this A/B mirrors: the corpus TEXT
+    // lives on disk and is orders of magnitude bigger than the band
+    // index (4 short rows per doc), and signature computation (one md5
+    // per shingle × 12 permutations) dominates — so a rebuild re-pays
+    // the full corpus scan + signature pass every day, while the probe
+    // pays it only for the batch. 100 shingles/doc ≈ a few-hundred-
+    // word document. The merge-back rewrites every touched bucket —
+    // at 10k docs × 4 bands a batch touches ALL buckets, so it is a
+    // full INDEX rewrite; that stays cheap precisely because the index
+    // is small, which is the point of persisting signatures instead of
+    // re-deriving them.
+    val corpusN = 1000000L
+    val shPerDoc = 100
+    def dedupDocs(from: Long, until: Long, grp: org.apache.spark.sql.Column) =
+      spark.range(from, until).withColumn("grp", grp)
+        .select(col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(shPerDoc - 1)),
+            k => concat(lit("s"), col("grp") * shPerDoc + k)).as("sh"))
+    val idir = s"$dir/incdedup_index"
+    val cdir = s"$dir/incdedup_corpus"
+    if (only.isEmpty || only.exists(_.exists(_.startsWith("incdedup")))) {
+      val ip = new org.apache.hadoop.fs.Path(idir)
+      ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(ip, true)
+      // corpus: docs 0,1 mod 20 are planted near-dup pairs (~100k)
+      dedupDocs(0L, corpusN,
+        when(col("id") % 20 < 2, col("id") - col("id") % 2)
+          .otherwise(col("id")))
+        .write.mode("overwrite").parquet(cdir)
+    }
+    lazy val corpusDocs = spark.read.parquet(cdir)
+    // batch: 10k new docs, every 10th re-using a corpus doc's shingles
+    lazy val batchDocs = dedupDocs(corpusN, corpusN + 10000L,
+      when(col("id") % 10 === 0,
+        pmod(hash(col("id")), lit(corpusN)).cast(LongType))
+        .otherwise(col("id")))
+    time("incdedup index bootstrap 1M") {
+      graft.ops.IncrementalDedup.mergeSignatures(spark,
+        graft.ops.IncrementalDedup.bandRows(
+          graft.ops.IncrementalDedup.signatures(corpusDocs)), idir, 256)
+    }
+    // probe-then-merge: materialize first (the merge swaps the very
+    // bucket dirs a lazy probe plan would later re-read)
+    lazy val batchRows = graft.ops.Relational.eager(
+      graft.ops.IncrementalDedup.bandRows(
+        graft.ops.IncrementalDedup.signatures(batchDocs)))
+    time("incdedup batch probe 10k") {
+      graft.ops.IncrementalDedup.probe(spark, batchRows, idir, 256).count()
+    }
+    time("incdedup batch merge-back 10k") {
+      graft.ops.IncrementalDedup.mergeSignatures(spark, batchRows, idir, 256)
+    }
+    time("incdedup full rebuild 1M+10k") {
+      // the non-incremental alternative: q30's capped band join over
+      // corpus ∪ batch, restricted to pairs touching the batch
+      graft.queries.TextQueries.cappedBandCandidates(
+        graft.ops.IncrementalDedup.bandRows(
+          graft.ops.IncrementalDedup.signatures(
+            corpusDocs.unionByName(batchDocs))), 64L)
+        .filter(col("db") >= corpusN).count()
+    }
+
+    // ---- vocab tokenization at adversarial scale (q134/q137 shape): ----
+    // ---- 1M docs × 30 tokens under a Zipf head (one hot word is    ----
+    // ---- ~30% of all tokens — the natural-language worst case) and ----
+    // ---- a 200k surface vocabulary. The encode join must stay      ----
+    // ---- BROADCAST (the vocab is top-V small by construction) and  ----
+    // ---- the per-doc reassembly groupBy must be the ONLY wide      ----
+    // ---- exchange — a hot WORD never becomes a hot KEY because     ----
+    // ---- nothing ever shuffles on the word.                        ----
+    // docs go through PARQUET (a range source would satisfy the
+    // groupBy distribution by its contiguous-id partitioning and hide
+    // the reassembly shuffle the real corpus scan pays)
+    val vdocsDir = s"$dir/stress_vocab_docs"
+    val vdir = s"$dir/stress_vocab"
+    if (Seq("vocab train 1M docs (Zipf)", "vocab encode 1M docs (Zipf)")
+        .exists(wanted)) {
+      spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(k =>
+          when(pmod(hash(col("id") * 31L + lit(k)), lit(10)) < 3, lit("the"))
+            .otherwise(concat(lit("w"),
+              pmod(hash(col("id") * 131L + lit(k * 7)), lit(200000))))): _*)
+          .as("text"))
+        .write.mode("overwrite").parquet(vdocsDir)
+    }
+    lazy val vocabDocs = spark.read.parquet(vdocsDir)
+    time("vocab train 1M docs (Zipf)") {
+      graft.ops.Vocab.train(spark, vocabDocs, vdir, 50000)
+    }
+    time("vocab encode 1M docs (Zipf)") {
+      val enc = graft.ops.Vocab.encode(vocabDocs,
+        graft.etl.Load.readTable(spark, vdir).get)
+      // run first (the adaptive plan only materializes its final form
+      // on execution), then pin the plan shape
+      enc.queryExecution.toRdd.foreach(_ => ())
+      val plan = enc.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        "vocab encode join must broadcast the vocab:\n" + plan)
+      val wide = "Exchange hashpartitioning".r
+        .findAllMatchIn(plan.split("== Initial Plan ==")(0)).length
+      require(wide == 1,
+        s"vocab encode must have exactly 1 wide exchange (the per-doc " +
+          s"reassembly), found $wide:\n" + plan)
+      1000000L
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)
