@@ -386,6 +386,69 @@ object VectorQueries {
                - CAST(qv[k] AS DOUBLE) * maxabs / 127.0))), 6) AS max_err
       FROM q ORDER BY vec_id"""))
 
+  val q141SemDedup = Q("q141_semdedup",
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    // deduplication at web scale: cluster the embedding space coarsely,
+    // then compare pairs ONLY within each cluster and greedily drop
+    // every vector that duplicates (cosine ≥ threshold) a lower-id
+    // keeper. The cluster bound is what makes the operator scale —
+    // pair work is Σ size² over clusters, never N², and the k is
+    // chosen so clusters stay ~√N (the paper's design point; the
+    // degenerate giant-cluster case falls back to q33's tiled kernel).
+    // Deterministic coarse centroids (every 97th vector, q35's IVF
+    // skeleton) keep both engines' clustering identical; cosine rounds
+    // to 6 dp before the threshold compare (the q33 convention) so the
+    // keep/drop decision can't flip on a last-ulp disagreement.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val cents = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+          (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cid").as("cluster_id"))
+        .transform(eager) // consumed twice: both sides of the pair join
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6) >= 0.45)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.select(col("vec_id"), col("cluster_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"),
+          coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+                  FROM e WHERE vec_id % 97 = 0),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        dropped AS (SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE round(${duckDot("a.embedding", "b.embedding")}
+            / (a.nrm * b.nrm), 6) >= 0.45)
+      SELECT a.vec_id, a.cluster_id,
+        d.vec_id IS NOT NULL AS is_dropped
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
-    q99EmbedLsh, q130QuantizeEmbed)
+    q99EmbedLsh, q130QuantizeEmbed, q141SemDedup)
 }
