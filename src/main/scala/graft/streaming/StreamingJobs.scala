@@ -189,12 +189,6 @@ object StreamingJobs {
       }
   }
 
-  /** The cron-replacement runner: process everything currently in
-    * `srcDir` (parquet event files), append day aggregates to `outDir`,
-    * checkpoint for exactly-once across runs, stop when caught up —
-    * `Trigger.AvailableNow` IS the daily 06:00 batch, minus the
-    * late-data loss.
-    */
   /** Incremental warehouse maintenance from a stream: every micro-batch
     * is PK-upserted into the parquet warehouse via `foreachBatch` +
     * `Load.upsert` — the streaming form of the reference's daily master
@@ -380,6 +374,12 @@ object StreamingJobs {
     } finally in.close()
   }
 
+  /** The cron-replacement runner: process everything currently in
+    * `srcDir` (parquet event files), append day aggregates to `outDir`,
+    * checkpoint for exactly-once across runs, stop when caught up —
+    * `Trigger.AvailableNow` IS the daily 06:00 batch, minus the
+    * late-data loss.
+    */
   def runDailyAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
                            checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
