@@ -478,6 +478,25 @@ object TextQueries {
         (lit(1.0) + col("n_chars") * 0.001), 6))
   }
 
+  /** The STATELESS stages of q49's corpus prep — feature scoring, the
+    * language/quality gates and the deterministic salted-md5 80%
+    * sample — as one expression-only transform: (doc_id, source, text,
+    * …features) for rows that survive. Exact dedup is deliberately NOT
+    * here: it is the only cross-document stage, so the batch query
+    * applies its keep-lowest-id window after this, and the streaming
+    * twin (`StreamingJobs.runCorpusPrepAvailableNow`) replaces it with
+    * keep-FIRST-ARRIVAL state maintenance — the sample-before-dedup
+    * swap is sound because the sample predicate depends only on the
+    * text, so all members of a duplicate group sample identically.
+    */
+  def corpusPrepare(docs: DataFrame): DataFrame =
+    features(docs)
+      .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_de") && col("quality") > 0.02)
+      .filter(
+        conv(substring(md5(concat(lit("s"), col("text"))), 1, 8), 16, 10)
+          .cast(LongType) % 100 < 80)
+
   val q49CorpusPrep = Q("q49_corpus_prep",
     // the composed training-data prep flow a corpus pipeline actually
     // runs, end to end in ONE plan: feature scoring → language gate
@@ -487,15 +506,13 @@ object TextQueries {
     // stats. Shuffles: one for the dedup window, one for the final
     // aggregate — everything upstream is expression-only.
     (s, d) => {
-      val kept = features(Tables.documents(s, d))
-        .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_de") && col("quality") > 0.02)
+      // gates+sample (stateless, shared with the streaming twin) then
+      // the keep-lowest-id dedup window — the sample/dedup order swap
+      // is exact, see corpusPrepare's scaladoc
       val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = kept.withColumn("rn", row_number().over(w))
+      val sampled = corpusPrepare(Tables.documents(s, d))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-      val sampled = deduped.filter(
-        conv(substring(md5(concat(lit("s"), col("text"))), 1, 8), 16, 10)
-          .cast(LongType) % 100 < 80)
       sampled.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -1205,7 +1222,10 @@ object TextQueries {
         .filter(size(col("sh")) > 0)
       val baseSh = withSh(base).transform(eager)
       val batchSh = withSh(batch).transform(eager)
-      val buckets = 32
+      // 8 buckets at catalog scale (5k docs): enough dirs to prove the
+      // scoped layout, without paying 32 dir-swaps per merge replay in
+      // the bench; the Stress A/B runs the production 256
+      val buckets = 8
       val dd = graft.ops.IncrementalDedup
       // day 0: bootstrap the index from the corpus
       dd.mergeSignatures(s, dd.bandRows(dd.signatures(baseSh)), wh, buckets)

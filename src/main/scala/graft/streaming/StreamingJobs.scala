@@ -306,6 +306,40 @@ object StreamingJobs {
         }
     }
 
+  /** Streaming corpus prep — the AvailableNow twin of q49: each
+    * micro-batch of documents runs the STATELESS stages (feature
+    * scoring, language/quality gates, deterministic salted-md5 sample
+    * — `TextQueries.corpusPrepare`, identical expression work to the
+    * batch query), and the one cross-document stage, exact dedup by
+    * content hash, becomes state maintenance: a batch row joins the
+    * persisted corpus only if no row with its hash is already there
+    * (keep-FIRST-ARRIVAL — the streaming analogue of the batch
+    * keep-lowest-id window; the two agree whenever ingestion order
+    * follows doc_id order, and the sample predicate depends only on
+    * the text so duplicate groups gate identically in both forms).
+    * Same exactly-once guards as the other fold jobs. The fold
+    * replaces the state table whole; at warehouse scale the same fold
+    * composes with the bucket-scoped merge (hash is the natural
+    * bucket key) exactly as q136's signature index does.
+    */
+  def runCorpusPrepAvailableNow(spark: SparkSession, srcDir: String,
+                                stateDir: String,
+                                checkpointDir: String): StreamingQuery =
+    runGuardedFoldAvailableNow(spark, srcDir, stateDir, checkpointDir) {
+      (prior, batch) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))
+        val best = graft.queries.TextQueries.corpusPrepare(batch)
+          .withColumn("h", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        prior match {
+          case None => best
+          case Some(p) => p.unionByName(
+            best.join(p.select(col("h")), Seq("h"), "left_anti"))
+        }
+    }
+
   /** The shared exactly-once fold harness of the incremental state
     * jobs: reads `srcDir` with AvailableNow, and per micro-batch folds
     * `fold(prior state without meta columns, batch)` into the staged-

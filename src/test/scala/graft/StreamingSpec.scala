@@ -482,4 +482,33 @@ class StreamingSpec extends SparkSpec {
       .awaitTermination()
     assert(stateNow().collect().toSet == before)
   }
+
+  test("runCorpusPrepAvailableNow: gates+sample per batch, exact dedup " +
+      "as state — matches the batch q49 stages over both waves") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("cp_src").toString
+    val state = Files.createTempDirectory("cp_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("cp_ckpt").toString
+    // realistic doc frame: reuse the testdata documents, split in two
+    // waves by doc_id so arrival order follows id order (the regime
+    // where keep-first-arrival == the batch keep-lowest-id window)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    docs.filter(col("doc_id") <= mid).write.mode("append").parquet(src)
+    StreamingJobs.runCorpusPrepAvailableNow(spark, src, state, ckpt)
+      .awaitTermination()
+    docs.filter(col("doc_id") > mid).write.mode("append").parquet(src)
+    StreamingJobs.runCorpusPrepAvailableNow(spark, src, state, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(state)
+      .select("doc_id", "source", "n_tokens", "quality")
+    // batch replay: stateless stages + keep-lowest-id dedup window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val want = graft.queries.TextQueries.corpusPrepare(docs)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "source", "n_tokens", "quality")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
