@@ -1424,6 +1424,73 @@ object TextQueries {
           (n_alpha * 5 >= n_words * 4) AND (n_stop >= 2) AS keep
       FROM f ORDER BY doc_id"""))
 
+  val q142SubstringDup = Q("q142_substring_dup",
+    // exact SUBSTRING-duplication diagnostics — the sliding-window form
+    // of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    // Models Better"): every 10-token window of every document is
+    // checked for occurrence in ANY OTHER document, and each doc
+    // reports its window count, cross-document-duplicated window count
+    // and duplication ratio, with keep = ≤10% duplicated (the
+    // filter/trim decision). Unlike chunk dedup (q115, non-overlapping)
+    // this catches duplicated spans at ANY alignment. The whole
+    // operator is one groupBy on the window text (count of distinct
+    // source docs — no pair join, so hot boilerplate windows cost one
+    // aggregate row, never a quadratic bucket); window extraction is
+    // expression-only. At 100 TB the window key would be the q28
+    // rolling-hash fingerprint (8 bytes) instead of the text, and the
+    // published suffix-array variant replaces the ×k window blowup —
+    // the shuffle-on-window-key shape is the same. keep is decided by
+    // integer multiply; dup_ratio is a single int/int division, which
+    // both engines round identically.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val wins = docs.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, greatest(size(t) - 9, 0)),
+          |  i -> concat_ws(' ', slice(t, i, 10)))""".stripMargin))
+        .as(Seq("pos", "w")))
+      val dups = wins.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("w"))
+      val perDoc = wins.join(dups, Seq("w"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+      docs.select(col("doc_id"),
+          greatest(size(col("t")) - 9, lit(0)).cast(LongType)
+            .as("n_windows"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+        .withColumn("dup_ratio",
+          when(col("n_windows") > 0, round(
+            col("n_dup_windows").cast(DoubleType) /
+              col("n_windows").cast(DoubleType), 6)).otherwise(lit(0.0)))
+        .withColumn("keep",
+          col("n_dup_windows") * 10 <= col("n_windows"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        wins AS (SELECT doc_id,
+            array_to_string(toks[i:i+9], ' ') AS w
+          FROM t, unnest(range(1, greatest(len(toks) - 9, 0) + 1))
+            AS u(i)),
+        dups AS (SELECT w FROM wins
+          GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        pd AS (SELECT doc_id, count(*) AS n_dup_windows
+          FROM wins WHERE w IN (SELECT w FROM dups)
+          GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(greatest(len(toks) - 9, 0) AS BIGINT) AS n_windows,
+        coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+        CASE WHEN greatest(len(toks) - 9, 0) > 0 THEN
+          round(CAST(coalesce(pd.n_dup_windows, 0) AS DOUBLE) /
+            CAST(greatest(len(toks) - 9, 0) AS DOUBLE), 6)
+          ELSE 0.0 END AS dup_ratio,
+        coalesce(pd.n_dup_windows, 0) * 10 <=
+          CAST(greatest(len(toks) - 9, 0) AS BIGINT) AS keep
+      FROM t LEFT JOIN pd USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -1431,5 +1498,5 @@ object TextQueries {
     q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
     q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
-    q139ShuffleShard, q140GopherRules)
+    q139ShuffleShard, q140GopherRules, q142SubstringDup)
 }
