@@ -324,6 +324,12 @@ object Stress {
     // ---- bands; uncapped that is 4×(10⁵ choose 2) ≈ 2·10¹⁰        ----
     // ---- candidate rows through one key. The cap drops the hot    ----
     // ---- buckets whole, so the join completes in seconds.         ----
+    // earlier phases (tiled cosine, CC checkpoints) leave cached
+    // blocks behind; drop them so the remaining phases measure their
+    // own work instead of a GC-pressured JVM (the full-sweep incdedup
+    // signature pass ran 9x slower than isolated before this)
+    spark.catalog.clearCache()
+
     // ---- incremental near-dup dedup (q136 shape): a daily batch   ----
     // ---- probing the PERSISTED band index vs rebuilding the LSH    ----
     // ---- join over the whole corpus. The bootstrap is one-time;    ----

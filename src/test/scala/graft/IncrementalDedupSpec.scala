@@ -101,6 +101,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 48)
   }
 
+  test("probe PRUNES the index scan to the batch's bucket dirs in-plan") {
+    val dir = tmp("inc_dedup3")
+    val buckets = 64
+    val base = mkDocs(0L to 49L) // 200 band rows spread over 64 buckets
+    IncrementalDedup.mergeSignatures(spark,
+      IncrementalDedup.bandRows(IncrementalDedup.signatures(sh(base))),
+      dir, buckets)
+    // 1-doc batch: 4 band rows touch at most 4 of the 64 bucket dirs
+    val batchBands = IncrementalDedup.bandRows(
+      IncrementalDedup.signatures(sh(mkDocs(Seq(500L)))))
+      .transform(graft.ops.Relational.eager)
+    val nTouched = batchBands
+      .select(Load.keyBucket(Seq(col("band"), col("sig")), buckets).as("b"))
+      .distinct().count()
+    assert(nTouched <= 4)
+    val pairs = IncrementalDedup.probe(spark, batchBands, dir, buckets)
+    // the index scan must carry a partition filter on __bucket — the
+    // scoped-I/O claim as a plan property, not just a wall-clock one
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"probe plan lost the __bucket partition filter:\n$plan")
+  }
+
   test("second probe of the same corpus is idempotent on the index") {
     val dir = tmp("inc_dedup2")
     val buckets = 8
