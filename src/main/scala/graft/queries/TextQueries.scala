@@ -1491,6 +1491,141 @@ object TextQueries {
       FROM t LEFT JOIN pd USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  val q143DedupResolve = Q("q143_dedup_resolve",
+    // the RETENTION decision a dedup pipeline actually ships: q30's
+    // verified near-dup pairs → connected components (pointer jumping,
+    // O(log d) label rounds) → per-cluster canonical pick by QUALITY
+    // (q27's rational score), not min-id — the highest-quality copy
+    // survives and every other member maps to it via kept_id. The
+    // argmax ranks on the 6-decimal-ROUNDED score in both engines
+    // (identical values post-round, so no cross-engine ulp can flip a
+    // rank; doc_id breaks exact ties). Shuffles: the CC label exchange
+    // plus ONE window partitioned by cluster; quality is expression-
+    // only on the scan. Near-dup clusters are small by construction
+    // (band-capped candidates), so per-key window state is bounded at
+    // 100 TB.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = q30MinhashLsh.run(s, d)
+        .select(col("da").as("a"), col("db").as("b"))
+      val lab = graft.ops.Graph.connectedComponents(
+        docs.select(col("doc_id").as("node")), pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      val t = toks(col("text"))
+      val nTok = size(t)
+      val stop = size(filter(t,
+        x => x.isin("the", "a", "of", "and", "is", "or", "in")))
+      val avgLen = length(regexp_replace(col("text"), " ", "")) / nTok
+      val quality = docs.select(col("doc_id"),
+        round((stop / nTok * 2.0 + avgLen * 0.1) /
+          (lit(1.0) + length(col("text")) * 0.001), 6).as("quality_score"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      lab.join(quality, Seq("doc_id"))
+        .withColumn("kept_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster"), col("quality_score"),
+          col("kept_id"), (col("doc_id") === col("kept_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+      pairs AS (SELECT da, db FROM (${q30MinhashLsh.oracle.get})),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+      cc(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+        WHERE c.lbl < e.b),
+      lab AS (SELECT node AS doc_id, min(lbl) AS cluster
+              FROM cc GROUP BY node),
+      tq AS (SELECT doc_id, text, string_split(text,' ') AS toks
+             FROM documents),
+      q AS (SELECT doc_id,
+            round((len(list_filter(toks,
+                x -> x IN ('the','a','of','and','is','or','in')))
+                / len(toks) * 2.0
+              + (length(replace(text,' ','')) / len(toks)) * 0.1)
+              / (1.0 + length(text) * 0.001), 6) AS quality_score
+            FROM tq),
+      r AS (SELECT l.doc_id, l.cluster, q.quality_score,
+            first_value(l.doc_id) OVER (PARTITION BY l.cluster
+              ORDER BY q.quality_score DESC, l.doc_id) AS kept_id
+            FROM lab l JOIN q USING (doc_id))
+      SELECT doc_id, cluster, quality_score, kept_id,
+        doc_id = kept_id AS keep
+      FROM r ORDER BY doc_id"""))
+
+  val q144Bm25Rank = Q("q144_bm25_rank",
+    // corpus SEARCH primitive: BM25 relevance ranking (Robertson et
+    // al., TREC-3 Okapi, k1=1.2 b=0.75) for a fixed 3-term query, with
+    // the RATIONAL Robertson idf surrogate (N - df + 0.5)/(df + 0.5) —
+    // ln is monotone so dropping it preserves per-term ordering, and
+    // rational arithmetic keeps scores bit-exact across engines (same
+    // reason q27 avoids transcendentals). Corpus stats (df per term,
+    // total doc length) are ONE small aggregate attached by 1-row
+    // broadcast crossJoin; tf/dl are expression-only; the top-20 is
+    // TakeOrderedAndProject (per-partition top-k + driver merge, never
+    // a global sort). At 100 TB: two scans of one column, zero wide
+    // shuffles. avgdl is sum/count of exact integers (not avg()), so
+    // partial-aggregation order cannot perturb the double.
+    (s, d) => {
+      val terms = Seq("spark", "query", "merge")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t"))).as("sum_dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            sum(when(array_contains(col("t"), term), 1L).otherwise(0L))
+              .as(s"df_$i")
+          }: _*)
+      val dl = size(col("t"))
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+      val norm = lit(0.25) + (lit(0.75) * dl) / avgdl
+      val termScores = terms.zipWithIndex.map { case (term, i) =>
+        val tf = size(filter(col("t"), x => x === lit(term)))
+        val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5))
+        idf * ((tf * lit(2.2)) / (tf + lit(1.2) * norm))
+      }
+      docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          size(filter(col("t"), x => x === lit("spark"))).as("tf_spark"),
+          size(filter(col("t"), x => x === lit("query"))).as("tf_query"),
+          size(filter(col("t"), x => x === lit("merge"))).as("tf_merge"),
+          dl.as("dl"),
+          round(termScores.reduceLeft(_ + _), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+          sum(len(toks)) AS sum_dl,
+          sum(CASE WHEN list_contains(toks,'spark') THEN 1 ELSE 0 END) AS df_0,
+          sum(CASE WHEN list_contains(toks,'query') THEN 1 ELSE 0 END) AS df_1,
+          sum(CASE WHEN list_contains(toks,'merge') THEN 1 ELSE 0 END) AS df_2
+          FROM t),
+        sc AS (SELECT doc_id,
+          len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+          len(list_filter(toks, x -> x = 'query')) AS tf_query,
+          len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+          len(toks) AS dl FROM t)
+      SELECT doc_id, tf_spark, tf_query, tf_merge, dl,
+        round(
+          (n_docs - df_0 + 0.5) / (df_0 + 0.5)
+            * ((tf_spark * 2.2) / (tf_spark + 1.2 *
+               (0.25 + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+          + (n_docs - df_1 + 0.5) / (df_1 + 0.5)
+            * ((tf_query * 2.2) / (tf_query + 1.2 *
+               (0.25 + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+          + (n_docs - df_2 + 0.5) / (df_2 + 0.5)
+            * ((tf_merge * 2.2) / (tf_merge + 1.2 *
+               (0.25 + (0.75 * dl) / (CAST(sum_dl AS DOUBLE) / n_docs)))),
+          6) AS bm25
+      FROM sc, stats
+      ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -1498,5 +1633,6 @@ object TextQueries {
     q91WeightedSample, q115ChunkDedup, q116TemperatureMix, q117SequencePack,
     q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
-    q139ShuffleShard, q140GopherRules, q142SubstringDup)
+    q139ShuffleShard, q140GopherRules, q142SubstringDup,
+    q143DedupResolve, q144Bm25Rank)
 }
