@@ -156,12 +156,165 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — a deterministic stand-in for a VIDEO codec (and
-    * the fallback for undecodable image/audio payloads). Real
+  /** Container formats [[Mp4Decoder]] parses structurally — the
+    * ISO-BMFF family (MP4/QuickTime layout). */
+  val VideoFormats: Set[String] = Set("mp4", "m4v", "mov")
+
+  /** Parsed ISO-BMFF container metadata — everything the box structure
+    * itself carries, no codec needed. */
+  case class Mp4Meta(brand: String, duration_s: Double, n_tracks: Int,
+                     handlers: Seq[String], codecs: Seq[String])
+
+  /** REAL video container-metadata decode: a pure-JVM ISO base media
+    * file format (MP4/MOV, ISO/IEC 14496-12 — public spec) box walk.
+    * The JDK bundles no video codec, so FRAME decode stays on the
+    * byte-domain [[StubDecoder]] path; but the container structure is
+    * plain length-prefixed boxes, so duration, track count, handler
+    * types and sample-entry codec fourccs are honestly parseable:
+    *  - top level: `ftyp` (major brand) and `moov`
+    *  - `moov/mvhd`: movie timescale + duration (v0 u32 / v1 u64)
+    *  - each `moov/trak/mdia/hdlr`: handler type (`vide`/`soun`/…)
+    *  - each `moov/trak/mdia/minf/stbl/stsd`: first sample entry's
+    *    box type IS the codec fourcc (`avc1`, `hev1`, `mp4a`, …)
+    * Returns None for anything that isn't a structurally valid BMFF
+    * prefix; every size field is bounds-checked so hostile payloads
+    * fall back to the stub instead of failing the task (the same
+    * contract as the image/audio decoders).
+    */
+  class Mp4Decoder extends Serializable {
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    /** Iterate the child boxes of [start, end): (type, payloadStart,
+      * payloadEnd). Malformed sizes end the walk (truncated output,
+      * never an exception past this point).
+      */
+    private def boxes(b: Array[Byte], start: Long, end: Long)
+        : Iterator[(String, Long, Long)] = new Iterator[(String, Long, Long)] {
+      private var p = start
+      def hasNext: Boolean = p + 8 <= end
+      def next(): (String, Long, Long) = {
+        val size0 = u32(b, p.toInt)
+        val typ = fourcc(b, p.toInt + 4)
+        var hdr = 8L
+        val size =
+          if (size0 == 1L && p + 16 <= end) { hdr = 16; u64(b, p.toInt + 8) }
+          else if (size0 == 0L) end - p // box extends to end of enclosure
+          else size0
+        if (size < hdr || p + size > end) { // malformed: stop the walk
+          p = end
+          ("", end, end)
+        } else {
+          val out = (typ, p + hdr, p + size)
+          p += size
+          out
+        }
+      }
+    }
+
+    def decodeMeta(payload: Array[Byte]): Option[Mp4Meta] =
+      try {
+        val end = payload.length.toLong
+        if (end < 16) return None
+        var brand: String = null
+        var duration = -1.0
+        var handlers = List.empty[String]
+        var codecs = List.empty[String]
+        var nTracks = 0
+        boxes(payload, 0, end).foreach {
+          case ("ftyp", s, e) if e - s >= 4 =>
+            brand = fourcc(payload, s.toInt)
+          case ("moov", ms, me) =>
+            boxes(payload, ms, me).foreach {
+              case ("mvhd", s, e) if e - s >= 20 =>
+                val v = payload(s.toInt) & 0xff
+                val (ts, dur) =
+                  if (v == 1 && e - s >= 32)
+                    (u32(payload, s.toInt + 20), u64(payload, s.toInt + 24))
+                  else (u32(payload, s.toInt + 12), u32(payload, s.toInt + 16))
+                if (ts > 0) duration = dur.toDouble / ts
+              case ("trak", ts0, te) =>
+                nTracks += 1
+                boxes(payload, ts0, te).foreach {
+                  case ("mdia", mds, mde) =>
+                    boxes(payload, mds, mde).foreach {
+                      case ("hdlr", s, e) if e - s >= 12 =>
+                        handlers ::= fourcc(payload, s.toInt + 8)
+                      case ("minf", mis, mie) =>
+                        boxes(payload, mis, mie).foreach {
+                          case ("stbl", sts, ste) =>
+                            boxes(payload, sts, ste).foreach {
+                              case ("stsd", s, e) if e - s >= 16 &&
+                                  u32(payload, s.toInt + 4) > 0 =>
+                                // first sample entry: box at payload+8
+                                codecs ::= fourcc(payload, s.toInt + 12)
+                              case _ =>
+                            }
+                          case _ =>
+                        }
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        // a real BMFF file has at least a brand or a movie header —
+        // random bytes that happen to walk as boxes produce neither
+        if (brand == null && duration < 0 && nTracks == 0) None
+        else Some(Mp4Meta(Option(brand).getOrElse(""),
+          math.max(duration, 0.0), nTracks, handlers.reverse, codecs.reverse))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container-metadata extraction for video payloads: partition-wise
+    * [[Mp4Decoder]] walk emitting (media_id, brand, duration_s,
+    * n_tracks, handlers, codecs); unparseable payloads yield a null
+    * brand row (kept, so corpus accounting still sees the media_id).
+    * Frame/pixel decode of the tracks remains [[StubDecoder]] —
+    * narrowed stub caveat: the CONTAINER walk above is real.
+    */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("brand", StringType),
+    StructField("duration_s", DoubleType),
+    StructField("n_tracks", IntegerType),
+    StructField("handlers", ArrayType(StringType, containsNull = false)),
+    StructField("codecs", ArrayType(StringType, containsNull = false))))
+
+  def videoMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(VideoMetaSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        val dec = new Mp4Decoder // per-partition, NOT per-row
+        rows.map { r =>
+          dec.decodeMeta(r.getAs[Array[Byte]]("payload")) match {
+            case Some(m) => Row(r.getAs[Long]("media_id"), m.brand,
+              m.duration_s, m.n_tracks, m.handlers, m.codecs)
+            case None => Row(r.getAs[Long]("media_id"), null, null, null,
+              Seq.empty[String], Seq.empty[String])
+          }
+        }
+      }(enc)
+  }
+
+  /** STUB decoder — a deterministic stand-in for a VIDEO frame codec
+    * (and the fallback for undecodable image/audio payloads). Real
     * implementation would parse `payload` with the codec matching
     * `format`; the fake derives features from the raw bytes so tests
     * are reproducible. The *interface* (bytes → features, constructed
-    * once per partition) is the production shape.
+    * once per partition) is the production shape. Video CONTAINER
+    * metadata does NOT take this path — [[Mp4Decoder]] parses it for
+    * real; only the frame/pixel domain is stubbed.
     */
   class StubDecoder extends Serializable {
     def decode(payload: Array[Byte]): (Double, Array[Float]) = {

@@ -865,10 +865,57 @@ object EventQueries {
       WHERE event_type <> 'error'
       ORDER BY event_id"""))
 
+  val q145NtzNative = Q("q145_ntz_native",
+    // TIMESTAMP_NTZ as a FIRST-CLASS plan type, not a normalization
+    // patch: the event time and the order time both run as NTZ through
+    // the whole plan — NTZ expression work (date_format hour bucket),
+    // the custom as-of exec with both time sides NTZ (ordered on
+    // wall-clock micros via the DST-safe timestampdiff reader,
+    // plans/AsofJoin.scala:107/:317-324), and a grouped aggregate on
+    // the NTZ-derived key. Spark 4 made NTZ a headline type — it is
+    // what ANY parquet writer with isAdjustedToUTC=false produces,
+    // including the driver's own testdata since the round-5
+    // regeneration — so a 100 TB corpus carries both flavors and both
+    // must flow through windows and as-of natively. The NTZ columns
+    // are derived by cast from the normalized reader under the UTC
+    // session (wall clock == instant, so the cast is deterministic
+    // whatever physical flavor the parquet arrives in), and DuckDB's
+    // TIMESTAMP is itself zone-naive, so the oracle replays the same
+    // wall-clock semantics natively. Plan shape: one shuffle+sort per
+    // as-of side, one partial-agg shuffle on the hour key.
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast(TimestampNTZType).as("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(TimestampNTZType).as("o_ts"))
+      graft.plans.AsofJoin.asof(ev, ord,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_ts",
+          rightTieBreak = Seq("o_orderkey"))
+        .select(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("o_orderkey"))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"))
+        .orderBy(col("hour"))
+    },
+    Some("""WITH a AS (SELECT e.event_id,
+          strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H') AS hour,
+          (SELECT max(o.o_orderkey) FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+               WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts))
+            AS last_order
+        FROM events e)
+      SELECT hour, count(*) AS n_events, count(last_order) AS n_matched
+      FROM a GROUP BY hour ORDER BY hour"""))
+
   val all: Seq[Q] = Seq(q36DailyAgg, q37Sessionize, q38AsofJoin, q61AsofCustom,
     q39MultimodalMeta, q40JsonProps, q42RangeJoin, q47ClickAttribution,
     q52Pivot, q71MapFuncs, q81Variant, q82GapFill, q85Funnel, q86Retention,
     q89FromCsvXml, q90SessionWindow, q96MultimodalDecode, q98ZorderScan,
     q107HoppingWindow, q109AsofForward, q110AsofNearest, q119AsofTolerance,
-    q121TextLog, q131DppPrune, q132AvroContainer, q135ParquetBloom)
+    q121TextLog, q131DppPrune, q132AvroContainer, q135ParquetBloom,
+    q145NtzNative)
 }

@@ -1433,26 +1433,28 @@ object TextQueries {
     // and duplication ratio, with keep = ≤10% duplicated (the
     // filter/trim decision). Unlike chunk dedup (q115, non-overlapping)
     // this catches duplicated spans at ANY alignment. The whole
-    // operator is one groupBy on the window text (count of distinct
-    // source docs — no pair join, so hot boilerplate windows cost one
-    // aggregate row, never a quadratic bucket); window extraction is
-    // expression-only. At 100 TB the window key would be the q28
-    // rolling-hash fingerprint (8 bytes) instead of the text, and the
-    // published suffix-array variant replaces the ×k window blowup —
-    // the shuffle-on-window-key shape is the same. keep is decided by
-    // integer multiply; dup_ratio is a single int/int division, which
-    // both engines round identically.
+    // operator is one groupBy on the window FINGERPRINT (count of
+    // distinct source docs — no pair join, so hot boilerplate windows
+    // cost one aggregate row, never a quadratic bucket); window
+    // extraction is expression-only and the text never leaves the
+    // doc-local projection: the shuffle key is the first 16 hex chars
+    // (8 bytes) of md5(window) — both engines hash UTF-8 md5
+    // identically, and the ~8× narrower key is what the shuffle
+    // carries at 100 TB (the published suffix-array variant replaces
+    // the ×k window blowup — the shuffle-on-fingerprint shape is the
+    // same). keep is decided by integer multiply; dup_ratio is a
+    // single int/int division, which both engines round identically.
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
-      val wins = docs.select(col("doc_id"), posexplode(expr(
+      val wins = docs.select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(t) - 9, 0)),
-          |  i -> concat_ws(' ', slice(t, i, 10)))""".stripMargin))
-        .as(Seq("pos", "w")))
-      val dups = wins.groupBy(col("w"))
+          |  i -> substring(md5(concat_ws(' ', slice(t, i, 10))), 1, 16))"""
+        .stripMargin)).as("wh"))
+      val dups = wins.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
-        .filter(col("ndocs") >= 2).select(col("w"))
-      val perDoc = wins.join(dups, Seq("w"), "left_semi")
+        .filter(col("ndocs") >= 2).select(col("wh"))
+      val perDoc = wins.join(dups, Seq("wh"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
       docs.select(col("doc_id"),
           greatest(size(col("t")) - 9, lit(0)).cast(LongType)
@@ -1471,13 +1473,13 @@ object TextQueries {
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents),
         wins AS (SELECT doc_id,
-            array_to_string(toks[i:i+9], ' ') AS w
+            substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 16) AS wh
           FROM t, unnest(range(1, greatest(len(toks) - 9, 0) + 1))
             AS u(i)),
-        dups AS (SELECT w FROM wins
-          GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        dups AS (SELECT wh FROM wins
+          GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
         pd AS (SELECT doc_id, count(*) AS n_dup_windows
-          FROM wins WHERE w IN (SELECT w FROM dups)
+          FROM wins WHERE wh IN (SELECT wh FROM dups)
           GROUP BY doc_id)
       SELECT t.doc_id,
         CAST(greatest(len(toks) - 9, 0) AS BIGINT) AS n_windows,

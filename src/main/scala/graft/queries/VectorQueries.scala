@@ -395,25 +395,24 @@ object VectorQueries {
     // pair work is Σ size² over clusters, never N², and the k is
     // chosen so clusters stay ~√N (the paper's design point; the
     // degenerate giant-cluster case falls back to q33's tiled kernel).
-    // Deterministic coarse centroids (every 97th vector, q35's IVF
-    // skeleton) keep both engines' clustering identical; cosine rounds
-    // to 6 dp before the threshold compare (the q33 convention) so the
-    // keep/drop decision can't flip on a last-ulp disagreement.
+    // The cluster model is ops.VectorOps.kmeansFit at FIXED k=16 —
+    // the broadcast is k×dim, CONSTANT in corpus size (the %97 scheme
+    // this replaced grew the centroid set and the N²/97 assignment
+    // work linearly with N). iters=0 keeps the model at kmeansFit's
+    // deterministic seed rule (the k lowest vec_ids), which is the
+    // only model a cross-engine oracle can replay: Lloyd's per-dim
+    // `avg` is a double sum whose bits depend on addition order (the
+    // q46 lesson), so refined means would diverge between engines;
+    // production index builds without an oracle constraint use
+    // kmeansFit(iters>0) unchanged. Cosine rounds to 6 dp before the
+    // threshold compare (the q33 convention) so the keep/drop
+    // decision can't flip on a last-ulp disagreement.
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val cents = e.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-          (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cid").as("cluster_id"))
+      val cents = graft.ops.VectorOps.kmeansFit(
+        e.select(col("vec_id"), col("embedding")), k = 16, iters = 0)
+      val assigned = graft.ops.VectorOps.assignClusters(e, cents)
         .transform(eager) // consumed twice: both sides of the pair join
       val dropped = assigned.as("a").join(assigned.as("b"),
           col("a.cluster_id") === col("b.cluster_id") &&
@@ -430,8 +429,9 @@ object VectorQueries {
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding,
           sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
-        cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-                  FROM e WHERE vec_id % 97 = 0),
+        cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+            embedding AS ce, nrm AS cn
+          FROM e ORDER BY vec_id LIMIT 16),
         sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,

@@ -26,6 +26,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object StreamingJobs {
 
+  /** Apply the engine's event-time normalization contract
+    * ([[graft.tables.Tables.normalizeEventTime]]) to a just-opened
+    * stream: a `ts` column arriving as TIMESTAMP_NTZ (or long nanos)
+    * is cast to session-zoned TimestampType before any watermark /
+    * window sees it — `withWatermark` legally rejects NTZ, and a
+    * type drift between a batch-built state table and a streaming
+    * batch would otherwise break the upsert union.
+    */
+  private def normalized(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts"))
+      graft.tables.Tables.normalizeEventTime(df, "ts")
+    else df
+
   /** Tumbling one-day aggregation — streaming twin of q36_daily_agg
     * (and of the reference's whole daily run). Late rows up to
     * `lateness` are still counted; the reference's strict-equality
@@ -201,7 +214,7 @@ object StreamingJobs {
                             tableDir: String, pk: String,
                             checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream.schema(schema).parquet(srcDir)
+    normalized(spark.readStream.schema(schema).parquet(srcDir))
       .writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
@@ -226,7 +239,7 @@ object StreamingJobs {
                                     buckets: Int,
                                     checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream.schema(schema).parquet(srcDir)
+    normalized(spark.readStream.schema(schema).parquet(srcDir))
       .writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
@@ -354,7 +367,7 @@ object StreamingJobs {
       srcDir: String, stateDir: String, checkpointDir: String)(
       fold: (Option[DataFrame], DataFrame) => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
-    spark.readStream.schema(schema).parquet(srcDir)
+    normalized(spark.readStream.schema(schema).parquet(srcDir))
       .writeStream
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
@@ -417,7 +430,7 @@ object StreamingJobs {
   def runDailyAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
                            checkpointDir: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = normalized(spark.readStream.schema(schema).parquet(srcDir))
     dailyAgg(stream)
       .writeStream
       .outputMode(OutputMode.Append())

@@ -158,6 +158,51 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((sm, se.toSeq)))
   }
 
+  test("Mp4Decoder walks the checked-in MP4's container structure") {
+    // src/test/resources/graft/media/tiny.mp4: ftyp(isom) +
+    // moov(mvhd timescale=1000 duration=5000,
+    //      trak(vide, stsd avc1), trak(soun, stsd mp4a)) + mdat
+    val mp4 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.mp4").toURI))
+    val dec = new Multimodal.Mp4Decoder
+    val Some(m) = dec.decodeMeta(mp4)
+    assert(m.brand == "isom")
+    assert(m.duration_s == 5.0)
+    assert(m.n_tracks == 2)
+    assert(m.handlers == Seq("vide", "soun"))
+    assert(m.codecs == Seq("avc1", "mp4a"))
+    // garbage / truncated payloads: None, not an exception
+    assert(dec.decodeMeta("not an mp4 at all".getBytes("UTF-8")).isEmpty)
+    assert(dec.decodeMeta(Array.emptyByteArray).isEmpty)
+    assert(dec.decodeMeta(mp4.take(20)).isEmpty ||
+      dec.decodeMeta(mp4.take(20)).exists(_.brand == "isom")) // ftyp survives
+    // hostile size fields (size < header) end the walk cleanly
+    val hostile = mp4.clone(); hostile(0) = 0; hostile(1) = 0
+    hostile(2) = 0; hostile(3) = 2 // top box claims size 2 (< 8)
+    assert(dec.decodeMeta(hostile).isEmpty)
+  }
+
+  test("videoMeta extracts container metadata partition-wise") {
+    import org.apache.spark.sql.Row
+    val mp4 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.mp4").toURI))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, mp4, Row("mp4", 320, 240, 30)),
+        Row(2L, "junk".getBytes("UTF-8"), Row("mp4", 0, 0, 1))),
+      Multimodal.MediaSchema)
+    val out = Multimodal.videoMeta(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[String]("brand") == "isom")
+    assert(out(1L).getAs[Double]("duration_s") == 5.0)
+    assert(out(1L).getAs[Int]("n_tracks") == 2)
+    assert(out(1L).getAs[scala.collection.Seq[String]]("codecs").toSeq ==
+      Seq("avc1", "mp4a"))
+    // unparseable payload keeps its row with null brand (corpus
+    // accounting still sees the media_id)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("brand")))
+  }
+
   test("native expressions callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
