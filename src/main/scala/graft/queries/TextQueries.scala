@@ -1628,6 +1628,107 @@ object TextQueries {
       FROM sc, stats
       ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
+  val q146DedupRewrite = Q("q146_dedup_rewrite",
+    // the REWRITE q142 only diagnoses: Lee et al. 2021's ExactSubstr
+    // deduplication actually REMOVES the duplicated spans from the
+    // surviving documents. Every 10-token window duplicated across
+    // documents marks its 10 token positions as covered; the rewritten
+    // document keeps exactly the uncovered tokens in original order.
+    // Plan shape at 100 TB: the cross-doc window census is the q142
+    // groupBy on the 8-byte md5-prefix fingerprint (text never
+    // shuffles); coverage explodes dup windows into ≤10×dup_windows
+    // (doc_id, pos) rows — bounded by document length, never by corpus
+    // size; the rebuild is one per-doc aggregate whose ordered
+    // reassembly is array_sort over (pos, token) structs, a doc-local
+    // sort, not a global one. Everything keyed by doc_id shuffles at
+    // most twice; no pair join anywhere.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val wins = docs.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, greatest(size(t) - 9, 0)),
+          |  i -> substring(md5(concat_ws(' ', slice(t, i, 10))), 1, 16))"""
+        .stripMargin)).as(Seq("p0", "wh")))
+      val dups = wins.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("wh"))
+      // posexplode is 0-based; window start token position is p0+1
+      val covered = wins.join(dups, Seq("wh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("p0") + 1, col("p0") + 10)).as("pos"))
+        .distinct()
+      val tokens = docs.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("tp", "tok")))
+        .select(col("doc_id"), (col("tp") + 1).as("pos"), col("tok"))
+      val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+            .as("clean_text"))
+      docs.select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        wins AS (SELECT doc_id, i AS p,
+            substr(md5(array_to_string(toks[i:i+9], ' ')), 1, 16) AS wh
+          FROM t, unnest(range(1, greatest(len(toks) - 9, 0) + 1))
+            AS u(i)),
+        dups AS (SELECT wh FROM wins
+          GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT w.doc_id, c.pos
+          FROM wins w, unnest(range(w.p, w.p + 10)) AS c(pos)
+          WHERE w.wh IN (SELECT wh FROM dups)),
+        tok AS (SELECT doc_id, j AS pos, toks[j] AS tok
+          FROM t, unnest(range(1, len(toks) + 1)) AS v(j)),
+        kept AS (SELECT k.doc_id, count(*) AS n_kept,
+            string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text
+          FROM tok k LEFT JOIN cov c
+            ON k.doc_id = c.doc_id AND k.pos = c.pos
+          WHERE c.pos IS NULL GROUP BY k.doc_id)
+      SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(toks) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(kept.clean_text, '') AS clean_text
+      FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+      ORDER BY t.doc_id"""))
+
+  val q147DomainCap = Q("q147_domain_cap",
+    // per-domain document caps (RefinedWeb / C4-style source
+    // balancing): no single source may contribute more than CAP docs;
+    // within a source the survivors are picked in DETERMINISTIC
+    // SHUFFLED order — ranked by the md5-prefix of the doc id (q139's
+    // hash-ranked shuffle, cross-engine reproducible), never by
+    // arrival order, so the cap is an unbiased sample of the domain
+    // rather than its first CAP rows. One window per source partition
+    // (the per-group state is O(CAP)); at 100 TB the rank shuffles the
+    // corpus once on source — the same single-exchange shape as any
+    // per-domain quota — and a skewed mega-domain salts exactly like
+    // q46 because only rank ≤ CAP survives the partial top-k.
+    (s, d) => {
+      val cap = 40
+      val rk = row_number().over(Window.partitionBy(col("source"))
+        .orderBy(substring(md5(col("doc_id").cast(StringType)), 1, 16),
+          col("doc_id")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", rk)
+        .withColumn("kept", col("rk") <= cap)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id)
+          AS INTEGER) AS rk,
+        row_number() OVER (PARTITION BY source
+          ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id)
+          <= 40 AS kept
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -1636,5 +1737,5 @@ object TextQueries {
     q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
-    q143DedupResolve, q144Bm25Rank)
+    q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap)
 }
