@@ -113,6 +113,40 @@ class StreamingSpec extends SparkSpec {
     assert(gotPerUser.exceptAll(want).isEmpty && want.exceptAll(gotPerUser).isEmpty)
   }
 
+  test("runDailyAvailableNow ingests a raw TIMESTAMP_NTZ source directly") {
+    // The driver's regenerated events parquet carries ts as
+    // TIMESTAMP_NTZ (isAdjustedToUTC=false) — the streaming runners
+    // must take that RAW (no pre-normalized copy like the suites
+    // above): StreamingJobs.normalized casts it before the watermark,
+    // which legally rejects NTZ. This pins the streaming half of the
+    // Tables.normalizeEventTime contract.
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntzDir = Files.createTempDirectory("events_ntz").toString
+    batchEvents.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(ntzDir)
+    // the written parquet must actually round-trip as NTZ or the test
+    // proves nothing
+    assert(spark.read.parquet(ntzDir).schema("ts").dataType == TimestampNTZType)
+    val outDir = Files.createTempDirectory("daily_ntz_out").toString
+    val q = StreamingJobs.runDailyAvailableNow(spark, ntzDir, outDir,
+      Files.createTempDirectory("ckpt_daily_ntz").toString)
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+    // append mode only emits windows the watermark has CLOSED — the
+    // final day stays open when the source drains, so compare on the
+    // emitted days (a strict subset is the documented semantics) and
+    // require substantial coverage
+    val want = StreamingJobs.dailyAgg(batchEvents)
+    val missing = got.exceptAll(want)
+    assert(got.count() > 0 && missing.isEmpty,
+      s"emitted rows must be a subset of the batch twin; extra rows: ${missing.count()}")
+    // 1-day lateness keeps up to the last TWO day-windows open at
+    // drain (the current day plus the day inside the allowed delay)
+    // × one row per event_type
+    val openBudget = 2 * batchEvents.select("event_type").distinct().count()
+    assert(got.count() >= want.count() - openBudget)
+  }
+
   test("stream-stream click->purchase join matches the batch range join") {
     val stream = spark.readStream.schema(batchEvents.schema).parquet(eventsPath)
     val q = StreamingJobs.clickToPurchase(stream)
