@@ -1636,12 +1636,16 @@ object TextQueries {
     // document keeps exactly the uncovered tokens in original order.
     // Plan shape at 100 TB: the cross-doc window census is the q142
     // groupBy on the 8-byte md5-prefix fingerprint (text never
-    // shuffles); coverage explodes dup windows into ≤10×dup_windows
-    // (doc_id, pos) rows — bounded by document length, never by corpus
-    // size; the rebuild is one per-doc aggregate whose ordered
-    // reassembly is array_sort over (pos, token) structs, a doc-local
-    // sort, not a global one. Everything keyed by doc_id shuffles at
-    // most twice; no pair join anywhere.
+    // shuffles); duplicated windows explode into ≤10×dup_windows
+    // (doc_id, pos) rows — bounded by document length, never by
+    // corpus size — and collect_set folds them straight into ONE
+    // covered-position array per doc (map-side partial, no separate
+    // distinct). The rewrite itself never explodes the token table:
+    // one join of docs against the per-doc covered set on doc_id,
+    // then filter/transform higher-order functions drop covered
+    // positions doc-LOCALLY inside codegen. Three keyed shuffles
+    // total (census, covered fold, rewrite join); the corpus text
+    // crosses an exchange only in that final doc_id join.
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
@@ -1652,25 +1656,25 @@ object TextQueries {
       val dups = wins.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
         .filter(col("ndocs") >= 2).select(col("wh"))
-      // posexplode is 0-based; window start token position is p0+1
-      val covered = wins.join(dups, Seq("wh"), "left_semi")
+      // posexplode is 0-based; window start token position is p0+1;
+      // collect_set both dedups overlapping windows' positions and
+      // builds the per-doc array in one aggregate
+      val covSet = wins.join(dups, Seq("wh"), "left_semi")
         .select(col("doc_id"),
           explode(sequence(col("p0") + 1, col("p0") + 10)).as("pos"))
-        .distinct()
-      val tokens = docs.select(col("doc_id"),
-        posexplode(col("t")).as(Seq("tp", "tok")))
-        .select(col("doc_id"), (col("tp") + 1).as("pos"), col("tok"))
-      val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
+        .agg(collect_set(col("pos")).as("cov"))
+      docs.join(covSet, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("t"),
+          coalesce(col("cov"), expr("array()")).as("cov"))
+        .select(col("doc_id"),
+          size(col("t")).cast(LongType).as("n_tokens"),
+          size(col("cov")).cast(LongType).as("n_removed"),
           concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
-            .as("clean_text"))
-      docs.select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+            """transform(filter(
+              |  transform(t, (x, i) -> struct(i + 1 AS pos, x AS tok)),
+              |  s -> NOT array_contains(cov, s.pos)), s -> s.tok)"""
+            .stripMargin)).as("clean_text"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
