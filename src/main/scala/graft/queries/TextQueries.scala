@@ -851,6 +851,50 @@ object TextQueries {
     chunkStrike(base, strikes, chunkWords)
   }
 
+  /** ExactSubstr span-removal rewrite (Lee et al. 2021 — the q146
+    * operator): every `winLen`-token window duplicated across ≥2
+    * documents marks its token positions covered; the rewritten
+    * document keeps exactly the uncovered tokens in original order.
+    * Input needs (doc_id, text); returns (doc_id, n_tokens,
+    * n_removed, clean_text), unordered.
+    *
+    * Scale shape: the census groupBy shuffles 8-byte md5-prefix
+    * fingerprints (never window text); covered positions fold into
+    * ONE per-doc array via collect_set (map-side partial, ≤ doc
+    * length each); the rewrite is a single doc_id join + doc-LOCAL
+    * filter/transform inside codegen — the token table is never
+    * exploded and the corpus text crosses exactly one exchange.
+    */
+  def substringDedupRewrite(docs0: DataFrame, winLen: Int): DataFrame = {
+    val docs = docs0.select(col("doc_id"), toks(col("text")).as("t"))
+    val wins = docs.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(1, greatest(size(t) - ${winLen - 1}, 0)),
+         |  i -> substring(md5(concat_ws(' ', slice(t, i, $winLen))), 1, 16))"""
+      .stripMargin)).as(Seq("p0", "wh")))
+    val dups = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("wh"))
+    // posexplode is 0-based; window start token position is p0+1;
+    // collect_set both dedups overlapping windows' positions and
+    // builds the per-doc array in one aggregate
+    val covSet = wins.join(dups, Seq("wh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p0") + 1, col("p0") + winLen)).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    docs.join(covSet, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("cov"), expr("array()")).as("cov"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(col("cov")).cast(LongType).as("n_removed"),
+        concat_ws(" ", expr(
+          """transform(filter(
+            |  transform(t, (x, i) -> struct(i + 1 AS pos, x AS tok)),
+            |  s -> NOT array_contains(cov, s.pos)), s -> s.tok)"""
+          .stripMargin)).as("clean_text"))
+  }
+
   /** The chunking step of [[chunkDedup]] alone: (doc_id, text) →
     * one row per non-overlapping `chunkWords`-word chunk
     * (doc_id, idx, ctext). Expression-only until the posexplode.
@@ -1646,37 +1690,9 @@ object TextQueries {
     // positions doc-LOCALLY inside codegen. Three keyed shuffles
     // total (census, covered fold, rewrite join); the corpus text
     // crosses an exchange only in that final doc_id join.
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-      val wins = docs.select(col("doc_id"), posexplode(expr(
-        """transform(sequence(1, greatest(size(t) - 9, 0)),
-          |  i -> substring(md5(concat_ws(' ', slice(t, i, 10))), 1, 16))"""
-        .stripMargin)).as(Seq("p0", "wh")))
-      val dups = wins.groupBy(col("wh"))
-        .agg(countDistinct(col("doc_id")).as("ndocs"))
-        .filter(col("ndocs") >= 2).select(col("wh"))
-      // posexplode is 0-based; window start token position is p0+1;
-      // collect_set both dedups overlapping windows' positions and
-      // builds the per-doc array in one aggregate
-      val covSet = wins.join(dups, Seq("wh"), "left_semi")
-        .select(col("doc_id"),
-          explode(sequence(col("p0") + 1, col("p0") + 10)).as("pos"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("pos")).as("cov"))
-      docs.join(covSet, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("t"),
-          coalesce(col("cov"), expr("array()")).as("cov"))
-        .select(col("doc_id"),
-          size(col("t")).cast(LongType).as("n_tokens"),
-          size(col("cov")).cast(LongType).as("n_removed"),
-          concat_ws(" ", expr(
-            """transform(filter(
-              |  transform(t, (x, i) -> struct(i + 1 AS pos, x AS tok)),
-              |  s -> NOT array_contains(cov, s.pos)), s -> s.tok)"""
-            .stripMargin)).as("clean_text"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => substringDedupRewrite(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), 10)
+      .orderBy(col("doc_id")),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents),
         wins AS (SELECT doc_id, i AS p,

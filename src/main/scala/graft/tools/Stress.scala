@@ -319,6 +319,33 @@ object Stress {
       out.count()
     }
 
+    // ---- substring span-removal rewrite (q146 shape): 1M docs ×   ----
+    // ---- 30 tokens, a 10-token span planted VERBATIM in 10% of    ----
+    // ---- docs. Only the pure span window repeats across docs      ----
+    // ---- (boundary windows mix doc-unique tokens), so planted     ----
+    // ---- docs must lose exactly those 10 positions and clean docs ----
+    // ---- none — correctness asserted in-run, wall time reported.  ----
+    time("substr rewrite 1M docs") {
+      val nDocs = 1000000L
+      // xxhash64 token ids: a 1e9 token space collides a few times
+      // across 100k planted docs (birthday) and window 2 of a planted
+      // pair then duplicates too — 64-bit ids make that ~1e-10
+      def uniqTok(seed: Int) = (0 until 10).map(k =>
+        concat(lit("w"), xxhash64(col("doc_id") * 131 + lit(seed * 17 + k))))
+      val span = (1 to 10).map(i => s"span$i").mkString(" ")
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 10 === 0, lit(span))
+            .otherwise(concat_ws(" ", uniqTok(1): _*)) +:
+          (uniqTok(2) ++ uniqTok(3)): _*).as("text"))
+      val out = graft.queries.TextQueries.substringDedupRewrite(docs, 10)
+      val wrong = out.filter(
+        (col("doc_id") % 10 === 0 && col("n_removed") =!= 10) ||
+        (col("doc_id") % 10 =!= 0 && col("n_removed") =!= 0)).count()
+      require(wrong == 0, s"$wrong docs removed the wrong span count")
+      out.count()
+    }
+
     // ---- LSH band buckets with cap (q30 shape): 10⁵ planted       ----
     // ---- near-identical docs land in the SAME bucket of all 4     ----
     // ---- bands; uncapped that is 4×(10⁵ choose 2) ≈ 2·10¹⁰        ----
