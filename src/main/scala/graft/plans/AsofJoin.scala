@@ -363,8 +363,17 @@ object AsofJoin {
     }
     val lt = attr(lPlan, leftTime, "left")
     val rt = attr(rPlanRaw, rightTime, "right")
+    // Deliberately NOT auto-coerced: a silent TIMESTAMP_NTZ↔TIMESTAMP
+    // cast would bake the session zone into join semantics (the
+    // round-5 testdata regeneration hit exactly this mismatch) — the
+    // caller chooses, e.g. via Tables.normalizeEventTime or an
+    // explicit cast, and the message says so.
     require(lt.dataType == rt.dataType,
-      s"time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+      s"as-of time type mismatch: left '${lt.name}' is ${lt.dataType.sql} " +
+        s"but right '${rt.name}' is ${rt.dataType.sql} — normalize both " +
+        "sides to one time type first (graft.tables.Tables." +
+        "normalizeEventTime for TIMESTAMP_NTZ/long-nanos inputs, or an " +
+        "explicit cast under a pinned session time zone)")
     val tie = rightTieBreak.map(attr(rPlanRaw, _, "right"))
     // null right times can never be "the latest ≤ t" under SQL
     // comparison semantics, but the merge's ordering-based compare

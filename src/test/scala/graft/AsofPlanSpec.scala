@@ -188,6 +188,24 @@ class AsofPlanSpec extends SparkSpec {
     }
   }
 
+  test("NTZ-vs-TIMESTAMP time mismatch names both columns and the fix") {
+    // the exact mismatch the round-5 testdata regeneration produced:
+    // one side TIMESTAMP_NTZ, the other TIMESTAMP — must fail with an
+    // actionable message, not a silent session-zone coercion
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.TimestampNTZType
+    val l = Seq((1L, 10L)).toDF("k", "t")
+      .withColumn("t", timestamp_micros(col("t")).cast(TimestampNTZType))
+    val r = Seq((1L, 5L)).toDF("k", "rt")
+      .withColumn("rt", timestamp_micros(col("rt")))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "rt")
+    }
+    assert(e.getMessage.contains("'t' is TIMESTAMP_NTZ"))
+    assert(e.getMessage.contains("'rt' is TIMESTAMP"))
+    assert(e.getMessage.contains("normalizeEventTime"))
+  }
+
   test("matches the q38 union+window encoding on events/orders") {
     val ev = graft.tables.Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"ts")
