@@ -61,6 +61,20 @@ object StreamingJobs {
     events.withWatermark("ts", lateness)
       .dropDuplicates("event_id", "ts")
 
+  /** [[dedupEvents]] via Spark 4's dropDuplicatesWithinWatermark: the
+    * dedup KEY no longer includes the event time, so two records with
+    * the same id but drifting timestamps (a retried producer stamping
+    * retries with send time — the case the (id, ts) key treats as two
+    * distinct events) still collapse to one, while state is evicted by
+    * the watermark exactly as before. This is the at-least-once-
+    * ingestion dedup contract: key = business identity, watermark =
+    * how long a duplicate can lag its original.
+    */
+  def dedupEventsWithinWatermark(events: DataFrame,
+                                 lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows with a 30-minute gap — streaming twin of
     * q37_sessionize, using the built-in session_window (state merges
     * adjacent windows; the batch twin's lag/cumsum formulation needs a

@@ -147,6 +147,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() >= want.count() - openBudget)
   }
 
+  test("dropDuplicatesWithinWatermark collapses id-dupes with drifting ts") {
+    // a retried producer re-emits the same event_id with a LATER
+    // timestamp: the (event_id, ts) key of dedupEvents keeps both;
+    // dropDuplicatesWithinWatermark keys on event_id alone and must
+    // collapse them. One file → one micro-batch, so no duplicate can
+    // hide behind a watermark advanced by an earlier batch.
+    val base = batchEvents.limit(200)
+    val retries = base.withColumn("ts",
+      col("ts") + expr("INTERVAL 1 MINUTE"))
+    val dupDir = Files.createTempDirectory("events_dup").toString
+    base.unionByName(retries).coalesce(1)
+      .write.mode("overwrite").parquet(dupDir)
+    val q = StreamingJobs.dedupEventsWithinWatermark(
+        spark.readStream.schema(batchEvents.schema).parquet(dupDir))
+      .writeStream.format("memory").queryName("s_dedup_ww")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_dedup_ww").toString)
+      .start()
+    q.awaitTermination()
+    val got = spark.table("s_dedup_ww")
+    val nIds = base.select("event_id").distinct().count()
+    assert(got.count() == nIds)
+    assert(got.select("event_id").distinct().count() == nIds)
+    // the (id, ts) key demonstrably does NOT collapse the retries
+    assert(spark.read.parquet(dupDir)
+      .dropDuplicates("event_id", "ts").count() == 2 * nIds)
+  }
+
   test("stream-stream click->purchase join matches the batch range join") {
     val stream = spark.readStream.schema(batchEvents.schema).parquet(eventsPath)
     val q = StreamingJobs.clickToPurchase(stream)
