@@ -87,6 +87,17 @@ object Bench {
       val ts = if (okTimes.nonEmpty) okTimes else runs.map(_._1).sorted
       name -> ts(ts.size / 2)
     }
+    // per-query [min, median, max] across passes — recorded in the FULL
+    // file artifact only (the compact tail line stays small). A query
+    // whose max ≫ median ran under transient load in some pass; a query
+    // whose min ≈ median ≈ max is genuinely that expensive — exactly
+    // the attribution the round-5 q114 bench dispute needed.
+    val spreads = names.map { case (name, _) =>
+      val runs = passes.map(_(name))
+      val okTimes = runs.collect { case (t, true) => t }.sorted
+      val ts = if (okTimes.nonEmpty) okTimes else runs.map(_._1).sorted
+      name -> ((ts.head, ts(ts.size / 2), ts.last))
+    }
     val failed = names.collect {
       case (name, _) if passes.exists(!_(name)._2) => name
     }
@@ -103,11 +114,15 @@ object Bench {
     // self-describing: total_s/cpus/n_queries/passes ride along so the
     // file artifact needs no re-derivation ("metric"/"value" stay for
     // the driver's existing parse)
+    val spreadJson = spreads.map { case (k, (mn, md, mx)) =>
+      s"\"$k\":[${ms(mn)},${ms(md)},${ms(mx)}]"
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
         s""""cpus":$cpus,"passes":$Passes,""" +
-        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""queries":$qs,"spread":$spreadJson,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
     // The capture that records this run keeps only the LAST ~2000
     // characters of stdout, and sbt appends a ~70-char [success] banner
     // after the forked JVM exits — a 135-query JSON line (~4 KB) can
