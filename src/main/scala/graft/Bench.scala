@@ -67,7 +67,7 @@ object Bench {
             val out = fn(spark, sfDir)
             out.agg(org.apache.spark.sql.functions.max(
               org.apache.spark.sql.functions.xxhash64(
-                out.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
+                out.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))).collect()
             true
           } catch { case e: Throwable =>
             // a failed query must be VISIBLE in the output, not recorded

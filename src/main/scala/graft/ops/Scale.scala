@@ -206,7 +206,7 @@ object Scale {
         .toAggregateExpression())
     // one row × numBits/8 bytes — the bounded-by-construction collect
     // shape (same class as the k-means model in VectorOps)
-    val sketch = dim.select(sketchCol.as("bf")).head.getAs[Array[Byte]](0)
+    val sketch = dim.select(sketchCol.as("bf")).head().getAs[Array[Byte]](0)
     val pruned =
       if (sketch == null) fact.limit(0) // empty dim: nothing can match
       else fact.filter(graftbridge.column(BloomFilterMightContain(

@@ -687,7 +687,7 @@ object RelationalQueries {
         "graft_cbo_lineitem")
       val Array(mn, mx) = s.table("graft_cbo_orders")
         .agg(min(col("o_totalprice")), max(col("o_totalprice")))
-        .head.toSeq.map(_.asInstanceOf[Double]).toArray
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
       val cut = mn + 0.97 * (mx - mn)
       val wh = s.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(s"$wh/graft_cbo_orders")

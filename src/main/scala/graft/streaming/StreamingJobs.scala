@@ -403,7 +403,7 @@ object StreamingJobs {
           }
         }
         val lastApplied = prior.flatMap(p =>
-          Option(p.agg(max(col("__batch_id"))).head.get(0))
+          Option(p.agg(max(col("__batch_id"))).head().get(0))
             .map(_.asInstanceOf[Long]))
           .getOrElse(-1L)
         if (batchId > lastApplied) {
