@@ -412,7 +412,10 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       val cents = graft.ops.VectorOps.kmeansFit(
         e.select(col("vec_id"), col("embedding")), k = 16, iters = 0)
+      // LongType cluster ids: the oracle's row_number()-1 is BIGINT and
+      // the driver's schema compare is type-sensitive
       val assigned = graft.ops.VectorOps.assignClusters(e, cents)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
         .transform(eager) // consumed twice: both sides of the pair join
       val dropped = assigned.as("a").join(assigned.as("b"),
           col("a.cluster_id") === col("b.cluster_id") &&
