@@ -452,6 +452,79 @@ object VectorQueries {
       FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
       ORDER BY a.vec_id"""))
 
+  val q148IncrementalIvf = Q("q148_incremental_ivf",
+    // incremental IVF index MAINTENANCE — the vector-ingestion twin of
+    // q136's incremental dedup: the index is a warehouse table
+    // partitioned by cluster_id; a late-arriving vector batch is
+    // assigned against the FROZEN centroid model (per-vector
+    // assignment is independent, so incremental == all-at-once by
+    // construction — exactly why IVF ingestion never re-indexes the
+    // corpus) and scope-merged into ONLY its touched cluster dirs
+    // (Load.upsertPartitioned; untouched clusters stay byte-identical
+    // per ScopedMergeSpec). Top-k search then runs q35's shape against
+    // the merged index. The centroid model is kmeansFit's fixed-k seed
+    // rule over the BOOTSTRAP set (trained before the batch existed,
+    // as production models are) so the oracle can replay it; at scale
+    // the merge cost is O(batch) + one small dir rewrite per touched
+    // cluster, never O(index).
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val boot = e.filter(col("vec_id") % 7 =!= 3)
+      val batch = e.filter(col("vec_id") % 7 === 3)
+      val cents = graft.ops.VectorOps.kmeansFit(
+        boot.select(col("vec_id"), col("embedding")), k = 16, iters = 0)
+      def assign(df: DataFrame): DataFrame =
+        graft.ops.VectorOps.assignClusters(df, cents)
+          .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      val wh = PipelineQueries.tempRoot("graft_q148") + "/ivf"
+      graft.etl.Load.upsertPartitioned(s, assign(boot), wh, "vec_id",
+        dayCol = "cluster_id")
+      graft.etl.Load.upsertPartitioned(s, assign(batch), wh, "vec_id",
+        dayCol = "cluster_id")
+      val index = s.read.parquet(wh)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cluster_id").cast(LongType).as("cluster_id"))
+      val q = assign(e.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cluster_id"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      index.join(broadcast(q), Seq("cluster_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cluster_id"),
+          col("vec_id").as("neighbor_id"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+            .as("cosine"))
+        .withColumn("rank", row_number().over(wRank).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("cluster_id"), col("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+            embedding AS ce, nrm AS cn
+          FROM e WHERE vec_id % 7 <> 3 ORDER BY vec_id LIMIT 16),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cluster_id
+              FROM assigned WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, a.cluster_id, a.vec_id AS neighbor_id,
+          round(${duckDot("q.qe", "a.embedding")} / (q.qn * a.nrm), 6) AS cosine
+          FROM assigned a JOIN q ON a.cluster_id = q.cluster_id
+          WHERE a.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+      SELECT query_id, cluster_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
-    q99EmbedLsh, q130QuantizeEmbed, q141SemDedup)
+    q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf)
 }
