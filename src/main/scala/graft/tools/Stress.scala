@@ -188,7 +188,13 @@ object Stress {
       time("whole bootstrap plain") {
         graft.etl.Load.upsert(spark, t.drop("day"), wdir, "event_id")
       }
-      val oneDay = t.filter(col("day") === "2024-01-15").limit(10000)
+      // pick a day that exists at ANY [rows] scale: the stream spans
+      // ~rows/111k days from 2024-01-01, so a fixed mid-January pick
+      // is empty below ~1.5M rows and the merge would fail on an
+      // empty batch (1-row collect; this is harness setup, not the op)
+      // (day is DATE via partition-dir inference — stringify generically)
+      val day0 = t.agg(min(col("day")).cast("string")).head().getString(0)
+      val oneDay = t.filter(col("day").cast("string") === day0).limit(10000)
         .withColumn("value", lit(0.0)).cache()
       oneDay.count()
       time("scoped merge one-day 10k batch") {
