@@ -236,11 +236,16 @@ object Multimodal {
             boxes(payload, ms, me).foreach {
               case ("mvhd", s, e) if e - s >= 20 =>
                 val v = payload(s.toInt) & 0xff
-                val (ts, dur) =
-                  if (v == 1 && e - s >= 32)
-                    (u32(payload, s.toInt + 20), u64(payload, s.toInt + 24))
-                  else (u32(payload, s.toInt + 12), u32(payload, s.toInt + 16))
-                if (ts > 0) duration = dur.toDouble / ts
+                // a v1 box truncated below its 32-byte field layout is
+                // malformed: skip it rather than reinterpreting v1
+                // bytes at v0 offsets (garbage-but-bounded duration)
+                if (v != 1 || e - s >= 32) {
+                  val (ts, dur) =
+                    if (v == 1)
+                      (u32(payload, s.toInt + 20), u64(payload, s.toInt + 24))
+                    else (u32(payload, s.toInt + 12), u32(payload, s.toInt + 16))
+                  if (ts > 0) duration = dur.toDouble / ts
+                }
               case ("trak", ts0, te) =>
                 nTracks += 1
                 boxes(payload, ts0, te).foreach {

@@ -867,9 +867,13 @@ object TextQueries {
     */
   def substringDedupRewrite(docs0: DataFrame, winLen: Int): DataFrame = {
     val docs = docs0.select(col("doc_id"), toks(col("text")).as("t"))
+    // guard short docs: sequence(1, 0) steps DOWN to [1, 0] and
+    // slice(t, 0, ..) throws — a doc under winLen tokens has no windows
     val wins = docs.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(1, greatest(size(t) - ${winLen - 1}, 0)),
-         |  i -> substring(md5(concat_ws(' ', slice(t, i, $winLen))), 1, 16))"""
+      s"""if(size(t) >= $winLen,
+         |  transform(sequence(1, size(t) - ${winLen - 1}),
+         |    i -> substring(md5(concat_ws(' ', slice(t, i, $winLen))), 1, 16)),
+         |  array())"""
       .stripMargin)).as(Seq("p0", "wh")))
     val dups = wins.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -1491,9 +1495,13 @@ object TextQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
+      // same short-doc guard as substringDedupRewrite: sequence(1, 0)
+      // steps DOWN and slice(t, 0, ..) throws on a sub-10-token doc
       val wins = docs.select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(t) - 9, 0)),
-          |  i -> substring(md5(concat_ws(' ', slice(t, i, 10))), 1, 16))"""
+        """if(size(t) >= 10,
+          |  transform(sequence(1, size(t) - 9),
+          |    i -> substring(md5(concat_ws(' ', slice(t, i, 10))), 1, 16)),
+          |  array())"""
         .stripMargin)).as("wh"))
       val dups = wins.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
