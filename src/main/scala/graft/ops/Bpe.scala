@@ -1,0 +1,157 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Load
+
+/** Distributed byte-pair-encoding tokenizer (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") with
+  * a TRAIN / APPLY split — the subword upgrade of [[Vocab]]'s
+  * word-level tokenizer, and the tokenizer a production LLM pipeline
+  * actually counts with.
+  *
+  * Scale shape. Training touches the corpus exactly ONCE: the
+  * [[wordCounts]] groupBy is the only corpus-scale shuffle. Every merge
+  * round after that operates on the cached DISTINCT-WORD frame (word,
+  * cnt) — pair counting and the argmax scale with the word-vocabulary
+  * size and word length, never with corpus row count, so doubling the
+  * corpus changes only the one bootstrap shuffle. Per round, exactly
+  * one 1-row argmax crosses to the driver (the k×dim-model precedent).
+  *
+  * Cross-engine replayable by construction. A word's segmentation
+  * state is ONE string: symbols joined by a double space, with a
+  * double-space border ("  h  e  y  </w>  "). Applying the merge
+  * (l, r) is then the plain string replacement
+  * " l  r " → " lr " — both Spark and DuckDB scan left-to-right
+  * non-overlapping, which is exactly BPE's greedy merge pass, and the
+  * shared single border space between adjacent occurrences makes
+  * back-to-back pairs merge identically in both engines. The APPLY is
+  * therefore a fold of codegen'd string replaces (no UDF, no
+  * higher-order aggregate), and a DuckDB oracle can re-derive the full
+  * segmentation lexicon from the persisted merges table with a
+  * recursive CTE over merge ranks.
+  *
+  * Persisted artifacts (the q137 warehouse pattern):
+  *  - merges:  (rank, left_sym, right_sym, merged) — the ranked merge
+  *    list; the tokenizer's entire trained state.
+  *  - lexicon: (word, toks) — precomputed segmentations (the tokenizer
+  *    cache); encode = broadcast join + doc-local flatten.
+  */
+object Bpe {
+
+  /** (word, cnt) of the corpus — the single corpus-scale shuffle. */
+  def wordCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("word"))
+    .filter(length(col("word")) > 0)
+    .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation state of a word: every character a symbol,
+    * plus the word-end marker. "hey" → "  h  e  y  </w>  ".
+    */
+  def initState(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "), lit("</w>  "))
+
+  /** One greedy left-to-right merge pass of (l, r) over a state
+    * string: " l  r " → " lr ". Codegen'd string replace.
+    */
+  def mergePass(state: Column, l: String, r: String): Column =
+    replace(state, lit(s" $l  $r "), lit(s" $l$r "))
+
+  /** Fold a ranked merge list over a word's initial state — the full
+    * BPE apply as nested codegen'd replaces.
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(initState(word)) { case (s, (l, r)) => mergePass(s, l, r) }
+
+  /** Subword tokens of a word under `merges`: array of symbols. */
+  def segment(word: Column, merges: Seq[(String, String)]): Column =
+    split(trim(applyMerges(word, merges)), "  ")
+
+  /** Train up to `numMerges` merges on `docs`. Deterministic: the
+    * round's winner is (pair count desc, left, right); training stops
+    * early when the best pair's weighted count drops below `minFreq`.
+    * Returns the ranked merge list.
+    */
+  def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
+            minFreq: Long = 2L): Seq[(String, String)] = {
+    val words = wordCounts(docs).cache()
+    try {
+      val merges = ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && merges.length < numMerges) {
+        // current state under the merges so far; pair = adjacent symbols
+        val syms = split(trim(applyMerges(col("word"), merges.toSeq)), "  ")
+        val pairs = words
+          .select(col("cnt"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pcnt"))
+          .orderBy(col("pcnt").desc, col("l"), col("r"))
+          .limit(1).collect() // exactly ONE row per round crosses over
+        pairs.headOption match {
+          case Some(row) if row.getAs[Long]("pcnt") >= minFreq =>
+            merges += ((row.getAs[String]("l"), row.getAs[String]("r")))
+          case _ => done = true
+        }
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
+  /** Persist the ranked merge list as a warehouse table. */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+                 dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val rows = merges.zipWithIndex.map { case ((l, r), i) =>
+      org.apache.spark.sql.Row(i + 1, l, r, l + r)
+    }
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false)))
+    Load.replaceTable(spark,
+      spark.createDataFrame(rows.asJava, schema).coalesce(1), dir)
+  }
+
+  /** Read a persisted merges table back into rank order. */
+  def loadMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    Load.readTable(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no merges table at $dir — train first"))
+      .orderBy(col("rank")).collect() // bounded: numMerges rows
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+
+  /** Segmentation lexicon over a one-column `word` frame: (word, toks).
+    * The tokenizer cache — encode against it is a broadcast join.
+    */
+  def lexicon(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    words.select(col("word"), segment(col("word"), merges).as("toks"))
+
+  /** Encode (doc_id, text) against a persisted lexicon frame: per doc
+    * (n_words, n_tokens, toks flattened in token order). Words missing
+    * from the lexicon fall back to the doc-local merge fold — the
+    * production OOV path; with a corpus-wide lexicon it never fires.
+    */
+  def encode(docs: DataFrame, lex: DataFrame,
+             merges: Seq[(String, String)]): DataFrame = docs
+    .select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    .filter(length(col("word")) > 0)
+    .join(broadcast(lex.select(col("word"), col("toks"))), Seq("word"), "left")
+    .select(col("doc_id"), col("pos"),
+      coalesce(col("toks"), segment(col("word"), merges)).as("toks"))
+    .groupBy(col("doc_id"))
+    .agg(
+      count(lit(1)).as("n_words"),
+      sum(size(col("toks"))).cast(LongType).as("n_tokens"),
+      flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
+}

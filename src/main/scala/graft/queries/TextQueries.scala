@@ -1757,6 +1757,85 @@ object TextQueries {
           <= 40 AS kept
       FROM documents ORDER BY doc_id"""))
 
+  /** Stable (non-temp) warehouse root for q149's trained-tokenizer
+    * artifacts: the DuckDB oracle re-derives the segmentation lexicon
+    * from the PERSISTED merges parquet with a recursive CTE, and the
+    * oracle runs after this JVM (and its temp-dir shutdown hooks) has
+    * exited — so the table must outlive the session. target/ is
+    * build-output space (gitignored) and each run replaces the table.
+    */
+  private val BpeWarehouse = "/root/repo/target/graft_bpe"
+
+  val q149BpeTokenize = Q("q149_bpe_tokenize",
+    // distributed BPE subword tokenization with a TRAIN / APPLY split
+    // (ops/Bpe) — the subword upgrade of q137's word-level vocab, and
+    // the tokenizer every production LLM pipeline counts with. TRAIN
+    // (outside the oracle's scope, pinned by BpeSpec against a
+    // sequential reference implementation): greedy merge rounds on the
+    // % 3 != 0 split; the corpus is shuffled ONCE (word counts) and
+    // every round after that aggregates the cached distinct-word frame
+    // — round cost scales with vocabulary size, not corpus rows, and
+    // exactly one 1-row argmax per round reaches the driver. The ranked
+    // merges persist as a warehouse table. APPLY (what the oracle
+    // gates): the segmentation lexicon (word → subword tokens) is the
+    // fold of codegen'd string replaces over the merges; encode joins
+    // the broadcast lexicon and flattens doc-locally. The DuckDB oracle
+    // reads the SAME merges parquet and re-derives the full lexicon
+    // with a recursive CTE over merge ranks — the double-space state
+    // encoding makes one greedy BPE merge pass equal to a plain string
+    // replace in BOTH engines — then replays the encode join, so the
+    // merge-application math itself is verified cross-engine.
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = graft.ops.Bpe.train(s,
+        docs.filter(col("doc_id") % 3 =!= 0), numMerges = 24)
+      graft.ops.Bpe.saveMerges(s, merges, BpeWarehouse + "/merges")
+      val ranked = graft.ops.Bpe.loadMerges(s, BpeWarehouse + "/merges")
+      graft.etl.Load.replaceTable(s,
+        graft.ops.Bpe.lexicon(
+          graft.ops.Bpe.wordCounts(docs).select(col("word")), ranked),
+        BpeWarehouse + "/lexicon")
+      val lex = graft.etl.Load.readTable(s, BpeWarehouse + "/lexicon").get
+      graft.ops.Bpe.encode(docs.filter(col("doc_id") % 3 === 0), lex, ranked)
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 12)).as("toks_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+        m AS (SELECT rank, left_sym, right_sym FROM
+          read_parquet('/root/repo/target/graft_bpe/merges/*.parquet')),
+        w AS (SELECT DISTINCT word FROM (SELECT
+            unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0),
+        seg(word, s, r) AS (
+          SELECT word,
+            '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ', 0
+          FROM w
+          UNION ALL
+          SELECT seg.word,
+            replace(seg.s, ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+                           ' ' || m.left_sym || m.right_sym || ' '),
+            seg.r + 1
+          FROM seg JOIN m ON m.rank = seg.r + 1),
+        lex AS (SELECT word, string_split(trim(s), '  ') AS toks FROM seg
+          WHERE r = (SELECT count(*) FROM m)),
+        bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+            generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id % 3 = 0),
+        enc AS (SELECT b.doc_id, b.pos, lex.toks FROM bw b
+          JOIN lex USING (word) WHERE length(b.word) > 0),
+        a AS (SELECT doc_id, count(*) AS n_words,
+            CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM enc GROUP BY doc_id),
+        flat AS (SELECT doc_id, pos, generate_subscripts(toks, 1) AS sp,
+            unnest(toks) AS tok FROM enc),
+        h AS (SELECT doc_id,
+            array_to_string((list(tok ORDER BY pos, sp))[1:12], ' ')
+              AS toks_head
+          FROM flat GROUP BY doc_id)
+      SELECT a.doc_id, a.n_words, a.n_tokens, h.toks_head
+      FROM a JOIN h USING (doc_id) ORDER BY a.doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -1765,5 +1844,6 @@ object TextQueries {
     q124BinaryFiles, q133NfcNormalize, q134VocabTokenize,
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
-    q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap)
+    q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
+    q149BpeTokenize)
 }
