@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,28 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Persist a trained centroid model as a warehouse table
+    * (cluster_id, embedding). The model is k×dim — driver-sized by
+    * definition — and parquet round-trips float32 exactly, so a reader
+    * (including a cross-engine oracle) sees bit-identical centroids.
+    */
+  def saveCentroids(spark: SparkSession,
+                    centroids: Array[(Int, Array[Float])],
+                    dir: String): Long = {
+    import spark.implicits._
+    graft.etl.Load.replaceTable(spark,
+      centroids.toSeq.toDF("cluster_id", "embedding").coalesce(1), dir)
+  }
+
+  /** Read a persisted centroid model back (bounded k-row collect). */
+  def loadCentroids(spark: SparkSession,
+                    dir: String): Array[(Int, Array[Float])] =
+    graft.etl.Load.readTable(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no centroid table at $dir"))
+      .orderBy(col("cluster_id")).collect()
+      .map(r => (r.getAs[Int]("cluster_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
 
   /** Train k spherical-k-means centroids with `iters` Lloyd iterations.
     * Returns (cluster_id, centroid) — feed to [[assignClusters]] for

@@ -24,6 +24,14 @@ import graft.tables.Tables
   */
 object VectorQueries {
 
+  /** Stable (non-temp) warehouse root for trained centroid models:
+    * q141/q148's DuckDB oracles read the persisted model parquet, and
+    * the oracle runs after this JVM (and its temp-dir shutdown hooks)
+    * has exited. target/ is build-output space (gitignored); each run
+    * replaces its model table.
+    */
+  private val CentroidWh = "/root/repo/target/graft_centroids"
+
   /** Codegen'd native dot product (graft.functions.VecDot) — the HOF
     * form `aggregate(zip_with(...))` is interpreted and dominated the
     * all-pairs join at bench scale. Fold order and null semantics are
@@ -398,22 +406,31 @@ object VectorQueries {
     // The cluster model is ops.VectorOps.kmeansFit at FIXED k=16 —
     // the broadcast is k×dim, CONSTANT in corpus size (the %97 scheme
     // this replaced grew the centroid set and the N²/97 assignment
-    // work linearly with N). iters=0 keeps the model at kmeansFit's
-    // deterministic seed rule (the k lowest vec_ids), which is the
-    // only model a cross-engine oracle can replay: Lloyd's per-dim
-    // `avg` is a double sum whose bits depend on addition order (the
-    // q46 lesson), so refined means would diverge between engines;
-    // production index builds without an oracle constraint use
-    // kmeansFit(iters>0) unchanged. Cosine rounds to 6 dp before the
-    // threshold compare (the q33 convention) so the keep/drop
-    // decision can't flip on a last-ulp disagreement.
+    // work linearly with N) — and since round 7 it is TRAINED
+    // (iters=2 Lloyd refinement), not the bare seed rule: untrained
+    // centroids risk one mega-cluster whose Σ size² pair work quietly
+    // reintroduces the N² SemDeDup exists to avoid (KmeansSkewSpec
+    // pins the skew drop on a planted-degenerate fixture). The oracle
+    // stays exact because the TRAINED model persists as a warehouse
+    // table at a stable path and DuckDB reads that same parquet —
+    // gating assignment + pair math, not training: Lloyd's per-dim
+    // `avg` is a double sum whose bits depend on merge order (the q46
+    // lesson), so the oracle must consume the model, never re-derive
+    // it. float32 round-trips parquet exactly, and both engines fold
+    // the cosine in the same order, so assignment is bit-identical.
+    // Cosine rounds to 6 dp before the threshold compare (the q33
+    // convention) so the keep/drop decision can't flip on a last-ulp
+    // disagreement.
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val cents = graft.ops.VectorOps.kmeansFit(
-        e.select(col("vec_id"), col("embedding")), k = 16, iters = 0)
-      // LongType cluster ids: the oracle's row_number()-1 is BIGINT and
-      // the driver's schema compare is type-sensitive
+      graft.ops.VectorOps.saveCentroids(s,
+        graft.ops.VectorOps.kmeansFit(
+          e.select(col("vec_id"), col("embedding")), k = 16, iters = 2),
+        CentroidWh + "/q141")
+      val cents = graft.ops.VectorOps.loadCentroids(s, CentroidWh + "/q141")
+      // LongType cluster ids: the oracle's cluster_id is read as BIGINT
+      // and the driver's schema compare is type-sensitive
       val assigned = graft.ops.VectorOps.assignClusters(e, cents)
         .withColumn("cluster_id", col("cluster_id").cast(LongType))
         .transform(eager) // consumed twice: both sides of the pair join
@@ -432,9 +449,10 @@ object VectorQueries {
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding,
           sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
-        cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-            embedding AS ce, nrm AS cn
-          FROM e ORDER BY vec_id LIMIT 16),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_centroids/q141/*.parquet')),
         sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
@@ -462,9 +480,14 @@ object VectorQueries {
     // corpus) and scope-merged into ONLY its touched cluster dirs
     // (Load.upsertPartitioned; untouched clusters stay byte-identical
     // per ScopedMergeSpec). Top-k search then runs q35's shape against
-    // the merged index. The centroid model is kmeansFit's fixed-k seed
-    // rule over the BOOTSTRAP set (trained before the batch existed,
-    // as production models are) so the oracle can replay it; at scale
+    // the merged index. The centroid model is kmeansFit TRAINED
+    // (iters=2) over the BOOTSTRAP set only (the model predates the
+    // batch, as production models do — the frozen-model contract is
+    // what makes incremental ≡ all-at-once); it persists as a
+    // warehouse table at a stable path and the oracle reads that SAME
+    // parquet, gating assignment + merge + search rather than
+    // training (Lloyd mean bits are merge-order-dependent, so the
+    // oracle must consume the model, never re-derive it). At scale
     // the merge cost is O(batch) + one small dir rewrite per touched
     // cluster, never O(index).
     (s, d) => {
@@ -472,8 +495,11 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       val boot = e.filter(col("vec_id") % 7 =!= 3)
       val batch = e.filter(col("vec_id") % 7 === 3)
-      val cents = graft.ops.VectorOps.kmeansFit(
-        boot.select(col("vec_id"), col("embedding")), k = 16, iters = 0)
+      graft.ops.VectorOps.saveCentroids(s,
+        graft.ops.VectorOps.kmeansFit(
+          boot.select(col("vec_id"), col("embedding")), k = 16, iters = 2),
+        CentroidWh + "/q148")
+      val cents = graft.ops.VectorOps.loadCentroids(s, CentroidWh + "/q148")
       def assign(df: DataFrame): DataFrame =
         graft.ops.VectorOps.assignClusters(df, cents)
           .withColumn("cluster_id", col("cluster_id").cast(LongType))
@@ -504,9 +530,10 @@ object VectorQueries {
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding,
           sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
-        cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-            embedding AS ce, nrm AS cn
-          FROM e WHERE vec_id % 7 <> 3 ORDER BY vec_id LIMIT 16),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_centroids/q148/*.parquet')),
         sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
