@@ -552,6 +552,156 @@ object VectorQueries {
       SELECT query_id, cluster_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q150IvfPq = Q("q150_ivf_pq",
+    // memory-bounded ANN: IVF with int8-RESIDUAL quantization (the
+    // IVF-PQ/SQ shape — Jégou et al. 2011's coarse+residual split with
+    // a scalar quantizer). q130 quantizes for storage but q35/q148
+    // still search full floats; at 100 TB the index that fits in
+    // executor memory is the quantized one. Index: assign each vector
+    // to its trained centroid (iters=2 model, persisted, frozen — the
+    // oracle reads the same parquet), quantize the RESIDUAL v−c to
+    // int8 with a per-vector scale (residuals are small, so 8 bits of
+    // them beat 8 bits of the raw vector). COARSE search scores
+    // candidates in probed clusters against the RECONSTRUCTION
+    // ĉ = c + q·scale only — int8+model arithmetic, never the float
+    // table — and keeps top-C per query; RE-RANK joins ONLY those C
+    // candidates back to the full-precision table for the exact
+    // cosine top-k. All quantized math is integer-derived double
+    // arithmetic in the same fold order in both engines, so coarse
+    // candidate sets — and therefore the exact re-ranked top-k — are
+    // oracle-replayable bit-exactly. Scale: coarse reads
+    // (int8[dim] + 1 double) per vector ≈ 9/36 of the float payload;
+    // the float table is touched for C rows per query, via join.
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      graft.ops.VectorOps.saveCentroids(s,
+        graft.ops.VectorOps.kmeansFit(
+          e.select(col("vec_id"), col("embedding")), k = 16, iters = 2),
+        CentroidWh + "/q150")
+      val cents = graft.ops.VectorOps.loadCentroids(s, CentroidWh + "/q150")
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val assigned = graft.ops.VectorOps.assignClusters(
+          e.select(col("vec_id"), col("embedding")), cents)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      // quantized index rows: (vec_id, cluster_id, maxabs, qr int8)
+      val res = zip_with(col("embedding"), col("ce"),
+        (v, c) => v.cast(DoubleType) - c.cast(DoubleType))
+      val index = assigned.join(broadcast(cdf.select(col("cluster_id"), col("ce"))),
+          Seq("cluster_id"))
+        .withColumn("res", res)
+        .withColumn("maxabs", array_max(transform(col("res"), abs(_))))
+        .withColumn("qr", when(col("maxabs") > 0,
+            transform(col("res"), x =>
+              floor(x * 127.0 / col("maxabs") + 0.5).cast(IntegerType)))
+          .otherwise(transform(col("res"), _ => lit(0))))
+        .select(col("vec_id"), col("cluster_id"), col("ce"),
+          col("maxabs"), col("qr"))
+      // queries probe their nprobe=4 nearest centroids at full precision
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("__csim").desc, col("cluster_id"))
+      val probes = q.crossJoin(broadcast(cdf))
+        .withColumn("__csim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("__pr", row_number().over(wProbe))
+        .filter(col("__pr") <= 4)
+        .select(col("query_id"), col("qe"), col("qn"), col("cluster_id"))
+      // coarse pass: reconstruction from centroid + int8 residual only
+      val vhat = zip_with(col("ce"), col("qr"),
+        (c, qv) => c.cast(DoubleType) +
+          qv.cast(DoubleType) * col("maxabs") / 127.0)
+      val qeD = transform(col("qe"), _.cast(DoubleType))
+      val wCoarse = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))
+      val cand = index.join(broadcast(probes), Seq("cluster_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("vh", vhat)
+        .select(col("query_id"), col("qe"), col("qn"),
+          col("vec_id").as("neighbor_id"),
+          (dot(qeD, col("vh")) / (col("qn") * sqrt(dot(col("vh"), col("vh")))))
+            .as("approx"))
+        .withColumn("__cr", row_number().over(wCoarse))
+        .filter(col("__cr") <= 10)
+      // exact re-rank on the full-precision table, candidates only
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand.join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding"), col("nrm")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("approx"), 6).as("coarse_cosine"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+            .as("cosine"))
+        .withColumn("rank", row_number().over(wRank).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_centroids/q150/*.parquet')),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cluster_id, c.ce,
+            list_transform(range(1, len(a.embedding) + 1),
+              k -> CAST(a.embedding[k] AS DOUBLE) - CAST(c.ce[k] AS DOUBLE))
+              AS res
+          FROM assigned a JOIN cents c ON c.cid = a.cluster_id),
+        qidx AS (SELECT vec_id, cluster_id, ce,
+            list_max(list_transform(res, x -> abs(x))) AS maxabs,
+            CASE WHEN list_max(list_transform(res, x -> abs(x))) > 0
+              THEN list_transform(res, x -> CAST(floor(
+                x * 127.0 / list_max(list_transform(res, y -> abs(y))) + 0.5)
+                AS INTEGER))
+              ELSE list_transform(res, x -> 0) END AS qr
+          FROM resid),
+        vh AS (SELECT vec_id, cluster_id,
+            list_transform(range(1, len(qr) + 1),
+              k -> CAST(ce[k] AS DOUBLE) + CAST(qr[k] AS DOUBLE) * maxabs
+                   / 127.0) AS vhat
+          FROM qidx),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 5),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 4),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, v.vec_id AS neighbor_id,
+              ${duckDot("p.qe", "v.vhat")} /
+                (p.qn * sqrt(${duckDot("v.vhat", "v.vhat")})) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ${duckDot("p.qe", "v.vhat")} /
+                  (p.qn * sqrt(${duckDot("v.vhat", "v.vhat")})) DESC,
+                v.vec_id) AS cr
+            FROM vh v JOIN probes p ON v.cluster_id = p.cluster_id
+            WHERE v.vec_id <> p.query_id) WHERE cr <= 10),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS coarse_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, coarse_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
-    q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf)
+    q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
+    q150IvfPq)
 }
