@@ -367,6 +367,59 @@ object StreamingJobs {
         }
     }
 
+  /** Streaming twin of q136's incremental near-dup maintenance: each
+    * micro-batch of documents (doc_id, text)
+    *
+    *   1. computes its MinHash band rows (map-only over the batch),
+    *   2. probes the persisted signature index (bucket-pruned scan,
+    *      cost O(batch) — IncrementalDedup.probe),
+    *   3. PK-upserts the emitted candidate pairs into `pairsDir`, and
+    *   4. scope-merges its signatures into the index at `indexDir`,
+    *
+    * so the near-dup signature index — previously the one maintained
+    * warehouse table without a streaming runner — rides the same
+    * exactly-once AvailableNow harness as the upsert/CDC/agg jobs.
+    *
+    * Exactly-once by IDEMPOTENCE (the runUpsertAvailableNow argument,
+    * not the batch-id guard): both sinks are PK-upserts, and a
+    * replayed probe after a crash between the signature merge and the
+    * checkpoint commit sees its own signatures already in the index —
+    * probe collapses a re-submitted (band, sig, doc_id) membership row
+    * to ONE entry (max(is_batch)), so cap counts and the emitted pair
+    * set are unchanged and the replay re-upserts the same rows
+    * harmlessly. NearDupStreamSpec pins two-wave parity with the
+    * from-scratch probe and the restart no-op.
+    */
+  def runNearDupAvailableNow(spark: SparkSession, srcDir: String,
+                             indexDir: String, pairsDir: String,
+                             buckets: Int,
+                             checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val dd = graft.ops.IncrementalDedup
+        val sh = batch.select(col("doc_id"),
+            graft.functions.ShingleExpression.wordShingles(
+              split(col("text"), " ")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        // eager: the merge below swaps the very bucket dirs a lazy
+        // probe plan would later re-read (the q136 contract)
+        val rows = graft.ops.Relational.eager(
+          dd.bandRows(dd.signatures(sh)))
+        val pairs = dd.probe(s, rows, indexDir, buckets)
+          .withColumn("pair_key", concat_ws("_", col("da"), col("db")))
+        graft.etl.Load.upsert(s, pairs, pairsDir, "pair_key")
+        dd.mergeSignatures(s, rows, indexDir, buckets)
+        ()
+      }
+      .start()
+  }
+
   /** The shared exactly-once fold harness of the incremental state
     * jobs: reads `srcDir` with AvailableNow, and per micro-batch folds
     * `fold(prior state without meta columns, batch)` into the staged-
