@@ -15,8 +15,12 @@ import org.apache.spark.sql.types._
   * to actual pixels via the JDK's own `javax.imageio` codecs
   * ([[ImageDecoder]] — PNG/JPEG/GIF/BMP, no extra jars); AUDIO WAV/PCM
   * decodes to actual samples via the JDK's `javax.sound.sampled`
-  * ([[AudioDecoder]]). Payloads neither codec can parse, and VIDEO
-  * formats, take the byte-domain [[StubDecoder]] path (STUB markers
+  * ([[AudioDecoder]]). VIDEO container structure parses for real
+  * ([[Mp4Decoder]] ISO-BMFF box walk) and Motion-JPEG FRAMES decode
+  * for real too ([[videoFrameFeatures]] — MJPEG samples are standalone
+  * JPEGs, sliced out of the sample tables and fed to ImageIO). Only
+  * INTER-CODED video codecs (avc1/hev1/…) and payloads no JDK codec
+  * parses take the byte-domain [[StubDecoder]] path (STUB markers
   * below), whose interface is the production shape for codecs this JVM
   * doesn't bundle.
   */
@@ -279,6 +283,119 @@ object Multimodal {
         else Some(Mp4Meta(Option(brand).getOrElse(""),
           math.max(duration, 0.0), nTracks, handlers.reverse, codecs.reverse))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Sample-entry fourccs whose samples are standalone JPEG images —
+      * the Motion-JPEG family. These frames ARE ImageIO-decodable; no
+      * inter-frame codec exists in the JVM, so everything else stays on
+      * the byte-domain stub path.
+      */
+    private val JpegFourccs = Set("jpeg", "mjpa", "mjpb")
+
+    /** Extract the raw sample payloads of the FIRST Motion-JPEG track:
+      * walks the track's sample tables (stsz sizes, stsc sample→chunk
+      * runs, stco/co64 absolute chunk offsets — ISO/IEC 14496-12 §8.7)
+      * and slices each sample's bytes out of the file. Every offset and
+      * size is bounds-checked against the payload; malformed tables
+      * yield the frames that DO check out (possibly none) rather than
+      * an exception. Returns at most `maxFrames` frames.
+      */
+    def decodeFrames(payload: Array[Byte],
+                     maxFrames: Int = 32): Seq[Array[Byte]] =
+      try {
+        val end = payload.length.toLong
+        var out = Seq.empty[Array[Byte]]
+        boxes(payload, 0, end).foreach {
+          case ("moov", ms, me) => boxes(payload, ms, me).foreach {
+            case ("trak", ts0, te) if out.isEmpty =>
+              var codec: String = null
+              var sizes: Array[Long] = null
+              var chunkOffs: Array[Long] = null
+              var runs: Array[(Long, Long)] = null // (first_chunk, per_chunk)
+              boxes(payload, ts0, te).foreach {
+                case ("mdia", mds, mde) => boxes(payload, mds, mde).foreach {
+                  case ("minf", mis, mie) => boxes(payload, mis, mie).foreach {
+                    case ("stbl", sts, ste) => boxes(payload, sts, ste).foreach {
+                      case ("stsd", s, e) if e - s >= 16 &&
+                          u32(payload, s.toInt + 4) > 0 =>
+                        codec = fourcc(payload, s.toInt + 12)
+                      case ("stsz", s, e) if e - s >= 12 =>
+                        val fixed = u32(payload, s.toInt + 4)
+                        val n = math.min(u32(payload, s.toInt + 8), 4096L).toInt
+                        sizes =
+                          if (fixed != 0) Array.fill(n)(fixed)
+                          else if (e - s >= 12 + 4L * n)
+                            Array.tabulate(n)(i =>
+                              u32(payload, s.toInt + 12 + 4 * i))
+                          else null
+                      case ("stsc", s, e) if e - s >= 8 =>
+                        val n = math.min(u32(payload, s.toInt + 4), 4096L).toInt
+                        runs =
+                          if (e - s >= 8 + 12L * n)
+                            Array.tabulate(n)(i => (
+                              u32(payload, s.toInt + 8 + 12 * i),
+                              u32(payload, s.toInt + 12 + 12 * i)))
+                          else null
+                      case ("stco", s, e) if e - s >= 8 =>
+                        val n = math.min(u32(payload, s.toInt + 4), 4096L).toInt
+                        chunkOffs =
+                          if (e - s >= 8 + 4L * n)
+                            Array.tabulate(n)(i =>
+                              u32(payload, s.toInt + 8 + 4 * i))
+                          else null
+                      case ("co64", s, e) if e - s >= 8 =>
+                        val n = math.min(u32(payload, s.toInt + 4), 4096L).toInt
+                        chunkOffs =
+                          if (e - s >= 8 + 8L * n)
+                            Array.tabulate(n)(i =>
+                              u64(payload, s.toInt + 8 + 8 * i))
+                          else null
+                      case _ =>
+                    }
+                    case _ =>
+                  }
+                  case _ =>
+                }
+                case _ =>
+              }
+              if (codec != null && JpegFourccs.contains(codec) &&
+                  sizes != null && chunkOffs != null && runs != null &&
+                  runs.nonEmpty) {
+                val frames = Seq.newBuilder[Array[Byte]]
+                var si = 0 // next sample index
+                var taken = 0
+                var ci = 0
+                while (ci < chunkOffs.length && si < sizes.length &&
+                    taken < maxFrames) {
+                  // samples-per-chunk: the run with the largest
+                  // first_chunk <= this (1-based) chunk index
+                  val chunkNo = ci + 1L
+                  val perChunk = runs.takeWhile(_._1 <= chunkNo)
+                    .lastOption.map(_._2).getOrElse(0L)
+                  var off = chunkOffs(ci)
+                  var j = 0L
+                  while (j < perChunk && si < sizes.length &&
+                      taken < maxFrames) {
+                    val sz = sizes(si)
+                    if (off >= 0 && sz > 0 && sz <= Int.MaxValue &&
+                        off + sz <= end) {
+                      frames += java.util.Arrays.copyOfRange(
+                        payload, off.toInt, (off + sz).toInt)
+                      taken += 1
+                    }
+                    off += sz
+                    si += 1
+                    j += 1
+                  }
+                  ci += 1
+                }
+                out = frames.result()
+              }
+            case _ =>
+          }
+          case _ =>
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 
   /** Container-metadata extraction for video payloads: partition-wise
@@ -308,6 +425,42 @@ object Multimodal {
             case None => Row(r.getAs[Long]("media_id"), null, null, null,
               Seq.empty[String], Seq.empty[String])
           }
+        }
+      }(enc)
+  }
+
+  /** Per-frame pixel features of Motion-JPEG video payloads. */
+  val VideoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_lum", DoubleType)))
+
+  /** REAL video frame decode for the Motion-JPEG subset: MJPEG samples
+    * in an ISO-BMFF container are standalone JPEGs, so
+    * [[Mp4Decoder.decodeFrames]] slices them out of the sample tables
+    * and the existing [[ImageDecoder]] pixel path decodes each one —
+    * (media_id, frame_idx, width, height, mean_lum), one row per
+    * decodable frame, fan-out bounded by `maxFrames`. Runs partition-
+    * wise with ONE decoder pair per partition. Payloads with no
+    * MJPEG track (inter-coded codecs — the remaining honest stub
+    * caveat) or undecodable frames simply contribute no rows.
+    */
+  def videoFrameFeatures(media: DataFrame, maxFrames: Int = 32): DataFrame = {
+    val enc = RowEncoder.encoderFor(VideoFrameSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        val mp4 = new Mp4Decoder   // per-partition codec init,
+        val img = new ImageDecoder // NOT per row
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          mp4.decodeFrames(r.getAs[Array[Byte]]("payload"), maxFrames)
+            .iterator.zipWithIndex.flatMap { case (bytes, i) =>
+              img.decodePixels(bytes).map { case (lum, _, w, h) =>
+                Row(id, i, w, h, lum)
+              }
+            }
         }
       }(enc)
   }

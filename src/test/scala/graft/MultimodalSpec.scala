@@ -203,6 +203,94 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("brand")))
   }
 
+  /** Hermetic MJPEG-in-BMFF fixture: two real JPEGs (encoded by the
+    * JVM's own ImageIO, so the decode side is guaranteed a matching
+    * codec) laid out as ftyp + mdat + moov with honest sample tables
+    * (stsd 'jpeg', stsz per-sample sizes, stsc one run, stco absolute
+    * chunk offset). Built in code rather than checked in as a blob so
+    * the layout is reviewable.
+    */
+  private object MjpegFixture {
+    private def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (x * 32 + y + seed * 7919) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** (container bytes, the two frame payloads). */
+    def build(): (Array[Byte], Seq[Array[Byte]]) = {
+      val (j1, j2) = (jpeg(1), jpeg(2))
+      val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0))
+      val mdat = box("mdat", j1 ++ j2)
+      val mdatPayloadOff = ftyp.length + 8L // first jpeg's absolute offset
+      val mvhd = box("mvhd",
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(2000))
+      val hdlr = box("hdlr",
+        u32(0) ++ u32(0) ++ "vide".getBytes("ISO-8859-1"))
+      val entry = u32(16) ++ "jpeg".getBytes("ISO-8859-1") ++ u32(0) ++ u32(0)
+      val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+      val stsz = box("stsz",
+        u32(0) ++ u32(0) ++ u32(2) ++ u32(j1.length) ++ u32(j2.length))
+      val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(2) ++ u32(1))
+      val stco = box("stco", u32(0) ++ u32(1) ++ u32(mdatPayloadOff))
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr ++ minf)
+      val trak = box("trak", mdia)
+      val moov = box("moov", mvhd ++ trak)
+      (ftyp ++ mdat ++ moov, Seq(j1, j2))
+    }
+  }
+
+  test("Mp4Decoder extracts MJPEG frames from the sample tables") {
+    val (container, jpegs) = MjpegFixture.build()
+    val dec = new Multimodal.Mp4Decoder
+    // the container is also valid for the metadata walk
+    val Some(meta) = dec.decodeMeta(container)
+    assert(meta.codecs == Seq("jpeg") && meta.duration_s == 2.0)
+    // frame payloads slice out byte-exactly and ImageIO-decode
+    val frames = dec.decodeFrames(container)
+    assert(frames.length == 2)
+    assert(frames.map(_.toSeq) == jpegs.map(_.toSeq))
+    val img = new Multimodal.ImageDecoder
+    assert(frames.forall(f => img.decodePixels(f).exists(_._3 == 8)))
+    // the avc1 fixture has no MJPEG track -> no frames, no exception
+    val avc = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/media/tiny.mp4").toURI))
+    assert(dec.decodeFrames(avc).isEmpty)
+    // hostile: truncation anywhere yields only the frames that check out
+    assert(dec.decodeFrames(container.take(60)).isEmpty)
+    assert(dec.decodeFrames("junk".getBytes("UTF-8")).isEmpty)
+    // maxFrames caps the fan-out
+    assert(dec.decodeFrames(container, maxFrames = 1).length == 1)
+  }
+
+  test("videoFrameFeatures decodes MJPEG frames partition-wise") {
+    import org.apache.spark.sql.Row
+    val (container, _) = MjpegFixture.build()
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, container, Row("mov", 8, 8, 2)),
+        Row(2L, "junk".getBytes("UTF-8"), Row("mp4", 0, 0, 1))),
+      Multimodal.MediaSchema)
+    val out = Multimodal.videoFrameFeatures(media).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 0), (1L, 1))) // junk contributes no rows
+    assert(out.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    assert(out.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0))
+  }
+
   test("native expressions callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
