@@ -1836,6 +1836,72 @@ object TextQueries {
       SELECT a.doc_id, a.n_words, a.n_tokens, h.toks_head
       FROM a JOIN h USING (doc_id) ORDER BY a.doc_id"""))
 
+  /** Planted encoding damage for q151, derived from the SAME mapping
+    * code that builds the repair table — so the corrupted column the
+    * Spark query and the DuckDB oracle construct is byte-identical by
+    * construction, never by hand-typed mojibake literals.
+    */
+  private val MojiPlants: Seq[String] = {
+    val m = graft.ops.Mojibake
+    Seq(
+      s"the menu said caf${m.mojibakeOf(0xE9)} pr${m.mojibakeOf(0xE8)}s " +
+        s"du mus${m.mojibakeOf(0xE9)}e",
+      s"he said ${m.mojibakeOf(0x201C)}hello world${m.mojibakeOf(0x201D)} " +
+        "and left",
+      s"price ${m.mojibakeOf(0x20AC)}99 plus VAT${m.mojibakeOf(0x2122)}",
+      s"double encoded ${m.damage(m.mojibakeOf(0xE9))} twice")
+  }
+
+  val q151MojibakeRepair = Q("q151_mojibake_repair",
+    // mojibake / encoding-damage repair (ops/Mojibake) — the last
+    // common corpus-cleaning gap: web crawl text carries UTF-8 that
+    // some upstream decoded as cp1252 ("Ã©" for é, "â€™" for ').
+    // The inverse is exact and ships as DATA: a (rank, moji, fixed)
+    // mapping table persisted as a warehouse table; repair is the
+    // ordered fold of codegen'd string replaces over it (the q149
+    // apply machinery — non-overlap is structural, and codepoint rank
+    // order makes DOUBLE-encoded text cascade to clean inside one
+    // fold, pinned on the planted %4==3 docs). Damage is PLANTED
+    // per doc_id (derived from the same mapping code, so both engines
+    // corrupt identically) and the oracle re-derives the repair from
+    // the persisted mapping parquet with a recursive CTE over ranks —
+    // the repair math is verified cross-engine byte-exactly.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_mojibake/mapping"
+      graft.ops.Mojibake.saveMapping(s, wh)
+      val mapping = graft.ops.Mojibake.loadMapping(s, wh)
+      val planted = when(col("doc_id") % 4 === 0, lit(MojiPlants(0)))
+        .when(col("doc_id") % 4 === 1, lit(MojiPlants(1)))
+        .when(col("doc_id") % 4 === 2, lit(MojiPlants(2)))
+        .otherwise(lit(MojiPlants(3)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), planted).as("corrupted"))
+        .select(col("doc_id"), col("corrupted"),
+          graft.ops.Mojibake.repair(col("corrupted"), mapping).as("repaired"))
+        .withColumn("changed", col("corrupted") =!= col("repaired"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+        m AS (SELECT rank, moji, fixed FROM read_parquet(
+          '/root/repo/target/graft_mojibake/mapping/*.parquet')),
+        base AS (SELECT doc_id, text || ' ' || CASE
+            WHEN doc_id % 4 = 0 THEN '${MojiPlants(0)}'
+            WHEN doc_id % 4 = 1 THEN '${MojiPlants(1)}'
+            WHEN doc_id % 4 = 2 THEN '${MojiPlants(2)}'
+            ELSE '${MojiPlants(3)}' END AS corrupted
+          FROM documents),
+        rec(doc_id, s2, r) AS (
+          SELECT doc_id, corrupted, 0 FROM base
+          UNION ALL
+          SELECT rec.doc_id, replace(rec.s2, m.moji, m.fixed), rec.r + 1
+          FROM rec JOIN m ON m.rank = rec.r + 1),
+        f AS (SELECT doc_id, s2 AS repaired FROM rec
+          WHERE r = (SELECT count(*) FROM m))
+      SELECT b.doc_id, b.corrupted, f.repaired,
+        b.corrupted <> f.repaired AS changed
+      FROM base b JOIN f USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -1845,5 +1911,5 @@ object TextQueries {
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
-    q149BpeTokenize)
+    q149BpeTokenize, q151MojibakeRepair)
 }
