@@ -117,11 +117,19 @@ object Bench {
     val spreadJson = spreads.map { case (k, (mn, md, mx)) =>
       s"\"$k\":[${ms(mn)},${ms(md)},${ms(mx)}]"
     }.mkString("{", ",", "}")
+    // queries_min: the per-query MIN across passes — the series
+    // regression comparisons should use (BASELINE.md round-7 rule). A
+    // median of 3 is still contaminated when 2 of 3 passes hit host
+    // load (q40's [0.95, 4.52, 20.8] round-6 spread); the min is the
+    // closest observable to the query's intrinsic cost on this box.
+    val minsJson = spreads.map { case (k, (mn, _, _)) =>
+      s"\"$k\":${ms(mn)}"
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
         s""""cpus":$cpus,"passes":$Passes,""" +
-        s""""queries":$qs,"spread":$spreadJson,""" +
+        s""""queries":$qs,"queries_min":$minsJson,"spread":$spreadJson,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     // The capture that records this run keeps only the LAST ~2000
     // characters of stdout, and sbt appends a ~70-char [success] banner
