@@ -100,7 +100,7 @@ object Extract {
       count(col(c)).as(s"n_$i"),
       count(when(col(c).rlike(graft.sources.SheetCsv.IntRe), 1)).as(s"i_$i"),
       count(when(col(c).rlike(graft.sources.SheetCsv.DecRe), 1)).as(s"d_$i")) }
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val casts = df.columns.zipWithIndex.map { case (c, i) =>
       graft.sources.SheetCsv.inferredType(r.getAs[Long](s"n_$i"),
         r.getAs[Long](s"i_$i"), r.getAs[Long](s"d_$i")) match {

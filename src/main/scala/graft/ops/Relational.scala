@@ -105,7 +105,7 @@ object Relational {
     */
   def renameNormalized(df: DataFrame, f: String => String): DataFrame = {
     val renames = df.columns.map(c => c -> f(c))
-    val taken = scala.collection.mutable.Set[String](renames.map(_._2): _*)
+    val taken = scala.collection.mutable.Set[String](renames.map(_._2).toIndexedSeq: _*)
     val used = scala.collection.mutable.Set[String]()
     val unique = renames.map { case (orig, n) =>
       val name =

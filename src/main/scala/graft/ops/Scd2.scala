@@ -75,6 +75,6 @@ object Scd2 {
       .when(changed, array(close, opened)) // close old, open new
       .otherwise(array(keep)) // unchanged
     val out = j.select(explode(emitted).as("r")).select(col("r.*"))
-    hist.select(out.columns.map(col): _*).unionByName(out)
+    hist.select(out.columns.map(col).toIndexedSeq: _*).unionByName(out)
   }
 }

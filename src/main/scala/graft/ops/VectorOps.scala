@@ -51,13 +51,13 @@ object VectorOps {
     val best = max(struct(
       sim.as("s"),
       (-col("cluster_id")).as("nc"),
-      struct(payload.map(col): _*).as("p")))
+      struct(payload.map(col).toIndexedSeq: _*).as("p")))
     df.crossJoin(broadcast(cdf))
       .groupBy(col("vec_id"))
       .agg(best.as("b"))
-      .select(col("vec_id") +:
+      .select((col("vec_id") +:
         payload.map(c => col(s"b.p.$c").as(c)) :+
-        (-col("b.nc")).as("cluster_id"): _*)
+        (-col("b.nc")).as("cluster_id")).toIndexedSeq: _*)
   }
 
   /** Multi-probe IVF top-k search: each query is routed to its `nprobe`

@@ -325,14 +325,26 @@ object Stress {
       out.count()
     }
 
-    // ---- substring span-removal rewrite (q146 shape): 1M docs ×   ----
-    // ---- 30 tokens, a 10-token span planted VERBATIM in 10% of    ----
+    // ---- substring span-removal rewrite (q146 shape): [rows] docs ----
+    // ---- × 30 tokens, a 10-token span planted VERBATIM in 10% of  ----
     // ---- docs. Only the pure span window repeats across docs      ----
     // ---- (boundary windows mix doc-unique tokens), so planted     ----
     // ---- docs must lose exactly those 10 positions and clean docs ----
     // ---- none — correctness asserted in-run, wall time reported.  ----
-    time("substr rewrite 1M docs") {
-      val nDocs = 1000000L
+    // The phase also reports total shuffle-write RECORDS: the census
+    // exchange carries docs×(len−winLen+1) fingerprint rows — the
+    // row-inflation watch item (VERDICT r6 #2) — so the count is the
+    // evidence for linear-vs-blowup at 10M (`Stress 10000000 substr`).
+    val substrShuffleRecs = new java.util.concurrent.atomic.AtomicLong(0)
+    val substrListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        substrShuffleRecs.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    if (wanted("substr")) spark.sparkContext.addSparkListener(substrListener)
+    time(s"substr rewrite ${rows / 1000000}M docs") {
+      val nDocs = rows
       // xxhash64 token ids: a 1e9 token space collides a few times
       // across 100k planted docs (birthday) and window 2 of a planted
       // pair then duplicates too — 64-bit ids make that ~1e-10
@@ -350,6 +362,13 @@ object Stress {
         (col("doc_id") % 10 =!= 0 && col("n_removed") =!= 0)).count()
       require(wrong == 0, s"$wrong docs removed the wrong span count")
       out.count()
+    }
+    if (wanted("substr")) {
+      Thread.sleep(2000) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(substrListener)
+      println(f"[stress] substr shuffle-write records total: " +
+        f"${substrShuffleRecs.get()}%,d (census exchange ≈ docs×21 " +
+        f"fingerprint rows at 30-token docs, winLen=10)")
     }
 
     // ---- LSH band buckets with cap (q30 shape): 10⁵ planted       ----

@@ -34,7 +34,7 @@ object TimeQuery {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val out = fn(spark, sfDir)
-        out.agg(max(xxhash64(out.columns.map(col): _*))).collect()
+        out.agg(max(xxhash64(out.columns.map(col).toIndexedSeq: _*))).collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> ts(ts.size / 2)
