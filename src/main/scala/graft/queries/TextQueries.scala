@@ -859,13 +859,25 @@ object TextQueries {
     * n_removed, clean_text), unordered.
     *
     * Scale shape: the census groupBy shuffles 8-byte md5-prefix
-    * fingerprints (never window text); covered positions fold into
-    * ONE per-doc array via collect_set (map-side partial, ≤ doc
-    * length each); the rewrite is a single doc_id join + doc-LOCAL
-    * filter/transform inside codegen — the token table is never
-    * exploded and the corpus text crosses exactly one exchange.
+    * fingerprints (never window text) — the ONE irreducible
+    * corpus-token-scale exchange of the fingerprint formulation. The
+    * dup-fingerprint set that survives the census is tiny in real
+    * corpora (duplication is the exception), so it is cached, counted,
+    * and — when under `dupBroadcastCap` — BROADCAST back against the
+    * window frame: the probe pass then re-derives windows map-side and
+    * never re-shuffles them (the 10M-doc Stress showed AQE planning
+    * this semi join as a second full 210M-row exchange; the explicit
+    * size-gated broadcast removes it). Covered positions are built
+    * from window STARTS: only (doc_id, p0) rows of duplicated windows
+    * shuffle into a per-doc collect_set — ~1/winLen of the position
+    * explode the previous shape paid — and the start→range expansion
+    * `sequence(p0+1, p0+winLen)` happens doc-locally inside codegen.
+    * The rewrite is a single doc_id join + doc-LOCAL filter/transform
+    * — the token table is never exploded and the corpus text crosses
+    * exactly one exchange.
     */
-  def substringDedupRewrite(docs0: DataFrame, winLen: Int): DataFrame = {
+  def substringDedupRewrite(docs0: DataFrame, winLen: Int,
+                            dupBroadcastCap: Long = 4000000L): DataFrame = {
     val docs = docs0.select(col("doc_id"), toks(col("text")).as("t"))
     // guard short docs: sequence(1, 0) steps DOWN to [1, 0] and
     // slice(t, 0, ..) throws — a doc under winLen tokens has no windows
@@ -878,14 +890,25 @@ object TextQueries {
     val dups = wins.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2).select(col("wh"))
-    // posexplode is 0-based; window start token position is p0+1;
-    // collect_set both dedups overlapping windows' positions and
-    // builds the per-doc array in one aggregate
-    val covSet = wins.join(dups, Seq("wh"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("p0") + 1, col("p0") + winLen)).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the count is driver-bounded (one scalar) and materializes the
+    // cached dup set; an adversarial all-duplicate corpus exceeds the
+    // cap and falls back to the shuffle semi join instead of OOMing
+    // the broadcast
+    val nDups = dups.count()
+    val dupWins =
+      if (nDups <= dupBroadcastCap)
+        wins.join(broadcast(dups), Seq("wh"), "left_semi")
+      else wins.join(dups, Seq("wh"), "left_semi")
+    // posexplode is 0-based; window start token position is p0+1.
+    // Shuffle only the dup window STARTS; expand starts to covered
+    // position ranges doc-locally after the aggregate.
+    val covSet = dupWins
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("pos")).as("cov"))
+      .agg(collect_set(col("p0")).as("p0s"))
+      .select(col("doc_id"), array_distinct(flatten(transform(
+        array_sort(col("p0s")),
+        p => sequence(p + 1, p + winLen)))).as("cov"))
     docs.join(covSet, Seq("doc_id"), "left")
       .select(col("doc_id"), col("t"),
         coalesce(col("cov"), expr("array()")).as("cov"))
@@ -1902,6 +1925,85 @@ object TextQueries {
         b.corrupted <> f.repaired AS changed
       FROM base b JOIN f USING (doc_id) ORDER BY doc_id"""))
 
+  val q152BpePack = Q("q152_bpe_pack",
+    // sequence packing counted with the REAL tokenizer — the
+    // integration the BPE exists for: q117 packs documents into fixed
+    // 2048-token training sequences but counts whitespace words; a
+    // production pipeline budgets SUBWORD tokens, and the difference
+    // compounds (every OOV-ish word inflates into multiple subwords,
+    // so whitespace counts systematically under-fill sequences). This
+    // query runs the full chain: train merges on the held-out split
+    // (q149's rule, persisted to q152's OWN warehouse path so the
+    // query never depends on q149 having run), build the segmentation
+    // lexicon, encode EVERY doc to its exact subword count, then run
+    // q117's per-source-shard packing window over those counts. Exact
+    // Long arithmetic end-to-end; the oracle re-derives the lexicon
+    // from the persisted merges parquet (recursive CTE over ranks)
+    // and replays count + packing, so the tokenizer-to-packer hand-off
+    // is verified cross-engine. Scale: one corpus shuffle for word
+    // counts, broadcast lexicon encode, one window per source shard —
+    // the same shapes q149/q117 already carry individually.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val merges = graft.ops.Bpe.train(s,
+        docs.filter(col("doc_id") % 3 =!= 0), numMerges = 24)
+      graft.ops.Bpe.saveMerges(s, merges, BpeWarehouse + "/merges_q152")
+      val ranked = graft.ops.Bpe.loadMerges(s, BpeWarehouse + "/merges_q152")
+      graft.etl.Load.replaceTable(s,
+        graft.ops.Bpe.lexicon(
+          graft.ops.Bpe.wordCounts(docs).select(col("word")), ranked),
+        BpeWarehouse + "/lexicon_q152")
+      val lex = graft.etl.Load.readTable(s, BpeWarehouse + "/lexicon_q152").get
+      val toks = graft.ops.Bpe.encode(docs, lex, ranked)
+        .select(col("doc_id"), col("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), col("source"))
+        .join(toks, Seq("doc_id"))
+        .withColumn("tok_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tok_before"),
+          expr("tok_before div 2048").as("start_seq"),
+          expr("(tok_before + n_tokens - 1) div 2048").as("end_seq"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+        m AS (SELECT rank, left_sym, right_sym FROM
+          read_parquet('/root/repo/target/graft_bpe/merges_q152/*.parquet')),
+        w AS (SELECT DISTINCT word FROM (SELECT
+            unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0),
+        seg(word, s, r) AS (
+          SELECT word,
+            '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ', 0
+          FROM w
+          UNION ALL
+          SELECT seg.word,
+            replace(seg.s, ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+                           ' ' || m.left_sym || m.right_sym || ' '),
+            seg.r + 1
+          FROM seg JOIN m ON m.rank = seg.r + 1),
+        lex AS (SELECT word, string_split(trim(s), '  ') AS toks FROM seg
+          WHERE r = (SELECT count(*) FROM m)),
+        bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        enc AS (SELECT b.doc_id, lex.toks FROM bw b
+          JOIN lex USING (word) WHERE length(b.word) > 0),
+        a AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM enc GROUP BY doc_id),
+        t AS (SELECT d.doc_id, d.source, a.n_tokens
+          FROM documents d JOIN a USING (doc_id)),
+        c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_before FROM t)
+      SELECT doc_id, source, n_tokens, tok_before,
+        CAST(tok_before // 2048 AS BIGINT) AS start_seq,
+        CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -1911,5 +2013,5 @@ object TextQueries {
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
-    q149BpeTokenize, q151MojibakeRepair)
+    q149BpeTokenize, q151MojibakeRepair, q152BpePack)
 }

@@ -587,57 +587,15 @@ object VectorQueries {
       val assigned = graft.ops.VectorOps.assignClusters(
           e.select(col("vec_id"), col("embedding")), cents)
         .withColumn("cluster_id", col("cluster_id").cast(LongType))
-      // quantized index rows: (vec_id, cluster_id, maxabs, qr int8)
-      val res = zip_with(col("embedding"), col("ce"),
-        (v, c) => v.cast(DoubleType) - c.cast(DoubleType))
-      val index = assigned.join(broadcast(cdf.select(col("cluster_id"), col("ce"))),
-          Seq("cluster_id"))
-        .withColumn("res", res)
-        .withColumn("maxabs", array_max(transform(col("res"), abs(_))))
-        .withColumn("qr", when(col("maxabs") > 0,
-            transform(col("res"), x =>
-              floor(x * 127.0 / col("maxabs") + 0.5).cast(IntegerType)))
-          .otherwise(transform(col("res"), _ => lit(0))))
-        .select(col("vec_id"), col("cluster_id"), col("ce"),
-          col("maxabs"), col("qr"))
-      // queries probe their nprobe=4 nearest centroids at full precision
+      // quantize / probe / coarse / re-rank — the extracted operator
+      // (ops/IvfPq), shared verbatim with the Stress 1M-vector A/B
+      val index = graft.ops.IvfPq.quantizeIndex(assigned, cdf)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("__csim").desc, col("cluster_id"))
-      val probes = q.crossJoin(broadcast(cdf))
-        .withColumn("__csim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("__pr", row_number().over(wProbe))
-        .filter(col("__pr") <= 4)
-        .select(col("query_id"), col("qe"), col("qn"), col("cluster_id"))
-      // coarse pass: reconstruction from centroid + int8 residual only
-      val vhat = zip_with(col("ce"), col("qr"),
-        (c, qv) => c.cast(DoubleType) +
-          qv.cast(DoubleType) * col("maxabs") / 127.0)
-      val qeD = transform(col("qe"), _.cast(DoubleType))
-      val wCoarse = Window.partitionBy(col("query_id"))
-        .orderBy(col("approx").desc, col("neighbor_id"))
-      val cand = index.join(broadcast(probes), Seq("cluster_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("vh", vhat)
-        .select(col("query_id"), col("qe"), col("qn"),
-          col("vec_id").as("neighbor_id"),
-          (dot(qeD, col("vh")) / (col("qn") * sqrt(dot(col("vh"), col("vh")))))
-            .as("approx"))
-        .withColumn("__cr", row_number().over(wCoarse))
-        .filter(col("__cr") <= 10)
-      // exact re-rank on the full-precision table, candidates only
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      cand.join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding"), col("nrm")), Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("approx"), 6).as("coarse_cosine"),
-          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
-            .as("cosine"))
-        .withColumn("rank", row_number().over(wRank).cast(LongType))
-        .filter(col("rank") <= 3)
+      val probes = graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4)
+      val cand = graft.ops.IvfPq.coarseSearch(index, probes, topC = 10)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cosine"), col("coarse_cosine"))
         .orderBy(col("query_id"), col("rank"))

@@ -463,7 +463,8 @@ object Stress {
     // the reassembly shuffle the real corpus scan pays)
     val vdocsDir = s"$dir/stress_vocab_docs"
     val vdir = s"$dir/stress_vocab"
-    if (Seq("vocab train 1M docs (Zipf)", "vocab encode 1M docs (Zipf)")
+    if (Seq("vocab train 1M docs (Zipf)", "vocab encode 1M docs (Zipf)",
+        "bpe train corpus-invariance", "bpe encode 1M docs")
         .exists(wanted)) {
       spark.range(1000000L).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 30).map(k =>
@@ -492,6 +493,133 @@ object Stress {
         s"vocab encode must have exactly 1 wide exchange (the per-doc " +
           s"reassembly), found $wide:\n" + plan)
       1000000L
+    }
+
+    // ---- BPE train/apply (q149 shape): the train-cost claim under ----
+    // ---- test is "merge rounds scale with the VOCABULARY, not the ----
+    // ---- corpus" — the corpus is shuffled once (word counts) and  ----
+    // ---- every round aggregates the cached distinct-word frame.   ----
+    // ---- Evidence: train on 1M docs vs a 100k-doc slice with the  ----
+    // ---- SAME word surface — the 10× corpus should cost only the  ----
+    // ---- one bootstrap shuffle more, nowhere near 10×.            ----
+    lazy val bpeMerges = {
+      val t0 = System.nanoTime()
+      val m = graft.ops.Bpe.train(spark, vocabDocs, numMerges = 16)
+      println(f"[stress] bpe train 1M docs           rounds=16  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      m
+    }
+    time("bpe train corpus-invariance") {
+      val full = bpeMerges
+      val t0 = System.nanoTime()
+      val small = graft.ops.Bpe.train(spark,
+        vocabDocs.filter(col("doc_id") % 10 === 0), numMerges = 16)
+      val tSmall = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] bpe train 100k-doc slice    rounds=16  $tSmall%8.2f s")
+      // same Zipf word surface → merge rounds see (nearly) the same
+      // distinct-word frame; a corpus-scaling trainer would be ~10×
+      require(small.nonEmpty && full.nonEmpty, "bpe training produced no merges")
+      full.length.toLong
+    }
+    time("bpe encode 1M docs") {
+      val lex = graft.ops.Bpe.lexicon(
+        graft.ops.Bpe.wordCounts(vocabDocs).select(col("word")), bpeMerges)
+      force(graft.ops.Bpe.encode(vocabDocs, lex, bpeMerges)
+        .select(col("doc_id"), col("n_tokens")))
+    }
+
+    // ---- IVF-PQ quantized search (q150 shape) at 1M vectors:      ----
+    // ---- planted 64-center structure, trained (iters=2) coarse    ----
+    // ---- model, int8-residual index. The A/B under test: coarse   ----
+    // ---- search reads the QUANTIZED table only (on-disk ratio     ----
+    // ---- printed — the "index that fits in executor memory"), and ----
+    // ---- the exact re-rank touches C rows per query — against the ----
+    // ---- brute-force float scan of all 1M rows per query batch.   ----
+    // ---- Recall of the quantized path vs brute-force is asserted  ----
+    // ---- in-run.                                                  ----
+    val pqVecDir = s"$dir/stress_pq_vecs"
+    val pqIdxDir = s"$dir/stress_pq_index"
+    val pqLabels = Seq("ivfpq index 1M vecs", "ivfpq search 1M vecs",
+      "ivfpq brute 1M vecs")
+    if (pqLabels.exists(wanted)) {
+      val dim = 32
+      spark.range(1000000L).select(col("id").as("vec_id"),
+        array((0 until dim).map { j =>
+          ((pmod(hash(pmod(col("id"), lit(64)) * 1009L + lit(j)), lit(2000))
+            / 1000.0 - 1.0) +
+            pmod(hash(col("id") * 31L + lit(j * 7 + 1)), lit(200)) / 2000.0)
+            .cast(FloatType)
+        }: _*).as("embedding"))
+        .write.mode("overwrite").parquet(pqVecDir)
+    }
+    import graft.functions.VectorExpressions.vecDot
+    def vnorm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
+    lazy val pqVecs = spark.read.parquet(pqVecDir)
+    lazy val pqModel = graft.ops.VectorOps.kmeansFit(
+      pqVecs.filter(col("vec_id") % 20 === 0), k = 64, iters = 2)
+    lazy val pqCdf = {
+      import spark.implicits._
+      pqModel.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", vnorm(col("ce")))
+    }
+    time("ivfpq index 1M vecs") {
+      val assigned = graft.ops.VectorOps.assignClusters(pqVecs, pqModel)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      // store WITHOUT the centroid column (it re-joins from the
+      // broadcast model at search): (vec_id, cluster_id, maxabs, qr)
+      graft.ops.IvfPq.quantizeIndex(assigned, pqCdf)
+        .select(col("vec_id"), col("cluster_id"), col("maxabs"), col("qr"))
+        .write.mode("overwrite").parquet(pqIdxDir)
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        Option(d.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      }
+      println(f"[stress] ivfpq on-disk bytes: quantized=${dirBytes(pqIdxDir)}%,d " +
+        f"float=${dirBytes(pqVecDir)}%,d " +
+        f"ratio=${dirBytes(pqIdxDir).toDouble / dirBytes(pqVecDir)}%.2f")
+      spark.read.parquet(pqIdxDir).count()
+    }
+    lazy val pqQueries = pqVecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        vnorm(col("embedding")).as("qn"))
+    time("ivfpq search 1M vecs") {
+      val idx = spark.read.parquet(pqIdxDir)
+        .join(broadcast(pqCdf.select(col("cluster_id"), col("ce"))),
+          Seq("cluster_id"))
+      val probes = graft.ops.IvfPq.probeRoute(pqQueries, pqCdf, nprobe = 4)
+      val cand = graft.ops.IvfPq.coarseSearch(idx, probes, topC = 32)
+      val e = pqVecs.select(col("vec_id"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+      graft.ops.IvfPq.rerank(cand, e, topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(s"$dir/stress_pq_topk")
+      spark.read.parquet(s"$dir/stress_pq_topk").count()
+    }
+    time("ivfpq brute 1M vecs") {
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val brute = pqVecs
+        .select(col("vec_id"), col("embedding"),
+          vnorm(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(pqQueries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (vecDot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = spark.read.parquet(s"$dir/stress_pq_topk")
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+      val total = 8L * 10L
+      println(f"[stress] ivfpq recall@10 vs brute force: $hit/$total " +
+        f"(${hit * 100.0 / total}%.1f%%)")
+      require(hit >= (total * 7) / 10,
+        s"quantized-path recall@10 degraded: $hit/$total")
+      total
     }
 
     time("LSH band cap, 100k near-dups") {
