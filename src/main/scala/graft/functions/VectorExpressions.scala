@@ -193,12 +193,120 @@ case class SignProjection(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Pack an array<int> of int8-range values ([-128, 127] — e.g. the
+  * IVF-PQ residual codes, bounded [-127, 127] by construction) into a
+  * BINARY of one byte per element. This is what makes a persisted
+  * quantized index genuinely byte-width: Spark has no int8 array type,
+  * so `array<int>` codes serialize at 4 bytes each (plus array
+  * overhead) — the packed form is the FAISS-style uint8 code layout.
+  * Null array, null element, or any element outside int8 range → null
+  * (a silent clamp would corrupt the reconstruction).
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pack_int8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pack_int8 requires array<int>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getInt(i)
+      if (v < Byte.MinValue || v > Byte.MaxValue) return null
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $a.numElements();
+        byte[] $out = new byte[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+          int $v = $a.getInt($i);
+          if ($v < -128 || $v > 127) { ${ev.isNull} = true; break; }
+          $out[$i] = (byte) $v;
+        }
+        if (!${ev.isNull}) ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackInt8 =
+    copy(child = newChild)
+}
+
+/** Inverse of [[PackInt8]]: BINARY → array<int>, one signed byte per
+  * element. `unpack_int8(pack_int8(x)) == x` exactly for every in-range
+  * input, so a packed index reconstructs bit-identically.
+  */
+case class UnpackInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unpack_int8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unpack_int8 requires binary, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val b = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toInt; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+        int[] $out = new int[$a.length];
+        for (int $i = 0; $i < $a.length; $i++) {
+          $out[$i] = (int) $a[$i];
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnpackInt8 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-API entry point for [[VecDot]]. */
   def vecDot(a: Column, b: Column): Column =
     graftbridge.column(
       VecDot(graftbridge.expression(a), graftbridge.expression(b)))
+
+  /** Column-API entry point for [[PackInt8]]. */
+  def packInt8(a: Column): Column =
+    graftbridge.column(PackInt8(graftbridge.expression(a)))
+
+  /** Column-API entry point for [[UnpackInt8]]. */
+  def unpackInt8(a: Column): Column =
+    graftbridge.column(UnpackInt8(graftbridge.expression(a)))
 
   /** L2 norm via the codegen'd dot product. */
   def vecNorm(a: Column): Column = org.apache.spark.sql.functions.sqrt(vecDot(a, a))

@@ -542,12 +542,17 @@ object Stress {
     val pqLabels = Seq("ivfpq index 1M vecs", "ivfpq search 1M vecs",
       "ivfpq brute 1M vecs")
     if (pqLabels.exists(wanted)) {
+      // high-entropy floats (~2M distinct center values, ~1M distinct
+      // noise values): real embeddings don't dictionary-encode, and a
+      // low-entropy synthetic float table would flatter the float side
+      // of the on-disk comparison
       val dim = 32
       spark.range(1000000L).select(col("id").as("vec_id"),
         array((0 until dim).map { j =>
-          ((pmod(hash(pmod(col("id"), lit(64)) * 1009L + lit(j)), lit(2000))
-            / 1000.0 - 1.0) +
-            pmod(hash(col("id") * 31L + lit(j * 7 + 1)), lit(200)) / 2000.0)
+          ((pmod(hash(pmod(col("id"), lit(64)) * 1009L + lit(j)),
+              lit(2000003)) / 1000001.0 - 1.0) +
+            pmod(hash(col("id") * 31L + lit(j * 7 + 1)), lit(1000003))
+              / 10000030.0)
             .cast(FloatType)
         }: _*).as("embedding"))
         .write.mode("overwrite").parquet(pqVecDir)
@@ -567,9 +572,12 @@ object Stress {
       val assigned = graft.ops.VectorOps.assignClusters(pqVecs, pqModel)
         .withColumn("cluster_id", col("cluster_id").cast(LongType))
       // store WITHOUT the centroid column (it re-joins from the
-      // broadcast model at search): (vec_id, cluster_id, maxabs, qr)
+      // broadcast model at search), and with the residual codes PACKED
+      // to one byte each (codegen'd pack_int8 — array<int> would
+      // serialize at 4 B/code): (vec_id, cluster_id, maxabs, qrb)
       graft.ops.IvfPq.quantizeIndex(assigned, pqCdf)
-        .select(col("vec_id"), col("cluster_id"), col("maxabs"), col("qr"))
+        .select(col("vec_id"), col("cluster_id"), col("maxabs"),
+          graft.functions.VectorExpressions.packInt8(col("qr")).as("qrb"))
         .write.mode("overwrite").parquet(pqIdxDir)
       def dirBytes(p: String): Long = {
         val d = new java.io.File(p)
@@ -586,6 +594,8 @@ object Stress {
         vnorm(col("embedding")).as("qn"))
     time("ivfpq search 1M vecs") {
       val idx = spark.read.parquet(pqIdxDir)
+        .withColumn("qr",
+          graft.functions.VectorExpressions.unpackInt8(col("qrb")))
         .join(broadcast(pqCdf.select(col("cluster_id"), col("ce"))),
           Seq("cluster_id"))
       val probes = graft.ops.IvfPq.probeRoute(pqQueries, pqCdf, nprobe = 4)

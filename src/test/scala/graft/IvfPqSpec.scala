@@ -69,6 +69,46 @@ class IvfPqSpec extends SparkSpec {
     assert(nonzero === 0)
   }
 
+  test("pack_int8/unpack_int8 round-trips codes; out-of-range nulls") {
+    import graft.functions.VectorExpressions.{packInt8, unpackInt8}
+    val df = Seq(
+      (1L, Seq(-128, -127, -1, 0, 1, 126, 127)),
+      (2L, Seq.empty[Int]),
+      (3L, Seq(42))
+    ).toDF("id", "codes")
+    val rt = df.select(col("id"),
+      unpackInt8(packInt8(col("codes"))).as("back"),
+      col("codes"))
+    assert(rt.filter(not(col("back") === col("codes"))).count() === 0)
+    // packed width is exactly one byte per code
+    val widths = df.select(length(packInt8(col("codes"))).as("w"),
+      size(col("codes")).as("n")).collect()
+    widths.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // out-of-range values null the row rather than silently clamping
+    val bad = Seq((1L, Seq(128)), (2L, Seq(-129))).toDF("id", "codes")
+      .select(packInt8(col("codes")).as("p"))
+    assert(bad.filter(col("p").isNotNull).count() === 0)
+  }
+
+  test("a packed index reconstructs the same top-k as the unpacked one") {
+    import graft.functions.VectorExpressions.{packInt8, unpackInt8}
+    val idx = IvfPq.quantizeIndex(assigned, cdf)
+    val packed = idx.select(col("vec_id"), col("cluster_id"), col("ce"),
+      col("maxabs"), unpackInt8(packInt8(col("qr"))).as("qr"))
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        nrm(col("embedding")).as("qn"))
+    val e = vecs.select(col("vec_id"), col("embedding"),
+      nrm(col("embedding")).as("nrm"))
+    val probes = IvfPq.probeRoute(q, cdf, nprobe = 2)
+    def topk(i: org.apache.spark.sql.DataFrame) =
+      IvfPq.rerank(IvfPq.coarseSearch(i, probes, topC = 15), e, topK = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("coarse_cosine"))
+        .collect().map(_.toSeq).toSet
+    assert(topk(packed) === topk(idx))
+  }
+
   test("re-ranked top-k equals brute force on the planted fixture") {
     val idx = IvfPq.quantizeIndex(assigned, cdf)
     val q = vecs.filter(col("vec_id") < 4)
