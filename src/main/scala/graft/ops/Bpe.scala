@@ -75,16 +75,34 @@ object Bpe {
     * round's winner is (pair count desc, left, right); training stops
     * early when the best pair's weighted count drops below `minFreq`.
     * Returns the ranked merge list.
+    *
+    * Round cost is CONSTANT in the round number: the segmentation
+    * state rides along as a column of the cached distinct-word frame
+    * and each round applies only the NEWEST merge to it (one codegen'd
+    * replace), instead of re-folding the full merge list from the raw
+    * word — the re-fold makes round k pay k replaces, turning an
+    * M-merge train into O(M²·vocab) string work. The state column's
+    * expression lineage grows by one replace per round, so every
+    * `rematEvery` rounds the frame is rematerialized to parquet (a
+    * vocab-sized write, never corpus-sized), truncating the plan before
+    * nested-expression depth bites at production merge counts.
     */
   def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
-            minFreq: Long = 2L): Seq[(String, String)] = {
-    val words = wordCounts(docs).cache()
+            minFreq: Long = 2L, rematEvery: Int = 32): Seq[(String, String)] = {
+    val rematDir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_train").toString
+    // `base` is the frame that actually holds the cache; `words` is
+    // base plus at most `rematEvery-1` uncached replace layers
+    var base = wordCounts(docs)
+      .select(col("word"), col("cnt"), initState(col("word")).as("state"))
+      .cache()
+    var words = base
     try {
       val merges = ArrayBuffer.empty[(String, String)]
       var done = false
       while (!done && merges.length < numMerges) {
-        // current state under the merges so far; pair = adjacent symbols
-        val syms = split(trim(applyMerges(col("word"), merges.toSeq)), "  ")
+        // pairs = adjacent symbols of the CURRENT state column
+        val syms = split(trim(col("state")), "  ")
         val pairs = words
           .select(col("cnt"), explode(zip_with(
             slice(syms, lit(1), size(syms) - 1),
@@ -96,12 +114,27 @@ object Bpe {
           .limit(1).collect() // exactly ONE row per round crosses over
         pairs.headOption match {
           case Some(row) if row.getAs[Long]("pcnt") >= minFreq =>
-            merges += ((row.getAs[String]("l"), row.getAs[String]("r")))
+            val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
+            merges += ((l, r))
+            val next = words.withColumn("state",
+              mergePass(col("state"), l, r))
+            if (merges.length % rematEvery == 0) {
+              val snap = s"$rematDir/round_${merges.length}"
+              next.write.mode("overwrite").parquet(snap)
+              base.unpersist()
+              base = spark.read.parquet(snap).cache()
+              words = base
+            } else words = next
           case _ => done = true
         }
       }
       merges.toSeq
-    } finally words.unpersist()
+    } finally {
+      base.unpersist()
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(rematDir))
+      ()
+    }
   }
 
   /** Persist the ranked merge list as a warehouse table. */

@@ -521,6 +521,18 @@ object Stress {
       require(small.nonEmpty && full.nonEmpty, "bpe training produced no merges")
       full.length.toLong
     }
+    time("bpe train 64-merge rounds") {
+      val t0 = System.nanoTime()
+      val m = graft.ops.Bpe.train(spark, vocabDocs, numMerges = 64)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // flat-round evidence: with the incremental state column, 4× the
+      // merge rounds should cost ~4× (per-round ~constant); the re-fold
+      // shape paid O(rounds²) string work and would show per-round cost
+      // growing with the round number
+      println(f"[stress] bpe per-round at 64 merges: ${dt / 64}%.3f s/round " +
+        f"(vs 16-merge per-round above)")
+      m.length.toLong
+    }
     time("bpe encode 1M docs") {
       val lex = graft.ops.Bpe.lexicon(
         graft.ops.Bpe.wordCounts(vocabDocs).select(col("word")), bpeMerges)
