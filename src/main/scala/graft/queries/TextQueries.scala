@@ -2004,6 +2004,106 @@ object TextQueries {
         CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
       FROM c ORDER BY doc_id"""))
 
+  /** Canonicalize a messy URL column: strip the fragment, lowercase
+    * scheme+host, strip default ports (:443/:80), strip the trailing
+    * path slash (non-root), drop tracking params (utm_*, gclid,
+    * fbclid), sort the survivors. Every step is plain regex/array
+    * work with an exact DuckDB twin (same regexes, list_filter/
+    * list_sort), so canonical forms agree byte-for-byte cross-engine.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":(443|80)$", "")
+    val path0 = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val qs = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(qs, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") &&
+        !p.rlike("^(gclid|fbclid)=")))
+    val q2 = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
+  val q153UrlCanonical = Q("q153_url_canonical",
+    // URL canonicalization + dedup-by-canonical-URL — the FIRST dedup
+    // pass of every crawl pipeline (RefinedWeb dedups by URL before
+    // touching content): the same page arrives under case-varied
+    // hosts, default ports, trailing slashes, tracking params in
+    // shuffled order, and fragments. Messy URLs are PLANTED per
+    // doc_id (canonical identity from doc_id % 50, the mess from
+    // doc_id itself — case/port/slash/utm/gclid/param-order/fragment
+    // variants), built by IDENTICAL expressions in both engines, so
+    // the canonicalizer is tested on real variance and its output is
+    // byte-comparable. Dedup keeps the lowest doc_id per canonical
+    // form (one window shuffle on the canonical string). At 100 TB
+    // this is one hash exchange on canon_url — the cheapest dedup in
+    // the stack, which is exactly why pipelines run it first.
+    (s, d) => {
+      val m = col("doc_id") % 50
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://Sub"))
+          .otherwise(lit("https://sub")), m % 5,
+        when(col("doc_id") % 2 === 0, lit(".EXAMPLE")).otherwise(lit(".example")),
+        m % 7, lit(".com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/path/"), m,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?a="), m % 3, lit("&b="), m % 4))
+          .otherwise(concat(lit("?b="), m % 4, lit("&utm_source=news&a="),
+            m % 3, lit("&gclid=g"), col("doc_id"))),
+        when(col("doc_id") % 5 === 0, concat(lit("#frag"), col("doc_id")))
+          .otherwise(lit("")))
+      val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", canonicalizeUrl(col("url")))
+        .withColumn("is_keeper", (row_number().over(w) === 1).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Sub' ELSE 'https://sub' END)
+          || (doc_id % 50) % 5
+          || (CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE' ELSE '.example' END)
+          || (doc_id % 50) % 7 || '.com'
+          || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+          || '/path/' || (doc_id % 50)
+          || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0
+              THEN '?a=' || (doc_id % 50) % 3 || '&b=' || (doc_id % 50) % 4
+              ELSE '?b=' || (doc_id % 50) % 4 || '&utm_source=news&a='
+                || (doc_id % 50) % 3 || '&gclid=g' || doc_id END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '#frag' || doc_id ELSE '' END)
+          AS url FROM documents),
+        c AS (SELECT doc_id, url,
+          regexp_replace(url, '#.*$', '') AS nofrag FROM base),
+        p AS (SELECT doc_id, url,
+          lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(nofrag,
+            '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host,
+          regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+          regexp_extract(nofrag, '\?([^#]*)', 1) AS qs FROM c),
+        q AS (SELECT doc_id, url, scheme, host,
+          CASE WHEN length(path0) > 1
+            THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+          array_to_string(list_sort(list_filter(string_split(qs, '&'),
+            x -> length(x) > 0 AND NOT starts_with(x, 'utm_')
+              AND NOT regexp_matches(x, '^(gclid|fbclid)='))), '&') AS q2
+          FROM p),
+        f AS (SELECT doc_id, url,
+          scheme || '://' || host || path ||
+          (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+          FROM q)
+      SELECT doc_id, url, canon_url,
+        row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+          AS is_keeper
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2013,5 +2113,5 @@ object TextQueries {
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
-    q149BpeTokenize, q151MojibakeRepair, q152BpePack)
+    q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical)
 }
