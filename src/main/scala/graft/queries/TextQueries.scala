@@ -2104,6 +2104,61 @@ object TextQueries {
           AS is_keeper
       FROM f ORDER BY doc_id"""))
 
+  private val NbWarehouse = "/root/repo/target/graft_nb"
+
+  val q154NbClassifier = Q("q154_nb_classifier",
+    // fasttext-style linear classifier gate with a TRAIN / APPLY split
+    // (ops/NaiveBayes) — the quality/language filter CCNet and the
+    // GPT-3/LLaMA CommonCrawl pipelines run as a linear model over
+    // reference text. Train: multinomial NB log-likelihood-ratio
+    // weights on the doc_id % 3 != 0 corpus (label = lang == 'en'),
+    // persisted as a warehouse table in INTEGER MICRO-UNITS so scoring
+    // is associativity-free. Apply: the held-out % 3 == 0 batch scores
+    // with ZERO shuffles — the V-row model is a broadcast map literal
+    // and the margin is an integer `aggregate` in codegen. The oracle
+    // replays scoring from the SAME persisted weights/meta parquet
+    // (the q141 consume-the-model rule: ln happens in one engine only).
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.NaiveBayes.train(s,
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("text"), (col("lang") === "en").as("label")),
+        NbWarehouse + "/q154", 256)
+      graft.ops.NaiveBayes.score(s,
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("text"), col("lang")),
+          NbWarehouse + "/q154")
+        .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+          col("margin_micro"), col("pred_pos"),
+          (col("lang") === "en").as("actual_pos"),
+          (col("pred_pos") === (col("lang") === "en")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT token, weight_micro FROM
+          read_parquet('/root/repo/target/graft_nb/q154/weights/*.parquet')),
+        m AS (SELECT prior_micro FROM
+          read_parquet('/root/repo/target/graft_nb/q154/meta/*.parquet')),
+        b AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM b),
+        tf AS (SELECT doc_id, token FROM tk WHERE length(token) > 0),
+        j AS (SELECT tf.doc_id, w.weight_micro
+          FROM tf LEFT JOIN w USING (token)),
+        a AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(CASE WHEN weight_micro IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+            coalesce(sum(weight_micro), 0) AS wsum
+          FROM j GROUP BY doc_id)
+      SELECT b.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        coalesce(a.n_hits, 0) AS n_hits,
+        CAST((SELECT prior_micro FROM m) + coalesce(a.wsum, 0) AS BIGINT)
+          AS margin_micro,
+        ((SELECT prior_micro FROM m) + coalesce(a.wsum, 0)) > 0 AS pred_pos,
+        b.lang = 'en' AS actual_pos,
+        (((SELECT prior_micro FROM m) + coalesce(a.wsum, 0)) > 0)
+          = (b.lang = 'en') AS correct
+      FROM b LEFT JOIN a USING (doc_id) ORDER BY b.doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2113,5 +2168,6 @@ object TextQueries {
     q136IncrementalNeardup, q137PersistedVocab, q138BigramLm,
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
-    q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical)
+    q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
+    q154NbClassifier)
 }
