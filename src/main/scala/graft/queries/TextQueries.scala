@@ -2159,6 +2159,58 @@ object TextQueries {
           = (b.lang = 'en') AS correct
       FROM b LEFT JOIN a USING (doc_id) ORDER BY b.doc_id"""))
 
+  val q155HtmlExtract = Q("q155_html_extract",
+    // HTML → text extraction (ops/HtmlText) — the first transform of
+    // every crawl-derived corpus (C4/RefinedWeb strip pages to text
+    // before any quality or dedup pass). Pages are PLANTED around the
+    // documents table by IDENTICAL expressions in both engines: title,
+    // a script block with code payload, a style block, nav + footer
+    // link chrome, an <h1>, and the doc text as the <p> body with
+    // escaped entities. Extraction drops the non-content blocks WHOLE,
+    // strips remaining markup, unescapes entities and collapses
+    // whitespace — all regexp/replace work inside whole-stage codegen
+    // with RE2-compatible patterns, so DuckDB applies the same regexes
+    // and the recovered text is byte-comparable. Zero shuffles at any
+    // corpus size (the final orderBy is the oracle convention only);
+    // link_count is the Kohlschütter boilerplate-density signal.
+    (s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var id="),
+        col("doc_id"),
+        lit(";track();</script><style>.m{color:#fff}</style></head>"),
+        lit("<body><nav><a href=\"/\">Home</a> &gt; <a href=\"/s\">"),
+        col("source"),
+        lit("</a></nav><h1>Doc "), col("doc_id"), lit("</h1><p>&amp; "),
+        col("text"), lit(" &lt;end&gt;</p><footer><a href=\"/p\">Privacy"),
+        lit("</a> &nbsp; <a href=\"/t\">Terms</a></footer></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          graft.ops.HtmlText.title(col("html")).as("title"),
+          graft.ops.HtmlText.linkCount(col("html")).as("n_links"),
+          graft.ops.HtmlText.extractText(col("html")).as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")).cast(LongType))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id
+          || '</title><script type="text/javascript">var id=' || doc_id
+          || ';track();</script><style>.m{color:#fff}</style></head>'
+          || '<body><nav><a href="/">Home</a> &gt; <a href="/s">'
+          || source
+          || '</a></nav><h1>Doc ' || doc_id || '</h1><p>&amp; '
+          || text || ' &lt;end&gt;</p><footer><a href="/p">Privacy'
+          || '</a> &nbsp; <a href="/t">Terms</a></footer></body></html>'
+          AS h FROM documents)
+      SELECT doc_id,
+        ${graft.ops.HtmlText.duckTitle("h")} AS title,
+        ${graft.ops.HtmlText.duckLinkCount("h")} AS n_links,
+        ${graft.ops.HtmlText.duckExtract("h")} AS clean_text,
+        CAST(length(${graft.ops.HtmlText.duckExtract("h")}) AS BIGINT)
+          AS n_chars_clean
+      FROM base ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2169,5 +2221,5 @@ object TextQueries {
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
-    q154NbClassifier)
+    q154NbClassifier, q155HtmlExtract)
 }
