@@ -161,4 +161,27 @@ object VectorOps {
     }
     cents
   }
+
+  /** Cluster-balanced pruning (Sorscher et al., NeurIPS 2022; the
+    * DataComp curation recipe): given an assigned frame with
+    * (vec_id, cluster_id, proto_cos = rounded cosine-to-centroid),
+    * rank members per cluster by proto_cos ASC (least prototypical
+    * kept first — prototypical examples are the redundant ones when
+    * data is abundant) and keep a ceil(sqrt(n_c)) quota, so dense
+    * clusters are pruned hardest and the kept set is balanced across
+    * the embedding space instead of mirroring its density.
+    *
+    * ONE shuffle: rank, count and quota all ride the same cluster_id
+    * window partitioning. Adds cluster_n, rk, quota, is_kept.
+    */
+  def clusterBalancedSample(assigned: DataFrame): DataFrame = {
+    val wCl = Window.partitionBy(col("cluster_id"))
+    val wRank = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("proto_cos"), col("vec_id"))
+    assigned
+      .withColumn("cluster_n", count(lit(1)).over(wCl))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("quota", ceil(sqrt(col("cluster_n"))))
+      .withColumn("is_kept", col("rk") <= col("quota"))
+  }
 }

@@ -659,7 +659,74 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, coarse_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q156ClusterSample = Q("q156_cluster_sample",
+    // cluster-balanced data pruning — the embedding-space sampling
+    // step of modern data curation (Sorscher et al., "Beyond neural
+    // scaling laws", NeurIPS 2022: prune the most PROTOTYPICAL
+    // examples when data is abundant; DataComp, Gadre et al. 2023,
+    // applies the same self-supervised-prototype recipe at web scale).
+    // Cluster the space with the TRAINED k=16 model (iters=2 Lloyd,
+    // persisted — the oracle consumes the model parquet, never
+    // re-derives a Lloyd mean), rank each cluster's members by
+    // cosine-to-centroid ASCENDING (least prototypical = hardest
+    // kept first), and keep a sqrt quota per cluster
+    // (ceil(sqrt(n_c)) — dense clusters are pruned hardest, sparse
+    // ones survive whole, so the kept set is balanced across the
+    // embedding space instead of mirroring its density). Shuffles:
+    // assignment is a broadcast argmax (N rows exchanged once,
+    // independent of k), then ONE window shuffle on cluster_id does
+    // rank + count + quota together. Cosines round to 6 dp before
+    // ranking (the q33 convention) so keep/prune never flips on a
+    // last-ulp disagreement.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      graft.ops.VectorOps.saveCentroids(s,
+        graft.ops.VectorOps.kmeansFit(
+          e.select(col("vec_id"), col("embedding")), k = 16, iters = 2),
+        CentroidWh + "/q156")
+      val cents = graft.ops.VectorOps.loadCentroids(s, CentroidWh + "/q156")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .select(col("cluster_id").cast(LongType).as("cluster_id"),
+          col("ce"), norm(col("ce")).as("cn"))
+      val assigned = graft.ops.VectorOps.assignClusters(e, cents)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .join(broadcast(cdf), Seq("cluster_id"))
+        .withColumn("proto_cos",
+          round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 6))
+      graft.ops.VectorOps.clusterBalancedSample(assigned)
+        .select(col("vec_id"), col("cluster_id"), col("cluster_n"),
+          col("proto_cos"), col("rk"), col("quota"), col("is_kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_centroids/q156/*.parquet')),
+        sim AS (SELECT e.vec_id, c.cid,
+          ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos_val,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid AS cluster_id,
+            round(cos_val, 6) AS proto_cos
+          FROM sim WHERE rn = 1),
+        r AS (SELECT *,
+            count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY proto_cos, vec_id) AS rk
+          FROM assigned)
+      SELECT vec_id, cluster_id, CAST(cluster_n AS BIGINT) AS cluster_n,
+        proto_cos, CAST(rk AS BIGINT) AS rk,
+        CAST(ceil(sqrt(cluster_n)) AS BIGINT) AS quota,
+        rk <= ceil(sqrt(cluster_n)) AS is_kept
+      FROM r ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
-    q150IvfPq)
+    q150IvfPq, q156ClusterSample)
 }

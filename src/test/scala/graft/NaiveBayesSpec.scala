@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.functions._
 
 import graft.etl.Load
@@ -70,9 +69,11 @@ class NaiveBayesSpec extends SparkSpec {
   test("APPLY is zero-exchange: scoring runs entirely map-side") {
     val dir = tmp()
     fit(dir)
+    // string-count like tools/PlanAudit: AQE wraps the plan, so
+    // TreeNode.collect would miss Exchange children pre-execution
     val plan = NaiveBayes.score(spark,
       Seq((1L, "a b")).toDF("doc_id", "text"), dir)
-      .queryExecution.executedPlan
-    assert(plan.collect { case e: Exchange => e }.isEmpty)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 }
