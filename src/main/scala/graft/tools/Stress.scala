@@ -644,6 +644,123 @@ object Stress {
       total
     }
 
+    // ---- NB classifier (q154 shape) at 1M docs: 32 high-frequency ----
+    // ---- class-marker words (pos: cm0-15, neg: cm16-31, present   ----
+    // ---- in ~97% of docs) + 25 filler tokens from a 50k vocab     ----
+    // ---- that mostly misses the top-512 cap (OOV = neutral).      ----
+    // ---- TRAIN is the one shuffle (30M-token explode, map-side    ----
+    // ---- combined); SCORE must run at scan speed — zero exchanges,----
+    // ---- the 512-entry model rides as a map literal. Accuracy is  ----
+    // ---- asserted in-run: markers carry ~ln(78k) weight each, so  ----
+    // ---- any marker decides the doc.                              ----
+    val nbDir = s"$dir/stress_nb"
+    lazy val nbDocs = spark.range(1000000L)
+      .select(col("id").as("doc_id"), (pmod(col("id"), lit(2)) === 0).as("label"))
+      .withColumn("text", concat_ws(" ",
+        ((0 until 5).map { j =>
+          when(pmod(hash(col("doc_id") * 13L + lit(j)), lit(2)) === 0,
+            concat(lit("cm"),
+              pmod(hash(col("doc_id") * 17L + lit(j)), lit(16)) +
+                when(col("label"), lit(0)).otherwise(lit(16))))
+            .otherwise(lit(""))
+        } ++ (0 until 25).map { j =>
+          concat(lit("w"), pmod(hash(col("doc_id") * 31L + lit(j)), lit(50000)))
+        }): _*))
+    time("nb train 1M docs") {
+      graft.ops.NaiveBayes.train(spark,
+        nbDocs.select(col("text"), col("label")), nbDir, vocabCap = 512)
+      1000000L
+    }
+    time("nb score 1M docs") {
+      force(graft.ops.NaiveBayes.score(spark, nbDocs, nbDir)
+        .select(col("doc_id"), col("label"), col("margin_micro"),
+          col("pred_pos")))
+    }
+    if (wanted("nb score 1M docs")) {
+      val acc = graft.ops.NaiveBayes.score(spark, nbDocs, nbDir)
+        .filter(col("pred_pos") === col("label")).count() / 1000000.0
+      println(f"[stress] nb classifier accuracy: $acc%.4f")
+      require(acc >= 0.9, f"nb accuracy degraded: $acc%.4f")
+    }
+
+    // ---- HTML extraction (q155 shape) at 1M pages: planted title/ ----
+    // ---- script/style/nav/footer chrome around a 30-token body.   ----
+    // ---- Pure expression work — the phase is scan-bound; the      ----
+    // ---- invariant (no markup survives into the text) is asserted ----
+    // ---- over every page.                                         ----
+    time("html extract 1M pages") {
+      val body = concat_ws(" ", (0 until 30).map { j =>
+        concat(lit("w"), pmod(hash(col("id") * 37L + lit(j)), lit(30000)))
+      }: _*)
+      val pages = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat(
+          lit("<html><head><title>D"), col("id"),
+          lit("</title><script>var i="), col("id"),
+          lit(";t();</script><style>.x{}</style></head><body><nav>"),
+          lit("<a href=\"/\">Home</a> &gt; <a href=\"/p\">P</a></nav><p>"),
+          body,
+          lit(" &amp; tail</p><footer><a href=\"/l\">Legal</a></footer>"),
+          lit("</body></html>")).as("html"))
+      val out = pages.select(col("doc_id"),
+        graft.ops.HtmlText.extractText(col("html")).as("t"),
+        graft.ops.HtmlText.linkCount(col("html")).as("n_links"))
+      val leaked = out.filter(col("t").rlike("</|<script|<nav|&amp;")).count()
+      require(leaked == 0, s"$leaked pages leaked markup into the text")
+      force(out)
+    }
+
+    // ---- cluster-balanced pruning (q156 shape) at 1M vectors with ----
+    // ---- PLANTED density skew (quadratic center draw: cluster 0's ----
+    // ---- region holds ~8x the mass of the sparsest). Model: k=64  ----
+    // ---- trained (iters=2) on a 5% sample — the production shape: ----
+    // ---- training cost is sample-sized, assignment broadcast is   ----
+    // ---- one argmax exchange of N pre-reduced rows, the sample    ----
+    // ---- itself is ONE window shuffle. The balance property is    ----
+    // ---- asserted in-run: kept mass per cluster is sqrt-flat, so  ----
+    // ---- the dense/sparse KEPT ratio must collapse vs the raw     ----
+    // ---- ratio.                                                   ----
+    time("cluster sample 1M vecs") {
+      import spark.implicits._
+      val dim = 16
+      val u = pmod(hash(col("id")), lit(1000)) / 1000.0
+      val center = floor(u * u * 64).cast(LongType)
+      val vecs = spark.range(1000000L).select(col("id").as("vec_id"),
+        array((0 until dim).map { j =>
+          ((pmod(hash(center * 1013L + lit(j)), lit(2000003)) / 1000001.0
+            - 1.0) +
+            pmod(hash(col("id") * 41L + lit(j * 11 + 3)), lit(1000003))
+              / 5000015.0)
+            .cast(FloatType)
+        }: _*).as("embedding"))
+      val model = graft.ops.VectorOps.kmeansFit(
+        vecs.filter(col("vec_id") % 20 === 0), k = 64, iters = 2)
+      val cdf = model.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", vnorm(col("ce")))
+      val assigned = graft.ops.VectorOps.assignClusters(vecs, model)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .join(broadcast(cdf), Seq("cluster_id"))
+        .withColumn("nrm", vnorm(col("embedding")))
+        .withColumn("proto_cos",
+          round(vecDot(col("embedding"), col("ce")) /
+            (col("nrm") * col("cn")), 6))
+        .select(col("vec_id"), col("cluster_id"), col("proto_cos"))
+      val sampled = graft.ops.VectorOps.clusterBalancedSample(assigned)
+      val byCluster = sampled.groupBy(col("cluster_id")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept"))
+        .collect()
+      val raw = byCluster.map(_.getAs[Long]("n"))
+      val kept = byCluster.map(_.getAs[Long]("kept"))
+      val rawRatio = raw.max.toDouble / math.max(raw.min, 1L)
+      val keptRatio = kept.max.toDouble / math.max(kept.min, 1L)
+      println(f"[stress] cluster sample: raw max/min=$rawRatio%.1f " +
+        f"kept max/min=$keptRatio%.1f keptTotal=${kept.sum}%,d")
+      require(keptRatio * keptRatio <= rawRatio * 1.5,
+        f"kept skew $keptRatio%.1f not ~sqrt of raw skew $rawRatio%.1f")
+      kept.sum
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)
