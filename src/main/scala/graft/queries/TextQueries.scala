@@ -2211,6 +2211,51 @@ object TextQueries {
           AS n_chars_clean
       FROM base ORDER BY doc_id"""))
 
+  val q157InvertedIndex = Q("q157_inverted_index",
+    // persisted inverted index + BM25 search (ops/InvertedIndex) —
+    // the TEXT-index member of the warehouse-index trio (signature
+    // q136, vector q148): q144 scores BM25 from raw text per query;
+    // production search builds the postings ONCE and serves every
+    // query from ≤ |terms| bucket dirs. Lifecycle under test:
+    // bootstrap on the doc_id % 3 != 0 corpus, APPEND the % 3 == 0
+    // batch (O(batch) — postings are append-only under the new-doc-id
+    // contract, corpus globals merge additively through the crash-safe
+    // swap), then BM25 top-20 for a fixed 3-term query. df per term
+    // is the term's own postings count — stays correct under appends
+    // with no stats refresh. Scoring uses q144's conventions
+    // (rational Robertson idf, k1=1.2 b=0.75) plus integer micro-unit
+    // term scores so the per-doc sum is associativity-free; the
+    // oracle replays the search from the SAME persisted index parquet.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q157"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.ops.InvertedIndex.build(s,
+        docs.filter(col("doc_id") % 3 =!= 0), wh)
+      graft.ops.InvertedIndex.addBatch(s,
+        docs.filter(col("doc_id") % 3 === 0), wh)
+      graft.ops.InvertedIndex.search(s, wh,
+        Seq("spark", "query", "merge"), 20)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q157/postings/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q157/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('spark', 'query', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2221,5 +2266,5 @@ object TextQueries {
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
-    q154NbClassifier, q155HtmlExtract)
+    q154NbClassifier, q155HtmlExtract, q157InvertedIndex)
 }

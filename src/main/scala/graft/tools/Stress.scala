@@ -761,6 +761,60 @@ object Stress {
       kept.sum
     }
 
+    // ---- inverted index (q157 shape): build postings for 1M docs  ----
+    // ---- (one groupBy shuffle), append a 10k batch (O(batch) —    ----
+    // ---- must not re-touch the index), then the A/B the index     ----
+    // ---- exists for: BM25 top-20 served from ≤3 bucket dirs vs    ----
+    // ---- the q144-style full corpus scan.                         ----
+    val ixDir = s"$dir/stress_invidx"
+    def ixDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map { j =>
+          concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)), lit(50000)))
+        }: _*).as("text"))
+    val ixDocsDir = s"$dir/stress_ix_docs"
+    time("invidx build 1M docs") {
+      // corpus persisted first so the A/B below pays the same real
+      // scan the index build paid (generator expressions are free;
+      // disk is not)
+      ixDocs(0L, 1000000L).write.mode("overwrite").parquet(ixDocsDir)
+      graft.ops.InvertedIndex.build(spark,
+        spark.read.parquet(ixDocsDir), ixDir)
+      spark.read.parquet(s"$ixDir/postings").count()
+    }
+    time("invidx append 10k batch") {
+      graft.ops.InvertedIndex.addBatch(spark,
+        ixDocs(1000000L, 1010000L), ixDir)
+      10000L
+    }
+    val ixTerms = Seq("w17", "w4242", "w33333")
+    time("invidx search 3 terms") {
+      graft.ops.InvertedIndex.search(spark, ixDir, ixTerms, 20).count()
+    }
+    time("invidx full-scan bm25 A/B") {
+      // what serving WITHOUT the index costs: recompute stats + tf over
+      // the whole corpus per query (the q144 shape at 1M docs) — two
+      // full passes over the persisted corpus
+      val docs = spark.read.parquet(ixDocsDir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"), sum(size(col("t"))).as("sum_dl") +:
+          ixTerms.zipWithIndex.map { case (term, i) =>
+            sum(when(array_contains(col("t"), term), 1L).otherwise(0L))
+              .as(s"df_$i")
+          }: _*)
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+      val norm = lit(0.25) + (lit(0.75) * size(col("t"))) / avgdl
+      val score = ixTerms.zipWithIndex.map { case (term, i) =>
+        val tf = size(filter(col("t"), x => x === lit(term)))
+        ((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5))) * ((tf * lit(2.2)) / (tf + lit(1.2) * norm))
+      }.reduceLeft(_ + _)
+      docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), score.as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20).count()
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)
