@@ -14,20 +14,27 @@ import graft.etl.Load
   * path builds the index ONCE and serves every query from it.
   *
   * Layout under `dir`:
-  *  - `postings/bucket=B/` — (term, doc_id, tf, dl), hash-partitioned
-  *    into [[Buckets]] term buckets. A search for k terms reads ≤ k
-  *    bucket dirs (manual partition pruning on driver-computed bucket
-  *    literals — the q136 probe trick), never the corpus.
-  *  - `corpus/` — 1 row (n_docs, sum_dl), the BM25 globals.
+  *  - `postings/batch=I/bucket=B/` — (term, doc_id, tf, dl), hash-
+  *    partitioned into [[Buckets]] term buckets inside per-batch
+  *    dirs. A search for k terms reads ≤ k bucket dirs per batch
+  *    (partition pruning on driver-computed bucket literals — the
+  *    q136 probe trick), never the corpus.
+  *  - `corpus/` — 1 row (n_docs, sum_dl, last_batch), the BM25
+  *    globals plus the replay high-water mark.
   *
   * Maintenance contract: batches carry NEW doc_ids (the upstream
-  * dedup gate's job), so [[addBatch]] is a pure APPEND of the batch's
-  * postings — O(batch) work, never O(index); the corpus row merges
-  * additively via the crash-safe table swap. Per-term df is NOT
-  * materialized: a term's df is exactly the row count of its own
-  * postings, which the search touches anyway — so df stays correct
-  * under appends for free (a stale materialized df after every batch
-  * is the classic search-index bug).
+  * dedup gate's job) and a monotonically increasing batch id, so
+  * [[addBatch]] is O(batch), never O(index), and EXACTLY-ONCE under
+  * replays by construction: the batch's postings dynamic-overwrite
+  * ONLY their own `batch=I` subtree (a replay rewrites identical
+  * files — idempotent by path), and the additive corpus fold is
+  * guarded by `last_batch` (a replayed id is a loud no-op). A crash
+  * between the two steps heals on replay: the postings rewrite is
+  * self-identical and the corpus fold then lands once. Per-term df
+  * is NOT materialized: a term's df is exactly the row count of its
+  * own postings, which the search touches anyway — so df stays
+  * correct under appends with no stats refresh (a stale materialized
+  * df after every batch is the classic search-index bug).
   *
   * Scoring follows q144's cross-engine-exact conventions: rational
   * Robertson idf (no transcendental), k1=1.2 b=0.75, and per-term
@@ -59,35 +66,56 @@ object InvertedIndex {
     .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
     .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-  /** Bootstrap the index from a corpus (overwrites `dir`). The
-    * repartition clusters each bucket into ONE file — without it,
-    * partitionBy fans every write task across all 64 dirs (tasks ×
-    * buckets small files, the classic partitioned-write explosion)
-    * and the pruned search pays an open per file.
+  /** The corpus high-water mark; -1 when no index exists. */
+  def lastBatch(spark: SparkSession, dir: String): Long =
+    Load.readTable(spark, s"$dir/corpus")
+      .map(_.select(col("last_batch")).head().getLong(0)).getOrElse(-1L)
+
+  /** Bootstrap the index from a corpus (overwrites `dir`; the corpus
+    * lands as batch 0). The repartition clusters each bucket into ONE
+    * file — without it, partitionBy fans every write task across all
+    * 64 dirs (tasks × buckets small files, the classic
+    * partitioned-write explosion) and the pruned search pays an open
+    * per file.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    postings(docs).repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+    postings(docs).withColumn("batch", lit(0L))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$dir/postings")
-    Load.replaceTable(spark, corpusRow(docs), s"$dir/corpus")
+    Load.replaceTable(spark,
+      corpusRow(docs).withColumn("last_batch", lit(0L)), s"$dir/corpus")
   }
 
-  /** Append a batch of NEW documents: postings append into their
-    * bucket dirs (O(batch)), corpus globals merge additively through
-    * the two-rename swap. Exactly-once under retries comes from the
-    * caller's batch-id replay guard (the streaming-runner pattern) —
-    * an append-shaped op cannot be made idempotent from inside.
+  /** Fold a batch of NEW documents under a caller-supplied id ≥ 1:
+    * postings dynamic-overwrite their own `batch=` subtree, then the
+    * corpus row advances additively behind the `last_batch` guard.
+    * Replays (id ≤ high-water mark) are a no-op returning false.
     */
-  def addBatch(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    postings(docs).repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    val merged = Load.readTable(spark, s"$dir/corpus") match {
-      case Some(old) => old.union(corpusRow(docs))
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      case None => corpusRow(docs)
+  def addBatch(spark: SparkSession, docs: DataFrame, dir: String,
+               batchId: Long): Boolean = {
+    require(batchId >= 1, s"batch ids start at 1 (0 is the bootstrap)")
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"InvertedIndex.addBatch: no index at $dir")
+    if (batchId <= last) false
+    else {
+      require(batchId == last + 1,
+        s"batch $batchId arrived over high-water mark $last — ids must " +
+          "be contiguous or the skipped batch would silently never land")
+      postings(docs).withColumn("batch", lit(batchId))
+        .repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "bucket")
+        .parquet(s"$dir/postings")
+      val merged = Load.readTable(spark, s"$dir/corpus").get
+        .drop("last_batch").union(corpusRow(docs))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl"))
+        .withColumn("last_batch", lit(batchId))
+      Load.replaceTable(spark, merged, s"$dir/corpus")
+      true
     }
-    Load.replaceTable(spark, merged, s"$dir/corpus")
   }
 
   /** BM25 top-k over the persisted index. Reads ONLY the query

@@ -2232,12 +2232,12 @@ object TextQueries {
       graft.ops.InvertedIndex.build(s,
         docs.filter(col("doc_id") % 3 =!= 0), wh)
       graft.ops.InvertedIndex.addBatch(s,
-        docs.filter(col("doc_id") % 3 === 0), wh)
+        docs.filter(col("doc_id") % 3 === 0), wh, batchId = 1L)
       graft.ops.InvertedIndex.search(s, wh,
         Seq("spark", "query", "merge"), 20)
     },
     Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
-          '/root/repo/target/graft_invidx/q157/postings/*/*.parquet')),
+          '/root/repo/target/graft_invidx/q157/postings/*/*/*.parquet')),
         c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
           FROM read_parquet(
             '/root/repo/target/graft_invidx/q157/corpus/*.parquet')),

@@ -420,6 +420,58 @@ object StreamingJobs {
       .start()
   }
 
+  /** Incremental inverted-index maintenance as a stream
+    * (InvertedIndex/q157's streaming twin): each micro-batch of NEW
+    * documents folds into the persisted index via
+    * [[graft.ops.InvertedIndex.addBatch]]. The index must be
+    * bootstrapped ([[graft.ops.InvertedIndex.build]]) first — batch 0
+    * belongs to the bootstrap, so streaming ids map to 1 + batchId.
+    *
+    * Exactly-once: addBatch is idempotent per id (the batch's
+    * postings overwrite only their own `batch=` subtree; the corpus
+    * fold is guarded by the `last_batch` high-water mark), so a
+    * replayed micro-batch after a crash is a no-op. The checkpoint-
+    * identity guard (the runGuardedFoldAvailableNow argument) refuses
+    * a FRESH checkpoint against an already-maintained index: new
+    * checkpoints restart batch ids while replaying every source file,
+    * and the high-water guard would then silently drop that data as
+    * "replays".
+    */
+  def runInvertedIndexAvailableNow(spark: SparkSession, srcDir: String,
+                                   indexDir: String,
+                                   checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val ckptId = checkpointIdentity(s, checkpointDir)
+        val ckptDir = s"$indexDir/ckpt"
+        graft.etl.Load.readTable(s, ckptDir) match {
+          case Some(t) =>
+            val stored = t.head().getString(0)
+            require(stored == ckptId,
+              s"index at $indexDir was maintained under checkpoint " +
+                s"query $stored but this run's checkpoint at " +
+                s"$checkpointDir has query id $ckptId — a fresh " +
+                "checkpoint restarts batch ids and replays all source " +
+                "files, which the high-water guard would drop as " +
+                "replays. Restore the original checkpoint, or rebuild " +
+                "the index from scratch.")
+          case None =>
+            import s.implicits._
+            graft.etl.Load.replaceTable(s,
+              Seq(ckptId).toDF("__ckpt_id"), ckptDir)
+        }
+        graft.ops.InvertedIndex.addBatch(s, batch, indexDir, 1L + batchId)
+        ()
+      }
+      .start()
+  }
+
   /** The shared exactly-once fold harness of the incremental state
     * jobs: reads `srcDir` with AvailableNow, and per micro-batch folds
     * `fold(prior state without meta columns, batch)` into the staged-

@@ -784,7 +784,7 @@ object Stress {
     }
     time("invidx append 10k batch") {
       graft.ops.InvertedIndex.addBatch(spark,
-        ixDocs(1000000L, 1010000L), ixDir)
+        ixDocs(1000000L, 1010000L), ixDir, batchId = 1L)
       10000L
     }
     val ixTerms = Seq("w17", "w4242", "w33333")

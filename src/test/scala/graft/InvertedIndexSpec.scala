@@ -28,7 +28,7 @@ class InvertedIndexSpec extends SparkSpec {
     val (a, b) = (tmp(), tmp())
     InvertedIndex.build(spark, docs(corpus: _*), a)
     InvertedIndex.build(spark, docs(corpus.take(3): _*), b)
-    InvertedIndex.addBatch(spark, docs(corpus.drop(3): _*), b)
+    InvertedIndex.addBatch(spark, docs(corpus.drop(3): _*), b, batchId = 1L)
     def posts(d: String) = spark.read.parquet(s"$d/postings")
       .select("term", "doc_id", "tf", "dl").as[(String, Long, Long, Int)]
       .collect().toSet
@@ -58,6 +58,73 @@ class InvertedIndexSpec extends SparkSpec {
       1L -> ts(2, 3, 2.0), 3L -> ts(1, 2, 2.0)))
   }
 
+  test("addBatch is exactly-once: replays no-op, crash between steps heals") {
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(corpus.take(3): _*), dir)
+    assert(InvertedIndex.addBatch(spark, docs(corpus.drop(3): _*), dir, 1L))
+    val posts = spark.read.parquet(s"$dir/postings").count()
+    // replay of the same id: loud no-op, nothing duplicated
+    assert(!InvertedIndex.addBatch(spark, docs(corpus.drop(3): _*), dir, 1L))
+    assert(spark.read.parquet(s"$dir/postings").count() == posts)
+    assert(InvertedIndex.lastBatch(spark, dir) == 1L)
+    // crash window: batch 2's postings landed but the corpus swap
+    // didn't — the replay rewrites the same subtree and folds once
+    val b2 = docs(6L -> "spark again", 7L -> "merge again")
+    InvertedIndex.postings(b2).withColumn("batch", lit(2L))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bucket").parquet(s"$dir/postings")
+    assert(InvertedIndex.addBatch(spark, b2, dir, 2L))
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") >= 6L).count() == 4) // 2 docs × 2 terms, once
+    assert(InvertedIndex.lastBatch(spark, dir) == 2L)
+    // a gap over the high-water mark is refused loudly
+    assertThrows[IllegalArgumentException] {
+      InvertedIndex.addBatch(spark, b2, dir, 9L)
+    }
+  }
+
+  test("streaming runner: two waves == from-scratch build, restart replays no-op") {
+    val src = Files.createTempDirectory("invidx_src").toString
+    val (dir, ckpt) = (tmp(), Files.createTempDirectory("invidx_ck").toString)
+    def wave(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    InvertedIndex.build(spark, docs(corpus.take(2): _*), dir)
+    wave(corpus.slice(2, 4))
+    graft.streaming.StreamingJobs
+      .runInvertedIndexAvailableNow(spark, src, dir, ckpt)
+      .awaitTermination()
+    wave(corpus.drop(4))
+    graft.streaming.StreamingJobs
+      .runInvertedIndexAvailableNow(spark, src, dir, ckpt)
+      .awaitTermination()
+    // restart with nothing new: replays must not double anything
+    graft.streaming.StreamingJobs
+      .runInvertedIndexAvailableNow(spark, src, dir, ckpt)
+      .awaitTermination()
+    val scratch = tmp()
+    InvertedIndex.build(spark, docs(corpus: _*), scratch)
+    def posts(d: String) = spark.read.parquet(s"$d/postings")
+      .select("term", "doc_id", "tf", "dl").as[(String, Long, Long, Int)]
+      .collect().toSet
+    assert(posts(dir) == posts(scratch))
+    def search(d: String) = InvertedIndex
+      .search(spark, d, Seq("spark", "query"), 10)
+      .collect().toSeq.map(_.toSeq)
+    assert(search(dir) == search(scratch) && search(dir).nonEmpty)
+    // a FRESH checkpoint against the maintained index must refuse
+    val ckpt2 = Files.createTempDirectory("invidx_ck2").toString
+    wave(Seq(8L -> "late new doc"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamingJobs
+        .runInvertedIndexAvailableNow(spark, src, dir, ckpt2)
+        .awaitTermination()
+    }
+    assert(err.getMessage.contains("checkpoint") ||
+      Option(err.getCause).exists(_.getMessage.contains("checkpoint")))
+  }
+
   test("search reads only the query terms' bucket partitions") {
     val dir = tmp()
     InvertedIndex.build(spark, docs(corpus: _*), dir)
@@ -65,7 +132,7 @@ class InvertedIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // partition pruning on the bucket literal must reach the scan
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
-    val bucketDirs = new java.io.File(s"$dir/postings").listFiles()
+    val bucketDirs = new java.io.File(s"$dir/postings/batch=0").listFiles()
       .count(_.getName.startsWith("bucket="))
     // 8 distinct terms can't exceed 8 buckets, and pruning to one term
     // must touch exactly its single bucket — visible as one dir in the
