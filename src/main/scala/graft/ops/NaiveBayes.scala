@@ -25,11 +25,21 @@ import graft.etl.Load
   * engine; the oracle reads the persisted weights/meta parquet and
   * never re-derives a logarithm.
   *
+  * Incremental maintenance: NB's sufficient statistics are ADDITIVE
+  * (per-token class counts + class doc counts), so [[extend]] folds a
+  * labeled batch into the persisted counts and re-derives the weights
+  * exactly — extend(batch) ≡ retraining on corpus ∪ batch, bit for
+  * bit (NaiveBayesSpec pins the parity). That is the production
+  * "update the gate nightly" shape: the fold shuffles vocab-sized
+  * count rows, never the historical corpus.
+  *
   * Scale design (100 TB):
   *  - TRAIN is one shuffle: explode tokens → groupBy(token) with
   *    map-side partial counts; class totals ride the same pass as a
   *    1-row aggregate. The vocabulary is capped top-V (count desc,
-  *    token asc — deterministic), so the model is V rows ≈ KBs.
+  *    token asc — deterministic), so the model is V rows ≈ KBs; the
+  *    FULL count table (the extend state) is corpus-vocabulary-sized,
+  *    the same class of compressed stat as q137's vocab.
   *  - APPLY is ZERO shuffles: the V-row model becomes a map literal
   *    (driver-bounded collect, the centroid-broadcast pattern) and
   *    scoring is pure expression work — `aggregate` over the token
@@ -42,42 +52,56 @@ object NaiveBayes {
   private def toks(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
-  /** Train on a labeled frame (`text` STRING, `label` BOOLEAN — true =
-    * positive class) and persist two warehouse tables:
-    * `dir`/weights (token, cnt_pos, cnt_neg, weight_micro) and
-    * `dir`/meta (1 row: n_pos_docs, n_neg_docs, tot_pos, tot_neg,
-    * vocab_v, prior_micro). Laplace-smoothed multinomial NB:
+  /** (token, cnt_pos, cnt_neg) of a labeled frame — the mergeable
+    * sufficient statistics. One shuffle, map-side combined.
+    */
+  private def tokenCounts(labeled: DataFrame): DataFrame = labeled
+    .select(explode(toks(col("text"))).as("token"), col("label"))
+    .groupBy(col("token")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("cnt_neg"))
+
+  /** (n_pos_docs, n_neg_docs) of a labeled frame. */
+  private def docCounts(labeled: DataFrame): (Long, Long) = {
+    val d = labeled.agg(
+      sum(when(col("label"), 1L).otherwise(0L)),
+      sum(when(col("label"), 0L).otherwise(1L))).head()
+    (d.getLong(0), d.getLong(1))
+  }
+
+  /** Derive and persist the model from count statistics: `dir`/counts
+    * (full merge state), `dir`/weights (top-V scoring rows:
+    * token, cnt_pos, cnt_neg, weight_micro), `dir`/meta (1 row:
+    * n_pos_docs, n_neg_docs, tot_pos, tot_neg, vocab_v, prior_micro).
+    * Laplace-smoothed multinomial NB:
     * w(t) = ln((c_pos(t)+1)/(tot_pos+V)) − ln((c_neg(t)+1)/(tot_neg+V)),
     * prior = ln(n_pos_docs) − ln(n_neg_docs), both stored ×1e6 rounded.
     */
-  def train(spark: SparkSession, labeled: DataFrame, dir: String,
-            vocabCap: Int): Unit = {
-    val tok = labeled
-      .select(explode(toks(col("text"))).as("token"), col("label"))
-    // cached: the (token, 2 counts) frame feeds BOTH the class totals
-    // and the top-V cut — without the cache each consumer re-runs the
-    // full corpus explode (measured 168 s → 1 cached pass at 1M docs)
-    val counts = tok.groupBy(col("token")).agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("cnt_neg")).cache()
+  private def fitFromCounts(spark: SparkSession, counts0: DataFrame,
+                            nPos: Long, nNeg: Long, dir: String,
+                            vocabCap: Int): Unit = {
+    // cached AND materialized by the totals agg below BEFORE any table
+    // swap: (a) the count frame feeds the totals, the top-V cut and
+    // the state write — uncached, each consumer re-runs the full
+    // corpus explode (measured 168 s → 1 cached pass at 1M docs);
+    // (b) in the extend path counts0 READS dir/counts, the very table
+    // replaceTable swaps below — the q136 eager-before-merge contract
+    val counts = counts0.cache()
     // class token totals over the WHOLE corpus (standard multinomial
-    // denominator), doc counts for the prior — one 1-row aggregate
+    // denominator) — one 1-row aggregate over the cached counts
     val t = counts.agg(sum(col("cnt_pos")).as("tot_pos"),
-        sum(col("cnt_neg")).as("tot_neg")).head()
+      sum(col("cnt_neg")).as("tot_neg")).head()
     val (totPos, totNeg) = (t.getLong(0), t.getLong(1))
-    val d = labeled.agg(
-        sum(when(col("label"), 1L).otherwise(0L)),
-        sum(when(col("label"), 0L).otherwise(1L))).head()
-    val (nPos, nNeg) = (d.getLong(0), d.getLong(1))
     // top-V vocabulary, deterministic tie-break; V feeds the smoothing
     // denominator so it must be the REALIZED vocab size, not the cap
     val vocab = counts.orderBy(col("cnt_pos").+(col("cnt_neg")).desc,
-        col("token")).limit(vocabCap)
+      col("token")).limit(vocabCap)
     val v = vocab.count()
     val weights = vocab.select(col("token"), col("cnt_pos"), col("cnt_neg"),
       round((log((col("cnt_pos") + 1) / (lit(totPos) + lit(v))) -
              log((col("cnt_neg") + 1) / (lit(totNeg) + lit(v)))) * 1e6, 0)
         .cast(LongType).as("weight_micro"))
+    Load.replaceTable(spark, counts, s"$dir/counts")
     Load.replaceTable(spark, weights, s"$dir/weights")
     val priorMicro =
       math.round((math.log(nPos.toDouble) - math.log(nNeg.toDouble)) * 1e6)
@@ -88,6 +112,38 @@ object NaiveBayes {
           "vocab_v", "prior_micro"),
       s"$dir/meta")
     counts.unpersist()
+    ()
+  }
+
+  /** Train from scratch on a labeled frame (`text` STRING, `label`
+    * BOOLEAN — true = positive class), overwriting the model at `dir`.
+    */
+  def train(spark: SparkSession, labeled: DataFrame, dir: String,
+            vocabCap: Int): Unit = {
+    val (nPos, nNeg) = docCounts(labeled)
+    fitFromCounts(spark, tokenCounts(labeled), nPos, nNeg, dir, vocabCap)
+  }
+
+  /** Fold a labeled batch into the persisted model — EXACTLY the model
+    * [[train]] would produce on corpus ∪ batch (additive sufficient
+    * statistics + weights re-derived from the merged integers), at
+    * O(batch + vocab) cost: the batch pays its own token explode, the
+    * merge shuffles count rows, and the historical corpus is never
+    * re-read.
+    */
+  def extend(spark: SparkSession, labeled: DataFrame, dir: String,
+             vocabCap: Int): Unit = {
+    val old = Load.readTable(spark, s"$dir/counts").getOrElse(
+      sys.error(s"NaiveBayes.extend: no model at $dir/counts"))
+    val meta = Load.readTable(spark, s"$dir/meta").get
+      .select(col("n_pos_docs"), col("n_neg_docs")).head()
+    val merged = old.union(tokenCounts(labeled))
+      .groupBy(col("token")).agg(
+        sum(col("cnt_pos")).as("cnt_pos"),
+        sum(col("cnt_neg")).as("cnt_neg"))
+    val (bPos, bNeg) = docCounts(labeled)
+    fitFromCounts(spark, merged,
+      meta.getLong(0) + bPos, meta.getLong(1) + bNeg, dir, vocabCap)
   }
 
   /** Score a (doc_id, text, …) frame against the persisted model at

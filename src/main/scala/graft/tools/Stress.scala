@@ -683,6 +683,19 @@ object Stress {
       require(acc >= 0.9, f"nb accuracy degraded: $acc%.4f")
     }
 
+    time("nb extend 10k batch") {
+      // incremental model fold: batch explode + vocab-sized count
+      // merge — must cost O(batch + vocab), never a corpus re-read
+      val batch = spark.range(1000000L, 1010000L)
+        .select(col("id").as("doc_id"),
+          (pmod(col("id"), lit(2)) === 0).as("label"))
+        .withColumn("text", concat_ws(" ", (0 until 25).map { j =>
+          concat(lit("w"), pmod(hash(col("doc_id") * 31L + lit(j)), lit(50000)))
+        }: _*))
+      graft.ops.NaiveBayes.extend(spark,
+        batch.select(col("text"), col("label")), nbDir, vocabCap = 512)
+      10000L
+    }
     // ---- HTML extraction (q155 shape) at 1M pages: planted title/ ----
     // ---- script/style/nav/footer chrome around a 30-token body.   ----
     // ---- Pure expression work — the phase is scan-bound; the      ----

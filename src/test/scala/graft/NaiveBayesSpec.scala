@@ -66,6 +66,28 @@ class NaiveBayesSpec extends SparkSpec {
       .getAs[Long]("vocab_v") == 2L)
   }
 
+  test("extend(batch) is bit-identical to retraining on corpus + batch") {
+    val (inc, full) = (tmp(), tmp())
+    val corpus = Seq(("a a b", true), ("a b b", false))
+    val batch = Seq(("b c c", true), ("a c", false), ("c c c", true))
+    NaiveBayes.train(spark, corpus.toDF("text", "label"), inc, 16)
+    NaiveBayes.extend(spark, batch.toDF("text", "label"), inc, 16)
+    NaiveBayes.train(spark, (corpus ++ batch).toDF("text", "label"), full, 16)
+    def model(dir: String) = (
+      Load.readTable(spark, s"$dir/weights").get.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet,
+      Load.readTable(spark, s"$dir/counts").get.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      Load.readTable(spark, s"$dir/meta").get.collect()
+        .map(_.toSeq).toSeq)
+    assert(model(inc) == model(full))
+    // and scoring through either model agrees
+    val probe = Seq((1L, "a c z")).toDF("doc_id", "text")
+    assert(NaiveBayes.score(spark, probe, inc).collect().map(_.toSeq).toSeq
+      == NaiveBayes.score(spark, probe, full).collect().map(_.toSeq).toSeq)
+  }
+
   test("APPLY is zero-exchange: scoring runs entirely map-side") {
     val dir = tmp()
     fit(dir)
