@@ -2256,6 +2256,67 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  /** Overlapping sliding-window chunker: windows of `w` tokens at
+    * stride `st` (< w), chunk starts at 0, st, 2·st, …; the tail
+    * window is short but every token is covered. chunk count =
+    * 1 + ceil((len − w)/st) for len > w, else 1. Pure expression
+    * work — transform/sequence/slice in codegen, explode at the end;
+    * no exchange at any corpus size.
+    */
+  def windowChunks(docs: DataFrame, w: Int, st: Int): DataFrame = {
+    require(st > 0 && st < w, "stride must be in (0, window)")
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("len", size(col("t")))
+      .withColumn("n_chunks",
+        when(col("len") <= w, lit(1))
+          .otherwise(expr(s"(len - $w + $st - 1) div $st") + 1))
+      .select(col("doc_id"), col("len"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => struct(
+            (i * st + 1).as("start_tok"),
+            least(i * st + lit(w), col("len")).as("end_tok"),
+            concat_ws(" ",
+              slice(col("t"), i * st + 1,
+                least(lit(w), col("len") - i * st))).as("chunk_text")))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+        col("col.start_tok").cast(LongType).as("start_tok"),
+        col("col.end_tok").cast(LongType).as("end_tok"),
+        (col("col.end_tok") - col("col.start_tok") + 1).cast(LongType)
+          .as("n_chunk_tokens"),
+        col("col.chunk_text"))
+  }
+
+  val q158WindowChunks = Q("q158_window_chunks",
+    // overlapping sliding-window chunking — the retrieval/RAG document
+    // splitter (and HF tokenizers' return_overflowing_tokens stride
+    // recipe): windows of W=12 tokens at stride S=8 (overlap 4), the
+    // tail window short but every token covered exactly once by some
+    // window start. Distinct from q115 (disjoint chunks, dedup) and
+    // q117 (concat-and-pack): the OVERLAP is the point — retrieval
+    // needs context continuity across chunk borders. Pure expression
+    // work (integer chunk-count formula + transform/sequence/slice in
+    // codegen, explode at the end); the only exchange is the oracle's
+    // orderBy. Exact integer arithmetic end-to-end, so cross-engine
+    // equality is by construction.
+    (s, d) => windowChunks(Tables.documents(s, d), 12, 8)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        b AS (SELECT doc_id, toks, len(toks) AS l,
+            CASE WHEN len(toks) <= 12 THEN 1
+              ELSE (len(toks) - 12 + 7) // 8 + 1 END AS n_chunks
+          FROM t),
+        c AS (SELECT doc_id, toks, l, i AS chunk_idx,
+            i * 8 + 1 AS start_tok, least(i * 8 + 12, l) AS end_tok
+          FROM b, unnest(range(0, n_chunks)) AS u(i))
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(start_tok AS BIGINT) AS start_tok,
+        CAST(end_tok AS BIGINT) AS end_tok,
+        CAST(end_tok - start_tok + 1 AS BIGINT) AS n_chunk_tokens,
+        array_to_string(toks[start_tok:end_tok], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2266,5 +2327,5 @@ object TextQueries {
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
-    q154NbClassifier, q155HtmlExtract, q157InvertedIndex)
+    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks)
 }
