@@ -147,11 +147,15 @@ object NaiveBayes {
   }
 
   /** Score a (doc_id, text, …) frame against the persisted model at
-    * `dir`. Zero shuffles: the V-row weights table collapses to a map
-    * literal (bounded by vocabCap — the centroid-collect pattern) and
-    * the margin is an integer `aggregate` over the token array in
-    * codegen. OOV tokens contribute 0 (neutral — they carry no
-    * evidence either way under the shared smoothing mass).
+    * `dir`. Zero shuffles: the V-row weights table collapses to a
+    * broadcast-embedded hash table (bounded by vocabCap — the
+    * centroid-collect pattern) and the whole scoring fold is ONE
+    * codegen'd traversal of the token array
+    * ([[graft.functions.WeightedTokenSum]] — the Column-API
+    * formulation paid an O(V) literal-map scan per lookup and three
+    * array walks; measured 12.8 s → see BASELINE for the expression
+    * figure at 1M docs). OOV tokens contribute 0 (neutral — they
+    * carry no evidence either way under the shared smoothing mass).
     * Output adds: n_tokens, n_hits (in-vocab tokens), margin_micro
     * (prior + Σ weight_micro, exact BIGINT), pred_pos.
     */
@@ -162,16 +166,13 @@ object NaiveBayes {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val priorMicro = Load.readTable(spark, s"$dir/meta").get
       .select(col("prior_micro")).head().getLong(0)
-    val wmap = typedlit(w.toMap)
-    val tokens = toks(col("text"))
     docs
-      .withColumn("n_tokens", size(tokens).cast(LongType))
-      .withColumn("n_hits",
-        size(filter(tokens, t => element_at(wmap, t).isNotNull))
-          .cast(LongType))
-      .withColumn("margin_micro",
-        aggregate(tokens, lit(priorMicro),
-          (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L))))
+      .withColumn("__s", graft.functions.WeightedTokenSum
+        .weightedTokenSum(split(col("text"), " "), w.toMap, priorMicro))
+      .withColumn("n_tokens", col("__s.n_tokens"))
+      .withColumn("n_hits", col("__s.n_hits"))
+      .withColumn("margin_micro", col("__s.margin_micro"))
       .withColumn("pred_pos", col("margin_micro") > 0)
+      .drop("__s")
   }
 }

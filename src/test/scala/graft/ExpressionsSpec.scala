@@ -167,4 +167,28 @@ class ExpressionsSpec extends SparkSpec {
       assert(r.getString(1).length < r.getString(0).length)
     }
   }
+
+  test("weightedTokenSum matches the HOF map-literal formulation") {
+    import graft.functions.WeightedTokenSum.weightedTokenSum
+    val w = Map("a" -> 10L, "bb" -> -7L, "ccc" -> 100L)
+    val df = Seq("a bb ccc zz a", "", "zz zz", "a  a", "bb")
+      .toDF("text").withColumn("t", split(col("text"), " "))
+    val wmap = typedlit(w)
+    val toksNE = filter(col("t"), x => length(x) > 0)
+    val ref = df.select(
+      size(toksNE).cast("long").as("n_tokens"),
+      size(filter(toksNE, x => element_at(wmap, x).isNotNull))
+        .cast("long").as("n_hits"),
+      aggregate(toksNE, lit(5L),
+        (acc, x) => acc + coalesce(element_at(wmap, x), lit(0L)))
+        .as("margin_micro")).collect().map(_.toSeq)
+    val got = df.select(weightedTokenSum(col("t"), w, 5L).as("s"))
+      .select(col("s.n_tokens"), col("s.n_hits"), col("s.margin_micro"))
+      .collect().map(_.toSeq)
+    assert(got.toSeq == ref.toSeq)
+    // null array -> null struct
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(weightedTokenSum(split(col("text"), " "), w, 5L)).head
+    assert(n.isNullAt(0))
+  }
 }
