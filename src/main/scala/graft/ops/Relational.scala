@@ -97,6 +97,35 @@ object Relational {
     p
   }
 
+  /** Dataset-version diff — the audit every corpus release pipeline
+    * runs between two snapshots (what changed since the last training
+    * set was cut): rows keyed by `idCol`, content identity =
+    * md5 over `cmpCols` joined with a 0x01 separator (unambiguous —
+    * the separator cannot occur in the columns' text domains).
+    * Output: (id, old_hash, new_hash, status ∈ added | removed |
+    * changed | unchanged).
+    *
+    * Plan shape: hash both sides expression-only, ONE full-outer
+    * equi-join on the id — with both snapshots bucketed/sorted by id
+    * at rest (the warehouse layout) the join is co-located,
+    * zero-shuffle; otherwise it is the one unavoidable exchange pair.
+    * Never a content join: content enters only through the 16-byte
+    * hash, so the exchange width is id + 2 hashes regardless of
+    * document size.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   cmpCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", cmpCols.map(col): _*)).as(as))
+    hashed(a, "old_hash").join(hashed(b, "new_hash"), Seq(idCol),
+        "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
   /** Rename all columns through a normalizer (N1-style pass).
     * Duplicate post-rename names are suffixed `_1`, `_2`, … with the
     * suffix probed against BOTH already-emitted and upcoming names, so

@@ -2317,6 +2317,48 @@ object TextQueries {
         array_to_string(toks[start_tok:end_tok], ' ') AS chunk_text
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  val q159SnapshotDiff = Q("q159_snapshot_diff",
+    // dataset-version diff (ops/Relational.snapshotDiff) — the release
+    // audit between two corpus snapshots: which documents were added,
+    // removed, or changed since the last training set was cut.
+    // Snapshots are PLANTED from the documents table by identical
+    // expressions in both engines (v1 drops the % 10 == 9 ids, v2
+    // drops % 10 == 0 and rewrites % 7 == 3 texts), so every status
+    // class occurs. Content identity is md5 over (text, lang) with a
+    // 0x01 separator; the diff is ONE full-outer id join whose
+    // exchange carries id + two 16-byte hashes regardless of document
+    // size — at 100 TB the snapshots are id-bucketed at rest and the
+    // join is co-located.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      graft.ops.Relational.snapshotDiff(v1, v2, "doc_id",
+          Seq("text", "lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH a AS (SELECT doc_id,
+          md5(concat_ws(chr(1), text, lang)) AS old_hash
+          FROM documents WHERE doc_id % 10 <> 9),
+        bsrc AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END
+              AS text, lang
+          FROM documents WHERE doc_id % 10 <> 0),
+        b AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS new_hash
+          FROM bsrc)
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.old_hash, b.new_hash,
+        CASE WHEN a.old_hash IS NULL THEN 'added'
+          WHEN b.new_hash IS NULL THEN 'removed'
+          WHEN a.old_hash <> b.new_hash THEN 'changed'
+          ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2327,5 +2369,5 @@ object TextQueries {
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
-    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks)
+    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks, q159SnapshotDiff)
 }

@@ -72,4 +72,22 @@ class RelationalSpec extends SparkSpec {
     val got = renameNormalized(df, graft.functions.Functions.normalizeName)
     assert(got.columns.toSeq == Seq("fecha_de_pago", "fecha_de_pago_1", "ok"))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import graft.ops.Relational.snapshotDiff
+    val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "es"))
+      .toDF("doc_id", "text", "lang")
+    val v2 = Seq((2L, "b", "en"), (3L, "c CHANGED", "es"), (4L, "d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // separator unambiguity: ("ab","c") must differ from ("a","bc")
+    val x = Seq((1L, "ab", "c")).toDF("doc_id", "text", "lang")
+    val y = Seq((1L, "a", "bc")).toDF("doc_id", "text", "lang")
+    assert(snapshotDiff(x, y, "doc_id", Seq("text", "lang"))
+      .select("status").head.getString(0) == "changed")
+  }
 }
