@@ -48,17 +48,23 @@ object InvertedIndex {
 
   def bucketOf(term: Column): Column = pmod(hash(term), lit(Buckets))
 
-  /** (term, doc_id, tf, dl, bucket) of a (doc_id, text) frame — one
-    * shuffle (groupBy doc_id×term with map-side combine).
+  /** (term, doc_id, tf, dl, positions, bucket) of a (doc_id, text)
+    * frame — one shuffle (groupBy doc_id×term with map-side combine).
+    * `positions` are the term's 1-based token offsets, sorted
+    * (collect_list order is nondeterministic across retries — the
+    * sort makes the stored index byte-stable): the positional payload
+    * is what makes PHRASE search an index lookup instead of a corpus
+    * re-scan, at the standard positional-index storage cost.
     */
   def postings(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     docs
       .select(col("doc_id"), size(t).as("dl"),
-        explode(t).as("term"))
+        posexplode(t).as(Seq("pos0", "term")))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos0") + 1)).as("positions"))
       .withColumn("bucket", bucketOf(col("term")))
   }
 
@@ -116,6 +122,39 @@ object InvertedIndex {
       Load.replaceTable(spark, merged, s"$dir/corpus")
       true
     }
+  }
+
+  /** Exact phrase lookup over the persisted positional index:
+    * (doc_id, n_matches) for documents containing `phrase`'s words
+    * consecutively, n_matches = number of start positions. The
+    * classic positional-index AND: shift each word's position list
+    * back by its phrase offset and intersect — match positions =
+    * ∩ᵢ (positions(wᵢ) − i). Reads ≤ |distinct words| bucket dirs
+    * (the same pruning as [[search]]); the slot joins shuffle only
+    * the candidate postings, never the corpus. Repeated words in the
+    * phrase reuse the same postings row under different shifts.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    import spark.implicits._
+    val distinctTerms = phrase.distinct
+    val buckets = distinctTerms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+      .select(col("doc_id"), col("term"), col("positions"))
+    val slots = phrase.zipWithIndex.map { case (w, i) =>
+      p.filter(col("term") === w)
+        .select(col("doc_id"),
+          transform(col("positions"), x => x - i).as(s"__s$i"))
+    }
+    slots.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
+      .select(col("doc_id"),
+        size(phrase.indices.map(i => col(s"__s$i"))
+          .reduceLeft(array_intersect)).cast(LongType).as("n_matches"))
+      .filter(col("n_matches") > 0)
   }
 
   /** BM25 top-k over the persisted index. Reads ONLY the query

@@ -2359,6 +2359,35 @@ object TextQueries {
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
       ORDER BY doc_id"""))
 
+  val q160PhraseSearch = Q("q160_phrase_search",
+    // exact phrase search over the POSITIONAL inverted index
+    // (ops/InvertedIndex.phraseSearch) — what the positions payload in
+    // the postings exists for: "batch batch" as a phrase is a
+    // position-list intersection (∩ᵢ positions(wᵢ)−i) served from ≤
+    // |words| bucket dirs, never a corpus re-scan (the regex
+    // alternative reads every byte of every document). The repeated
+    // word also pins the overlapping-match semantics: "batch batch
+    // batch" yields TWO start positions. Oracle replays the intersect
+    // from the same persisted index parquet.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q160"
+      graft.ops.InvertedIndex.build(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), wh)
+      graft.ops.InvertedIndex.phraseSearch(s, wh, Seq("batch", "batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT term, doc_id, positions FROM read_parquet(
+          '/root/repo/target/graft_invidx/q160/postings/*/*/*.parquet')
+          WHERE term = 'batch'),
+        s0 AS (SELECT doc_id, positions AS l0 FROM p),
+        s1 AS (SELECT doc_id,
+            list_transform(positions, x -> x - 1) AS l1 FROM p),
+        j AS (SELECT s0.doc_id,
+            len(list_filter(l0, x -> list_contains(l1, x))) AS n_matches
+          FROM s0 JOIN s1 USING (doc_id))
+      SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+      FROM j WHERE n_matches > 0 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2369,5 +2398,5 @@ object TextQueries {
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
-    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks, q159SnapshotDiff)
+    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks, q159SnapshotDiff, q160PhraseSearch)
 }

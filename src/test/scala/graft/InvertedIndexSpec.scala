@@ -143,4 +143,27 @@ class InvertedIndexSpec extends SparkSpec {
         .queryExecution.executedPlan.toString).toSet
     assert(scanned.size <= 1 || plan.contains("bucket#"))
   }
+
+  test("phrase search: positional intersect, overlap, and order sensitivity") {
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(
+      1L -> "x batch batch batch y",   // "batch batch" starts at 2 and 3
+      2L -> "batch x batch",           // non-adjacent: no match
+      3L -> "a batch batch",           // one match
+      4L -> "spark merge"), dir)
+    val got = InvertedIndex.phraseSearch(spark, dir, Seq("batch", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    // order matters: "merge spark" is not in doc 4 ("spark merge" is)
+    assert(InvertedIndex.phraseSearch(spark, dir, Seq("merge", "spark"))
+      .count() == 0)
+    assert(InvertedIndex.phraseSearch(spark, dir, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((4L, 1L)))
+    // three-word phrase through the same slots fold
+    assert(InvertedIndex.phraseSearch(spark, dir,
+      Seq("batch", "batch", "batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 1L)))
+  }
 }
