@@ -654,7 +654,8 @@ object Stress {
     // ---- asserted in-run: markers carry ~ln(78k) weight each, so  ----
     // ---- any marker decides the doc.                              ----
     val nbDir = s"$dir/stress_nb"
-    lazy val nbDocs = spark.range(1000000L)
+    val nbM = s"${rows / 1000000}M"
+    lazy val nbDocs = spark.range(rows)
       .select(col("id").as("doc_id"), (pmod(col("id"), lit(2)) === 0).as("label"))
       .withColumn("text", concat_ws(" ",
         ((0 until 5).map { j =>
@@ -666,19 +667,19 @@ object Stress {
         } ++ (0 until 25).map { j =>
           concat(lit("w"), pmod(hash(col("doc_id") * 31L + lit(j)), lit(50000)))
         }): _*))
-    time("nb train 1M docs") {
+    time(s"nb train $nbM docs") {
       graft.ops.NaiveBayes.train(spark,
         nbDocs.select(col("text"), col("label")), nbDir, vocabCap = 512)
-      1000000L
+      rows
     }
-    time("nb score 1M docs") {
+    time(s"nb score $nbM docs") {
       force(graft.ops.NaiveBayes.score(spark, nbDocs, nbDir)
         .select(col("doc_id"), col("label"), col("margin_micro"),
           col("pred_pos")))
     }
-    if (wanted("nb score 1M docs")) {
+    if (wanted(s"nb score $nbM docs")) {
       val acc = graft.ops.NaiveBayes.score(spark, nbDocs, nbDir)
-        .filter(col("pred_pos") === col("label")).count() / 1000000.0
+        .filter(col("pred_pos") === col("label")).count().toDouble / rows
       println(f"[stress] nb classifier accuracy: $acc%.4f")
       require(acc >= 0.9, f"nb accuracy degraded: $acc%.4f")
     }
@@ -686,7 +687,7 @@ object Stress {
     time("nb extend 10k batch") {
       // incremental model fold: batch explode + vocab-sized count
       // merge — must cost O(batch + vocab), never a corpus re-read
-      val batch = spark.range(1000000L, 1010000L)
+      val batch = spark.range(rows, rows + 10000L)
         .select(col("id").as("doc_id"),
           (pmod(col("id"), lit(2)) === 0).as("label"))
         .withColumn("text", concat_ws(" ", (0 until 25).map { j =>
@@ -701,11 +702,11 @@ object Stress {
     // ---- Pure expression work — the phase is scan-bound; the      ----
     // ---- invariant (no markup survives into the text) is asserted ----
     // ---- over every page.                                         ----
-    time("html extract 1M pages") {
+    time(s"html extract $nbM pages") {
       val body = concat_ws(" ", (0 until 30).map { j =>
         concat(lit("w"), pmod(hash(col("id") * 37L + lit(j)), lit(30000)))
       }: _*)
-      val pages = spark.range(1000000L).select(col("id").as("doc_id"),
+      val pages = spark.range(rows).select(col("id").as("doc_id"),
         concat(
           lit("<html><head><title>D"), col("id"),
           lit("</title><script>var i="), col("id"),
@@ -732,12 +733,12 @@ object Stress {
     // ---- asserted in-run: kept mass per cluster is sqrt-flat, so  ----
     // ---- the dense/sparse KEPT ratio must collapse vs the raw     ----
     // ---- ratio.                                                   ----
-    time("cluster sample 1M vecs") {
+    time(s"cluster sample $nbM vecs") {
       import spark.implicits._
       val dim = 16
       val u = pmod(hash(col("id")), lit(1000)) / 1000.0
       val center = floor(u * u * 64).cast(LongType)
-      val vecs = spark.range(1000000L).select(col("id").as("vec_id"),
+      val vecs = spark.range(rows).select(col("id").as("vec_id"),
         array((0 until dim).map { j =>
           ((pmod(hash(center * 1013L + lit(j)), lit(2000003)) / 1000001.0
             - 1.0) +
@@ -780,24 +781,25 @@ object Stress {
     // ---- exists for: BM25 top-20 served from ≤3 bucket dirs vs    ----
     // ---- the q144-style full corpus scan.                         ----
     val ixDir = s"$dir/stress_invidx"
+    val ixM = s"${rows / 1000000}M"
     def ixDocs(from: Long, until: Long) =
       spark.range(from, until).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 30).map { j =>
           concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)), lit(50000)))
         }: _*).as("text"))
     val ixDocsDir = s"$dir/stress_ix_docs"
-    time("invidx build 1M docs") {
+    time(s"invidx build $ixM docs") {
       // corpus persisted first so the A/B below pays the same real
       // scan the index build paid (generator expressions are free;
       // disk is not)
-      ixDocs(0L, 1000000L).write.mode("overwrite").parquet(ixDocsDir)
+      ixDocs(0L, rows).write.mode("overwrite").parquet(ixDocsDir)
       graft.ops.InvertedIndex.build(spark,
         spark.read.parquet(ixDocsDir), ixDir)
       spark.read.parquet(s"$ixDir/postings").count()
     }
     time("invidx append 10k batch") {
       graft.ops.InvertedIndex.addBatch(spark,
-        ixDocs(1000000L, 1010000L), ixDir, batchId = 1L)
+        ixDocs(rows, rows + 10000L), ixDir, batchId = 1L)
       10000L
     }
     val ixTerms = Seq("w17", "w4242", "w33333")
