@@ -30,7 +30,9 @@ class InvertedIndexSpec extends SparkSpec {
     InvertedIndex.build(spark, docs(corpus.take(3): _*), b)
     InvertedIndex.addBatch(spark, docs(corpus.drop(3): _*), b, batchId = 1L)
     def posts(d: String) = spark.read.parquet(s"$d/postings")
-      .select("term", "doc_id", "tf", "dl").as[(String, Long, Long, Int)]
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        concat_ws(",", col("positions").cast("array<string>")).as("p"))
+      .as[(String, Long, Long, Int, String)]
       .collect().toSet
     assert(posts(a) == posts(b))
     def stats(d: String) = Load.readTable(spark, s"$d/corpus").get
