@@ -2105,6 +2105,7 @@ object TextQueries {
       FROM f ORDER BY doc_id"""))
 
   private val NbWarehouse = "/root/repo/target/graft_nb"
+  private val DsirWarehouse = "/root/repo/target/graft_dsir"
 
   val q154NbClassifier = Q("q154_nb_classifier",
     // fasttext-style linear classifier gate with a TRAIN / APPLY split
@@ -2388,6 +2389,64 @@ object TextQueries {
       SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
       FROM j WHERE n_matches > 0 ORDER BY doc_id"""))
 
+  val q161DsirSelect = Q("q161_dsir_select",
+    // DSIR importance selection (ops/Dsir; Xie et al., NeurIPS 2023) —
+    // the label-free curation gate next to the NB classifier (q154):
+    // match the pool's hashed-ngram distribution to a TARGET corpus
+    // (here lang='en', the CCNet shape). TRAIN persists per-bucket
+    // log-ratio weights as integer micro-units (ln runs in one engine;
+    // the model is DENSE over all B buckets so smoothing-only buckets
+    // carry their true ratio and scoring has no OOV case); APPLY is a
+    // ZERO-exchange WeightedTokenSum pass over the hashed features;
+    // SELECT keeps each source's top quarter by (lr desc, md5 tiebreak)
+    // — one per-source window, never a global sort. The oracle rebuilds
+    // features with the shared md5 bucket hash, sums the SAME persisted
+    // micro-unit integers, and replays the rank algebra exactly.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.train(s,
+        docs.filter(col("lang") === "en").select(col("text")),
+        docs.select(col("text")),
+        DsirWarehouse + "/q161", 2048)
+      graft.ops.Dsir.selectTop(
+          graft.ops.Dsir.score(s,
+            docs.select(col("doc_id"), col("source"), col("lang"),
+              col("text")),
+            DsirWarehouse + "/q161"),
+          "source", "doc_id", 25)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_feats"),
+          col("lr_micro"), col("sel_rank"), col("is_selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (SELECT bucket, lr_micro FROM read_parquet(
+          '/root/repo/target/graft_dsir/q161/model/*.parquet')),
+        d AS (SELECT doc_id, source, lang,
+            list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+          FROM documents),
+        f AS (SELECT doc_id, source, lang, list_concat(t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END) AS feats
+          FROM d),
+        e AS (SELECT doc_id, unnest(feats) AS feat FROM f),
+        b AS (SELECT doc_id,
+            CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 2048 AS bucket
+          FROM e),
+        a AS (SELECT doc_id, sum(m.lr_micro) AS wsum
+          FROM b JOIN m USING (bucket) GROUP BY doc_id),
+        sc AS (SELECT f.doc_id, f.source, f.lang,
+            CAST(len(f.feats) AS BIGINT) AS n_feats,
+            CAST(coalesce(a.wsum, 0) AS BIGINT) AS lr_micro
+          FROM f LEFT JOIN a USING (doc_id)),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+              ORDER BY lr_micro DESC, md5(CAST(doc_id AS VARCHAR)) ASC)
+              AS BIGINT) AS sel_rank,
+            count(*) OVER (PARTITION BY source) AS n_src FROM sc)
+      SELECT doc_id, source, lang, n_feats, lr_micro, sel_rank,
+        sel_rank * 100 <= n_src * 25 AS is_selected
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2398,5 +2457,6 @@ object TextQueries {
     q139ShuffleShard, q140GopherRules, q142SubstringDup,
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
-    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks, q159SnapshotDiff, q160PhraseSearch)
+    q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
+    q159SnapshotDiff, q160PhraseSearch, q161DsirSelect)
 }

@@ -830,6 +830,51 @@ object Stress {
         .orderBy(col("bm25").desc, col("doc_id")).limit(20).count()
     }
 
+    // ---- DSIR importance selection (q161 shape): pool of [rows]  ----
+    // ---- docs, every 10th speaks a PLANTED target dialect (token ----
+    // ---- prefix "t", 500-word vocab) while the rest speak "r".   ----
+    // ---- Model: 2048 hashed-ngram buckets trained on the dialect ----
+    // ---- slice vs the whole pool; scoring is the zero-exchange   ----
+    // ---- WeightedTokenSum pass; selection one per-source window. ----
+    // ---- Asserted in-run: a 25% per-source quota must capture    ----
+    // ---- EVERY planted doc (they are 10% of the pool and score   ----
+    // ---- strictly on-target).                                    ----
+    val dsDir = s"$dir/stress_dsir"
+    val dsM = s"${rows / 1000000}M"
+    lazy val dsPool = spark.range(rows).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(hash(col("id") * 17L), lit(20))).as("source"),
+      concat_ws(" ", (0 until 20).map { j =>
+        concat(
+          when(col("id") % 10 === 0, lit("t")).otherwise(lit("r")),
+          pmod(hash(col("id") * 37L + lit(j)), lit(500)))
+      }: _*).as("text"))
+    time(s"dsir train $dsM docs") {
+      graft.ops.Dsir.train(spark,
+        dsPool.filter(col("doc_id") % 10 === 0).select(col("text")),
+        dsPool.select(col("text")), dsDir, buckets = 2048)
+      spark.read.parquet(s"$dsDir/model").count()
+    }
+    lazy val dsScored = graft.ops.Dsir.score(spark,
+      dsPool.select(col("doc_id"), col("source"), col("text")), dsDir)
+    time(s"dsir score $dsM docs") { force(dsScored) }
+    time(s"dsir select $dsM docs") {
+      val sel = graft.ops.Dsir.selectTop(dsScored, "source", "doc_id", 25)
+      val agg = sel.agg(
+        sum(when(col("is_selected"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("is_selected") && col("doc_id") % 10 === 0, 1L)
+          .otherwise(0L)).as("n_sel_planted"),
+        sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+          .as("n_planted")).head()
+      val (nSel, nSelP, nP) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      println(f"[stress] dsir: selected=$nSel%,d planted=$nP%,d " +
+        f"planted-captured=$nSelP%,d")
+      require(nSelP == nP,
+        s"dsir selection missed planted docs: $nSelP of $nP")
+      nSel
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)
