@@ -35,7 +35,8 @@ import graft.etl.Load
   *    form is an O(B) scan per lookup), and every document scores
   *    map-side.
   *  - SELECT is the deterministic resampling variant: per-source rank
-  *    by (score desc, md5 tiebreak) and keep ceil(frac·n_source) — one
+  *    by (score desc, md5 tiebreak) and keep floor(n_source·fracPct/100)
+  *    (integer-exact via rank·100 ≤ n·pct, matching [[selectTop]]) — one
   *    window shuffle PARTITIONED BY source, never a global sort. The
   *    paper's Gumbel-top-k draws noise from ln(−ln(u)); a per-shard
   *    deterministic top-k keeps the source mixture, scales (group

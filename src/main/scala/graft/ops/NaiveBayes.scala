@@ -80,6 +80,10 @@ object NaiveBayes {
   private def fitFromCounts(spark: SparkSession, counts0: DataFrame,
                             nPos: Long, nNeg: Long, dir: String,
                             vocabCap: Int): Unit = {
+    // a single-class batch would drive ln(0) = -Inf through the prior
+    // and persist a garbage model with no error — fail loudly instead
+    require(nPos > 0 && nNeg > 0,
+      s"NaiveBayes: both classes need >=1 document (got pos=$nPos, neg=$nNeg)")
     // cached AND materialized by the totals agg below BEFORE any table
     // swap: (a) the count frame feeds the totals, the top-V cut and
     // the state write — uncached, each consumer re-runs the full
@@ -101,7 +105,13 @@ object NaiveBayes {
       round((log((col("cnt_pos") + 1) / (lit(totPos) + lit(v))) -
              log((col("cnt_neg") + 1) / (lit(totNeg) + lit(v)))) * 1e6, 0)
         .cast(LongType).as("weight_micro"))
-    Load.replaceTable(spark, counts, s"$dir/counts")
+    // WRITE ORDER MATTERS: weights and meta derive from the cached
+    // `counts`, whose lineage (in the extend path) READS dir/counts.
+    // Spark caching is best-effort — if cached blocks are evicted
+    // mid-write, the consumer recomputes from lineage — so the
+    // dir/counts swap must come LAST: any recompute during the
+    // weights/meta writes then still reads the PRE-swap counts table
+    // instead of silently folding the batch in twice.
     Load.replaceTable(spark, weights, s"$dir/weights")
     val priorMicro =
       math.round((math.log(nPos.toDouble) - math.log(nNeg.toDouble)) * 1e6)
@@ -111,6 +121,7 @@ object NaiveBayes {
         .toDF("n_pos_docs", "n_neg_docs", "tot_pos", "tot_neg",
           "vocab_v", "prior_micro"),
       s"$dir/meta")
+    Load.replaceTable(spark, counts, s"$dir/counts")
     counts.unpersist()
     ()
   }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Relational operator library (SURVEY.md §2.7–2.8 + §2.2).
   *
@@ -101,7 +101,11 @@ object Relational {
     * runs between two snapshots (what changed since the last training
     * set was cut): rows keyed by `idCol`, content identity =
     * md5 over `cmpCols` joined with a 0x01 separator (unambiguous —
-    * the separator cannot occur in the columns' text domains).
+    * the separator cannot occur in the columns' text domains). NULL
+    * cells hash DISTINCTLY via a 0x02-prefixed sentinel: concat_ws
+    * alone silently SKIPS nulls, so ('x', NULL) and (NULL, 'x') —
+    * or any split of the same concatenation — would collide and a
+    * genuinely changed row could classify 'unchanged'.
     * Output: (id, old_hash, new_hash, status ∈ added | removed |
     * changed | unchanged).
     *
@@ -116,7 +120,8 @@ object Relational {
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
                    cmpCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, as: String) = df.select(col(idCol),
-      md5(concat_ws("\u0001", cmpCols.map(col): _*)).as(as))
+      md5(concat_ws("\u0001", cmpCols.map(c =>
+        coalesce(col(c).cast(StringType), lit("\u0002NULL"))): _*)).as(as))
     hashed(a, "old_hash").join(hashed(b, "new_hash"), Seq(idCol),
         "full_outer")
       .withColumn("status",

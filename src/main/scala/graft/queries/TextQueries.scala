@@ -2344,13 +2344,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     Some("""WITH a AS (SELECT doc_id,
-          md5(concat_ws(chr(1), text, lang)) AS old_hash
+          md5(concat_ws(chr(1), coalesce(text, chr(2) || 'NULL'),
+            coalesce(lang, chr(2) || 'NULL'))) AS old_hash
           FROM documents WHERE doc_id % 10 <> 9),
         bsrc AS (SELECT doc_id,
             CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END
               AS text, lang
           FROM documents WHERE doc_id % 10 <> 0),
-        b AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS new_hash
+        b AS (SELECT doc_id, md5(concat_ws(chr(1),
+            coalesce(text, chr(2) || 'NULL'),
+            coalesce(lang, chr(2) || 'NULL'))) AS new_hash
           FROM bsrc)
       SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.old_hash, b.new_hash,
         CASE WHEN a.old_hash IS NULL THEN 'added'

@@ -89,5 +89,17 @@ class RelationalSpec extends SparkSpec {
     val y = Seq((1L, "a", "bc")).toDF("doc_id", "text", "lang")
     assert(snapshotDiff(x, y, "doc_id", Seq("text", "lang"))
       .select("status").head.getString(0) == "changed")
+    // NULLs hash distinctly: ('x', NULL) vs (NULL, 'x') is a CHANGE
+    // (concat_ws alone skips nulls and would collide them), and a
+    // null column surviving unchanged is still 'unchanged'
+    val n1 = Seq((1L, Some("x"), None: Option[String]),
+      (2L, Some("x"), None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+    val n2 = Seq((1L, None: Option[String], Some("x")),
+      (2L, Some("x"), None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+    val ngot = snapshotDiff(n1, n2, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(ngot == Map(1L -> "changed", 2L -> "unchanged"))
   }
 }
