@@ -11,45 +11,18 @@ import graft.tables.Tables
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query (SURVEY.md §7.2): the reference's "daily payments
-    * consolidation" (etl/pipeline.py entry point 3) transposed onto the
-    * testdata — filter to the target day, dedup keep-last, semi-join
-    * payments against valid enrollments, union the two payment branches,
-    * ordered output. Fully lazy: the target day is a 1-row aggregate
-    * broadcast-joined in, not a collect().
+  /** Flagship query: the END-TO-END corpus build (q162) — the full
+    * crawl-pipeline composition of the engine's LLM-data surface:
+    * URL-canonical dedup → HTML extraction → mojibake repair → NB
+    * quality gate (trained + persisted) → DSIR importance selection
+    * (trained + persisted) → BPE tokenize + 2048-token sequence pack.
+    * The reference's "daily payments consolidation" flow remains in
+    * the catalog as q45_etl_pipeline.
     */
   def entry(spark: SparkSession): DataFrame = {
     graft.queries.Catalog.tune(spark)
-    val dir = "/root/testdata/sf0.001"
-    val orders = Tables.orders(spark, dir)
-    val lineitem = Tables.lineitem(spark, dir)
-
-    // "yesterday" analogue: latest order date present in the data
-    val target = orders.agg(max(to_date(col("o_orderdate"))).as("target_day"))
-    val todays = orders
-      .join(broadcast(target), to_date(col("o_orderdate")) === col("target_day"))
-
-    // enrollments of the day: one per customer, keep-last (A1)
-    val matriculas = dedupKeepLast(todays, Seq("o_custkey"),
-      Seq(col("o_orderdate"), col("o_orderkey")))
-      .select(col("o_orderkey").as("codigo_matricula"),
-        col("o_custkey").as("codigo_estudiante"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("valor_matricula"))
-
-    // payment branch 1: line items of valid enrollments (J1 semi-join)
-    val validKeys = matriculas.select(col("codigo_matricula").as("l_orderkey"))
-    val pagos1 = semiJoin(lineitem, validKeys, Seq("l_orderkey"))
-      .select(col("l_orderkey").as("codigo_matricula"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("monto_pago"),
-        lit("primera_cuota").as("origen"))
-
-    // payment branch 2: the order totals themselves
-    val pagos2 = matriculas.select(col("codigo_matricula"),
-      col("valor_matricula").as("monto_pago"),
-      lit("regular").as("origen"))
-
-    unionByNameSafe(pagos1, pagos2)
-      .orderBy(col("origen"), col("codigo_matricula"), col("monto_pago"))
+    graft.queries.TextQueries.q162CorpusBuild
+      .run(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -2450,6 +2450,275 @@ object TextQueries {
         sel_rank * 100 <= n_src * 25 AS is_selected
       FROM r ORDER BY doc_id"""))
 
+  val q162CorpusBuild = Q("q162_corpus_build",
+    // FLAGSHIP end-to-end corpus build — the round-7 operator surface
+    // composed the way a real crawl pipeline chains it (C4/RefinedWeb
+    // shape), promoted to SparkEntry.entry. Stages, in the order a
+    // 100 TB run wants them (cheapest reducer first):
+    //   1. URL-canonical dedup (q153 machinery) on the planted crawl
+    //      record — one window exchange on the canonical string,
+    //      BEFORE any byte of page content is touched;
+    //   2. HTML → text extraction (q155) + mojibake repair (q151,
+    //      persisted mapping) on the KEEPERS only — zero shuffles,
+    //      one codegen regex/replace ladder, materialized once
+    //      (eager) because four downstream consumers scan it;
+    //   3. NB quality gate (q154): TRAIN on the %3!=0 split
+    //      (label lang='en'), persist micro-unit weights, score the
+    //      whole pool with the zero-exchange WeightedTokenSum pass,
+    //      keep pred_pos;
+    //   4. DSIR selection (q161, B=512): train target=en vs raw=pool
+    //      on the gated survivors, zero-exchange score, ONE per-source
+    //      window keeps the top half per source;
+    //   5. BPE tokenize + sequence pack (q152): train 16 merges on the
+    //      selected corpus, persist, encode via broadcast lexicon,
+    //      pack into 2048-token sequences with one per-source window.
+    // Every model artifact is persisted and CONSUMED by the oracle
+    // (q141 rule); the planted url/html/mojibake columns are built by
+    // IDENTICAL expressions in both engines. URL dup pairs are
+    // (doc_id-1, doc_id) at doc_id%10==9, so ~10% of the crawl
+    // collapses and the keeper is always the even member.
+    (s, d) => {
+      import graft.ops.{Bpe, Dsir, HtmlText, Mojibake, NaiveBayes}
+      val mojiWh = "/root/repo/target/graft_mojibake/mapping_q162"
+      Mojibake.saveMapping(s, mojiWh)
+      val mapping = Mojibake.loadMapping(s, mojiWh)
+
+      // planted crawl record: url mess (case/port/slash/param-order/
+      // utm/fbclid/fragment) around canonical id k, page html around
+      // the doc text with per-doc mojibake damage embedded in the body
+      val k = when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+        .otherwise(col("doc_id"))
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW"))
+          .otherwise(lit("https://www")),
+        lit(".example"), k % 7, lit(".com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), k,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?id="), k, lit("&ref=home")))
+          .otherwise(concat(lit("?ref=home&utm_campaign=x&id="), k,
+            lit("&fbclid=f"), col("doc_id"))),
+        when(col("doc_id") % 5 === 0, concat(lit("#sec"), col("doc_id")))
+          .otherwise(lit("")))
+      val moji = when(col("doc_id") % 4 === 0, lit(MojiPlants(0)))
+        .when(col("doc_id") % 4 === 1, lit(MojiPlants(1)))
+        .when(col("doc_id") % 4 === 2, lit(MojiPlants(2)))
+        .otherwise(lit(MojiPlants(3)))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var id="),
+        col("doc_id"),
+        lit(";track();</script><style>.m{color:#fff}</style></head>"),
+        lit("<body><nav><a href=\"/\">Home</a> &gt; <a href=\"/s\">"),
+        col("source"),
+        lit("</a></nav><h1>Doc "), col("doc_id"), lit("</h1><p>&amp; "),
+        col("text"), lit(" "), moji,
+        lit(" &lt;end&gt;</p><footer><a href=\"/p\">Privacy"),
+        lit("</a> &nbsp; <a href=\"/t\">Terms</a></footer></body></html>"))
+
+      // stage 1: URL dedup first — content untouched, one exchange
+      val uw = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+      val keep0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          url.as("url"), html.as("html"))
+        .withColumn("canon_url", canonicalizeUrl(col("url")))
+        .withColumn("rn", row_number().over(uw))
+        .filter(col("rn") === 1)
+
+      // stage 2: extract + repair keepers only; materialize ONCE —
+      // the NB train/score, DSIR train/score and BPE passes all scan
+      // this pool (at 100 TB this is the checkpoint-to-warehouse step)
+      val pool = eager(keep0.select(col("doc_id"), col("source"),
+        col("lang"),
+        Mojibake.repair(HtmlText.extractText(col("html")), mapping)
+          .as("text")))
+
+      // stage 3: NB quality gate
+      NaiveBayes.train(s,
+        pool.filter(col("doc_id") % 3 =!= 0)
+          .select(col("text"), (col("lang") === "en").as("label")),
+        NbWarehouse + "/q162", 256)
+      val gated = eager(NaiveBayes.score(s, pool, NbWarehouse + "/q162")
+        .filter(col("pred_pos"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("margin_micro")))
+
+      // stage 4: DSIR selection (top 50% per source)
+      Dsir.train(s,
+        gated.filter(col("lang") === "en").select(col("text")),
+        gated.select(col("text")), DsirWarehouse + "/q162", 512)
+      val selected = eager(Dsir.selectTop(
+          Dsir.score(s, gated, DsirWarehouse + "/q162"),
+          "source", "doc_id", 50)
+        .filter(col("is_selected"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("margin_micro"), col("lr_micro")))
+
+      // stage 5: BPE tokenize + pack into 2048-token sequences
+      val merges = Bpe.train(s, selected, numMerges = 16)
+      Bpe.saveMerges(s, merges, BpeWarehouse + "/merges_q162")
+      val ranked = Bpe.loadMerges(s, BpeWarehouse + "/merges_q162")
+      val lex = Bpe.lexicon(Bpe.wordCounts(selected).select(col("word")),
+        ranked)
+      val toks = Bpe.encode(selected.select(col("doc_id"), col("text")),
+          lex, ranked)
+        .select(col("doc_id"), col("n_tokens"))
+      val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      selected.drop("text").join(toks, Seq("doc_id"))
+        .withColumn("tok_before",
+          coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("margin_micro"), col("lr_micro"), col("n_tokens"),
+          col("tok_before"),
+          expr("tok_before div 2048").as("start_seq"),
+          expr("(tok_before + n_tokens - 1) div 2048").as("end_seq"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""WITH RECURSIVE
+        mm AS (SELECT rank, moji, fixed FROM read_parquet(
+          '/root/repo/target/graft_mojibake/mapping_q162/*.parquet')),
+        nw AS (SELECT token, weight_micro FROM read_parquet(
+          '/root/repo/target/graft_nb/q162/weights/*.parquet')),
+        nm AS (SELECT prior_micro FROM read_parquet(
+          '/root/repo/target/graft_nb/q162/meta/*.parquet')),
+        dm AS (SELECT bucket, lr_micro FROM read_parquet(
+          '/root/repo/target/graft_dsir/q162/model/*.parquet')),
+        bm AS (SELECT rank, left_sym, right_sym FROM read_parquet(
+          '/root/repo/target/graft_bpe/merges_q162/*.parquet')),
+        base AS (SELECT doc_id, source, lang,
+          CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS kk,
+          text FROM documents),
+        b2 AS (SELECT doc_id, source, lang,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW'
+            ELSE 'https://www' END)
+          || '.example' || (kk % 7) || '.com'
+          || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+          || '/page/' || kk
+          || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || kk || '&ref=home'
+              ELSE '?ref=home&utm_campaign=x&id=' || kk
+                || '&fbclid=f' || doc_id END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END)
+          AS url,
+          '<html><head><title>Doc ' || doc_id
+          || '</title><script type="text/javascript">var id=' || doc_id
+          || ';track();</script><style>.m{color:#fff}</style></head>'
+          || '<body><nav><a href="/">Home</a> &gt; <a href="/s">'
+          || source
+          || '</a></nav><h1>Doc ' || doc_id || '</h1><p>&amp; '
+          || text || ' '
+          || (CASE WHEN doc_id % 4 = 0 THEN '${MojiPlants(0)}'
+              WHEN doc_id % 4 = 1 THEN '${MojiPlants(1)}'
+              WHEN doc_id % 4 = 2 THEN '${MojiPlants(2)}'
+              ELSE '${MojiPlants(3)}' END)
+          || ' &lt;end&gt;</p><footer><a href="/p">Privacy'
+          || '</a> &nbsp; <a href="/t">Terms</a></footer></body></html>'
+          AS h FROM base),
+        uc AS (SELECT *, regexp_replace(url, '#.*${"$"}', '') AS nofrag
+          FROM b2),
+        up AS (SELECT *,
+          lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(nofrag,
+            '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)${"$"}', '') AS host,
+          regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+            AS path0,
+          regexp_extract(nofrag, '\?([^#]*)', 1) AS qs FROM uc),
+        uq AS (SELECT *, CASE WHEN length(path0) > 1
+            THEN regexp_replace(path0, '/${"$"}', '') ELSE path0 END AS path,
+          array_to_string(list_sort(list_filter(string_split(qs, '&'),
+            x -> length(x) > 0 AND NOT starts_with(x, 'utm_')
+              AND NOT regexp_matches(x, '^(gclid|fbclid)='))), '&') AS q2
+          FROM up),
+        uf AS (SELECT doc_id, source, lang, h,
+          scheme || '://' || host || path ||
+          (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+          FROM uq),
+        keepd AS (SELECT doc_id, source, lang, h FROM (SELECT *,
+            row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+              AS rn FROM uf) WHERE rn = 1),
+        ext AS (SELECT doc_id, source, lang,
+          ${graft.ops.HtmlText.duckExtract("h")} AS raw_text FROM keepd),
+        rec(doc_id, s2, r) AS (
+          SELECT doc_id, raw_text, 0 FROM ext
+          UNION ALL
+          SELECT rec.doc_id, replace(rec.s2, mm.moji, mm.fixed), rec.r + 1
+          FROM rec JOIN mm ON mm.rank = rec.r + 1),
+        rep AS (SELECT e.doc_id, e.source, e.lang, rec.s2 AS text
+          FROM rec JOIN ext e USING (doc_id)
+          WHERE rec.r = (SELECT count(*) FROM mm)),
+        ntk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM rep),
+        ntf AS (SELECT doc_id, token FROM ntk WHERE length(token) > 0),
+        nj AS (SELECT ntf.doc_id, nw.weight_micro
+          FROM ntf LEFT JOIN nw USING (token)),
+        na AS (SELECT doc_id, coalesce(sum(weight_micro), 0) AS wsum
+          FROM nj GROUP BY doc_id),
+        gated AS (SELECT p.doc_id, p.source, p.lang, p.text,
+            CAST((SELECT prior_micro FROM nm) + coalesce(na.wsum, 0)
+              AS BIGINT) AS margin_micro
+          FROM rep p LEFT JOIN na USING (doc_id)
+          WHERE (SELECT prior_micro FROM nm) + coalesce(na.wsum, 0) > 0),
+        dt AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+          FROM gated),
+        dfeat AS (SELECT doc_id, list_concat(t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END) AS feats
+          FROM dt),
+        de AS (SELECT doc_id, unnest(feats) AS feat FROM dfeat),
+        db AS (SELECT doc_id,
+            CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 512 AS bucket
+          FROM de),
+        da AS (SELECT doc_id, sum(dm.lr_micro) AS wsum
+          FROM db JOIN dm USING (bucket) GROUP BY doc_id),
+        dscore AS (SELECT g.doc_id, g.source, g.lang, g.text,
+            g.margin_micro,
+            CAST(coalesce(da.wsum, 0) AS BIGINT) AS lr_micro
+          FROM gated g LEFT JOIN da USING (doc_id)),
+        dr AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY lr_micro DESC, md5(CAST(doc_id AS VARCHAR)) ASC)
+              AS sel_rank,
+            count(*) OVER (PARTITION BY source) AS n_src FROM dscore),
+        sel AS (SELECT doc_id, source, lang, text, margin_micro, lr_micro
+          FROM dr WHERE sel_rank * 100 <= n_src * 50),
+        bwords AS (SELECT DISTINCT word FROM (SELECT
+            unnest(string_split(text, ' ')) AS word FROM sel)
+          WHERE length(word) > 0),
+        seg(word, s, r) AS (
+          SELECT word,
+            '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ', 0
+          FROM bwords
+          UNION ALL
+          SELECT seg.word,
+            replace(seg.s, ' ' || bm.left_sym || '  ' || bm.right_sym || ' ',
+                           ' ' || bm.left_sym || bm.right_sym || ' '),
+            seg.r + 1
+          FROM seg JOIN bm ON bm.rank = seg.r + 1),
+        lex AS (SELECT word, string_split(trim(s), '  ') AS toks FROM seg
+          WHERE r = (SELECT count(*) FROM bm)),
+        bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM sel),
+        enc AS (SELECT b.doc_id, lex.toks FROM bw b
+          JOIN lex USING (word) WHERE length(b.word) > 0),
+        ba AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM enc GROUP BY doc_id),
+        bt AS (SELECT s2.doc_id, s2.source, s2.lang, s2.margin_micro,
+            s2.lr_micro, ba.n_tokens
+          FROM sel s2 JOIN ba USING (doc_id)),
+        bc AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_before FROM bt)
+      SELECT doc_id, source, lang, margin_micro, lr_micro, n_tokens,
+        tok_before,
+        CAST(tok_before // 2048 AS BIGINT) AS start_seq,
+        CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
+      FROM bc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2461,5 +2730,5 @@ object TextQueries {
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
-    q159SnapshotDiff, q160PhraseSearch, q161DsirSelect)
+    q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild)
 }
