@@ -145,16 +145,90 @@ object InvertedIndex {
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(distinctTerms: _*))
       .select(col("doc_id"), col("term"), col("positions"))
-    val slots = phrase.zipWithIndex.map { case (w, i) =>
-      p.filter(col("term") === w)
-        .select(col("doc_id"),
-          transform(col("positions"), x => x - i).as(s"__s$i"))
-    }
+    // RAREST-FIRST join order: left-deep reduce means the first
+    // intermediate result rides through every later join, so a phrase
+    // leading with a stopword would drag the biggest posting list the
+    // whole way. One bounded count over the already-pruned buckets
+    // (≤ |distinct terms| rows to the driver) orders the slots by
+    // ascending df; slot index breaks ties so repeated words keep a
+    // deterministic order. Semantics unchanged — the intersection is
+    // commutative; only the join tree shape moves.
+    val dfByTerm = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slots = phrase.zipWithIndex
+      .sortBy { case (w, i) => (dfByTerm.getOrElse(w, 0L), i) }
+      .map { case (w, i) =>
+        p.filter(col("term") === w)
+          .select(col("doc_id"),
+            transform(col("positions"), x => x - i).as(s"__s$i"))
+      }
     slots.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
       .select(col("doc_id"),
         size(phrase.indices.map(i => col(s"__s$i"))
           .reduceLeft(array_intersect)).cast(LongType).as("n_matches"))
       .filter(col("n_matches") > 0)
+  }
+
+  /** Proximity-scored search: q144/[[search]]'s BM25 PLUS a positional
+    * proximity boost served from the same persisted postings — the
+    * payload [[phraseSearch]] uses, folded into the ranking the way
+    * term-proximity IR models do (Rasolofo & Savoy, ECIR 2003: close
+    * co-occurrence of distinct query terms is strong relevance
+    * evidence that pure bag-of-words BM25 can't see).
+    *
+    * The proximity feature is the MINIMUM distance between positions
+    * of two DISTINCT query terms in the doc, computed sort-based, not
+    * pairwise: explode the (already pruned) position lists, one lag
+    * window per doc ordered by position — the minimal pair distance
+    * is always realized by ADJACENT occurrences in position order, so
+    * the window pass is exact and O(n log n), never O(n²).
+    * boost_micro = 1e6 div min_dist (integer floor division — exact
+    * cross-engine); docs with <2 distinct query terms get 0;
+    * score_micro = bm25_micro + boost_micro, all exact BIGINTs.
+    * Reads ≤ |terms| bucket dirs — the corpus is never re-scanned.
+    */
+  def proximitySearch(spark: SparkSession, dir: String,
+                      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    import spark.implicits._
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.proximitySearch: no corpus at $dir")).head()
+    val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
+    val avgdl = sumDl.toDouble / nDocs
+    val buckets = terms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    val wTerm = Window.partitionBy(col("term"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
+    val bm25 = p
+      .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
+      .withColumn("ts_micro",
+        round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts_micro")).as("bm25_micro"))
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prox = p
+      .select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+      .withColumn("pterm", lag(col("term"), 1).over(wPos))
+      .withColumn("ppos", lag(col("pos"), 1).over(wPos))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("pterm").isNotNull && col("pterm") =!= col("term"),
+        col("pos") - col("ppos"))).cast(LongType).as("min_dist"))
+    bm25.join(prox, Seq("doc_id"), "left")
+      .withColumn("prox_micro",
+        when(col("min_dist").isNull, lit(0L))
+          .otherwise(expr("1000000 div min_dist")).cast(LongType))
+      .withColumn("score_micro", col("bm25_micro") + col("prox_micro"))
+      .select(col("doc_id"), col("n_terms"), col("bm25_micro"),
+        col("min_dist"), col("prox_micro"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** BM25 top-k over the persisted index. Reads ONLY the query

@@ -2450,6 +2450,61 @@ object TextQueries {
         sel_rank * 100 <= n_src * 25 AS is_selected
       FROM r ORDER BY doc_id"""))
 
+  val q164ProximitySearch = Q("q164_proximity_search",
+    // proximity-scored search (ops/InvertedIndex.proximitySearch) —
+    // q157's BM25 fused with q160's positional payload: the min
+    // distance between positions of two DISTINCT query terms becomes
+    // an integer micro-unit boost (1e6 div min_dist; Rasolofo &
+    // Savoy, ECIR 2003). The distance is computed SORT-BASED — one
+    // lag window per doc over the exploded (already bucket-pruned)
+    // position lists; the minimal pair distance is always realized by
+    // adjacent occurrences in position order, so the pass is exact
+    // without any pairwise O(n²) join. Everything stays exact BIGINT
+    // algebra; the oracle replays BM25 + the span fold from the SAME
+    // persisted postings parquet.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q164"
+      graft.ops.InvertedIndex.build(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), wh)
+      graft.ops.InvertedIndex.proximitySearch(s, wh,
+        Seq("spark", "query", "merge"), 20)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl, positions
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q164/postings/*/*/*.parquet')
+          WHERE term IN ('spark', 'query', 'merge')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q164/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c),
+        sdf AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM sdf),
+        b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+          FROM t GROUP BY doc_id),
+        e AS (SELECT doc_id, term, unnest(positions) AS pos FROM p),
+        l AS (SELECT doc_id, term, pos,
+            lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pterm,
+            lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+          FROM e),
+        md AS (SELECT doc_id, CAST(min(CASE WHEN pterm IS NOT NULL
+              AND pterm <> term THEN pos - ppos END) AS BIGINT)
+              AS min_dist
+          FROM l GROUP BY doc_id),
+        f AS (SELECT b.doc_id, b.n_terms, b.bm25_micro, md.min_dist,
+            CAST(CASE WHEN md.min_dist IS NULL THEN 0
+              ELSE 1000000 // md.min_dist END AS BIGINT) AS prox_micro
+          FROM b LEFT JOIN md USING (doc_id))
+      SELECT doc_id, n_terms, bm25_micro, min_dist, prox_micro,
+        CAST(bm25_micro + prox_micro AS BIGINT) AS score_micro
+      FROM f ORDER BY score_micro DESC, doc_id LIMIT 20"""))
+
   val q162CorpusBuild = Q("q162_corpus_build",
     // FLAGSHIP end-to-end corpus build — the round-7 operator surface
     // composed the way a real crawl pipeline chains it (C4/RefinedWeb
@@ -2730,5 +2785,6 @@ object TextQueries {
     q143DedupResolve, q144Bm25Rank, q146DedupRewrite, q147DomainCap,
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
-    q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild)
+    q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
+    q164ProximitySearch)
 }

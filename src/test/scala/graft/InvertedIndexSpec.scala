@@ -168,4 +168,50 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       == Seq((1L, 1L)))
   }
+
+  test("phrase search joins rarest term first even when the phrase leads with a stopword") {
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(
+      1L -> "the zebra runs", 2L -> "the cat sat on the mat",
+      3L -> "the dog saw the zebra", 4L -> "the end of the day",
+      5L -> "all the things"), dir)
+    val res = InvertedIndex.phraseSearch(spark, dir, Seq("the", "zebra"))
+    // correctness first: only docs 1 and 3 contain "the zebra"
+    assert(res.select("doc_id", "n_matches").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 1L, 3L -> 1L))
+    // plan shape: left-deep reduce means the FIRST-joined slot's
+    // filter prints first (left subtree precedes right in the plan
+    // dump) — it must be the rare term, df('zebra')=2 < df('the')=5,
+    // not the phrase-order stopword
+    val plan = res.queryExecution.optimizedPlan.toString
+    val (iz, it) = (plan.indexOf("= zebra"), plan.indexOf("= the"))
+    assert(iz >= 0 && it >= 0 && iz < it,
+      s"join order is not rarest-first:\n$plan")
+  }
+
+  test("proximity search: sort-based min pair distance boosts BM25 exactly") {
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(
+      1L -> "spark query here",             // adjacent -> min_dist 1
+      2L -> "spark alpha beta gamma query", // min_dist 4
+      3L -> "spark only doc",               // one distinct term: no boost
+      4L -> "filler words here"), dir)
+    val got = InvertedIndex
+      .proximitySearch(spark, dir, Seq("spark", "query"), 10)
+      .select("doc_id", "min_dist", "prox_micro")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      1L -> (Some(1L), 1000000L),
+      2L -> (Some(4L), 250000L),
+      3L -> (None, 0L)))
+    // boost dominates ties: doc 1 must outrank doc 2 which outranks 3
+    val order = InvertedIndex
+      .proximitySearch(spark, dir, Seq("spark", "query"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order.indexOf(1L) < order.indexOf(2L) &&
+      order.indexOf(2L) < order.indexOf(3L))
+  }
 }
