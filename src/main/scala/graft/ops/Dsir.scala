@@ -59,26 +59,50 @@ object Dsir {
   private def toks(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
-  /** Hashed unigram+bigram feature buckets of `text`, as an
-    * array<string> of decimal bucket ids in [0, buckets). The bigram
-    * list is guarded for <2-token docs — `sequence(1, 0)` steps DOWN
-    * in Spark and would index `t[0]`.
+  /** Unigram+bigram feature strings of `text`. The bigram list is
+    * guarded for <2-token docs — `sequence(1, 0)` steps DOWN in Spark
+    * and would index `t[0]`.
     */
-  def featureBuckets(text: Column, buckets: Int): Column = {
+  private def featArray(text: Column): Column = {
     val t = toks(text)
     val bi = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
-    transform(concat(t, bi), f =>
-      (conv(substring(md5(f), 1, 8), 16, 10).cast(LongType) % buckets)
-        .cast(StringType))
+    concat(t, bi)
   }
 
+  /** Hashed feature buckets of `text`, as an array<string> of decimal
+    * bucket ids in [0, buckets) — the CROSS-ENGINE (md5) path the
+    * DuckDB oracles replay.
+    */
+  def featureBuckets(text: Column, buckets: Int): Column =
+    transform(featArray(text), f =>
+      (conv(substring(md5(f), 1, 8), 16, 10).cast(LongType) % buckets)
+        .cast(StringType))
+
+  /** PRODUCTION bucket path: xxhash64 instead of md5 — one 64-bit mix
+    * per feature against md5's full 128-bit digest + hex + base
+    * conversion, which is the dominant cost of a scan-speed scorer at
+    * corpus scale (the Stress A/B records the ratio). NOT replayable
+    * by the DuckDB oracle (no xxhash64 there), so oracle-gated queries
+    * keep md5 and this path is spec-gated: same dense-model algebra,
+    * only the bucket hash differs. The hash KIND is recorded in the
+    * model's meta at train time and [[score]] follows the recorded
+    * kind — a model can never be scored under the wrong hash.
+    */
+  def featureBucketsFast(text: Column, buckets: Int): Column =
+    transform(featArray(text), f =>
+      pmod(xxhash64(f), lit(buckets.toLong)).cast(StringType))
+
+  private def bucketsOf(text: Column, buckets: Int, fast: Boolean): Column =
+    if (fast) featureBucketsFast(text, buckets)
+    else featureBuckets(text, buckets)
+
   /** Per-bucket feature counts of a (text) frame: (bucket, `name`). */
-  private def bucketCounts(df: DataFrame, buckets: Int,
-                           name: String): DataFrame = df
-    .select(explode(featureBuckets(col("text"), buckets)).as("bucket"))
+  private def bucketCounts(df: DataFrame, buckets: Int, name: String,
+                           fast: Boolean): DataFrame = df
+    .select(explode(bucketsOf(col("text"), buckets, fast)).as("bucket"))
     .groupBy(col("bucket")).agg(count(lit(1)).as(name))
 
   /** Train the importance model: persists `dir`/model with EXACTLY
@@ -87,14 +111,63 @@ object Dsir {
     * a `text` column.
     */
   def train(spark: SparkSession, target: DataFrame, raw: DataFrame,
-            dir: String, buckets: Int): Unit = {
-    val dense = spark.range(buckets).select(
-        col("id").cast(StringType).as("bucket"))
-      .join(bucketCounts(target, buckets, "cnt_target"), Seq("bucket"), "left")
-      .join(bucketCounts(raw, buckets, "cnt_raw"), Seq("bucket"), "left")
-      .select(col("bucket").cast(LongType).as("bucket"),
-        coalesce(col("cnt_target"), lit(0L)).as("cnt_target"),
-        coalesce(col("cnt_raw"), lit(0L)).as("cnt_raw"))
+            dir: String, buckets: Int, fast: Boolean = false): Unit =
+    fitFromCounts(spark,
+      bucketCounts(target, buckets, "bt", fast),
+      bucketCounts(raw, buckets, "br", fast),
+      baseCounts = None, dir, buckets, fast)
+
+  /** Fold batches of target and/or raw documents into the persisted
+    * model — EXACTLY what [[train]] on (target ∪ targetBatch,
+    * raw ∪ rawBatch) would produce, bit for bit (bucket counts are
+    * additive sufficient statistics, the log-ratio re-derives from
+    * the merged integers), at O(batch + buckets) cost: the batches
+    * pay their own feature explode, the merge joins B-row count
+    * frames, and the historical corpora are never re-read. The batch
+    * features are hashed with the kind RECORDED in meta, so an
+    * md5-trained model extends under md5 and a fast-trained one
+    * under xxhash64.
+    */
+  def extend(spark: SparkSession, targetBatch: DataFrame,
+             rawBatch: DataFrame, dir: String): Unit = {
+    val meta = Load.readTable(spark, s"$dir/meta").getOrElse(
+      sys.error(s"Dsir.extend: no model at $dir/meta")).head()
+    val buckets = meta.getAs[Long]("buckets").toInt
+    val fast = meta.getAs[String]("hash") == "xxhash64"
+    val old = Load.readTable(spark, s"$dir/model").getOrElse(
+      sys.error(s"Dsir.extend: no model at $dir/model"))
+      .select(col("bucket"), col("cnt_target"), col("cnt_raw"))
+    fitFromCounts(spark,
+      bucketCounts(targetBatch, buckets, "bt", fast),
+      bucketCounts(rawBatch, buckets, "br", fast),
+      baseCounts = Some(old), dir, buckets, fast)
+  }
+
+  /** Derive and persist the model from (batch) bucket counts plus an
+    * optional base count table. Totals are re-derived from the merged
+    * counts (never trusted from meta), so a crash between the model
+    * and meta writes cannot leave totals that disagree with the
+    * persisted counts. The dir/model swap happens FIRST and is the
+    * only write that consumes the base-table lineage — replaceTable
+    * stages next to the target and swaps after the staging write
+    * completes, so the read-own-target hazard never arises (the NB
+    * write-order lesson).
+    */
+  private def fitFromCounts(spark: SparkSession, batchT: DataFrame,
+                            batchR: DataFrame,
+                            baseCounts: Option[DataFrame], dir: String,
+                            buckets: Int, fast: Boolean): Unit = {
+    val base = baseCounts.getOrElse(
+      spark.range(buckets).select(col("id").as("bucket"),
+        lit(0L).as("cnt_target"), lit(0L).as("cnt_raw")))
+    val dense = base
+      .join(batchT.withColumn("bucket", col("bucket").cast(LongType)),
+        Seq("bucket"), "left")
+      .join(batchR.withColumn("bucket", col("bucket").cast(LongType)),
+        Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("cnt_target") + coalesce(col("bt"), lit(0L))).as("cnt_target"),
+        (col("cnt_raw") + coalesce(col("br"), lit(0L))).as("cnt_raw"))
       .cache()
     val t = dense.agg(sum(col("cnt_target")), sum(col("cnt_raw"))).head()
     val (totT, totR) = (t.getLong(0), t.getLong(1))
@@ -105,8 +178,8 @@ object Dsir {
     Load.replaceTable(spark, model, s"$dir/model")
     import spark.implicits._
     Load.replaceTable(spark,
-      Seq((totT, totR, buckets.toLong))
-        .toDF("tot_target", "tot_raw", "buckets"),
+      Seq((totT, totR, buckets.toLong, if (fast) "xxhash64" else "md5"))
+        .toDF("tot_target", "tot_raw", "buckets", "hash"),
       s"$dir/meta")
     dense.unpersist()
     ()
@@ -121,15 +194,36 @@ object Dsir {
     val meta = Load.readTable(spark, s"$dir/meta").getOrElse(
       sys.error(s"Dsir.score: no model at $dir/meta")).head()
     val buckets = meta.getAs[Long]("buckets").toInt
-    val w = Load.readTable(spark, s"$dir/model").get
-      .select(col("bucket").cast(StringType), col("lr_micro"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    docs
-      .withColumn("__s", graft.functions.WeightedTokenSum.weightedTokenSum(
-        featureBuckets(col("text"), buckets), w, 0L))
-      .withColumn("n_feats", col("__s.n_tokens"))
-      .withColumn("lr_micro", col("__s.margin_micro"))
-      .drop("__s")
+    // follow the hash kind the model was TRAINED under (recorded in
+    // meta) — scoring under the other hash would be silent garbage
+    val fast = meta.getAs[String]("hash") == "xxhash64"
+    if (fast) {
+      // FUSED path: the model is dense over [0, B), so it rides as a
+      // flat long[] and the whole tokenize→hash→lookup→sum fold is
+      // one codegen pass over the raw text bytes (HashedNgramScore —
+      // no per-feature bucket strings, no hash table; the Stress A/B
+      // records the wall delta vs the md5 Column formulation)
+      val arr = new Array[Long](buckets)
+      Load.readTable(spark, s"$dir/model").get
+        .select(col("bucket"), col("lr_micro"))
+        .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      docs
+        .withColumn("__s", graft.functions.HashedNgramScore
+          .hashedNgramScore(col("text"), buckets, arr, 0L))
+        .withColumn("n_feats", col("__s.n_feats"))
+        .withColumn("lr_micro", col("__s.lr_micro"))
+        .drop("__s")
+    } else {
+      val w = Load.readTable(spark, s"$dir/model").get
+        .select(col("bucket").cast(StringType), col("lr_micro"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      docs
+        .withColumn("__s", graft.functions.WeightedTokenSum.weightedTokenSum(
+          featureBuckets(col("text"), buckets), w, 0L))
+        .withColumn("n_feats", col("__s.n_tokens"))
+        .withColumn("lr_micro", col("__s.margin_micro"))
+        .drop("__s")
+    }
   }
 
   /** Deterministic per-source importance selection over a scored

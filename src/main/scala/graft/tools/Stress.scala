@@ -857,7 +857,12 @@ object Stress {
     }
     lazy val dsScored = graft.ops.Dsir.score(spark,
       dsPool.select(col("doc_id"), col("source"), col("text")), dsDir)
-    time(s"dsir score $dsM docs") { force(dsScored) }
+    // the timed write carries only the SCORED columns — shipping the
+    // input text back through the noop sink would dominate the wall
+    // and mask the hash cost the fast A/B below exists to measure
+    time(s"dsir score $dsM docs") {
+      force(dsScored.select(col("doc_id"), col("n_feats"), col("lr_micro")))
+    }
     time(s"dsir select $dsM docs") {
       val sel = graft.ops.Dsir.selectTop(dsScored, "source", "doc_id", 25)
       val agg = sel.agg(
@@ -873,6 +878,48 @@ object Stress {
       require(nSelP == nP,
         s"dsir selection missed planted docs: $nSelP of $nP")
       nSel
+    }
+    // production-hash A/B: same dense-model algebra with the bucket
+    // hash swapped md5 -> xxhash64 (recorded in meta; score follows
+    // it). Both phases are zero-exchange scan-speed expression work,
+    // so the wall delta IS the hash cost — the md5 digest+hex+conv
+    // ladder vs one 64-bit mix per feature.
+    val dsFastDir = s"$dir/stress_dsir_fast"
+    time(s"dsir train fast $dsM docs") {
+      graft.ops.Dsir.train(spark,
+        dsPool.filter(col("doc_id") % 10 === 0).select(col("text")),
+        dsPool.select(col("text")), dsFastDir, buckets = 2048, fast = true)
+      spark.read.parquet(s"$dsFastDir/model").count()
+    }
+    time(s"dsir score fast $dsM docs") {
+      force(graft.ops.Dsir.score(spark,
+          dsPool.select(col("doc_id"), col("source"), col("text")), dsFastDir)
+        .select(col("doc_id"), col("n_feats"), col("lr_micro")))
+    }
+    if (wanted(s"dsir score fast $dsM docs")) {
+      // the fast model must capture the planted dialect exactly like
+      // the md5 one — the hash only renames buckets
+      val sel = graft.ops.Dsir.selectTop(
+        graft.ops.Dsir.score(spark,
+          dsPool.select(col("doc_id"), col("source"), col("text")),
+          dsFastDir), "source", "doc_id", 25)
+      val a = sel.agg(
+        sum(when(col("is_selected") && col("doc_id") % 10 === 0, 1L)
+          .otherwise(0L)),
+        sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))).head()
+      require(a.getLong(0) == a.getLong(1),
+        s"fast dsir missed planted docs: ${a.getLong(0)} of ${a.getLong(1)}")
+    }
+    time("dsir extend 10k batch") {
+      // incremental model fold: batch explode + B-row count merge —
+      // must cost O(batch + buckets), never a corpus re-read
+      val batch = spark.range(rows, rows + 10000L).select(
+        concat_ws(" ", (0 until 20).map { j =>
+          concat(lit("r"), pmod(hash(col("id") * 37L + lit(j)), lit(500)))
+        }: _*).as("text"))
+      graft.ops.Dsir.extend(spark,
+        batch.limit(1000), batch, dsDir)
+      10000L
     }
 
     time("LSH band cap, 100k near-dups") {

@@ -102,4 +102,86 @@ class DsirSpec extends SparkSpec {
     assert(out.filter(_._2._2).keySet == Set(1L, 2L, 7L))
     assert(out(7L)._1 == 1L && out(5L)._1 == 5L)
   }
+
+  test("extend(batch) is bit-identical to retraining on corpus + batch") {
+    val (whole, inc) = (tmp(), tmp())
+    val (t1, r1) = (Seq("aa bb cc", "aa bb").toDF("text"),
+      Seq("aa bb cc", "zz yy xx", "zz yy").toDF("text"))
+    val (t2, r2) = (Seq("cc dd", "dd ee ff").toDF("text"),
+      Seq("zz qq", "qq rr ss tt").toDF("text"))
+    Dsir.train(spark, t1.union(t2), r1.union(r2), whole, buckets = B)
+    Dsir.train(spark, t1, r1, inc, buckets = B)
+    Dsir.extend(spark, t2, r2, inc)
+    def model(d: String) = Load.readTable(spark, s"$d/model").get
+      .select("bucket", "cnt_target", "cnt_raw", "lr_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(model(inc) == model(whole))
+    def meta(d: String) = Load.readTable(spark, s"$d/meta").get
+      .select("tot_target", "tot_raw", "buckets", "hash")
+      .as[(Long, Long, Long, String)].head()
+    assert(meta(inc) == meta(whole))
+  }
+
+  test("fast (xxhash64) path: recorded in meta, zero-exchange, captures the planted dialect") {
+    val dir = tmp()
+    // pool: 40 docs, every 4th speaks the target dialect (t-prefixed
+    // vocab), the rest an r-prefixed one; target corpus = the dialect
+    val pool = spark.range(40).select(col("id").as("doc_id"),
+      lit("s").as("source"),
+      concat_ws(" ", (0 until 6).map { j =>
+        concat(
+          when(col("id") % 4 === 0, lit("t")).otherwise(lit("r")),
+          pmod(col("id") * 7 + lit(j), lit(20)))
+      }: _*).as("text"))
+    Dsir.train(spark,
+      pool.filter(col("doc_id") % 4 === 0).select(col("text")),
+      pool.select(col("text")), dir, buckets = B, fast = true)
+    assert(Load.readTable(spark, s"$dir/meta").get.head()
+      .getAs[String]("hash") == "xxhash64")
+    val scored = Dsir.score(spark, pool, dir)
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+    // planted-dialect capture: the 10 dialect docs are 25% of the
+    // pool and score strictly on-target — a 25% quota catches exactly
+    // them
+    val sel = Dsir.selectTop(scored, "source", "doc_id", 25)
+      .filter(col("is_selected")).select("doc_id").as[Long].collect().toSet
+    assert(sel == (0L until 40L by 4).toSet)
+    // extend under the fast model keeps the recorded hash kind
+    Dsir.extend(spark, pool.limit(1).select(col("text")),
+      pool.limit(2).select(col("text")), dir)
+    assert(Load.readTable(spark, s"$dir/meta").get.head()
+      .getAs[String]("hash") == "xxhash64")
+  }
+
+  test("fused fast scorer == unfused xxhash64 formulation, byte-exact") {
+    val dir = tmp()
+    Dsir.train(spark, Seq("aa bb cc", "dd ee").toDF("text"),
+      Seq("aa bb", "zz yy xx", "café año").toDF("text"),
+      dir, buckets = B, fast = true)
+    // tricky shapes: multi-space gaps (bigram scratch join), single
+    // token (no bigrams), empty and all-space text (no features),
+    // repeats, multibyte UTF-8
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa  bb   cc"), (3L, "single"),
+      (4L, ""), (5L, "   "), (6L, "café señor años aa"),
+      (7L, "a b a b a"), (8L, " leading and trailing "))
+      .toDF("doc_id", "text")
+    val fused = Dsir.score(spark, docs, dir)
+      .select("doc_id", "n_feats", "lr_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    // ground truth: the Column formulation this expression fuses
+    val w = Load.readTable(spark, s"$dir/model").get
+      .select(col("bucket").cast("string"), col("lr_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unfused = docs
+      .withColumn("__s", graft.functions.WeightedTokenSum.weightedTokenSum(
+        Dsir.featureBucketsFast(col("text"), B), w, 0L))
+      .select(col("doc_id"), col("__s.n_tokens").as("n_feats"),
+        col("__s.margin_micro").as("lr_micro"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fused == unfused)
+    // and the fused plan stays exchange-free
+    assert(!Dsir.score(spark, docs, dir)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
