@@ -32,6 +32,11 @@ object VectorQueries {
     */
   private val CentroidWh = "/root/repo/target/graft_centroids"
 
+  /** Warehouse root for trained PQ codebooks (q163 — same oracle
+    * lifetime rationale as [[CentroidWh]]).
+    */
+  private val PqWh = "/root/repo/target/graft_pq"
+
   /** Codegen'd native dot product (graft.functions.VecDot) — the HOF
     * form `aggregate(zip_with(...))` is interpreted and dominated the
     * all-pairs join at bench scale. Fold order and null semantics are
@@ -726,7 +731,122 @@ object VectorQueries {
         rk <= ceil(sqrt(cluster_n)) AS is_kept
       FROM r ORDER BY vec_id"""))
 
+  val q163PqCodebooks = Q("q163_pq_codebooks",
+    // TRUE product quantization on IVF residuals (ops/Pq; Jégou et
+    // al., TPAMI 2011 §III) — the codebook upgrade of q150's scalar
+    // quantizer: the residual splits into m=8 subspaces and each
+    // sub-vector becomes the id of its nearest codeword from a
+    // per-subspace k-means codebook (ks=16 here; 256 at the Stress
+    // scale), so the resident payload is m small ints per vector
+    // instead of dim int8s + scale. Codebooks train DISTRIBUTED
+    // (broadcast-join argmin with partial-agg reduction, means by
+    // groupBy — only the codebook itself ever reaches the driver),
+    // deterministically, and are PERSISTED; the oracle consumes the
+    // codebook parquet (q141 rule) and re-derives codes,
+    // reconstructions ĉ = c + concat(codewords), the coarse top-C and
+    // the exact re-ranked top-k bit-exactly — encode's L2 argmin uses
+    // the same left-to-right double fold in both engines.
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      graft.ops.VectorOps.saveCentroids(s,
+        graft.ops.VectorOps.kmeansFit(
+          e.select(col("vec_id"), col("embedding")), k = 16, iters = 2),
+        CentroidWh + "/q163")
+      val cents = graft.ops.VectorOps.loadCentroids(s, CentroidWh + "/q163")
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val assigned = graft.ops.VectorOps.assignClusters(
+          e.select(col("vec_id"), col("embedding")), cents)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      val sub = graft.ops.Pq.subResiduals(assigned, cdf, m = 8)
+      graft.etl.Load.replaceTable(s,
+        graft.ops.Pq.trainCodebooks(s, sub, ks = 16, iters = 2),
+        PqWh + "/q163")
+      val cb = graft.etl.Load.readTable(s, PqWh + "/q163").get
+      val index = graft.ops.Pq.encode(assigned, cdf, cb)
+      val recon = graft.ops.Pq.reconstruct(index, cb, cdf)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val probes = graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4)
+      val cand = graft.ops.Pq.coarseSearch(recon, probes, topC = 10)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_centroids/q163/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_pq/q163/*.parquet')),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cluster_id,
+            list_transform(range(1, len(a.embedding) + 1),
+              k -> CAST(a.embedding[k] AS DOUBLE) - CAST(c.ce[k] AS DOUBLE))
+              AS res
+          FROM assigned a JOIN cents c ON c.cid = a.cluster_id),
+        subr AS (SELECT vec_id, cluster_id, s.sub,
+            res[s.sub * 8 + 1 : s.sub * 8 + 8] AS subres
+          FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+        enc AS (SELECT vec_id, cluster_id, sub, code_id FROM (
+            SELECT r.vec_id, r.cluster_id, r.sub, b.code_id,
+              row_number() OVER (PARTITION BY r.vec_id, r.sub ORDER BY
+                list_reduce(list_transform(range(1, len(r.subres) + 1),
+                  k -> (r.subres[k] - b.cw[k]) * (r.subres[k] - b.cw[k])),
+                  (x, y) -> x + y) ASC, b.code_id) AS rn
+            FROM subr r JOIN cb b USING (sub)) WHERE rn = 1),
+        rq AS (SELECT e2.vec_id, e2.cluster_id,
+            flatten(list(b.cw ORDER BY e2.sub)) AS rq
+          FROM enc e2 JOIN cb b
+            ON b.sub = e2.sub AND b.code_id = e2.code_id
+          GROUP BY e2.vec_id, e2.cluster_id),
+        vh AS (SELECT r.vec_id, r.cluster_id,
+            list_transform(range(1, len(r.rq) + 1),
+              k -> CAST(c.ce[k] AS DOUBLE) + r.rq[k]) AS vhat
+          FROM rq r JOIN cents c ON c.cid = r.cluster_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 5),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 4),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, v.vec_id AS neighbor_id,
+              ${duckDot("p.qe", "v.vhat")} /
+                (p.qn * sqrt(${duckDot("v.vhat", "v.vhat")})) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                ${duckDot("p.qe", "v.vhat")} /
+                  (p.qn * sqrt(${duckDot("v.vhat", "v.vhat")})) DESC,
+                v.vec_id) AS cr
+            FROM vh v JOIN probes p ON v.cluster_id = p.cluster_id
+            WHERE v.vec_id <> p.query_id) WHERE cr <= 10),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS coarse_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, coarse_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
-    q150IvfPq, q156ClusterSample)
+    q150IvfPq, q156ClusterSample, q163PqCodebooks)
 }

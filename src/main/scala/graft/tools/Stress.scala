@@ -572,8 +572,15 @@ object Stress {
     import graft.functions.VectorExpressions.vecDot
     def vnorm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
     lazy val pqVecs = spark.read.parquet(pqVecDir)
+    // 5% training sample, CONTIGUOUS ids: kmeansFit seeds from the k
+    // lowest vec_ids, and a strided sample (% 20) steps the planted
+    // 64-center cycle with period lcm(20,64)/20 = 16 — the 64 seeds
+    // then cover only 16 distinct centers, clusters merge, and the
+    // residuals the quantizers compress go bimodal-large (the
+    // per-vector-scaled int8 path shrugs that off; shared PQ
+    // codewords cannot)
     lazy val pqModel = graft.ops.VectorOps.kmeansFit(
-      pqVecs.filter(col("vec_id") % 20 === 0), k = 64, iters = 2)
+      pqVecs.filter(col("vec_id") < 50000), k = 64, iters = 2)
     lazy val pqCdf = {
       import spark.implicits._
       pqModel.toSeq.toDF("cluster_id", "ce")
@@ -642,6 +649,93 @@ object Stress {
       require(hit >= (total * 7) / 10,
         s"quantized-path recall@10 degraded: $hit/$total")
       total
+    }
+
+    // ---- TRUE product quantization A/B (ops/Pq, q163 shape) on    ----
+    // ---- the same 1M vectors: m=16 subspaces × ks=256 codewords   ----
+    // ---- (dsub=2: the synthetic residual is UNCORRELATED uniform  ----
+    // ---- noise, the worst case for PQ — real embeddings carry     ----
+    // ---- subspace structure; 2-dim cells keep the quantization    ----
+    // ---- error well under the noise scale so ranking survives)    ----
+    // ---- trained on a 5% sample (the FAISS convention — Lloyd     ----
+    // ---- rounds scale with the training set, codebook quality     ----
+    // ---- doesn't need the full corpus), codes PACKED to one byte  ----
+    // ---- per subspace. The A/B vs the int8-scalar path: on-disk   ----
+    // ---- ratio (8 code bytes vs dim+8 residual bytes per vector)  ----
+    // ---- and recall@10 after the same coarse->re-rank pipeline.   ----
+    val pqCbDir = s"$dir/stress_pq_codebooks"
+    val pq2IdxDir = s"$dir/stress_pq2_index"
+    lazy val pqAssigned = graft.ops.VectorOps.assignClusters(pqVecs, pqModel)
+      .withColumn("cluster_id", col("cluster_id").cast(LongType))
+    lazy val pqSub = graft.ops.Pq.subResiduals(pqAssigned, pqCdf, m = 16)
+    time("pq codebook train 1M vecs") {
+      graft.etl.Load.replaceTable(spark,
+        graft.ops.Pq.trainCodebooks(spark,
+          pqSub.filter(col("vec_id") % 20 === 0), ks = 256, iters = 2),
+        pqCbDir)
+    }
+    time("pq index encode 1M vecs") {
+      val cb = graft.etl.Load.readTable(spark, pqCbDir).get
+      graft.ops.Pq.encode(pqAssigned, pqCdf, cb)
+        .select(col("vec_id"), col("cluster_id"),
+          graft.functions.VectorExpressions.packInt8(
+            transform(col("codes"), c => c - 128)).as("cb8"))
+        .write.mode("overwrite").parquet(pq2IdxDir)
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        Option(d.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      }
+      println(f"[stress] pq on-disk bytes: pq=${dirBytes(pq2IdxDir)}%,d " +
+        f"sq=${dirBytes(pqIdxDir)}%,d float=${dirBytes(pqVecDir)}%,d " +
+        f"pq/float=${dirBytes(pq2IdxDir).toDouble / dirBytes(pqVecDir)}%.3f " +
+        f"pq/sq=${dirBytes(pq2IdxDir).toDouble / dirBytes(pqIdxDir)}%.3f")
+      spark.read.parquet(pq2IdxDir).count()
+    }
+    time("pq search 1M vecs") {
+      val cb = graft.etl.Load.readTable(spark, pqCbDir).get
+      val idx = spark.read.parquet(pq2IdxDir)
+        .select(col("vec_id"), col("cluster_id"),
+          transform(graft.functions.VectorExpressions.unpackInt8(col("cb8")),
+            c => c + 128).as("codes"))
+      val recon = graft.ops.Pq.reconstruct(idx, cb, pqCdf)
+      val probes = graft.ops.IvfPq.probeRoute(pqQueries, pqCdf, nprobe = 4)
+      // topC is the PQ recall lever: at 1 byte per 4 dims the coarse
+      // ranking is far blunter than the int8-scalar path's, so the
+      // exact re-rank pool must be wider (the standard PQ trade —
+      // Jégou et al. re-rank with R >> k); 1024 rows/query through
+      // the float join is still ~nothing next to the 62k coarse
+      // candidates the probes admit
+      val cand = graft.ops.Pq.coarseSearch(recon, probes, topC = 1024)
+      val e = pqVecs.select(col("vec_id"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+      graft.ops.IvfPq.rerank(cand, e, topK = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(s"$dir/stress_pq2_topk")
+      spark.read.parquet(s"$dir/stress_pq2_topk").count()
+    }
+    if (wanted("pq search 1M vecs")) {
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val brute = pqVecs
+        .select(col("vec_id"), col("embedding"),
+          vnorm(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(pqQueries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (vecDot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = spark.read.parquet(s"$dir/stress_pq2_topk")
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+      val total = 8L * 10L
+      println(f"[stress] pq recall@10 vs brute force: $hit/$total " +
+        f"(${hit * 100.0 / total}%.1f%%)")
+      require(hit >= (total * 7) / 10,
+        s"pq-path recall@10 degraded: $hit/$total")
     }
 
     // ---- NB classifier (q154 shape) at 1M docs: 32 high-frequency ----
