@@ -2450,6 +2450,49 @@ object TextQueries {
         sel_rank * 100 <= n_src * 25 AS is_selected
       FROM r ORDER BY doc_id"""))
 
+  val q165ShardManifest = Q("q165_shard_manifest",
+    // size-bounded training shards + manifest (ops/Shards) — the
+    // WebDataset-shaped delivery format: q139's deterministic seeded
+    // shuffle deals documents into shards, and within each shard the
+    // running byte offset (one window sum — never a sequential scan)
+    // assigns each document WHOLLY to file floor(bytes_before/budget),
+    // so files are budget-bounded up to one document of overflow and
+    // the packing replays exactly in any engine. The output is the
+    // MANIFEST a training loader actually reads: per (shard, file)
+    // the doc count, byte size and position/id range. One hash
+    // exchange at any corpus size; the manifest is tiny by
+    // construction.
+    (s, d) => {
+      graft.ops.Shards.manifest(
+          graft.ops.Shards.assign(Tables.documents(s, d), "text", "doc_id",
+            nShards = 8, budgetBytes = 4096L, seed = "seed42"),
+          "doc_id")
+        .orderBy(col("shard"), col("file_idx"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+          CAST('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)),
+            1, 15) AS BIGINT) AS k
+        FROM documents),
+      s AS (SELECT *, CAST(k % 8 AS INTEGER) AS shard FROM t),
+      c AS (SELECT *,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos,
+          CAST(coalesce(sum(bytes) OVER (PARTITION BY shard
+            ORDER BY k, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bytes_before
+        FROM s),
+      f AS (SELECT *, CAST(bytes_before // 4096 AS BIGINT) AS file_idx
+        FROM c)
+    SELECT shard, file_idx, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(bytes) AS BIGINT) AS file_bytes,
+      CAST(min(pos) AS BIGINT) AS first_pos,
+      CAST(max(pos) AS BIGINT) AS last_pos,
+      arg_min(doc_id, pos) AS first_doc,
+      arg_max(doc_id, pos) AS last_doc
+    FROM f GROUP BY shard, file_idx ORDER BY shard, file_idx"""))
+
   val q164ProximitySearch = Q("q164_proximity_search",
     // proximity-scored search (ops/InvertedIndex.proximitySearch) —
     // q157's BM25 fused with q160's positional payload: the min
@@ -2786,5 +2829,5 @@ object TextQueries {
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
-    q164ProximitySearch)
+    q164ProximitySearch, q165ShardManifest)
 }
