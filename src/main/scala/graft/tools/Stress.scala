@@ -900,6 +900,29 @@ object Stress {
     time("invidx search 3 terms") {
       graft.ops.InvertedIndex.search(spark, ixDir, ixTerms, 20).count()
     }
+    // ---- stopword-led phrase search (rarest-first join order):    ----
+    // ---- "the" heads EVERY document, "zebra" one in a thousand.   ----
+    // ---- Phrase-order joins would drag the 1M-row posting list    ----
+    // ---- through the whole join chain; rarest-first starts from   ----
+    // ---- the 1k-row list, so the wall tracks the RARE term's df.  ----
+    val phDir = s"$dir/stress_phrase"
+    time("phrase index 1M docs") {
+      val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat(lit("the "),
+          when(col("id") % 1000 === 0, lit("zebra ")).otherwise(lit("")),
+          concat_ws(" ", (0 until 20).map { j =>
+            concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
+              lit(50000)))
+          }: _*)).as("text"))
+      graft.ops.InvertedIndex.build(spark, docs, phDir)
+      spark.read.parquet(s"$phDir/postings").count()
+    }
+    time("phrase search stopword-led") {
+      val n = graft.ops.InvertedIndex.phraseSearch(spark, phDir,
+        Seq("the", "zebra")).count()
+      require(n == 1000L, s"expected 1000 phrase matches, got $n")
+      n
+    }
     time("invidx full-scan bm25 A/B") {
       // what serving WITHOUT the index costs: recompute stats + tf over
       // the whole corpus per query (the q144 shape at 1M docs) — two
