@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -122,6 +123,49 @@ object InvertedIndex {
       Load.replaceTable(spark, merged, s"$dir/corpus")
       true
     }
+  }
+
+  /** Number of `batch=` generations in the postings tree — the
+    * [[compact]] trigger. Every bucket-pruned search opens
+    * O(generations) files per bucket, so an append-heavy index decays
+    * from 1 file/bucket toward 1 file/bucket/batch; this is the
+    * decay gauge. One driver-side listStatus, no Spark job.
+    */
+  def segmentCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(s"$dir/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Load.recoverSwap(spark, s"$dir/postings")
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+  }
+
+  /** Compact every `batch=` generation into a single `batch=0` tree —
+    * the maintenance rewrite that undoes append-induced file decay.
+    * A PURE PHYSICAL move: batches carry disjoint doc_ids (the
+    * [[addBatch]] contract), so no (doc_id, term) posting row spans
+    * two generations and no rows merge — search results are identical
+    * before and after, which is what lets compaction run any time
+    * between appends. One bucket-keyed shuffle, term-clustered within
+    * each file (`sortWithinPartitions` — better locality AND a
+    * deterministic layout); the corpus row, INCLUDING the exactly-once
+    * `last_batch` high-water mark, is untouched, so a replayed old
+    * batch id is still rejected after compaction and the next new id
+    * still lands in its own fresh `batch=` dir. Crash-safe via the
+    * warehouse two-rename swap (Load.atomicSwap): every crash point
+    * leaves the full old or full new tree, healed on the next
+    * read/maintenance call through recoverSwap.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val postingsDir = s"$dir/postings"
+    Load.recoverSwap(spark, postingsDir)
+    val staging = s"$postingsDir.__staging"
+    spark.read.parquet(postingsDir)
+      .drop("batch").withColumn("batch", lit(0L))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("batch", "bucket")
+      .parquet(staging)
+    Load.atomicSwap(spark, staging, postingsDir)
   }
 
   /** Exact phrase lookup over the persisted positional index:

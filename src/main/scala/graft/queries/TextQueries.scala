@@ -2817,6 +2817,61 @@ object TextQueries {
         CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
       FROM bc ORDER BY doc_id"""))
 
+  val q167IndexCompact = Q("q167_index_compact",
+    // index-segment COMPACTION — the maintenance rewrite every
+    // append-only index needs: each addBatch lands its own `batch=`
+    // generation under postings/, so a bucket-pruned search opens
+    // O(generations) files per bucket and the index decays toward
+    // 1 file/bucket/batch. InvertedIndex.compact rewrites all
+    // generations into a single batch=0 tree — one bucket-keyed
+    // shuffle, term-clustered files — behind the warehouse crash-safe
+    // two-rename swap, leaving the corpus row INCLUDING the
+    // exactly-once `last_batch` high-water mark untouched: replay
+    // protection and the next append id survive compaction, and since
+    // batches carry disjoint doc_ids no posting row merges, so the
+    // move is purely physical. Lifecycle under test: bootstrap
+    // (doc_id % 3 == 1), append % 3 == 2 (batch 1), append % 3 == 0
+    // (batch 2) → 3 generations asserted, compact → 1 generation
+    // asserted, then q157's BM25 search — the oracle replays it from
+    // the COMPACTED postings parquet, so search-result parity with
+    // the generation-per-batch layout is exactly what the gate pins.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q167"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.ops.InvertedIndex.build(s,
+        docs.filter(col("doc_id") % 3 === 1), wh)
+      graft.ops.InvertedIndex.addBatch(s,
+        docs.filter(col("doc_id") % 3 === 2), wh, batchId = 1L)
+      graft.ops.InvertedIndex.addBatch(s,
+        docs.filter(col("doc_id") % 3 === 0), wh, batchId = 2L)
+      require(graft.ops.InvertedIndex.segmentCount(s, wh) == 3,
+        "expected 3 batch generations before compaction")
+      graft.ops.InvertedIndex.compact(s, wh)
+      require(graft.ops.InvertedIndex.segmentCount(s, wh) == 1,
+        "expected 1 batch generation after compaction")
+      graft.ops.InvertedIndex.search(s, wh,
+        Seq("spark", "query", "merge"), 20)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q167/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q167/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('spark', 'query', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2829,5 +2884,5 @@ object TextQueries {
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
-    q164ProximitySearch, q165ShardManifest)
+    q164ProximitySearch, q165ShardManifest, q167IndexCompact)
 }

@@ -846,7 +846,126 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, coarse_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q166HybridRrf = Q("q166_hybrid_rrf",
+    // HYBRID retrieval fusion — the standard RAG serving shape: a
+    // lexical BM25 list (q144's rational-idf conventions over
+    // `documents`) and a dense cosine list (q34's brute-force kernel
+    // over `embeddings`, query-by-example with vec 0) fused by
+    // reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009):
+    // score(d) = Σ_lists 1/(60 + rank_list(d)), which needs NO score
+    // calibration between the lists — only ranks cross the fusion
+    // boundary, so the lexical micro-units and the cosine doubles
+    // never have to share a scale. Each list is top-50 via
+    // TakeOrderedAndProject (per-partition top-k + driver merge —
+    // never a global sort); ranking then runs on the 50-row results,
+    // so the single-partition row_number window is bounded by k, not
+    // the corpus, and the fusion join moves 100 rows at any corpus
+    // size. Docs appearing in only one list keep their one reciprocal
+    // term (rank 0 = absent in the output). At 100 TB: two
+    // independent scans (each already index-accelerable — q157 serves
+    // the lexical list, q35/q150 the dense list), then driver-scale
+    // fusion.
+    (s, d) => {
+      val terms = Seq("spark", "query", "merge")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t"))).as("sum_dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            sum(when(array_contains(col("t"), term), 1L).otherwise(0L))
+              .as(s"df_$i")
+          }: _*)
+      val dl = size(col("t"))
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+      val lnorm = lit(0.25) + (lit(0.75) * dl) / avgdl
+      val termScores = terms.zipWithIndex.map { case (term, i) =>
+        val tf = size(filter(col("t"), x => x === lit(term)))
+        val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5))
+        idf * ((tf * lit(2.2)) / (tf + lit(1.2) * lnorm))
+      }
+      val lex = docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(termScores.reduceLeft(_ + _), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val den = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")),
+            6).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+        .withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+      lex.select(col("doc_id"), col("lex_rank"))
+        .join(den.select(col("doc_id"), col("dense_rank")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)),
+            6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl,
+          sum(CASE WHEN list_contains(toks,'spark') THEN 1 ELSE 0 END) AS df_0,
+          sum(CASE WHEN list_contains(toks,'query') THEN 1 ELSE 0 END) AS df_1,
+          sum(CASE WHEN list_contains(toks,'merge') THEN 1 ELSE 0 END) AS df_2
+          FROM t),
+        sc AS (SELECT doc_id, round(
+            (n_docs - df_0 + 0.5) / (df_0 + 0.5)
+              * ((len(list_filter(toks, x -> x = 'spark')) * 2.2) /
+                 (len(list_filter(toks, x -> x = 'spark')) + 1.2 *
+                  (0.25 + (0.75 * len(toks)) /
+                   (CAST(sum_dl AS DOUBLE) / n_docs))))
+          + (n_docs - df_1 + 0.5) / (df_1 + 0.5)
+              * ((len(list_filter(toks, x -> x = 'query')) * 2.2) /
+                 (len(list_filter(toks, x -> x = 'query')) + 1.2 *
+                  (0.25 + (0.75 * len(toks)) /
+                   (CAST(sum_dl AS DOUBLE) / n_docs))))
+          + (n_docs - df_2 + 0.5) / (df_2 + 0.5)
+              * ((len(list_filter(toks, x -> x = 'merge')) * 2.2) /
+                 (len(list_filter(toks, x -> x = 'merge')) + 1.2 *
+                  (0.25 + (0.75 * len(toks)) /
+                   (CAST(sum_dl AS DOUBLE) / n_docs)))),
+            6) AS bm25 FROM t, stats),
+        lexr AS (SELECT doc_id, row_number()
+            OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+          FROM (SELECT doc_id, bm25 FROM sc
+                ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        e AS (SELECT vec_id, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+        dsc AS (SELECT e.vec_id AS doc_id,
+            round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6)
+              AS cosine
+          FROM e, q),
+        denr AS (SELECT doc_id, row_number()
+            OVER (ORDER BY cosine DESC, doc_id) AS dense_rank
+          FROM (SELECT doc_id, cosine FROM dsc
+                ORDER BY cosine DESC, doc_id LIMIT 50)),
+        f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+            l.lex_rank, r.dense_rank
+          FROM lexr l FULL OUTER JOIN denr r ON l.doc_id = r.doc_id)
+      SELECT doc_id,
+        coalesce(lex_rank, 0) AS lex_rank,
+        coalesce(dense_rank, 0) AS dense_rank,
+        round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+            + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6) AS rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
-    q150IvfPq, q156ClusterSample, q163PqCodebooks)
+    q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf)
 }

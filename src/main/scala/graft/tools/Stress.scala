@@ -946,6 +946,45 @@ object Stress {
         .select(col("doc_id"), score.as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(20).count()
     }
+    // ---- compaction (q167 shape): 5 more 10k appends decay the   ----
+    // ---- tree to 7 `batch=` generations (7 files per bucket on   ----
+    // ---- every pruned read); compact rewrites to one batch=0     ----
+    // ---- tree. Search parity across the rewrite is asserted      ----
+    // ---- in-run (pure physical move), and the same 3-term search ----
+    // ---- is timed at 7 generations vs 1 — the file-count win     ----
+    // ---- compaction exists for.                                  ----
+    val ixCompactLabels = Seq("invidx appends x5", "invidx search 7-gen",
+      "invidx compact", "invidx search compacted")
+    if (ixCompactLabels.exists(wanted)) {
+      time("invidx appends x5") {
+        (2L to 6L).foreach { b =>
+          graft.ops.InvertedIndex.addBatch(spark,
+            ixDocs(rows + (b - 1) * 10000L, rows + b * 10000L), ixDir, b)
+        }
+        50000L
+      }
+      require(graft.ops.InvertedIndex.segmentCount(spark, ixDir) == 7,
+        "expected 7 generations after 1 bootstrap + 6 appends")
+      var pre: Array[(Long, Long, Long)] = null
+      time("invidx search 7-gen") {
+        pre = graft.ops.InvertedIndex.search(spark, ixDir, ixTerms, 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        pre.length.toLong
+      }
+      time("invidx compact") {
+        graft.ops.InvertedIndex.compact(spark, ixDir)
+        spark.read.parquet(s"$ixDir/postings").count()
+      }
+      require(graft.ops.InvertedIndex.segmentCount(spark, ixDir) == 1,
+        "expected 1 generation after compaction")
+      time("invidx search compacted") {
+        val post = graft.ops.InvertedIndex.search(spark, ixDir, ixTerms, 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        require(post.sameElements(pre),
+          "compaction broke search parity")
+        post.length.toLong
+      }
+    }
 
     // ---- DSIR importance selection (q161 shape): pool of [rows]  ----
     // ---- docs, every 10th speaks a PLANTED target dialect (token ----

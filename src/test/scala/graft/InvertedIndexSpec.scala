@@ -189,6 +189,36 @@ class InvertedIndexSpec extends SparkSpec {
       s"join order is not rarest-first:\n$plan")
   }
 
+  test("compact: generations collapse to one, results bit-equal, lifecycle continues") {
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(corpus.take(2): _*), dir)
+    InvertedIndex.addBatch(spark, docs(corpus.slice(2, 4): _*), dir, 1L)
+    InvertedIndex.addBatch(spark, docs(corpus.drop(4): _*), dir, 2L)
+    assert(InvertedIndex.segmentCount(spark, dir) == 3)
+    def search() = InvertedIndex.search(spark, dir, Seq("spark", "query"), 10)
+      .collect().toSeq.map(_.toSeq)
+    def phrase() = InvertedIndex.phraseSearch(spark, dir, Seq("spark", "query"))
+      .collect().toSeq.map(_.toSeq)
+    def posts() = spark.read.parquet(s"$dir/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        concat_ws(",", col("positions").cast("array<string>")).as("p"))
+      .as[(String, Long, Long, Int, String)].collect().toSet
+    val (preS, preP, prePost) = (search(), phrase(), posts())
+    InvertedIndex.compact(spark, dir)
+    // one generation; postings rows, BM25 results, and the positional
+    // payload all bit-identical — compaction is a pure physical move
+    assert(InvertedIndex.segmentCount(spark, dir) == 1)
+    assert(posts() == prePost)
+    assert(search() == preS && phrase() == preP)
+    // the exactly-once high-water mark survives: a replay of batch 2
+    // is still a loud no-op, and the NEXT id still lands
+    assert(InvertedIndex.lastBatch(spark, dir) == 2L)
+    assert(!InvertedIndex.addBatch(spark, docs(corpus.drop(4): _*), dir, 2L))
+    assert(InvertedIndex.addBatch(spark, docs(6L -> "spark anew"), dir, 3L))
+    assert(InvertedIndex.segmentCount(spark, dir) == 2)
+    assert(search().map(_.head).contains(6L))
+  }
+
   test("proximity search: sort-based min pair distance boosts BM25 exactly") {
     val dir = tmp()
     InvertedIndex.build(spark, docs(
