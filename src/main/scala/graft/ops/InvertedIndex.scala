@@ -168,6 +168,22 @@ object InvertedIndex {
     Load.atomicSwap(spark, staging, postingsDir)
   }
 
+  /** The compaction POLICY hook a maintenance runner calls after each
+    * append: compact when the tree holds more than `maxSegments`
+    * generations, else no-op. Returns true when a compaction ran.
+    * Idempotent under streaming replays — a replayed micro-batch that
+    * re-evaluates the policy either finds the already-compacted tree
+    * (no-op) or compacts again (pure physical move, same result), and
+    * a crash mid-compaction heals through [[segmentCount]]'s
+    * recoverSwap on the next call.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+                      maxSegments: Int): Boolean = {
+    require(maxSegments >= 1, "maxSegments must be at least 1")
+    if (segmentCount(spark, dir) > maxSegments) { compact(spark, dir); true }
+    else false
+  }
+
   /** Exact phrase lookup over the persisted positional index:
     * (doc_id, n_matches) for documents containing `phrase`'s words
     * consecutively, n_matches = number of start positions. The

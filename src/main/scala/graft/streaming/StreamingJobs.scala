@@ -439,7 +439,9 @@ object StreamingJobs {
     */
   def runInvertedIndexAvailableNow(spark: SparkSession, srcDir: String,
                                    indexDir: String,
-                                   checkpointDir: String): StreamingQuery = {
+                                   checkpointDir: String,
+                                   maxSegments: Option[Int] = None)
+      : StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
@@ -467,6 +469,11 @@ object StreamingJobs {
               Seq(ckptId).toDF("__ckpt_id"), ckptDir)
         }
         graft.ops.InvertedIndex.addBatch(s, batch, indexDir, 1L + batchId)
+        // auto-compaction policy: runs AFTER the exactly-once append
+        // (a replayed batch no-ops above, then the policy re-evaluates
+        // — compaction is a pure physical move, so replays are safe)
+        maxSegments.foreach(
+          graft.ops.InvertedIndex.compactIfNeeded(s, indexDir, _))
         ()
       }
       .start()

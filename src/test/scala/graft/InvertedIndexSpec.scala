@@ -217,6 +217,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.addBatch(spark, docs(6L -> "spark anew"), dir, 3L))
     assert(InvertedIndex.segmentCount(spark, dir) == 2)
     assert(search().map(_.head).contains(6L))
+    // the policy hook: at/below the threshold it must not touch the
+    // tree; above it, it compacts
+    assert(!InvertedIndex.compactIfNeeded(spark, dir, maxSegments = 2))
+    assert(InvertedIndex.segmentCount(spark, dir) == 2)
+    assert(InvertedIndex.compactIfNeeded(spark, dir, maxSegments = 1))
+    assert(InvertedIndex.segmentCount(spark, dir) == 1)
+  }
+
+  test("streaming runner auto-compacts past maxSegments, results unchanged") {
+    val src = Files.createTempDirectory("invidx_src").toString
+    val (dir, ckpt) = (tmp(), Files.createTempDirectory("invidx_ck").toString)
+    InvertedIndex.build(spark, docs(corpus.take(2): _*), dir)
+    corpus.drop(2).grouped(1).foreach { w =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    graft.streaming.StreamingJobs
+      .runInvertedIndexAvailableNow(spark, src, dir, ckpt,
+        maxSegments = Some(1))
+      .awaitTermination()
+    // every appended generation was folded away behind the policy
+    assert(InvertedIndex.segmentCount(spark, dir) == 1)
+    val scratch = tmp()
+    InvertedIndex.build(spark, docs(corpus: _*), scratch)
+    def search(d: String) = InvertedIndex
+      .search(spark, d, Seq("spark", "query"), 10)
+      .collect().toSeq.map(_.toSeq)
+    assert(search(dir) == search(scratch) && search(dir).nonEmpty)
   }
 
   test("proximity search: sort-based min pair distance boosts BM25 exactly") {
