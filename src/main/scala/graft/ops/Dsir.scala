@@ -144,14 +144,20 @@ object Dsir {
   }
 
   /** Derive and persist the model from (batch) bucket counts plus an
-    * optional base count table. Totals are re-derived from the merged
-    * counts (never trusted from meta), so a crash between the model
-    * and meta writes cannot leave totals that disagree with the
-    * persisted counts. The dir/model swap happens FIRST and is the
-    * only write that consumes the base-table lineage — replaceTable
-    * stages next to the target and swaps after the staging write
-    * completes, so the read-own-target hazard never arises (the NB
-    * write-order lesson).
+    * optional base count table. The merged dense counts are EXACTLY
+    * `buckets` rows, so they are collected ONCE (the model IS the
+    * driver-sized artifact — [[score]] already collects it) and the
+    * totals + log-ratios derive on the driver: one corpus-scale job,
+    * no cache (a cache-rebuild failure at 100M docs surfaced as a
+    * Spark-internal NPE in CachedRDDBuilder's error path that masked
+    * the real fault), and the persisted writes have NO lineage over
+    * the base table — a recompute during the dir/model swap is
+    * structurally impossible, not just ordered away (the NB
+    * write-order lesson, strengthened). The log-ratio replicates the
+    * engine formula bit-exactly: Double division, `math.log`, and
+    * HALF_UP rounding at 1e6 via BigDecimal — the same ladder
+    * Spark's `round((log(a)-log(b))*1e6, 0)` executes — so models
+    * written before and after this change are byte-identical.
     */
   private def fitFromCounts(spark: SparkSession, batchT: DataFrame,
                             batchR: DataFrame,
@@ -168,21 +174,28 @@ object Dsir {
       .select(col("bucket"),
         (col("cnt_target") + coalesce(col("bt"), lit(0L))).as("cnt_target"),
         (col("cnt_raw") + coalesce(col("br"), lit(0L))).as("cnt_raw"))
-      .cache()
-    val t = dense.agg(sum(col("cnt_target")), sum(col("cnt_raw"))).head()
-    val (totT, totR) = (t.getLong(0), t.getLong(1))
-    val model = dense.select(col("bucket"), col("cnt_target"), col("cnt_raw"),
-      round((log((col("cnt_target") + 1) / (lit(totT) + lit(buckets))) -
-             log((col("cnt_raw") + 1) / (lit(totR) + lit(buckets)))) * 1e6, 0)
-        .cast(LongType).as("lr_micro"))
-    Load.replaceTable(spark, model, s"$dir/model")
+      .collect()                       // exactly `buckets` rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(dense.length == buckets,
+      s"Dsir: merged counts have ${dense.length} rows, expected $buckets")
+    val totT = dense.iterator.map(_._2).sum
+    val totR = dense.iterator.map(_._3).sum
+    def lrMicro(ct: Long, cr: Long): Long = {
+      val x = (math.log((ct + 1).toDouble / (totT + buckets).toDouble) -
+        math.log((cr + 1).toDouble / (totR + buckets).toDouble)) * 1e6
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
     import spark.implicits._
+    Load.replaceTable(spark,
+      dense.toSeq.map { case (b, ct, cr) => (b, ct, cr, lrMicro(ct, cr)) }
+        .toDF("bucket", "cnt_target", "cnt_raw", "lr_micro"),
+      s"$dir/model")
     Load.replaceTable(spark,
       Seq((totT, totR, buckets.toLong, if (fast) "xxhash64" else "md5"))
         .toDF("tot_target", "tot_raw", "buckets", "hash"),
       s"$dir/meta")
-    dense.unpersist()
-    ()
   }
 
   /** Score a (…, text) frame against the persisted model: adds
