@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Load
+import graft.ops.Relational.eager
+
+/** Incremental corpus-build warehouse — the INGEST twin of the q162
+  * end-to-end flagship. The flagship trains and selects over the whole
+  * crawl every run; a production pipeline does that ONCE (bootstrap)
+  * and then folds each new crawl batch through apply-only stages at
+  * O(batch): no model retrain, no corpus window, no corpus shuffle.
+  * This is the corpus-level member of the incremental warehouse family
+  * (signature index q136, IVF q148, inverted index q157, NB/DSIR model
+  * `extend`).
+  *
+  * Layout under `dir`:
+  *  - `mapping/`, `nb/`, `dsir/`, `merges/` — the persisted model
+  *    artifacts, trained at bootstrap and FROZEN: ingest only applies
+  *    them (model refresh is a separate governance decision — fold new
+  *    labels via NaiveBayes.extend / Dsir.extend and re-baseline).
+  *  - `corpus/batch=I/` — the packed training rows each batch landed.
+  *  - `urls/batch=I/` — the canonical-URL seen set, grown per batch.
+  *  - `state/` — one row per source (source, lr_min_micro, tok_hwm,
+  *    last_batch): the DSIR admission threshold frozen at bootstrap,
+  *    the per-source token high-water mark the packer continues from,
+  *    and the replay guard. ONE table, swapped atomically, so the
+  *    guard and the folds can never disagree.
+  *
+  * Ingest stages, each O(batch):
+  *  1. in-batch canonical-URL dedup (one window over the BATCH);
+  *  2. seen-set rejection with ZERO corpus shuffle: the stored URL
+  *     column is SCANNED once against a broadcast of the batch's
+  *     URLs (left-semi, batch side broadcast), and the resulting
+  *     ≤|batch| hits anti-join back — the corpus-sized side never
+  *     moves, which is what survives a 100 TB seen set;
+  *  3. HTML extract + mojibake repair (zero-shuffle codegen ladder);
+  *  4. NB quality gate — persisted weights, zero-exchange scoring;
+  *  5. DSIR admission by the per-source threshold RECORDED at
+  *     bootstrap (min selected lr per source) — a broadcast join plus
+  *     a filter, where the flagship needed a per-source window over
+  *     the corpus; sources unseen at bootstrap admit at the global
+  *     minimum threshold;
+  *  6. BPE encode with the persisted merges and pack CONTINUING from
+  *     the per-source token high-water mark — new sequences extend
+  *     the corpus stream exactly where batch I−1 left it, without
+  *     re-reading a single historical row.
+  *
+  * Exactly-once under replays, the InvertedIndex contract: corpus and
+  * urls dynamic-overwrite ONLY their own `batch=I` subtree (a replay
+  * rewrites identical files — idempotent by path), and the state fold
+  * lands LAST behind the `last_batch` guard in one atomic swap. A
+  * crash at any point heals on replay; a replayed id is a loud no-op
+  * returning false.
+  *
+  * Cross-engine exactness: every persisted number is an integer
+  * micro-unit or a count; the DuckDB oracle replays an entire ingest
+  * from the persisted artifacts (models, seen set, batch-0 corpus).
+  */
+object CorpusIngest {
+
+  /** Crawl schema this warehouse ingests: the caller supplies
+    * `canon_url` (URL normalization policy is upstream's —
+    * `TextQueries.canonicalizeUrl` is the catalog's) plus the raw
+    * page.
+    */
+  private val CrawlCols =
+    Seq("doc_id", "source", "lang", "canon_url", "html")
+
+  /** Keep one doc per canonical URL within a frame (smallest doc_id
+    * wins — deterministic and replayable).
+    */
+  private def dedupByUrl(crawl: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+    crawl.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** HTML → clean text for the downstream gates. */
+  private def toPool(crawl: DataFrame,
+                     mapping: Seq[(String, String)]): DataFrame =
+    crawl.select(col("doc_id"), col("source"), col("lang"),
+      col("canon_url"),
+      Mojibake.repair(HtmlText.extractText(col("html")), mapping)
+        .as("text"))
+
+  /** BPE-encode `selected` and pack into `seqLen`-token sequences,
+    * continuing each source's token stream from `hwm` (source,
+    * tok_hwm) — empty for the bootstrap. One per-source window over
+    * the SELECTED rows only.
+    */
+  private def pack(selected: DataFrame, lex: DataFrame,
+                   merges: Seq[(String, String)], hwm: DataFrame,
+                   seqLen: Int): DataFrame = {
+    val toks = Bpe.encode(selected.select(col("doc_id"), col("text")),
+        lex, merges)
+      .select(col("doc_id"), col("n_tokens"))
+    val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    selected.drop("text").join(toks, Seq("doc_id"))
+      .join(broadcast(hwm), Seq("source"), "left")
+      .withColumn("tok_before",
+        coalesce(col("tok_hwm"), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
+      .drop("tok_hwm")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("margin_micro"), col("lr_micro"), col("n_tokens"),
+        col("tok_before"),
+        expr(s"tok_before div $seqLen").as("start_seq"),
+        expr(s"(tok_before + n_tokens - 1) div $seqLen").as("end_seq"))
+  }
+
+  private def writeBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(path)
+
+  /** The replay high-water mark; -1 when no warehouse exists. */
+  def lastBatch(spark: SparkSession, dir: String): Long =
+    Load.readTable(spark, s"$dir/state")
+      .map(_.select(max(col("last_batch"))).head().getLong(0))
+      .getOrElse(-1L)
+
+  /** Bootstrap the warehouse from an initial crawl (overwrites `dir`;
+    * the crawl lands as batch 0). Trains and persists every model the
+    * ingest path applies: NB gate on `nbLabel` over the `nbSplit`
+    * rows, DSIR on `dsirTarget` vs the gated pool keeping the top
+    * `selectPct` percent per source (whose per-source minimum selected
+    * lr becomes the FROZEN ingest admission threshold), and `bpeMerges`
+    * BPE merges on the selected corpus.
+    */
+  def bootstrap(spark: SparkSession, crawl: DataFrame, dir: String,
+                nbLabel: Column, nbSplit: Column, dsirTarget: Column,
+                selectPct: Int, nbVocabCap: Int = 256,
+                dsirBuckets: Int = 512, bpeMerges: Int = 16,
+                seqLen: Int = 2048): Long = {
+    require(crawl.columns.toSeq == CrawlCols,
+      s"bootstrap crawl must be $CrawlCols, got ${crawl.columns.toSeq}")
+    Mojibake.saveMapping(spark, s"$dir/mapping")
+    val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
+    val keep = eager(dedupByUrl(crawl))
+    val pool = eager(toPool(keep, mapping))
+    NaiveBayes.train(spark,
+      pool.filter(nbSplit).select(col("text"), nbLabel.as("label")),
+      s"$dir/nb", nbVocabCap)
+    val gated = eager(NaiveBayes.score(spark, pool, s"$dir/nb")
+      .filter(col("pred_pos"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("margin_micro")))
+    Dsir.train(spark, gated.filter(dsirTarget).select(col("text")),
+      gated.select(col("text")), s"$dir/dsir", dsirBuckets)
+    val selected = eager(Dsir.selectTop(
+        Dsir.score(spark, gated, s"$dir/dsir"), "source", "doc_id",
+        selectPct)
+      .filter(col("is_selected"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("margin_micro"), col("lr_micro")))
+    val merges = Bpe.train(spark, selected, numMerges = bpeMerges)
+    Bpe.saveMerges(spark, merges, s"$dir/merges")
+    val ranked = Bpe.loadMerges(spark, s"$dir/merges")
+    val lex = Bpe.lexicon(Bpe.wordCounts(selected).select(col("word")),
+      ranked)
+    val hwm0 = spark.emptyDataFrame
+      .select(lit("").as("source"), lit(0L).as("tok_hwm"))
+    val packed = eager(pack(selected, lex, ranked, hwm0, seqLen))
+    writeBatch(packed, s"$dir/corpus", 0L)
+    writeBatch(keep.select(col("canon_url")), s"$dir/urls", 0L)
+    // per-source admission threshold = min selected lr (what the
+    // flagship's top-pct window admitted); hwm = the packed stream end
+    val n = Load.replaceTable(spark,
+      packed.groupBy(col("source")).agg(
+          min(col("lr_micro")).as("lr_min_micro"),
+          sum(col("n_tokens")).as("tok_hwm"))
+        .withColumn("last_batch", lit(0L)),
+      s"$dir/state")
+    Seq(keep, pool, gated, selected, packed).foreach(_.unpersist())
+    n
+  }
+
+  /** Fold a crawl batch under a caller-supplied contiguous id ≥ 1.
+    * Returns false (loud no-op) for a replayed id. See the object doc
+    * for the stage list and the exactly-once contract.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame, dir: String,
+             batchId: Long, seqLen: Int = 2048): Boolean = {
+    require(batchId >= 1, "batch ids start at 1 (0 is the bootstrap)")
+    require(batch.columns.toSeq == CrawlCols,
+      s"ingest batch must be $CrawlCols, got ${batch.columns.toSeq}")
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"CorpusIngest.ingest: no warehouse at $dir")
+    if (batchId <= last) return false
+    require(batchId == last + 1,
+      s"batch $batchId arrived over high-water mark $last — ids must " +
+        "be contiguous or the skipped batch would silently never land")
+    val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
+    // state rides as DRIVER rows (bounded by #sources, the centroid
+    // pattern) and re-enters the plan as literal frames: no stage of
+    // the batch pipeline may carry dir/state lineage, or the state
+    // swap below could recompute it mid-write
+    val stateRows: Map[String, (Long, Long)] =
+      Load.readTable(spark, s"$dir/state").get.collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("lr_min_micro"), r.getAs[Long]("tok_hwm"))))
+        .toMap
+    val globalMin = stateRows.values.map(_._1).min
+    import spark.implicits._
+    val stateDf = stateRows.toSeq
+      .map { case (src, (lr, hwm)) => (src, lr, hwm) }
+      .toDF("source", "lr_min_micro", "tok_hwm")
+
+    // 1–2: in-batch dedup, then seen-set rejection scanning (never
+    // shuffling) the stored URL column
+    val keep0 = eager(dedupByUrl(batch))
+    val batchUrls = keep0.select(col("canon_url"))
+    val seen = spark.read.parquet(s"$dir/urls")
+      .join(broadcast(batchUrls), Seq("canon_url"), "left_semi")
+      .select(col("canon_url")).distinct()
+    val fresh = eager(
+      keep0.join(broadcast(seen), Seq("canon_url"), "left_anti"))
+
+    // 3–4: extract + repair, NB gate (persisted model, zero exchanges)
+    val pool = toPool(fresh, mapping)
+    val gated = NaiveBayes.score(spark, pool, s"$dir/nb")
+      .filter(col("pred_pos"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("margin_micro"))
+
+    // 5: DSIR admission at the bootstrap-frozen per-source threshold
+    val thr = broadcast(stateDf.select(col("source"), col("lr_min_micro")))
+    val selected = eager(Dsir.score(spark, gated, s"$dir/dsir")
+      .withColumnRenamed("lr_micro", "__lr")
+      .join(thr, Seq("source"), "left")
+      .filter(col("__lr") >= coalesce(col("lr_min_micro"),
+        lit(globalMin)))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("margin_micro"), col("__lr").as("lr_micro")))
+
+    // 6: encode with the persisted merges, pack from the per-source
+    // token high-water mark
+    val ranked = Bpe.loadMerges(spark, s"$dir/merges")
+    val lex = Bpe.lexicon(Bpe.wordCounts(selected).select(col("word")),
+      ranked)
+    val packed = eager(pack(selected, lex, ranked,
+      stateDf.select(col("source"), col("tok_hwm")), seqLen))
+
+    // per-source batch token sums, collected BEFORE the urls write:
+    // the packed cache's lineage reads dir/urls through the seen-set
+    // anti-join, and Spark's write-triggered recache re-evaluates
+    // such plans against the JUST-GROWN seen set — a post-write fold
+    // reading `packed` would recompute the batch as fully-seen and
+    // silently advance nothing (caught by CorpusIngestSpec)
+    val batchToks: Map[String, Long] = packed.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    writeBatch(packed, s"$dir/corpus", batchId)
+    writeBatch(fresh.select(col("canon_url")), s"$dir/urls", batchId)
+    // state fold LAST, one atomic swap built from driver rows alone:
+    // thresholds frozen, hwm advances, sources first seen this batch
+    // record the global-min threshold they were admitted under
+    val folded = (stateRows.keySet ++ batchToks.keySet).toSeq.sorted
+      .map { src =>
+        val (lr, hwm) = stateRows.getOrElse(src, (globalMin, 0L))
+        (src, lr, hwm + batchToks.getOrElse(src, 0L), batchId)
+      }
+    Load.replaceTable(spark,
+      folded.toDF("source", "lr_min_micro", "tok_hwm", "last_batch"),
+      s"$dir/state")
+    Seq(keep0, fresh, selected, packed).foreach(_.unpersist())
+    true
+  }
+}

@@ -401,6 +401,216 @@ object PipelineQueries {
       FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
       ORDER BY o_orderkey"""))
 
+  /** Planted crawl record for q168, shared by bootstrap and batch:
+    * url-duplicate keys + per-doc mojibake damage derived from the
+    * SAME code in both engines. The url is messy (trailing slash, utm
+    * param, fragment) but canonicalizes to the CLOSED FORM
+    * `https://www.example{kk%7}.com/page/{kk}?id={kk}` — the oracle
+    * constructs that form directly, so the hash compare additionally
+    * pins canonicalizeUrl's output exactly. Duplicate rules: doc_id %
+    * 20 == 7 shares kk with doc_id-4 (BOTH %4==3 — an in-batch dup);
+    * doc_id % 10 == 9 shares kk with doc_id-1 (for %4==3 docs the
+    * partner is %4==2 — a bootstrap collision the seen set rejects).
+    */
+  private val Q168MojiPlants: Seq[String] = {
+    val m = graft.ops.Mojibake
+    Seq(s"caf${m.mojibakeOf(0xE9)} menu du mus${m.mojibakeOf(0xE9)}e",
+      s"${m.mojibakeOf(0x201C)}quoted${m.mojibakeOf(0x201D)} text")
+  }
+
+  private def q168Crawl(docs: DataFrame): DataFrame = {
+    val kk = when(col("doc_id") % 20 === 7, col("doc_id") - 4)
+      .when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val url = concat(lit("https://www.example"), kk % 7,
+      lit(".com/page/"), kk,
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), kk,
+      when(col("doc_id") % 2 === 0, lit("&utm_source=x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit("#f"), col("doc_id")))
+        .otherwise(lit("")))
+    val plant = when(col("doc_id") % 2 === 0, lit(Q168MojiPlants(0)))
+      .otherwise(lit(Q168MojiPlants(1)))
+    // the title deliberately carries NO doc_id: extracted numerals
+    // would act as per-doc id-memorization features in the NB vocab
+    // (each id appears once with one label and a huge weight), which
+    // crowds real language tokens out of the capped vocab and scores
+    // every UNSEEN id negative — the classic train/serve leak this
+    // fixture must not have
+    val html = concat(
+      lit("<html><head><title>Corpus page"),
+      lit("</title><script>track();</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a></nav><p>"),
+      col("text"), lit(" "), plant,
+      lit("</p><footer><a href=\"/t\">Terms</a></footer></body></html>"))
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      TextQueries.canonicalizeUrl(url).as("canon_url"), html.as("html"))
+  }
+
+  val q168IncrementalCorpus = Q("q168_incremental_corpus",
+    // INCREMENTAL corpus ingest (ops/CorpusIngest) — the O(batch)
+    // production twin of the q162 end-to-end flagship: bootstrap on
+    // 3/4 of the crawl trains + persists every model and records the
+    // per-source DSIR admission thresholds and token high-water
+    // marks; the remaining 1/4 then folds through APPLY-ONLY stages —
+    // in-batch url dedup, seen-set rejection (broadcast-probe against
+    // the stored URL column, zero corpus shuffle), HTML extract +
+    // mojibake repair, NB gate and DSIR threshold admission under the
+    // frozen models, BPE encode with the persisted merges, and
+    // sequence packing that CONTINUES each source's token stream from
+    // the bootstrap high-water mark. Exactly-once: the replayed
+    // batch id is asserted a no-op in-run. The oracle replays the
+    // ENTIRE ingest in DuckDB from the persisted artifacts alone
+    // (models, urls/batch=0 seen set, corpus/batch=0 for thresholds
+    // and high-water marks) and the query returns the batch=1 rows
+    // READ BACK from the warehouse — so what's compared is the
+    // persisted state itself.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_corpus/q168"
+      val docs = graft.tables.Tables.documents(s, d)
+      graft.ops.CorpusIngest.bootstrap(s,
+        q168Crawl(docs.filter(col("doc_id") % 4 =!= 3)), wh,
+        nbLabel = col("lang") === "en",
+        nbSplit = col("doc_id") % 3 =!= 0,
+        dsirTarget = col("lang") === "en",
+        selectPct = 50)
+      val batch = q168Crawl(docs.filter(col("doc_id") % 4 === 3))
+      require(graft.ops.CorpusIngest.ingest(s, batch, wh, 1L),
+        "first ingest of batch 1 must land")
+      require(!graft.ops.CorpusIngest.ingest(s, batch, wh, 1L),
+        "replayed batch id must be a loud no-op")
+      val landed = s.read.parquet(s"$wh/corpus")
+        .filter(col("batch") === 1).count()
+      require(landed > 0,
+        "batch 1 landed zero rows — the gate fixture went vacuous")
+      s.read.parquet(s"$wh/corpus").filter(col("batch") === 1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("margin_micro"), col("lr_micro"), col("n_tokens"),
+          col("tok_before"), col("start_seq"), col("end_seq"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""WITH RECURSIVE
+        mm AS (SELECT rank, moji, fixed FROM read_parquet(
+          '/root/repo/target/graft_corpus/q168/mapping/*.parquet')),
+        nw AS (SELECT token, weight_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q168/nb/weights/*.parquet')),
+        nm AS (SELECT prior_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q168/nb/meta/*.parquet')),
+        dm AS (SELECT bucket, lr_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q168/dsir/model/*.parquet')),
+        bm AS (SELECT rank, left_sym, right_sym FROM read_parquet(
+          '/root/repo/target/graft_corpus/q168/merges/*.parquet')),
+        u0 AS (SELECT canon_url FROM read_parquet(
+          '/root/repo/target/graft_corpus/q168/urls/batch=0/*.parquet')),
+        c0 AS (SELECT source, min(lr_micro) AS thr,
+            sum(n_tokens) AS hwm
+          FROM read_parquet(
+            '/root/repo/target/graft_corpus/q168/corpus/batch=0/*.parquet')
+          GROUP BY source),
+        gmin AS (SELECT min(thr) AS g FROM c0),
+        base AS (SELECT doc_id, source, lang, text,
+            CASE WHEN doc_id % 20 = 7 THEN doc_id - 4
+              WHEN doc_id % 10 = 9 THEN doc_id - 1
+              ELSE doc_id END AS kk
+          FROM documents WHERE doc_id % 4 = 3),
+        b2 AS (SELECT doc_id, source, lang,
+          'https://www.example' || (kk % 7) || '.com/page/' || kk
+            || '?id=' || kk AS canon_url,
+          '<html><head><title>Corpus page'
+          || '</title><script>track();</script></head><body>'
+          || '<nav><a href="/">Home</a></nav><p>'
+          || text || ' '
+          || (CASE WHEN doc_id % 2 = 0 THEN '${Q168MojiPlants(0)}'
+              ELSE '${Q168MojiPlants(1)}' END)
+          || '</p><footer><a href="/t">Terms</a></footer></body></html>'
+          AS h FROM base),
+        keepd AS (SELECT doc_id, source, lang, canon_url, h
+          FROM (SELECT *, row_number() OVER (PARTITION BY canon_url
+              ORDER BY doc_id) AS rn FROM b2) WHERE rn = 1),
+        freshd AS (SELECT k.* FROM keepd k
+          WHERE NOT EXISTS (SELECT 1 FROM u0
+            WHERE u0.canon_url = k.canon_url)),
+        ext AS (SELECT doc_id, source, lang,
+          ${graft.ops.HtmlText.duckExtract("h")} AS raw_text FROM freshd),
+        rec(doc_id, s2, r) AS (
+          SELECT doc_id, raw_text, 0 FROM ext
+          UNION ALL
+          SELECT rec.doc_id, replace(rec.s2, mm.moji, mm.fixed), rec.r + 1
+          FROM rec JOIN mm ON mm.rank = rec.r + 1),
+        rep AS (SELECT e.doc_id, e.source, e.lang, rec.s2 AS text
+          FROM rec JOIN ext e USING (doc_id)
+          WHERE rec.r = (SELECT count(*) FROM mm)),
+        ntk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM rep),
+        ntf AS (SELECT doc_id, token FROM ntk WHERE length(token) > 0),
+        nj AS (SELECT ntf.doc_id, nw.weight_micro
+          FROM ntf LEFT JOIN nw USING (token)),
+        na AS (SELECT doc_id, coalesce(sum(weight_micro), 0) AS wsum
+          FROM nj GROUP BY doc_id),
+        gated AS (SELECT p.doc_id, p.source, p.lang, p.text,
+            CAST((SELECT prior_micro FROM nm) + coalesce(na.wsum, 0)
+              AS BIGINT) AS margin_micro
+          FROM rep p LEFT JOIN na USING (doc_id)
+          WHERE (SELECT prior_micro FROM nm) + coalesce(na.wsum, 0) > 0),
+        dt AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+          FROM gated),
+        dfeat AS (SELECT doc_id, list_concat(t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END) AS feats
+          FROM dt),
+        de AS (SELECT doc_id, unnest(feats) AS feat FROM dfeat),
+        db AS (SELECT doc_id,
+            CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 512
+              AS bucket
+          FROM de),
+        da AS (SELECT doc_id, sum(dm.lr_micro) AS wsum
+          FROM db JOIN dm USING (bucket) GROUP BY doc_id),
+        dscore AS (SELECT g.doc_id, g.source, g.lang, g.text,
+            g.margin_micro,
+            CAST(coalesce(da.wsum, 0) AS BIGINT) AS lr_micro
+          FROM gated g LEFT JOIN da USING (doc_id)),
+        sel AS (SELECT d.* FROM dscore d LEFT JOIN c0 USING (source)
+          WHERE d.lr_micro >= coalesce(c0.thr,
+            (SELECT g FROM gmin))),
+        bwords AS (SELECT DISTINCT word FROM (SELECT
+            unnest(string_split(text, ' ')) AS word FROM sel)
+          WHERE length(word) > 0),
+        seg(word, s, r) AS (
+          SELECT word,
+            '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ', 0
+          FROM bwords
+          UNION ALL
+          SELECT seg.word,
+            replace(seg.s, ' ' || bm.left_sym || '  ' || bm.right_sym || ' ',
+                           ' ' || bm.left_sym || bm.right_sym || ' '),
+            seg.r + 1
+          FROM seg JOIN bm ON bm.rank = seg.r + 1),
+        lex AS (SELECT word, string_split(trim(s), '  ') AS toks FROM seg
+          WHERE r = (SELECT count(*) FROM bm)),
+        bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM sel),
+        enc AS (SELECT b.doc_id, lex.toks FROM bw b
+          JOIN lex USING (word) WHERE length(b.word) > 0),
+        ba AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM enc GROUP BY doc_id),
+        bt AS (SELECT s2.doc_id, s2.source, s2.lang, s2.margin_micro,
+            s2.lr_micro, ba.n_tokens, coalesce(c0.hwm, 0) AS hwm
+          FROM sel s2 JOIN ba USING (doc_id)
+          LEFT JOIN c0 USING (source)),
+        bc AS (SELECT *, CAST(hwm + coalesce(sum(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_before FROM bt)
+      SELECT doc_id, source, lang, margin_micro, lr_micro, n_tokens,
+        tok_before,
+        CAST(tok_before // 2048 AS BIGINT) AS start_seq,
+        CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
+      FROM bc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
-    q111ScopedMerge, q114DayMerge, q118Retention)
+    q111ScopedMerge, q114DayMerge, q118Retention, q168IncrementalCorpus)
 }

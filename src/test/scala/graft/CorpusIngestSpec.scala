@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Load
+import graft.ops.CorpusIngest
+
+/** Incremental corpus warehouse: the O(batch) ingest contract —
+  * in-batch dedup, seen-set rejection, frozen-model gates, per-source
+  * packing continuation from the high-water mark, new-source admission
+  * at the global minimum threshold, and exactly-once replay semantics.
+  *
+  * The fixture is engineered for determinism: every "good" doc carries
+  * the SAME en text, so all good docs share one token count and (with
+  * DSIR target ≡ raw on the gated pool) one importance score of 0 —
+  * the admission threshold is exactly 0 and every arithmetic assertion
+  * below is closed-form.
+  */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Good = "alpha beta gamma delta epsilon"
+  private val Bad = "zork xult yarp qwop"
+
+  private def crawl(rows: Seq[(Long, String, String, String, Boolean)])
+      : DataFrame =
+    rows.toDF("doc_id", "source", "lang", "key", "good")
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat(lit("https://ex.com/"), col("key")).as("canon_url"),
+        concat(lit("<html><head><title>t</title></head><body><p>"),
+          when(col("good"), lit(Good)).otherwise(lit(Bad)),
+          lit("</p></body></html>")).as("html"))
+
+  private val bootCrawl = crawl(Seq(
+    (0L, "A", "en", "a0", true),
+    (1L, "A", "xx", "a1", false),
+    (2L, "A", "en", "a2", true),
+    (4L, "A", "en", "a4", true),
+    (6L, "B", "en", "b6", true),
+    (7L, "B", "xx", "b7", false),
+    (8L, "B", "en", "b8", true)))
+
+  private val batch = crawl(Seq(
+    (10L, "A", "en", "c10", true),  // unique fresh url -> lands
+    (11L, "A", "en", "a0", true),   // bootstrap url -> seen-rejected
+    (12L, "A", "en", "dup", true),  // in-batch pair: 12 kept,
+    (13L, "A", "en", "dup", true),  //                13 dropped
+    (14L, "A", "xx", "c14", false), // NB gate rejects
+    (15L, "N", "en", "n15", true))) // unseen source -> globalMin
+
+  private def boot(dir: String): Unit =
+    CorpusIngest.bootstrap(spark, bootCrawl, dir,
+      nbLabel = col("lang") === "en", nbSplit = lit(true),
+      dsirTarget = col("lang") === "en", selectPct = 100)
+
+  private def state(dir: String): Map[String, (Long, Long, Long)] =
+    Load.readTable(spark, s"$dir/state").get.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("lr_min_micro"), r.getAs[Long]("tok_hwm"),
+          r.getAs[Long]("last_batch")))).toMap
+
+  private def tmp() = Files.createTempDirectory("corpusingest").toString + "/w"
+
+  test("bootstrap gates, packs, and records thresholds + high-water marks") {
+    val dir = tmp()
+    boot(dir)
+    val c0 = spark.read.parquet(s"$dir/corpus").filter(col("batch") === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // NB gate keeps exactly the en docs; selectPct=100 keeps all gated
+    assert(c0.keySet == Set(0L, 2L, 4L, 6L, 8L))
+    // identical good text -> identical token counts; packing is the
+    // per-source running sum in doc_id order
+    val t = c0(0L).getAs[Long]("n_tokens")
+    assert(t > 0 && c0.values.forall(_.getAs[Long]("n_tokens") == t))
+    assert(c0(0L).getAs[Long]("tok_before") == 0)
+    assert(c0(2L).getAs[Long]("tok_before") == t)
+    assert(c0(4L).getAs[Long]("tok_before") == 2 * t)
+    assert(c0(6L).getAs[Long]("tok_before") == 0)
+    // target == raw on the gated pool -> every lr is exactly 0, so the
+    // frozen admission threshold is 0 for both sources
+    val s0 = state(dir)
+    assert(s0 == Map("A" -> ((0L, 3 * t, 0L)), "B" -> ((0L, 2 * t, 0L))))
+    // seen set carries every bootstrapped canonical url
+    val u0 = spark.read.parquet(s"$dir/urls")
+      .select(col("canon_url")).collect().map(_.getString(0)).toSet
+    assert(u0 == Set("a0", "a1", "a2", "a4", "b6", "b7", "b8")
+      .map("https://ex.com/" + _))
+  }
+
+  test("ingest folds a batch at O(batch): dedup, gates, continuation") {
+    val dir = tmp()
+    boot(dir)
+    val t = state(dir)("A")._2 / 3
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    val c1 = spark.read.parquet(s"$dir/corpus").filter(col("batch") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 11 seen-rejected, 13 in-batch loser, 14 NB-rejected
+    assert(c1.keySet == Set(10L, 12L, 15L))
+    // packing CONTINUES source A from the bootstrap high-water mark;
+    // the new source N starts at 0
+    assert(c1(10L).getAs[Long]("tok_before") == 3 * t)
+    assert(c1(12L).getAs[Long]("tok_before") == 4 * t)
+    assert(c1(15L).getAs[Long]("tok_before") == 0)
+    // state fold: A advanced by two docs, B untouched, N admitted at
+    // the global-minimum threshold with its own stream
+    assert(state(dir) == Map(
+      "A" -> ((0L, 5 * t, 1L)),
+      "B" -> ((0L, 2 * t, 1L)),
+      "N" -> ((0L, t, 1L))))
+    // the seen set grew by exactly the FRESH urls (gate-rejected docs
+    // included: a re-crawl of a known-bad url must not reprocess)
+    val u1 = spark.read.parquet(s"$dir/urls/batch=1")
+      .select(col("canon_url")).collect().map(_.getString(0)).toSet
+    assert(u1 == Set("c10", "dup", "c14", "n15").map("https://ex.com/" + _))
+  }
+
+  test("replays are loud no-ops and ids must stay contiguous") {
+    val dir = tmp()
+    boot(dir)
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    val before = state(dir)
+    assert(!CorpusIngest.ingest(spark, batch, dir, 1L))
+    assert(state(dir) == before)
+    val e = intercept[IllegalArgumentException](
+      CorpusIngest.ingest(spark, batch, dir, 3L))
+    assert(e.getMessage.contains("contiguous"))
+    assert(state(dir) == before)
+  }
+}
