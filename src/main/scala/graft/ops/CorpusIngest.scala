@@ -131,13 +131,16 @@ object CorpusIngest {
     * rows, DSIR on `dsirTarget` vs the gated pool keeping the top
     * `selectPct` percent per source (whose per-source minimum selected
     * lr becomes the FROZEN ingest admission threshold), and `bpeMerges`
-    * BPE merges on the selected corpus.
+    * BPE merges on the selected corpus. `dsirFast` trains the DSIR
+    * model under the xxhash64 production hash (scoring follows the
+    * hash kind recorded in the model, so every later ingest inherits
+    * it); leave false where a DuckDB oracle must replay the scores.
     */
   def bootstrap(spark: SparkSession, crawl: DataFrame, dir: String,
                 nbLabel: Column, nbSplit: Column, dsirTarget: Column,
                 selectPct: Int, nbVocabCap: Int = 256,
                 dsirBuckets: Int = 512, bpeMerges: Int = 16,
-                seqLen: Int = 2048): Long = {
+                seqLen: Int = 2048, dsirFast: Boolean = false): Long = {
     require(crawl.columns.toSeq == CrawlCols,
       s"bootstrap crawl must be $CrawlCols, got ${crawl.columns.toSeq}")
     Mojibake.saveMapping(spark, s"$dir/mapping")
@@ -152,7 +155,8 @@ object CorpusIngest {
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("margin_micro")))
     Dsir.train(spark, gated.filter(dsirTarget).select(col("text")),
-      gated.select(col("text")), s"$dir/dsir", dsirBuckets)
+      gated.select(col("text")), s"$dir/dsir", dsirBuckets,
+      fast = dsirFast)
     val selected = eager(Dsir.selectTop(
         Dsir.score(spark, gated, s"$dir/dsir"), "source", "doc_id",
         selectPct)

@@ -450,24 +450,7 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val ckptId = checkpointIdentity(s, checkpointDir)
-        val ckptDir = s"$indexDir/ckpt"
-        graft.etl.Load.readTable(s, ckptDir) match {
-          case Some(t) =>
-            val stored = t.head().getString(0)
-            require(stored == ckptId,
-              s"index at $indexDir was maintained under checkpoint " +
-                s"query $stored but this run's checkpoint at " +
-                s"$checkpointDir has query id $ckptId — a fresh " +
-                "checkpoint restarts batch ids and replays all source " +
-                "files, which the high-water guard would drop as " +
-                "replays. Restore the original checkpoint, or rebuild " +
-                "the index from scratch.")
-          case None =>
-            import s.implicits._
-            graft.etl.Load.replaceTable(s,
-              Seq(ckptId).toDF("__ckpt_id"), ckptDir)
-        }
+        guardCheckpointIdentity(s, checkpointDir, indexDir)
         graft.ops.InvertedIndex.addBatch(s, batch, indexDir, 1L + batchId)
         // auto-compaction policy: runs AFTER the exactly-once append
         // (a replayed batch no-ops above, then the policy re-evaluates
@@ -477,6 +460,73 @@ object StreamingJobs {
         ()
       }
       .start()
+  }
+
+  /** Streaming corpus-ingest maintainer — the AvailableNow twin of
+    * the q168 incremental warehouse ([[graft.ops.CorpusIngest]]): each
+    * micro-batch of crawl records (doc_id, source, lang, canon_url,
+    * html) folds through the apply-only ingest path under the models
+    * frozen at bootstrap. The warehouse must be bootstrapped first —
+    * batch 0 belongs to the bootstrap, so streaming ids map to
+    * 1 + batchId.
+    *
+    * Exactly-once: `CorpusIngest.ingest` is idempotent per id (corpus
+    * and urls dynamic-overwrite only their own `batch=` subtree; the
+    * state fold lands LAST behind the `last_batch` guard), so a
+    * replayed micro-batch after a crash heals any partial write and a
+    * fully-landed replay is a loud no-op. The checkpoint-identity
+    * guard refuses a FRESH checkpoint against an already-maintained
+    * warehouse — fresh checkpoints restart batch ids while replaying
+    * every source file, and the high-water guard would then silently
+    * drop that data as replays.
+    */
+  def runCorpusIngestAvailableNow(spark: SparkSession, srcDir: String,
+                                  warehouseDir: String,
+                                  checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        guardCheckpointIdentity(s, checkpointDir, warehouseDir)
+        graft.ops.CorpusIngest.ingest(s,
+          batch.select("doc_id", "source", "lang", "canon_url", "html"),
+          warehouseDir, 1L + batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** Pin the warehouse at `stateRoot` to the checkpoint lifetime that
+    * first maintained it (stored as a one-row table at
+    * `stateRoot/ckpt`); refuse any other checkpoint — a fresh one
+    * restarts batch ids while replaying every source file, which the
+    * warehouse's high-water guard would drop as replays.
+    */
+  private def guardCheckpointIdentity(s: SparkSession,
+                                      checkpointDir: String,
+                                      stateRoot: String): Unit = {
+    val ckptId = checkpointIdentity(s, checkpointDir)
+    val ckptDir = s"$stateRoot/ckpt"
+    graft.etl.Load.readTable(s, ckptDir) match {
+      case Some(t) =>
+        val stored = t.head().getString(0)
+        require(stored == ckptId,
+          s"warehouse at $stateRoot was maintained under checkpoint " +
+            s"query $stored but this run's checkpoint at " +
+            s"$checkpointDir has query id $ckptId — a fresh " +
+            "checkpoint restarts batch ids and replays all source " +
+            "files, which the high-water guard would drop as " +
+            "replays. Restore the original checkpoint, or rebuild " +
+            "the warehouse from scratch.")
+      case None =>
+        import s.implicits._
+        graft.etl.Load.replaceTable(s,
+          Seq(ckptId).toDF("__ckpt_id"), ckptDir)
+    }
   }
 
   /** The shared exactly-once fold harness of the incremental state

@@ -1191,6 +1191,84 @@ object Stress {
       }
     }
 
+    // ---- INCREMENTAL corpus ingest (q168 shape) at 1M pages:     ----
+    // ---- bootstrap trains + persists every model ONCE; a 10k-page----
+    // ---- batch then folds through the apply-only path (frozen    ----
+    // ---- models, broadcast seen-set probe, hwm-continued pack).  ----
+    // ---- The A/B is the incremental-warehouse contract: ingest   ----
+    // ---- must cost O(batch + seen-set scan), never a retrain —   ----
+    // ---- expect the bootstrap/ingest separation to grow with the ----
+    // ---- corpus. DSIR rides the xxhash64 production hash (no     ----
+    // ---- oracle at stress scale).                                ----
+    val ciLabels = Seq("corpus ingest bootstrap 1M", "corpus ingest 10k batch")
+    if (ciLabels.exists(wanted)) {
+      val ciRoot = s"$dir/stress_corpusingest"
+      val ciN = 1000000L
+      val moji = graft.ops.Mojibake
+      val ciPlant0 = s"caf${moji.mojibakeOf(0xE9)} pr${moji.mojibakeOf(0xE8)}s"
+      val ciPlant1 = s"${moji.mojibakeOf(0x201C)}quoted${moji.mojibakeOf(0x201D)}"
+      // crawl(lo,hi): ~10% in-frame url dups (id%10==9 pairs); batch
+      // frames additionally alias every 7th url back onto a BOOTSTRAP
+      // page (id%7==3 → kk %= ciN) so the seen set has real work
+      def ciCrawl(lo: Long, hi: Long) = {
+        val base = when(col("id") % 10 === 9, col("id") - 1)
+          .otherwise(col("id"))
+        val kk = when(lit(lo) > 0 && col("id") % 7 === 3, pmod(base, lit(ciN)))
+          .otherwise(base)
+        val text = concat_ws(" ", (0 until 20).map { j =>
+          concat(
+            when(col("id") % 3 === 0, lit("t")).otherwise(lit("r")),
+            pmod(hash(col("id") * 37L + lit(j)), lit(500)))
+        }: _*)
+        spark.range(lo, hi).select(
+          col("id").as("doc_id"),
+          concat(lit("src"), pmod(hash(col("id") * 17L), lit(20)))
+            .as("source"),
+          when(col("id") % 3 === 0, lit("en")).otherwise(lit("xx"))
+            .as("lang"),
+          graft.queries.TextQueries.canonicalizeUrl(
+            concat(lit("https://www.example"), kk % 7, lit(".com/page/"),
+              kk, lit("?id="), kk,
+              when(col("id") % 5 === 0, concat(lit("#f"), col("id")))
+                .otherwise(lit("")))).as("canon_url"),
+          concat(lit("<html><head><title>Doc"),
+            lit("</title><script>t();</script></head><body><nav><a href=\"/\">H</a></nav><p>"),
+            text, lit(" "),
+            when(col("id") % 2 === 0, lit(ciPlant0)).otherwise(lit(ciPlant1)),
+            lit("</p><footer><a href=\"/t\">T</a></footer></body></html>"))
+            .as("html"))
+      }
+      time("corpus ingest bootstrap 1M") {
+        graft.ops.CorpusIngest.bootstrap(spark, ciCrawl(0L, ciN), ciRoot,
+          nbLabel = col("lang") === "en",
+          nbSplit = col("doc_id") % 7 =!= 0,
+          dsirTarget = col("doc_id") % 11 === 0,
+          selectPct = 50, nbVocabCap = 512, dsirBuckets = 2048,
+          bpeMerges = 16, dsirFast = true)
+        spark.read.parquet(s"$ciRoot/corpus").count()
+      }
+      time("corpus ingest 10k batch") {
+        require(graft.ops.CorpusIngest.ingest(spark,
+          ciCrawl(ciN, ciN + 10000L), ciRoot, 1L), "batch 1 must land")
+        val landed = spark.read.parquet(s"$ciRoot/corpus")
+          .filter(col("batch") === 1)
+        val nLanded = landed.count()
+        require(nLanded > 0 && nLanded < 10000L / 3,
+          s"ingest admitted $nLanded of 10k — seen-set rejection, the " +
+            "NB gate, or the DSIR threshold went vacuous")
+        // hwm continuation: batch 1's first packed doc per source must
+        // start exactly at the bootstrap stream end
+        val cont = spark.read.parquet(s"$ciRoot/corpus")
+          .filter(col("batch") === 0)
+          .groupBy(col("source")).agg(sum(col("n_tokens")).as("hwm"))
+          .join(landed.groupBy(col("source"))
+            .agg(min(col("tok_before")).as("first_before")), Seq("source"))
+          .filter(col("first_before") =!= col("hwm")).count()
+        require(cont == 0, s"$cont sources broke hwm continuation")
+        nLanded
+      }
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)

@@ -117,6 +117,43 @@ class CorpusIngestSpec extends SparkSpec {
     assert(u1 == Set("c10", "dup", "c14", "n15").map("https://ex.com/" + _))
   }
 
+  test("streaming maintainer: waves land exactly-once, fresh checkpoint refused") {
+    val dir = tmp()
+    val src = Files.createTempDirectory("ci_src").toString
+    val ckpt = Files.createTempDirectory("ci_ckpt").toString
+    boot(dir)
+    val t = state(dir)("A")._2 / 3
+    def run(ck: String = ckpt): Unit = graft.streaming.StreamingJobs
+      .runCorpusIngestAvailableNow(spark, src, dir, ck).awaitTermination()
+    // wave 1 = the batch fixture -> warehouse batch 1, same folds as
+    // the direct-ingest test
+    batch.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(state(dir) == Map(
+      "A" -> ((0L, 5 * t, 1L)),
+      "B" -> ((0L, 2 * t, 1L)),
+      "N" -> ((0L, t, 1L))))
+    // restart with nothing new: a no-op
+    run()
+    assert(state(dir)("A") == ((0L, 5 * t, 1L)))
+    // wave 2: one fresh doc on A -> warehouse batch 2, hwm advances
+    crawl(Seq((20L, "A", "en", "w20", true)))
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(state(dir)("A") == ((0L, 6 * t, 2L)))
+    assert(spark.read.parquet(s"$dir/corpus").filter(col("batch") === 2)
+      .select(col("tok_before")).head().getLong(0) == 5 * t)
+    // a FRESH checkpoint against the maintained warehouse must refuse
+    crawl(Seq((21L, "A", "en", "w21", true)))
+      .coalesce(1).write.mode("append").parquet(src)
+    val ckpt2 = Files.createTempDirectory("ci_ckpt2").toString
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      run(ckpt2))
+    assert(err.getMessage.contains("checkpoint") ||
+      Option(err.getCause).exists(_.getMessage.contains("checkpoint")))
+    assert(state(dir)("A") == ((0L, 6 * t, 2L)))
+  }
+
   test("replays are loud no-ops and ids must stay contiguous") {
     val dir = tmp()
     boot(dir)
