@@ -358,4 +358,59 @@ object Scale {
     graft.etl.Load.atomicSwap(spark, staging, dir)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Contiguous 0-based global row numbers in `order` without the
+    * single-partition collapse: `row_number() OVER (ORDER BY …)` with
+    * no PARTITION BY plans EVERY row through one task (`Exchange
+    * SinglePartition` — the plan shape GlobalIndexSpec pins as the
+    * trap), which is a driver-shaped bottleneck at any real scale.
+    *
+    * Two-pass form instead: (1) a normal distributed range-partitioned
+    * sort; (2) one bounded counting job whose result — #partitions
+    * rows — prefix-sums into per-partition offsets on the driver;
+    * (3) a streaming per-partition index + offset. Pass 3 is genuine
+    * per-partition imperative logic (a window over
+    * spark_partition_id() would re-shuffle rows that are already
+    * perfectly placed), so it is one of the few mapPartitions in this
+    * codebase.
+    *
+    * The sorted frame is pinned with localCheckpoint BEFORE counting:
+    * repartitionByRange SAMPLES its boundaries, so two actions over an
+    * unpinned lineage could see DIFFERENT partitionings and silently
+    * desync the offsets from the data. localCheckpoint fails loudly if
+    * its blocks are lost — at cluster scale substitute a reliable
+    * checkpoint/parquet spill, never a best-effort cache.
+    *
+    * `order` must be a total order (include a unique tiebreaker) or
+    * numbering within ties is partition-placement-dependent.
+    */
+  def globalRowNumber(df: DataFrame, outCol: String,
+                      order: Column*): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val pinned = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = pinned.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = counts.keys.toSeq.sorted
+      .foldLeft(Map.empty[Int, Long] -> 0L) { case ((m, acc), pid) =>
+        (m + (pid -> acc), acc + counts(pid))
+      }._1
+    val bc = pinned.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      pinned.schema.fields.dropRight(1) :+
+        org.apache.spark.sql.types.StructField(outCol, LongType,
+          nullable = false))
+    pinned.mapPartitions { rows =>
+      var idx = -1L
+      rows.map { r =>
+        if (idx < 0) idx = bc.value(r.getInt(r.length - 1))
+        val out = Row.fromSeq(r.toSeq.init :+ idx)
+        idx += 1
+        out
+      }
+    }(Encoders.row(outSchema))
+  }
 }

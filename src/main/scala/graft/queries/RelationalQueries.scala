@@ -1006,6 +1006,27 @@ object RelationalQueries {
         FROM supplier WHERE s_suppkey % 2 = 1
       ORDER BY s_suppkey"""))
 
+  val q169GlobalRownum = Q("q169_global_rownum",
+    // contiguous 0-based global row numbers WITHOUT the single-
+    // partition window collapse (ops/Scale.globalRowNumber): a naive
+    // row_number() OVER (ORDER BY …) with no PARTITION BY plans every
+    // row through ONE task — Exchange SinglePartition, the classic
+    // 100 TB trap (GlobalIndexSpec pins both plan shapes). The
+    // two-pass form range-sorts normally, counts per partition (one
+    // bounded job, #partitions rows to the driver), and adds
+    // prefix-sum offsets to a streaming per-partition index. Ordered
+    // by (source, doc_id) — a composite total order whose doc_id
+    // tiebreaker makes the numbering engine-independent.
+    (s, d) => {
+      graft.ops.Scale.globalRowNumber(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "row_num", col("source"), col("doc_id"))
+        .orderBy(col("row_num"))
+    },
+    Some("""SELECT doc_id, source,
+        row_number() OVER (ORDER BY source, doc_id) - 1 AS row_num
+      FROM documents ORDER BY row_num"""))
+
   val q113SchemaDrift = Q("q113_schema_drift",
     // schema-DRIFT ingestion for the big-data path — the reference's
     // hostile-header ethos (S2-S6/N7) applied to parquet: one table
@@ -2199,5 +2220,5 @@ object RelationalQueries {
     q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
     q113SchemaDrift, q120JsonSource, q122XmlSource, q123LateralJoin,
     q125RecursiveCte, q126NullSafeJoin, q127ShuffleHashJoin,
-    q128CorruptJson, q129UnionByName)
+    q128CorruptJson, q129UnionByName, q169GlobalRownum)
 }

@@ -1199,11 +1199,15 @@ object Stress {
     // ---- must cost O(batch + seen-set scan), never a retrain —   ----
     // ---- expect the bootstrap/ingest separation to grow with the ----
     // ---- corpus. DSIR rides the xxhash64 production hash (no     ----
-    // ---- oracle at stress scale).                                ----
-    val ciLabels = Seq("corpus ingest bootstrap 1M", "corpus ingest 10k batch")
+    // ---- oracle at stress scale). Corpus size follows [rows]/10  ----
+    // ---- so the 1M/10M A/B pins the contract: ingest wall must   ----
+    // ---- stay ~flat while bootstrap grows linearly.              ----
+    val ciN = math.max(rows / 10, 1000000L)
+    val ciTag = s"${ciN / 1000000}M"
+    val ciLabels = Seq(s"corpus ingest bootstrap $ciTag",
+      "corpus ingest 10k batch")
     if (ciLabels.exists(wanted)) {
-      val ciRoot = s"$dir/stress_corpusingest"
-      val ciN = 1000000L
+      val ciRoot = s"$dir/stress_corpusingest_$ciTag"
       val moji = graft.ops.Mojibake
       val ciPlant0 = s"caf${moji.mojibakeOf(0xE9)} pr${moji.mojibakeOf(0xE8)}s"
       val ciPlant1 = s"${moji.mojibakeOf(0x201C)}quoted${moji.mojibakeOf(0x201D)}"
@@ -1238,7 +1242,7 @@ object Stress {
             lit("</p><footer><a href=\"/t\">T</a></footer></body></html>"))
             .as("html"))
       }
-      time("corpus ingest bootstrap 1M") {
+      time(s"corpus ingest bootstrap $ciTag") {
         graft.ops.CorpusIngest.bootstrap(spark, ciCrawl(0L, ciN), ciRoot,
           nbLabel = col("lang") === "en",
           nbSplit = col("doc_id") % 7 =!= 0,
@@ -1267,6 +1271,31 @@ object Stress {
         require(cont == 0, s"$cont sources broke hwm continuation")
         nLanded
       }
+    }
+
+    // ---- global row numbering A/B: the naive global window plans ----
+    // ---- EVERY row through one task (the trap — capped at 10M so ----
+    // ---- the single sorter survives); the two-pass form runs the ----
+    // ---- full [rows]. The sum-of-0..n-1 require proves the       ----
+    // ---- numbering is contiguous and exactly-once, not just fast.----
+    time(s"global rownum 2pass ${rows / 1000000}M") {
+      val rn = graft.ops.Scale.globalRowNumber(
+        t.select(col("event_id"), col("user_id")),
+        "rn", col("user_id"), col("event_id"))
+      val r = rn.agg(count(lit(1)), sum(col("rn"))).head()
+      require(r.getLong(0) == rows && r.getLong(1) == rows * (rows - 1) / 2,
+        s"two-pass numbering broke contiguity: $r")
+      rows
+    }
+    time("global rownum naive 10M") {
+      val n = math.min(rows, 10000000L)
+      val r = t.select(col("event_id"), col("user_id")).limit(n.toInt)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("user_id"), col("event_id"))) - 1)
+        .agg(count(lit(1)), sum(col("rn"))).head()
+      require(r.getLong(0) == n && r.getLong(1) == n * (n - 1) / 2,
+        s"naive numbering broke: $r")
+      n
     }
 
     time("LSH band cap, 100k near-dups") {
