@@ -140,14 +140,21 @@ object Pq {
     * before a cluster would bother). PqSpec pins the expression
     * bit-identical to [[assignCodes]].
     */
-  def encode(assigned: DataFrame, centDf: DataFrame,
-             codebook: DataFrame): DataFrame = {
-    val cbSeq: Seq[(Int, Int, Seq[Double])] = codebook
+  /** Bounded collect of a (sub, code_id, cw) codebook table — m·ks
+    * rows, the model itself — into the Seq form the fused expressions
+    * embed.
+    */
+  def collectCodebook(codebook: DataFrame): Seq[(Int, Int, Seq[Double])] =
+    codebook
       .select(col("sub"), col("code_id"), col("cw"))
-      .collect() // m·ks rows — the model itself, driver-sized
+      .collect()
       .map(r => (r.getInt(0), r.getInt(1),
         r.getAs[scala.collection.Seq[Double]]("cw").toSeq))
       .toSeq
+
+  def encode(assigned: DataFrame, centDf: DataFrame,
+             codebook: DataFrame): DataFrame = {
+    val cbSeq = collectCodebook(codebook)
     val res = zip_with(col("embedding"), col("ce"),
       (v, c) => v.cast(DoubleType) - c.cast(DoubleType))
     assigned
@@ -177,6 +184,68 @@ object Pq {
       .select(col("vec_id"), col("cluster_id"),
         zip_with(col("ce"), col("rq"),
           (c, r) => c.cast(DoubleType) + r).as("vhat"))
+
+  /** ADC-ready index: the PQ [[encode]] output plus the query-
+    * independent reconstruction norm ‖ĉ‖, computed by the fused
+    * [[graft.functions.PqReconNorm]] expression in one zero-shuffle
+    * pass (the only join is the broadcast centroid frame). Persist
+    * this beside the codes: at search time the coarse scan then never
+    * assembles a float vector — [[reconstruct]]'s explode → codebook
+    * join → groupBy re-assembly (a probed-set-sized shuffle per search
+    * batch) disappears entirely.
+    */
+  def adcIndex(index: DataFrame, centDf: DataFrame,
+               codebook: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    index
+      .join(broadcast(centDf.select(col("cluster_id"), col("ce"))),
+        Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("codes"),
+        graft.functions.PqAdc.pqReconNorm(col("ce"), col("codes"), codebook)
+          .as("vn"))
+
+  /** Per-probe ADC query state: the [[IvfPq.probeRoute]] output plus
+    * qc = dot(q, centroid) and the m·ks sub-dot LUT — ALL dim-length
+    * arithmetic of the coarse pass, hoisted onto the (nq·nprobe)-row
+    * probe frame. The LUT costs m·ks·dsub madds per probe row (≅ one
+    * scan of ks full vectors) and is reused across every indexed row
+    * of the probed cluster.
+    */
+  def probeLuts(probes: DataFrame, centDf: DataFrame,
+                codebook: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    probes
+      .join(broadcast(centDf.select(col("cluster_id"), col("ce"))),
+        Seq("cluster_id"))
+      .select(col("query_id"), col("qe"), col("qn"), col("cluster_id"),
+        vecDot(col("qe"), col("ce")).as("qc"),
+        graft.functions.PqAdc.pqLut(col("qe"), codebook).as("lut"))
+
+  /** ADC coarse pass (Jégou et al. 2011 §IV.A): score the codes
+    * directly — per indexed row, m primitive lookups
+    * ([[graft.functions.AdcSum]]) plus one divide:
+    * cos ≈ (qc + Σ_s lut[s·ks+code_s]) / (qn · vn). No explode, no
+    * reconstruction, no shuffle before the top-C window; the scan
+    * reads only (codes, vn) — the compressed payload the index paid
+    * for. Output shape matches [[coarseSearch]] → [[IvfPq.rerank]].
+    *
+    * The ADC association qc + Σ sd differs from the reconstruction
+    * form Σ_j q_j·ĉ_j only in floating-point rounding (PqAdcSpec pins
+    * 1e-9 agreement); the q170 oracle replays the ADC association
+    * bit-exactly.
+    */
+  def adcSearch(adcIdx: DataFrame, probeLut: DataFrame,
+                topC: Int): DataFrame = {
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    adcIdx.join(broadcast(probeLut), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        col("vec_id").as("neighbor_id"),
+        ((col("qc") + graft.functions.PqAdc.adcSum(col("codes"), col("lut")))
+          / (col("qn") * col("vn"))).as("approx"))
+      .withColumn("__cr", row_number().over(wCoarse))
+      .filter(col("__cr") <= topC)
+      .drop("__cr")
+  }
 
   /** Coarse pass over PQ reconstructions: cosine of query vs ĉ inside
     * probed clusters, top-`topC` per query — the float table is never

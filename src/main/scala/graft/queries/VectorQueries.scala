@@ -846,6 +846,141 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, coarse_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q170AdcSearch = Q("q170_adc_search",
+    // ADC — asymmetric distance computation (Jégou et al., TPAMI 2011
+    // §IV.A) — the search-side completion of q163's PQ index: instead
+    // of reconstructing ĉ = c + concat(codewords) for every probed
+    // vector (an explode ×m → codebook join → groupBy re-assembly —
+    // a probed-set-sized shuffle PER SEARCH, materializing 8·dim-byte
+    // floats from an index that exists to avoid them), the query
+    // precomputes dot(q, cw) for all m·ks codewords ONCE per probe
+    // (fused PqLut — ≅ the cost of scanning ks full vectors) and each
+    // indexed row then costs m primitive lookups (fused AdcSum):
+    // cos ≈ (dot(q,c) + Σ_s lut[s·ks+code_s]) / (qn · ‖ĉ‖). The
+    // query-independent ‖ĉ‖ is computed at BUILD time (fused
+    // PqReconNorm, zero shuffle) and stored beside the codes, as
+    // production IP/cosine PQ indexes do. The coarse scan therefore
+    // reads only (codes, vn) — no explode, no join arithmetic, no
+    // shuffle before the top-C window — and the exact re-rank over
+    // top-C recovers the true top-k as in q150/q163. Every fold is
+    // left-to-right in doubles, so the oracle replays the persisted
+    // centroid + codebook models (q141 rule) through the SAME ADC
+    // association bit-exactly.
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      graft.ops.VectorOps.saveCentroids(s,
+        graft.ops.VectorOps.kmeansFit(
+          e.select(col("vec_id"), col("embedding")), k = 16, iters = 2),
+        CentroidWh + "/q170")
+      val cents = graft.ops.VectorOps.loadCentroids(s, CentroidWh + "/q170")
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val assigned = graft.ops.VectorOps.assignClusters(
+          e.select(col("vec_id"), col("embedding")), cents)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      val sub = graft.ops.Pq.subResiduals(assigned, cdf, m = 8)
+      graft.etl.Load.replaceTable(s,
+        graft.ops.Pq.trainCodebooks(s, sub, ks = 16, iters = 2),
+        PqWh + "/q170")
+      val cbDf = graft.etl.Load.readTable(s, PqWh + "/q170").get
+      val cbSeq = graft.ops.Pq.collectCodebook(cbDf)
+      val adcIdx = graft.ops.Pq.adcIndex(
+        graft.ops.Pq.encode(assigned, cdf, cbDf), cdf, cbSeq)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcSearch(adcIdx, pl, topC = 10)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_centroids/q170/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_pq/q170/*.parquet')),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cluster_id,
+            list_transform(range(1, len(a.embedding) + 1),
+              k -> CAST(a.embedding[k] AS DOUBLE) - CAST(c.ce[k] AS DOUBLE))
+              AS res
+          FROM assigned a JOIN cents c ON c.cid = a.cluster_id),
+        subr AS (SELECT vec_id, cluster_id, s.sub,
+            res[s.sub * 8 + 1 : s.sub * 8 + 8] AS subres
+          FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+        enc AS (SELECT vec_id, cluster_id, sub, code_id FROM (
+            SELECT r.vec_id, r.cluster_id, r.sub, b.code_id,
+              row_number() OVER (PARTITION BY r.vec_id, r.sub ORDER BY
+                list_reduce(list_transform(range(1, len(r.subres) + 1),
+                  k -> (r.subres[k] - b.cw[k]) * (r.subres[k] - b.cw[k])),
+                  (x, y) -> x + y) ASC, b.code_id) AS rn
+            FROM subr r JOIN cb b USING (sub)) WHERE rn = 1),
+        rq AS (SELECT e2.vec_id, e2.cluster_id,
+            flatten(list(b.cw ORDER BY e2.sub)) AS rq
+          FROM enc e2 JOIN cb b
+            ON b.sub = e2.sub AND b.code_id = e2.code_id
+          GROUP BY e2.vec_id, e2.cluster_id),
+        vn AS (SELECT r.vec_id, r.cluster_id,
+            sqrt(list_reduce(list_transform(range(1, len(r.rq) + 1),
+              k -> (CAST(c.ce[k] AS DOUBLE) + r.rq[k])
+                 * (CAST(c.ce[k] AS DOUBLE) + r.rq[k])),
+              (x, y) -> x + y)) AS vn
+          FROM rq r JOIN cents c ON c.cid = r.cluster_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 5),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 4),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, e2.vec_id, e2.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[e2.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN enc e2 ON e2.cluster_id = p.cluster_id
+            AND e2.vec_id <> p.query_id
+          JOIN cb b ON b.sub = e2.sub AND b.code_id = e2.code_id),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN vn v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 10),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val q166HybridRrf = Q("q166_hybrid_rrf",
     // HYBRID retrieval fusion — the standard RAG serving shape: a
     // lexical BM25 list (q144's rational-idf conventions over
@@ -967,5 +1102,6 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
-    q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf)
+    q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
+    q170AdcSearch)
 }

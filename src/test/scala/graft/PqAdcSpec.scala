@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{IvfPq, Pq}
+
+/** ADC search (Pq.adcIndex / probeLuts / adcSearch + the fused PqLut /
+  * AdcSum / PqReconNorm expressions): LUT algebra against hand-computed
+  * sub-dots, the stored reconstruction norm bit-identical to the
+  * assembled-vector norm, ADC scores within 1e-9 of the reconstruction
+  * coarse scores (they differ only in floating-point association), the
+  * re-ranked top-k identical across both coarse paths, and the plan
+  * contrast that motivates ADC — the reconstruction pass shuffles to
+  * re-assemble vectors, the ADC pass scans codes straight into the
+  * top-C window.
+  */
+class PqAdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 2
+  private val dsub = 4
+
+  // dim-8 deterministic pseudo-random vectors, 2 fixed clusters
+  private def vecs(n: Int) = spark.range(n).select(
+    col("id").as("vec_id"),
+    transform(sequence(lit(0), lit(7)), j =>
+      (pmod(hash(col("id") * 13 + j), lit(1000)).cast(DoubleType) / 100.0)
+        .cast(FloatType)).as("embedding"))
+
+  private def cdf = Seq(
+    (0L, Array(1f, 2f, 0f, -1f, 3f, 0f, 1f, 2f)),
+    (1L, Array(4f, 0f, 2f, 1f, -2f, 1f, 0f, 3f)))
+    .toDF("cluster_id", "ce")
+    .withColumn("cn",
+      sqrt(graft.functions.VectorExpressions.vecDot(col("ce"), col("ce"))))
+
+  private def fixture(n: Int) = {
+    val assigned = vecs(n).withColumn("cluster_id", col("vec_id") % 2)
+    val sub = Pq.subResiduals(assigned, cdf, m)
+    val cbDf = Pq.trainCodebooks(spark, sub, ks = 4, iters = 1)
+    (assigned, cbDf, Pq.collectCodebook(cbDf))
+  }
+
+  test("PqLut entries are the per-subspace query·codeword dots; AdcSum folds them") {
+    val (_, cbDf, cbSeq) = fixture(64)
+    val qe = Array(0.5f, -1f, 2f, 0f, 1f, 1f, -0.5f, 3f)
+    val lut = Seq(Tuple1(qe)).toDF("qe")
+      .select(graft.functions.PqAdc.pqLut(col("qe"), cbSeq).as("lut"))
+      .as[Array[Double]].head()
+    val ks = cbSeq.map(_._2).max + 1
+    assert(lut.length == m * ks)
+    cbSeq.foreach { case (s, c, cw) =>
+      var expect = 0.0
+      (0 until dsub).foreach { k =>
+        expect += qe(s * dsub + k).toDouble * cw(k)
+      }
+      assert(lut(s * ks + c) == expect, s"lut($s,$c)")
+    }
+    val codes = Array(2, 1)
+    val got = Seq((codes, lut)).toDF("codes", "lut")
+      .select(graft.functions.PqAdc.adcSum(col("codes"), col("lut")))
+      .as[Double].head()
+    assert(got == lut(0 * ks + 2) + lut(1 * ks + 1))
+  }
+
+  test("stored vn is bit-identical to the assembled-reconstruction norm") {
+    val (assigned, cbDf, cbSeq) = fixture(128)
+    val index = Pq.encode(assigned, cdf, cbDf)
+    val vn = Pq.adcIndex(index, cdf, cbSeq)
+      .select(col("vec_id"), col("vn")).as[(Long, Double)].collect().toMap
+    val fromVhat = Pq.reconstruct(index, cbDf, cdf)
+      .select(col("vec_id"),
+        sqrt(graft.functions.VectorExpressions.vecDot(col("vhat"),
+          col("vhat"))).as("n"))
+      .as[(Long, Double)].collect().toMap
+    assert(vn.size == 128)
+    vn.foreach { case (id, n) =>
+      assert(n == fromVhat(id), s"vn($id) not bit-identical")
+    }
+  }
+
+  test("ADC scores match reconstruction cosines to 1e-9; re-ranked top-k identical") {
+    val (assigned, cbDf, cbSeq) = fixture(200)
+    val e = assigned.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.VectorExpressions.vecDot(col("embedding"),
+        col("embedding"))).as("nrm"))
+    val index = Pq.encode(assigned, cdf, cbDf)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val probes = IvfPq.probeRoute(q, cdf, nprobe = 2)
+    // topC = corpus so BOTH paths score every vector — the comparison
+    // is over the full probed set, not just the agreeing prefix
+    val adcCand = Pq.adcSearch(Pq.adcIndex(index, cdf, cbSeq),
+      Pq.probeLuts(probes, cdf, cbSeq), topC = 1000)
+    val reconCand = Pq.coarseSearch(Pq.reconstruct(index, cbDf, cdf),
+      probes, topC = 1000)
+    val a = adcCand.select(col("query_id"), col("neighbor_id"),
+      col("approx")).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val b = reconCand.select(col("query_id"), col("neighbor_id"),
+      col("approx")).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) =>
+      assert(math.abs(v - b(k)) <= 1e-9, s"score diverged at $k")
+    }
+    val topA = IvfPq.rerank(adcCand, e, topK = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val topB = IvfPq.rerank(reconCand, e, topK = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(topA.toSeq == topB.toSeq)
+  }
+
+  test("plan shape: ADC scan reaches the top-C window with no extra exchange; reconstruction cannot") {
+    val (assigned, cbDf, cbSeq) = fixture(256)
+    // pin the inputs so the measured plans are the SEARCH only
+    val index = Pq.encode(assigned, cdf, cbDf).localCheckpoint()
+    val q = assigned.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"),
+      sqrt(graft.functions.VectorExpressions.vecDot(col("embedding"),
+        col("embedding"))).as("qn")).filter(col("query_id") < 2)
+    val probes = IvfPq.probeRoute(q, cdf, nprobe = 2).localCheckpoint()
+    val adcIdx = Pq.adcIndex(index, cdf, cbSeq).localCheckpoint()
+    val pl = Pq.probeLuts(probes, cdf, cbSeq).localCheckpoint()
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    // ADC: the ONLY exchange is the top-C window's hash partitioning
+    val adcEx = exchanges(Pq.adcSearch(adcIdx, pl, topC = 10))
+    assert(adcEx == 1, s"ADC coarse pass should have 1 exchange, got $adcEx")
+    // reconstruction: explode → codebook join → groupBy re-assembly
+    // adds corpus-sized exchanges before the same window
+    val reconEx = exchanges(
+      Pq.coarseSearch(Pq.reconstruct(index, cbDf, cdf), probes, topC = 10))
+    assert(reconEx > adcEx,
+      s"expected the reconstruction path to shuffle more: $reconEx vs $adcEx")
+  }
+}
