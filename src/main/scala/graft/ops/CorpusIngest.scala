@@ -119,10 +119,13 @@ object CorpusIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(path)
 
-  /** The replay high-water mark; -1 when no warehouse exists. */
+  /** The replay high-water mark; -1 when no warehouse exists (or its
+    * state table is empty — max over zero rows is null, not a crash).
+    */
   def lastBatch(spark: SparkSession, dir: String): Long =
     Load.readTable(spark, s"$dir/state")
-      .map(_.select(max(col("last_batch"))).head().getLong(0))
+      .flatMap(df => Option(df.select(max(col("last_batch"))).head()
+        .get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(-1L)
 
   /** Bootstrap the warehouse from an initial crawl (overwrites `dir`;
@@ -143,6 +146,16 @@ object CorpusIngest {
                 seqLen: Int = 2048, dsirFast: Boolean = false): Long = {
     require(crawl.columns.toSeq == CrawlCols,
       s"bootstrap crawl must be $CrawlCols, got ${crawl.columns.toSeq}")
+    // FULL reset: a bootstrap is generation zero of the warehouse.
+    // writeBatch's dynamic overwrite only replaces batch=0, so without
+    // this wipe a re-bootstrap into a previously-used dir would leave
+    // stale corpus/batch>=1 + urls/batch>=1 subtrees alive — the
+    // resurrected URLs then cover the next ingest's batch as "seen",
+    // the empty dynamic overwrite touches nothing, and the warehouse
+    // serves a DEAD generation's rows as the new batch.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
     Mojibake.saveMapping(spark, s"$dir/mapping")
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val keep = eager(dedupByUrl(crawl))
@@ -182,6 +195,10 @@ object CorpusIngest {
         .withColumn("last_batch", lit(0L)),
       s"$dir/state")
     Seq(keep, pool, gated, selected, packed).foreach(_.unpersist())
+    require(n > 0,
+      s"CorpusIngest.bootstrap: zero documents selected into $dir — " +
+        "an empty state table would leave every later ingest without " +
+        "thresholds; fix the crawl or the gates and re-bootstrap")
     n
   }
 
@@ -210,6 +227,9 @@ object CorpusIngest {
         .map(r => r.getAs[String]("source") ->
           ((r.getAs[Long]("lr_min_micro"), r.getAs[Long]("tok_hwm"))))
         .toMap
+    require(stateRows.nonEmpty,
+      s"CorpusIngest.ingest: empty state table at $dir/state — the " +
+        "warehouse has no admission thresholds; re-bootstrap")
     val globalMin = stateRows.values.map(_._1).min
     import spark.implicits._
     val stateDf = stateRows.toSeq
@@ -220,7 +240,18 @@ object CorpusIngest {
     // shuffling) the stored URL column
     val keep0 = eager(dedupByUrl(batch))
     val batchUrls = keep0.select(col("canon_url"))
+    // seen set = PRIOR generations only (partition-pruned batch <
+    // batchId). Scanning the whole tree would let a replay of batch I
+    // see the crashed attempt's own urls/batch=I partial write as
+    // "seen": fresh comes out empty (or shrunken), the empty dynamic
+    // overwrite leaves the partial corpus/batch=I in place, and the
+    // state fold advances with ZERO tokens — permanently desyncing
+    // every later batch's tok_before/start_seq/end_seq from the rows
+    // actually landed. Filtered, the replay's computation is
+    // byte-identical to the crashed run's and both crash windows
+    // (mid-urls-write, post-urls-write) heal.
     val seen = spark.read.parquet(s"$dir/urls")
+      .filter(col("batch") < batchId)
       .join(broadcast(batchUrls), Seq("canon_url"), "left_semi")
       .select(col("canon_url")).distinct()
     val fresh = eager(
@@ -276,5 +307,54 @@ object CorpusIngest {
       s"$dir/state")
     Seq(keep0, fresh, selected, packed).foreach(_.unpersist())
     true
+  }
+
+  /** Roll the warehouse back to `toBatch`: every `corpus/batch>I` and
+    * `urls/batch>I` subtree is deleted and the state table is rebuilt
+    * from the surviving corpus alone — per-source thresholds re-frozen
+    * from batch 0 (sources first admitted in a surviving later batch
+    * re-record the batch-0 global minimum, exactly what the forward
+    * fold assigned them), token high-water marks re-summed over
+    * batches ≤ I, `last_batch` = I. The rebuild is bit-identical to
+    * having never ingested the dropped batches, so rolled-back ids can
+    * be re-ingested. This is both the bad-batch recovery story and
+    * what makes a fixed-path warehouse re-entrant without re-paying
+    * the bootstrap (roll to 0, ingest again). O(surviving corpus
+    * metadata + one bounded-by-#sources aggregate) — the models and
+    * batch-0 artifacts are never touched.
+    */
+  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
+    require(toBatch >= 0, "cannot roll back past the bootstrap")
+    require(lastBatch(spark, dir) >= toBatch,
+      s"CorpusIngest.rollback: no warehouse at $dir at or above " +
+        s"batch $toBatch")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("corpus", "urls").foreach { t =>
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLong > toBatch)
+          fs.delete(st.getPath, true)
+      }
+    }
+    import spark.implicits._
+    val agg = spark.read.parquet(s"$dir/corpus")
+      .filter(col("batch") <= toBatch)
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok_hwm"),
+        min(when(col("batch") === 0, col("lr_micro"))).as("lr0"))
+      .as[(String, Long, Option[Long])].collect()
+    require(agg.nonEmpty,
+      s"CorpusIngest.rollback: no corpus rows at or below batch " +
+        s"$toBatch in $dir")
+    val globalMin = agg.flatMap(_._3).min
+    Load.replaceTable(spark,
+      agg.toSeq.sortBy(_._1).map { case (src, hwm, lr0) =>
+        (src, lr0.getOrElse(globalMin), hwm, toBatch)
+      }.toDF("source", "lr_min_micro", "tok_hwm", "last_batch"),
+      s"$dir/state")
+    ()
   }
 }

@@ -99,6 +99,16 @@ object Dsir {
     if (fast) featureBucketsFast(text, buckets)
     else featureBuckets(text, buckets)
 
+  /** The hash kind recorded in a model's meta row. Models persisted
+    * before the kind was recorded have no `hash` column — they were
+    * trained under md5 (the only hash that existed then), so default
+    * to it instead of throwing on load.
+    */
+  private def metaHash(meta: org.apache.spark.sql.Row): String =
+    if (meta.schema.fieldNames.contains("hash"))
+      meta.getAs[String]("hash")
+    else "md5"
+
   /** Per-bucket feature counts of a (text) frame: (bucket, `name`). */
   private def bucketCounts(df: DataFrame, buckets: Int, name: String,
                            fast: Boolean): DataFrame = df
@@ -133,7 +143,7 @@ object Dsir {
     val meta = Load.readTable(spark, s"$dir/meta").getOrElse(
       sys.error(s"Dsir.extend: no model at $dir/meta")).head()
     val buckets = meta.getAs[Long]("buckets").toInt
-    val fast = meta.getAs[String]("hash") == "xxhash64"
+    val fast = metaHash(meta) == "xxhash64"
     val old = Load.readTable(spark, s"$dir/model").getOrElse(
       sys.error(s"Dsir.extend: no model at $dir/model"))
       .select(col("bucket"), col("cnt_target"), col("cnt_raw"))
@@ -209,7 +219,7 @@ object Dsir {
     val buckets = meta.getAs[Long]("buckets").toInt
     // follow the hash kind the model was TRAINED under (recorded in
     // meta) — scoring under the other hash would be silent garbage
-    val fast = meta.getAs[String]("hash") == "xxhash64"
+    val fast = metaHash(meta) == "xxhash64"
     if (fast) {
       // FUSED path: the model is dense over [0, B), so it rides as a
       // flat long[] and the whole tokenize→hash→lookup→sum fold is

@@ -265,5 +265,6 @@ object Pq {
           .as("approx"))
       .withColumn("__cr", row_number().over(wCoarse))
       .filter(col("__cr") <= topC)
+      .drop("__cr")
   }
 }

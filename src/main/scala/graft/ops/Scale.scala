@@ -388,6 +388,14 @@ object Scale {
                       order: Column*): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.LongType
+    // __pid is appended as the LAST field and read back positionally;
+    // a caller column with that name would be silently replaced
+    // in-place and the positional reads below would corrupt both the
+    // schema and the offsets — fail loudly instead
+    require(!df.columns.contains("__pid"),
+      "globalRowNumber: input already has a __pid column — rename it")
+    require(!df.columns.contains(outCol),
+      s"globalRowNumber: input already has a $outCol column")
     val pinned = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())

@@ -738,6 +738,75 @@ object Stress {
         s"pq-path recall@10 degraded: $hit/$total")
     }
 
+    // ---- ADC A/B (q170 shape) over the SAME 1M-vector PQ index:   ----
+    // ---- the reconstruction coarse pass must explode each row's m ----
+    // ---- codes, join the codebook, and groupBy-reassemble ĉ —     ----
+    // ---- a corpus-sized shuffle of the probed set BEFORE any      ----
+    // ---- scoring; ADC broadcasts a per-query m×ks LUT instead and ----
+    // ---- scores each candidate as qc + m array lookups straight   ----
+    // ---- out of the scan, so the only shuffle left is the top-C   ----
+    // ---- window. Wall AND shuffle bytes are recorded per side;    ----
+    // ---- the exact re-rank then pins top-k agreement.             ----
+    val adcLabels = Seq("adc search 1M vecs", "adc recon coarse 1M vecs")
+    if (adcLabels.exists(wanted)) {
+      val shuffled = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            Option(te.taskMetrics).foreach(m =>
+              shuffled.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+        })
+      def withShuffleBytes(label: String)(f: => Long): Unit = {
+        Thread.sleep(300) // settle listener events from prior work
+        val before = shuffled.get()
+        time(label)(f)
+        Thread.sleep(500)
+        println(f"[stress] $label shuffle bytes: " +
+          f"${shuffled.get() - before}%,d")
+      }
+      val cb = graft.etl.Load.readTable(spark, pqCbDir).get
+      val cbSeq = graft.ops.Pq.collectCodebook(cb)
+      val idx = spark.read.parquet(pq2IdxDir)
+        .select(col("vec_id"), col("cluster_id"),
+          transform(graft.functions.VectorExpressions.unpackInt8(col("cb8")),
+            c => c + 128).as("codes"))
+      val adcIdxDir = s"$dir/stress_adc_index"
+      graft.ops.Pq.adcIndex(idx, pqCdf, cbSeq)
+        .write.mode("overwrite").parquet(adcIdxDir)
+      val probes = graft.ops.IvfPq.probeRoute(pqQueries, pqCdf, nprobe = 4)
+        .localCheckpoint()
+      val e = pqVecs.select(col("vec_id"), col("embedding"),
+        vnorm(col("embedding")).as("nrm"))
+      withShuffleBytes("adc search 1M vecs") {
+        val cand = graft.ops.Pq.adcSearch(
+          spark.read.parquet(adcIdxDir),
+          graft.ops.Pq.probeLuts(probes, pqCdf, cbSeq), topC = 1024)
+        graft.ops.IvfPq.rerank(cand, e, topK = 10)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .write.mode("overwrite").parquet(s"$dir/stress_adc_topk")
+        spark.read.parquet(s"$dir/stress_adc_topk").count()
+      }
+      withShuffleBytes("adc recon coarse 1M vecs") {
+        val recon = graft.ops.Pq.reconstruct(idx, cb, pqCdf)
+        val cand = graft.ops.Pq.coarseSearch(recon, probes, topC = 1024)
+        graft.ops.IvfPq.rerank(cand, e, topK = 10)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .write.mode("overwrite").parquet(s"$dir/stress_adcref_topk")
+        spark.read.parquet(s"$dir/stress_adcref_topk").count()
+      }
+      val aSet = spark.read.parquet(s"$dir/stress_adc_topk")
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bSet = spark.read.parquet(s"$dir/stress_adcref_topk")
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val agree = aSet.intersect(bSet).size
+      println(f"[stress] adc vs recon top-10 agreement: $agree/${bSet.size}")
+      require(agree >= (bSet.size * 9) / 10,
+        s"ADC top-k diverged from reconstruction: $agree/${bSet.size}")
+    }
+
     // ---- NB classifier (q154 shape) at 1M docs: 32 high-frequency ----
     // ---- class-marker words (pos: cm0-15, neg: cm16-31, present   ----
     // ---- in ~97% of docs) + 25 filler tokens from a 50k vocab     ----

@@ -154,6 +154,105 @@ class CorpusIngestSpec extends SparkSpec {
     assert(state(dir)("A") == ((0L, 6 * t, 2L)))
   }
 
+  test("re-bootstrap into a dirty dir resurrects nothing") {
+    // the driver's reality: Verify at sf0.001 then sf0.01 re-runs the
+    // q168 lifecycle at the SAME fixed path without manual cleanup. A
+    // bootstrap that only dynamic-overwrites batch=0 leaves the old
+    // generation's batch>=1 subtrees alive — their urls cover the next
+    // ingest's batch as "seen" and the warehouse serves the DEAD rows.
+    val dir = tmp()
+    boot(dir)
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    boot(dir) // generation two, same path
+    val batches = spark.read.parquet(s"$dir/corpus")
+      .select(col("batch").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(batches == Set(0L), s"stale batches survived: $batches")
+    val urls = spark.read.parquet(s"$dir/urls")
+      .select(col("canon_url")).collect().map(_.getString(0)).toSet
+    assert(urls == Set("a0", "a1", "a2", "a4", "b6", "b7", "b8")
+      .map("https://ex.com/" + _), "stale seen-set urls survived")
+    assert(CorpusIngest.lastBatch(spark, dir) == 0L)
+    // and the new generation's first ingest lands the full fresh set
+    val t = state(dir)("A")._2 / 3
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    val c1 = spark.read.parquet(s"$dir/corpus").filter(col("batch") === 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(c1 == Set(10L, 12L, 15L))
+    assert(state(dir) == Map(
+      "A" -> ((0L, 5 * t, 1L)),
+      "B" -> ((0L, 2 * t, 1L)),
+      "N" -> ((0L, t, 1L))))
+  }
+
+  test("a crash between the urls write and the state swap heals on replay") {
+    // reference run: what a clean ingest lands
+    val ref = tmp()
+    boot(ref)
+    assert(CorpusIngest.ingest(spark, batch, ref, 1L))
+    val want = spark.read.parquet(s"$ref/corpus")
+      .filter(col("batch") === 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_before"), r.getAs[Long]("n_tokens")))).toMap
+    // crashed run: both data writes landed, the state swap did not —
+    // simulated by restoring the pre-ingest state table afterwards
+    val dir = tmp()
+    boot(dir)
+    val s0 = state(dir)
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    Load.replaceTable(spark,
+      s0.toSeq.sortBy(_._1).map { case (src, (lr, hwm, lb)) =>
+        (src, lr, hwm, lb)
+      }.toDF("source", "lr_min_micro", "tok_hwm", "last_batch"),
+      s"$dir/state")
+    // the replay must NOT see the crashed attempt's own urls/batch=1
+    // as "seen" — it recomputes the identical batch and folds the
+    // identical state, as if the crash never happened
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L),
+      "replay of the crashed batch must land, not no-op")
+    val got = spark.read.parquet(s"$dir/corpus")
+      .filter(col("batch") === 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_before"), r.getAs[Long]("n_tokens")))).toMap
+    assert(got == want)
+    assert(state(dir) == state(ref))
+  }
+
+  test("rollback truncates batches and rebuilds state bit-identically") {
+    val dir = tmp()
+    boot(dir)
+    val s0 = state(dir)
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    val s1 = state(dir)
+    val batch2 = crawl(Seq(
+      (20L, "A", "en", "r20", true),
+      (21L, "C", "en", "r21", true))) // C first seen in batch 2
+    assert(CorpusIngest.ingest(spark, batch2, dir, 2L))
+    val s2 = state(dir)
+    val c2 = spark.read.parquet(s"$dir/corpus").filter(col("batch") === 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("tok_before")).toMap
+    // roll to 1: batch 2 gone from both trees, state == post-batch-1
+    CorpusIngest.rollback(spark, dir, 1L)
+    assert(state(dir) == s1)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select(col("batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(spark.read.parquet(s"$dir/urls")
+      .select(col("batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    // the rolled-back id re-ingests to the identical rows and fold
+    assert(CorpusIngest.ingest(spark, batch2, dir, 2L))
+    assert(state(dir) == s2)
+    assert(spark.read.parquet(s"$dir/corpus").filter(col("batch") === 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("tok_before")).toMap == c2)
+    // roll to 0: back to the bootstrap state exactly
+    CorpusIngest.rollback(spark, dir, 0L)
+    assert(state(dir) == s0)
+    assert(CorpusIngest.lastBatch(spark, dir) == 0L)
+  }
+
   test("replays are loud no-ops and ids must stay contiguous") {
     val dir = tmp()
     boot(dir)
