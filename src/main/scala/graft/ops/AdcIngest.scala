@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.etl.Load
+
+/** Incremental PQ/ADC index warehouse — the vector-side member of the
+  * incremental warehouse family (corpus `CorpusIngest`, signature
+  * index q136, IVF q148, inverted index `InvertedIndex`): the coarse
+  * centroids and the PQ codebooks are trained at bootstrap and FROZEN;
+  * every later vector batch is assigned, residual-encoded, and landed
+  * as its own `batch=I` generation of the compressed (codes, vn)
+  * table. Because assignment and encoding are per-vector and
+  * independent of every other vector, the incrementally-grown index is
+  * BIT-IDENTICAL to a one-shot rebuild of the union under the same
+  * models — the property the q172 oracle gates end-to-end (it
+  * re-derives the encode of ALL vectors from the persisted models and
+  * replays the ADC search, while Spark serves from the appended
+  * warehouse). This is how production IVF-PQ serving ingests a vector
+  * stream: O(batch) per fold, the historical index never rewritten,
+  * model refresh a separate re-baseline decision.
+  *
+  * Layout under `dir`: `centroids/` + `codebooks/` (frozen models),
+  * `index/batch=I/` (vec_id, cluster_id, codes, vn), `meta/` (one row:
+  * last_batch — the exactly-once replay guard, swapped LAST).
+  *
+  * Scale: encode is a broadcast-centroid join plus two fused
+  * expressions (PqCodes, PqReconNorm) — zero shuffles; the write
+  * dynamic-overwrites only its own `batch=I` subtree (idempotent under
+  * replay); search cost is [[Pq.adcSearch]]'s — the generation split
+  * adds file listings, never shuffles (compaction, if ever needed, is
+  * a purely physical rewrite as in InvertedIndex.compact).
+  */
+object AdcIngest {
+
+  private def centDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    VectorOps.loadCentroids(spark, s"$dir/centroids").toSeq
+      .toDF("cluster_id", "ce")
+      .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      .withColumn("cn",
+        sqrt(graft.functions.VectorExpressions.vecDot(col("ce"), col("ce"))))
+  }
+
+  /** Assign → PQ-encode → ADC rows for one frame under the FROZEN
+    * persisted models. Input (vec_id, embedding); output
+    * (vec_id, cluster_id, codes, vn).
+    */
+  def encodeBatch(spark: SparkSession, vecs: DataFrame,
+                  dir: String): DataFrame = {
+    val cents = VectorOps.loadCentroids(spark, s"$dir/centroids")
+    val cdf = centDf(spark, dir)
+    val cb = Load.readTable(spark, s"$dir/codebooks").getOrElse(
+      sys.error(s"AdcIngest: no codebooks at $dir/codebooks"))
+    val assigned = VectorOps.assignClusters(
+        vecs.select(col("vec_id"), col("embedding")), cents)
+      .withColumn("cluster_id", col("cluster_id").cast(LongType))
+    Pq.adcIndex(Pq.encode(assigned, cdf, cb), cdf, Pq.collectCodebook(cb))
+  }
+
+  private def writeGeneration(df: DataFrame, dir: String,
+                              batchId: Long): Unit =
+    df.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dir/index")
+
+  /** The replay high-water mark; -1 when no warehouse exists. */
+  def lastBatch(spark: SparkSession, dir: String): Long =
+    Load.readTable(spark, s"$dir/meta")
+      .flatMap(df => Option(df.select(max(col("last_batch"))).head()
+        .get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(-1L)
+
+  /** Bootstrap the warehouse from the initial corpus (fully wipes
+    * `dir` — generation zero): trains + persists k coarse centroids
+    * and m×ks PQ codebooks on `vecs` alone, then lands its encode as
+    * `batch=0`.
+    */
+  def bootstrap(spark: SparkSession, vecs: DataFrame, dir: String,
+                k: Int, m: Int, ks: Int, iters: Int = 2): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    VectorOps.saveCentroids(spark,
+      VectorOps.kmeansFit(
+        vecs.select(col("vec_id"), col("embedding")), k, iters),
+      s"$dir/centroids")
+    val cents = VectorOps.loadCentroids(spark, s"$dir/centroids")
+    val assigned = VectorOps.assignClusters(
+        vecs.select(col("vec_id"), col("embedding")), cents)
+      .withColumn("cluster_id", col("cluster_id").cast(LongType))
+    Load.replaceTable(spark,
+      Pq.trainCodebooks(spark,
+        Pq.subResiduals(assigned, centDf(spark, dir), m), ks, iters),
+      s"$dir/codebooks")
+    writeGeneration(encodeBatch(spark, vecs, dir), dir, 0L)
+    import spark.implicits._
+    Load.replaceTable(spark, Seq(0L).toDF("last_batch"), s"$dir/meta")
+    ()
+  }
+
+  /** Fold a vector batch under a caller-supplied contiguous id ≥ 1:
+    * encode under the frozen models, land as `batch=I`, advance the
+    * guard LAST. Replays (id ≤ high-water mark) are a loud no-op
+    * returning false; skipped ids are refused.
+    */
+  def append(spark: SparkSession, vecs: DataFrame, dir: String,
+             batchId: Long): Boolean = {
+    require(batchId >= 1, "batch ids start at 1 (0 is the bootstrap)")
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"AdcIngest.append: no warehouse at $dir")
+    if (batchId <= last) return false
+    require(batchId == last + 1,
+      s"batch $batchId arrived over high-water mark $last — ids must " +
+        "be contiguous or the skipped batch would silently never land")
+    writeGeneration(encodeBatch(spark, vecs, dir), dir, batchId)
+    import spark.implicits._
+    Load.replaceTable(spark, Seq(batchId).toDF("last_batch"),
+      s"$dir/meta")
+    true
+  }
+
+  /** The served index across all generations: (vec_id, cluster_id,
+    * codes, vn) — feed to [[Pq.adcSearch]] with [[Pq.probeLuts]] built
+    * from the same persisted models.
+    */
+  def index(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/index")
+      .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+}

@@ -2872,6 +2872,62 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q171AutoCompact = Q("q171_auto_compact",
+    // auto-compaction POLICY (InvertedIndex.compactIfNeeded) — q167
+    // showed the rewrite; this gate pins the TRIGGER: maintenance
+    // runs after every append with a segment budget, is a no-op while
+    // the generation count stays inside it, fires exactly when the
+    // count crosses, and the next append id still lands AFTER the
+    // rewrite (the exactly-once high-water mark survives the policy
+    // firing mid-stream, which is how the streaming maintainer runs
+    // it). Lifecycle: bootstrap (%4==1) → append %4==2 → policy
+    // no-op at 2 ≤ 2 → append %4==3 → policy FIRES at 3 > 2 →
+    // 1 generation → append %4==0 lands as batch 3 → 2 generations.
+    // The oracle replays q157's BM25 from the post-policy postings
+    // parquet (compacted batch=0 + the post-compaction batch=3), so
+    // what's compared is the physical tree the policy produced.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q171"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = graft.ops.InvertedIndex
+      ix.build(s, docs.filter(col("doc_id") % 4 === 1), wh)
+      ix.addBatch(s, docs.filter(col("doc_id") % 4 === 2), wh, 1L)
+      require(!ix.compactIfNeeded(s, wh, maxSegments = 2),
+        "policy fired inside the segment budget")
+      require(ix.segmentCount(s, wh) == 2, "no-op policy touched the tree")
+      ix.addBatch(s, docs.filter(col("doc_id") % 4 === 3), wh, 2L)
+      require(ix.compactIfNeeded(s, wh, maxSegments = 2),
+        "policy must fire at 3 generations > budget 2")
+      require(ix.segmentCount(s, wh) == 1,
+        "expected 1 generation after the policy fired")
+      require(ix.addBatch(s, docs.filter(col("doc_id") % 4 === 0), wh, 3L),
+        "append after compaction must land")
+      require(!ix.addBatch(s, docs.filter(col("doc_id") % 4 === 0), wh, 3L),
+        "replayed id must stay refused after the policy fired")
+      require(ix.segmentCount(s, wh) == 2,
+        "post-compaction append must open its own generation")
+      ix.search(s, wh, Seq("stream", "hash", "vector"), 20)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q171/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q171/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('stream', 'hash', 'vector')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2884,5 +2940,6 @@ object TextQueries {
     q149BpeTokenize, q151MojibakeRepair, q152BpePack, q153UrlCanonical,
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
-    q164ProximitySearch, q165ShardManifest, q167IndexCompact)
+    q164ProximitySearch, q165ShardManifest, q167IndexCompact,
+    q171AutoCompact)
 }

@@ -1100,8 +1100,137 @@ object VectorQueries {
             + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6) AS rrf
       FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
 
+  val q172AdcIngest = Q("q172_adc_ingest",
+    // INCREMENTAL PQ/ADC index ingest (ops/AdcIngest) — the
+    // vector-side twin of q168's corpus warehouse, completing the
+    // index-maintenance story for the q163/q170 compressed-serving
+    // stack: bootstrap trains + persists centroids and PQ codebooks
+    // on the INITIAL corpus only, encodes it as `batch=0`; a later
+    // vector batch then folds at O(batch) — assignment + fused
+    // PqCodes/PqReconNorm encode under the FROZEN models, landed as
+    // its own `batch=1` generation behind the exactly-once guard
+    // (replayed id asserted a loud no-op in-run). Because per-vector
+    // encode is independent, incremental ≡ one-shot rebuild
+    // BIT-IDENTICALLY — which the oracle gates end-to-end: DuckDB
+    // re-derives the encode of ALL vectors from the persisted models
+    // alone and replays the ADC search, while Spark serves from the
+    // appended warehouse generations. At scale: the historical index
+    // is never re-read, the fold is zero-shuffle, and search costs
+    // exactly q170's plan regardless of how many folds built the
+    // index.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val wh = "/root/repo/target/graft_adc/q172"
+      graft.ops.AdcIngest.bootstrap(s,
+        e.filter(col("vec_id") % 5 =!= 2), wh, k = 16, m = 8, ks = 16)
+      require(graft.ops.AdcIngest.append(s,
+        e.filter(col("vec_id") % 5 === 2), wh, 1L), "batch 1 must land")
+      require(!graft.ops.AdcIngest.append(s,
+        e.filter(col("vec_id") % 5 === 2), wh, 1L),
+        "replayed batch id must be a loud no-op")
+      val cents = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 3), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcSearch(
+        graft.ops.AdcIngest.index(s, wh), pl, topC = 12)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q172/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q172/codebooks/*.parquet')),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cluster_id,
+            list_transform(range(1, len(a.embedding) + 1),
+              k -> CAST(a.embedding[k] AS DOUBLE) - CAST(c.ce[k] AS DOUBLE))
+              AS res
+          FROM assigned a JOIN cents c ON c.cid = a.cluster_id),
+        subr AS (SELECT vec_id, cluster_id, s.sub,
+            res[s.sub * 8 + 1 : s.sub * 8 + 8] AS subres
+          FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+        enc AS (SELECT vec_id, cluster_id, sub, code_id FROM (
+            SELECT r.vec_id, r.cluster_id, r.sub, b.code_id,
+              row_number() OVER (PARTITION BY r.vec_id, r.sub ORDER BY
+                list_reduce(list_transform(range(1, len(r.subres) + 1),
+                  k -> (r.subres[k] - b.cw[k]) * (r.subres[k] - b.cw[k])),
+                  (x, y) -> x + y) ASC, b.code_id) AS rn
+            FROM subr r JOIN cb b USING (sub)) WHERE rn = 1),
+        rq AS (SELECT e2.vec_id, e2.cluster_id,
+            flatten(list(b.cw ORDER BY e2.sub)) AS rq
+          FROM enc e2 JOIN cb b
+            ON b.sub = e2.sub AND b.code_id = e2.code_id
+          GROUP BY e2.vec_id, e2.cluster_id),
+        vn AS (SELECT r.vec_id, r.cluster_id,
+            sqrt(list_reduce(list_transform(range(1, len(r.rq) + 1),
+              k -> (CAST(c.ce[k] AS DOUBLE) + r.rq[k])
+                 * (CAST(c.ce[k] AS DOUBLE) + r.rq[k])),
+              (x, y) -> x + y)) AS vn
+          FROM rq r JOIN cents c ON c.cid = r.cluster_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 4),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 3),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, e2.vec_id, e2.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[e2.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN enc e2 ON e2.cluster_id = p.cluster_id
+            AND e2.vec_id <> p.query_id
+          JOIN cb b ON b.sub = e2.sub AND b.code_id = e2.code_id),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN vn v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 12),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
-    q170AdcSearch)
+    q170AdcSearch, q172AdcIngest)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.AdcIngest
+
+/** Incremental PQ/ADC index warehouse: the frozen-model contract that
+  * makes incremental ≡ one-shot rebuild BIT-identically, exactly-once
+  * replay semantics, and full-reset re-bootstrap.
+  */
+class AdcIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim-8 deterministic pseudo-random vectors
+  private def vecs(from: Long, until: Long) =
+    spark.range(from, until).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        (pmod(hash(col("id") * 13 + j), lit(1000)).cast(DoubleType) / 100.0)
+          .cast(FloatType)).as("embedding"))
+
+  private def tmp() = Files.createTempDirectory("adcingest").toString + "/w"
+
+  private def rows(dir: String): Map[Long, (Long, Seq[Int], Double)] =
+    AdcIngest.index(spark, dir).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster_id"),
+          r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+          r.getAs[Double]("vn")))
+    }.toMap
+
+  test("incremental append equals the one-shot rebuild bit-identically") {
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 96), dir, k = 4, m = 2, ks = 4)
+    assert(AdcIngest.append(spark, vecs(96, 128), dir, 1L))
+    val incremental = rows(dir)
+    assert(incremental.size == 128)
+    // rebuild: same frozen models (copied), ALL vectors in one batch 0
+    val dir2 = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 96), dir2, k = 4, m = 2, ks = 4)
+    // wipe dir2's generations and re-encode everything in one pass
+    // under ITS models (== dir's models: same input, same train)
+    val oneShot = AdcIngest.encodeBatch(spark, vecs(0, 128), dir2)
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster_id"),
+            r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+            r.getAs[Double]("vn")))
+      }.toMap
+    assert(incremental == oneShot,
+      "incrementally-built index diverged from the one-shot encode")
+  }
+
+  test("replays are loud no-ops and ids must stay contiguous") {
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    assert(AdcIngest.lastBatch(spark, dir) == 0L)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    val before = rows(dir)
+    assert(!AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    assert(rows(dir) == before)
+    val e = intercept[IllegalArgumentException](
+      AdcIngest.append(spark, vecs(80, 90), dir, 3L))
+    assert(e.getMessage.contains("contiguous"))
+    assert(AdcIngest.lastBatch(spark, dir) == 1L)
+  }
+
+  test("re-bootstrap into a dirty dir resurrects nothing") {
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    assert(rows(dir).keySet == (0L until 64L).toSet,
+      "stale batch>=1 vectors survived the re-bootstrap")
+    assert(AdcIngest.lastBatch(spark, dir) == 0L)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    assert(rows(dir).keySet == (0L until 80L).toSet)
+  }
+}
