@@ -291,6 +291,97 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** MaxScore/WAND-pruned BM25 top-k — exact same results as
+    * [[search]], but the per-doc aggregation only ever sees documents
+    * that can still make the top k (Turtle & Flood, IPM 1995; Broder
+    * et al., CIKM 2003 — the dynamic-pruning family every production
+    * text engine ships). Batch (term-at-a-time) formulation:
+    *
+    *  1. per-term upper bound ub(t) = max ts_micro over t's postings
+    *     (exact, from the same pruned bucket read — a |terms|-row agg);
+    *  2. seed threshold θ: fully score only the docs containing the
+    *     highest-ub term (the rarest/most selective one — its posting
+    *     list is the shortest) and take the k-th best total;
+    *  3. essential terms E = the minimal ub-descending prefix such
+    *     that Σ ub over the REMAINING terms < θ. A doc containing no
+    *     essential term scores ≤ that suffix sum < θ ≤ the true k-th
+    *     best, so it can never enter the top k;
+    *  4. final pass: aggregate ONLY docs containing ≥ 1 essential
+    *     term. Every true top-k doc survives (score ≥ θ), ties break
+    *     identically — bit-equal output, smaller doc-keyed exchange.
+    *
+    * At 100 TB the win is step 4's shuffle: a stopword's postings are
+    * corpus-sized, but its docs only reach the per-doc sum when they
+    * also contain a selective term. df stays computed over the FULL
+    * per-term postings (before any candidate pruning), so scores are
+    * identical to [[search]]'s by construction. Falls back to the
+    * unpruned plan when fewer than k docs contain the seed term
+    * (θ = 0 → every term essential).
+    */
+  /** Length of the minimal essential prefix of `ubs` (already sorted
+    * descending): the shortest prefix whose COMPLEMENT's upper-bound
+    * sum stays under θ — a doc holding only complement terms scores
+    * ≤ that sum < θ and can never reach the top k. θ ≤ 0 disables
+    * pruning (every term essential).
+    */
+  def essentialPrefix(ubs: Seq[Long], theta: Long): Int = {
+    val suffix = ubs.scanRight(0L)(_ + _) // suffix(i) = Σ ubs(i..)
+    (1 to ubs.length).find(l => suffix(l) < theta).getOrElse(ubs.length)
+  }
+
+  def maxScoreSearch(spark: SparkSession, dir: String, terms: Seq[String],
+                     k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    import spark.implicits._
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.maxScoreSearch: no corpus at $dir")).head()
+    val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
+    val avgdl = sumDl.toDouble / nDocs
+    val buckets = terms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val wTerm = Window.partitionBy(col("term"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
+    val scored = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
+      .withColumn("ts_micro",
+        round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
+      .select(col("doc_id"), col("term"), col("ts_micro"))
+    // the window output feeds three bounded jobs (ub agg, seed pass,
+    // final pass) — keep it materialized instead of recomputing the
+    // bucket scan + df window each time
+    scored.persist()
+    try {
+      // 1. exact per-term upper bounds (|terms| rows to the driver)
+      val ubs = scored.groupBy(col("term"))
+        .agg(max(col("ts_micro")).as("ub"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy { case (t, ub) => (-ub, t) }
+      def topk(cands: DataFrame): DataFrame = scored
+        .join(cands, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("ts_micro")).as("bm25_micro"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .limit(k)
+      if (ubs.isEmpty) return topk(scored.select(col("doc_id")))
+      // 2. seed θ from the highest-ub term's docs (k rows collected)
+      val seedScores = topk(
+        scored.filter(col("term") === ubs.head._1).select(col("doc_id")))
+        .select(col("bm25_micro")).as[Long].collect()
+      val theta = if (seedScores.length >= k) seedScores.min else 0L
+      val essential = ubs.take(essentialPrefix(ubs.map(_._2), theta))
+        .map(_._1)
+      // 4. aggregate only candidate docs — exact by the θ bound
+      topk(scored.filter(col("term").isin(essential: _*))
+        .select(col("doc_id")))
+    } finally scored.unpersist()
+  }
+
   /** BM25 top-k over the persisted index. Reads ONLY the query
     * terms' bucket dirs + the 1-row corpus table; plan shape is
     * pruned-scan → per-term df window → per-doc integer sum →

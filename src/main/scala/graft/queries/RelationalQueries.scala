@@ -2202,6 +2202,45 @@ object RelationalQueries {
         octet_length(CAST(p_name AS BLOB)) AS n_bytes
       FROM part WHERE p_partkey < 300 ORDER BY p_partkey"""))
 
+  val q175AggPushdown = Q("q175_agg_pushdown",
+    // parquet AGGREGATE pushdown (SPARK-34952): a filterless
+    // COUNT/MIN/MAX over a parquet table is answerable from row-group
+    // footer statistics alone — the DSv2 scan returns one pre-aggregated
+    // row per row group and never materializes data pages. At 100 TB
+    // that is the difference between a fleet-wide table scan and a
+    // metadata-only pass (footers are ~KB per file) for the table-stats
+    // queries every pipeline runs before planning (row counts, key
+    // ranges, freshness checks). The require pins `PushedAggregation`
+    // into the scan; the result (1 row) is collected eagerly so the
+    // session confs (DSv2 routing + pushdown flag, both restored in
+    // finally) cannot leak into other catalog entries' plans.
+    (s, d) => {
+      val keyPd = "spark.sql.parquet.aggregatePushdown"
+      val keyV1 = "spark.sql.sources.useV1SourceList"
+      val (oldPd, oldV1) = (s.conf.get(keyPd), s.conf.get(keyV1))
+      s.conf.set(keyPd, "true")
+      s.conf.set(keyV1, oldV1.split(",").filterNot(_ == "parquet")
+        .mkString(","))
+      try {
+        val agg = Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        val phys = agg.queryExecution.executedPlan.toString
+        require(phys.contains("PushedAggregation: [COUNT(*)"),
+          s"aggregate did not push into the parquet scan:\n$phys")
+        val rows = agg.collect() // exactly 1 row — bounded by construction
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          agg.schema)
+      } finally { s.conf.set(keyPd, oldPd); s.conf.set(keyV1, oldV1) }
+    },
+    Some("""SELECT count(*) AS n_rows,
+        min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem"""))
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterDate, q03ProjectCast, q04StringFuncs,
     q05ConditionalExpr, q06AccountMap, q07PhoneCountry, q08LenientDate,
@@ -2220,5 +2259,5 @@ object RelationalQueries {
     q105ApproxTopk, q106KllQuantiles, q108QualityChecks, q112CboStats,
     q113SchemaDrift, q120JsonSource, q122XmlSource, q123LateralJoin,
     q125RecursiveCte, q126NullSafeJoin, q127ShuffleHashJoin,
-    q128CorruptJson, q129UnionByName, q169GlobalRownum)
+    q128CorruptJson, q129UnionByName, q169GlobalRownum, q175AggPushdown)
 }

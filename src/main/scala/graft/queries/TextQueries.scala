@@ -2928,6 +2928,149 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q173MaxscoreTopk = Q("q173_maxscore_topk",
+    // MaxScore/WAND dynamic pruning (InvertedIndex.maxScoreSearch) —
+    // the top-k short-circuit every production text engine ships
+    // (Turtle & Flood 1995; Broder et al. 2003): per-term score upper
+    // bounds + a seed threshold from the most selective term's docs
+    // make the common terms NON-ESSENTIAL, so a stopword's
+    // corpus-sized postings never reach the per-doc aggregation
+    // unless the doc also holds a selective term. Query mixes the
+    // planted rare term "dup" (df ≈ 5% of docs at every SF — the
+    // seed) with two ~80%-df common terms; results are bit-equal to
+    // the unpruned q157 search by the θ bound, which is exactly what
+    // the oracle replays (plain BM25 from the same persisted index).
+    // At 100 TB the doc-keyed exchange carries the rare term's
+    // candidate set, not the stopwords' corpus-sized lists.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q173"
+      graft.ops.InvertedIndex.build(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), wh)
+      graft.ops.InvertedIndex.maxScoreSearch(s, wh,
+        Seq("dup", "scan", "merge"), 10)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q173/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q173/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('dup', 'scan', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
+
+  val q176DhashNeardup = Q("q176_dhash_neardup",
+    // PERCEPTUAL-HASH near-dup over the multimodal payload column —
+    // the image-dedup pipeline (LAION-style): decode → difference
+    // hash (dHash: compare adjacent pixels of a downsampled grayscale
+    // grid — Krawetz 2013) → LSH on 16-bit hash bands → Hamming
+    // verify on candidates only. The decode is the q96 deterministic
+    // stub (payload bytes sampled onto an 8×9 grid; a re-encode
+    // variant applies +16 brightness at decode time), so DuckDB
+    // replays it byte-for-byte — what the oracle gates is the REAL
+    // pipeline plumbing: the 64-bit hash packed as two 32-bit halves
+    // (no sign traps in either engine), band-bucketed candidate join
+    // (capped like q30 — never n²), and bit_count(xor) verification.
+    // dHash's defining property is what the plant exercises: a
+    // brightness shift preserves every adjacent-pixel comparison, so
+    // each %7 doc's re-encoded variant collides at Hamming 0 without
+    // byte-identical payloads. At 100 TB: hashing is zero-shuffle
+    // scan work; the only exchanges are the band join (bounded by the
+    // cap) and the candidate re-join — the q30/q136 dedup shape.
+    (s, d) => {
+      val h = col("hx")
+      val n = col("n")
+      // stub decode: pixel i = byte at ⌊i·n/72⌋ (+brightness, clamped)
+      def pix(i: Int): Column = least(lit(255),
+        conv(h.substr((floor(lit(i) * n / 72) * 2 + 1).cast(IntegerType),
+          lit(2)), 16, 10).cast(IntegerType) + col("bright"))
+      // dHash bit (r,c) = pix(r,c) < pix(r,c+1) on the 8×9 grid;
+      // packed into two 32-bit halves (bit index b = r*8+c)
+      def half(lo: Int): Column = (lo until lo + 32).map { b =>
+        val (r, c) = (b / 8, b % 8)
+        when(pix(r * 9 + c) < pix(r * 9 + c + 1),
+          lit(1L << (b - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val media = docs
+        .select((col("doc_id") * 2).as("doc_id"), col("text"),
+          lit(0).as("bright"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") * 2 + 1).as("doc_id"), col("text"),
+            lit(16).as("bright")))
+      val hashed = media
+        .select(col("doc_id"), col("bright"),
+          hex(col("text").cast(BinaryType)).as("hx"),
+          octet_length(col("text").cast(BinaryType)).as("n"))
+        .filter(n > 0)
+        .select(col("doc_id"), half(0).as("h0"), half(32).as("h1"))
+        .transform(eager) // feeds the band explode AND both pair sides
+      val exploded = hashed.select(col("doc_id"),
+        posexplode(array(
+          pmod(col("h0"), lit(65536L)), expr("h0 div 65536"),
+          pmod(col("h1"), lit(65536L)), expr("h1 div 65536")))
+          .as(Seq("band", "sig")))
+      cappedBandCandidates(exploded, BandCap)
+        .join(hashed.select(col("doc_id").as("da"), col("h0").as("a0"),
+          col("h1").as("a1")), Seq("da"))
+        .join(hashed.select(col("doc_id").as("db"), col("h0").as("b0"),
+          col("h1").as("b1")), Seq("db"))
+        .select(col("da"), col("db"),
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+            bit_count(col("a1").bitwiseXOR(col("b1"))))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""WITH m AS (
+          SELECT doc_id * 2 AS media_id, text, 0 AS bright FROM documents
+          UNION ALL
+          SELECT doc_id * 2 + 1, text, 16 FROM documents WHERE doc_id % 7 = 0),
+        raw AS (SELECT media_id, bright, hex(CAST(text AS BLOB)) AS h,
+            octet_length(CAST(text AS BLOB)) AS n
+          FROM m WHERE octet_length(CAST(text AS BLOB)) > 0),
+        px AS (SELECT media_id, i, least(255,
+            CAST('0x' || substr(h, CAST(2 * ((i * n) // 72) + 1 AS INTEGER),
+              2) AS INTEGER) + bright) AS p
+          FROM raw, unnest(range(0, 72)) t(i)),
+        bits AS (SELECT a.media_id, (a.i // 9) * 8 + (a.i % 9) AS bit,
+            CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS v
+          FROM px a JOIN px b ON b.media_id = a.media_id AND b.i = a.i + 1
+          WHERE a.i % 9 < 8),
+        hh AS (SELECT media_id,
+            sum(CASE WHEN bit < 32 THEN v * (1::BIGINT << bit)
+              ELSE 0 END) AS h0,
+            sum(CASE WHEN bit >= 32 THEN v * (1::BIGINT << (bit - 32))
+              ELSE 0 END) AS h1
+          FROM bits GROUP BY media_id),
+        bands AS (SELECT media_id, t.band,
+            CASE t.band WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+              WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS sig
+          FROM hh, unnest(range(0, 4)) t(band)),
+        hot AS (SELECT band, sig FROM bands
+          GROUP BY band, sig HAVING count(*) > 64),
+        capped AS (SELECT * FROM bands b WHERE NOT EXISTS
+          (SELECT 1 FROM hot h WHERE h.band = b.band AND h.sig = b.sig)),
+        cand AS (SELECT DISTINCT a.media_id AS da, b.media_id AS db
+          FROM capped a JOIN capped b
+          ON a.band = b.band AND a.sig = b.sig AND a.media_id < b.media_id)
+      SELECT c.da, c.db,
+        CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1))
+          AS BIGINT) AS hamming
+      FROM cand c JOIN hh x ON x.media_id = c.da JOIN hh y ON y.media_id = c.db
+      WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 10
+      ORDER BY da, db"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -2941,5 +3084,5 @@ object TextQueries {
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
-    q171AutoCompact)
+    q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup)
 }

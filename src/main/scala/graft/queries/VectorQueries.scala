@@ -1229,8 +1229,69 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q174HardNegatives = Q("q174_hard_negatives",
+    // hard-negative mining for embedding-model training (the
+    // contrastive-learning data op: SBERT/DPR-style batches want, for
+    // each anchor, the highest-scoring WRONG-label neighbors — random
+    // negatives are too easy and the model stops learning). For each
+    // anchor (every 79th vector): top-5 cosine among OTHER-label
+    // vectors, plus the margin to the hardest POSITIVE (max same-label
+    // cosine) — margin ≤ 0 flags anchors whose nearest neighbor is
+    // already a label violation (the batch the trainer wants most).
+    // Scale shape: anchors are a broadcast-sized sample, so the corpus
+    // makes ONE pass against the broadcast (no N×N), per-anchor top-k
+    // via window over (anchor, corpus-partition) partial ranks; the
+    // label anti-predicate rides the same pass. At 100 TB: identical
+    // plan, anchors stay the broadcast side.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") % 79 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qlabel"), col("vec_id"),
+          col("label"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+            .as("cosine"))
+        .transform(eager) // feeds the negative ranks AND the positive max
+      val posMax = scored.filter(col("label") === col("qlabel"))
+        .groupBy(col("query_id"))
+        .agg(max(col("cosine")).as("pos_cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.filter(col("label") =!= col("qlabel"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(posMax, Seq("query_id"), "left")
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("negative_id"), col("label").as("neg_label"),
+          col("cosine"),
+          round(coalesce(col("pos_cosine"), lit(0.0)) - col("cosine"), 6)
+            .as("margin"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+              nrm AS qn FROM e WHERE vec_id % 79 = 0),
+        scored AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+          round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cosine
+          FROM e JOIN q ON e.vec_id <> q.query_id),
+        pos AS (SELECT query_id, max(cosine) AS pos_cosine FROM scored
+          WHERE label = qlabel GROUP BY query_id),
+        neg AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rank FROM scored
+          WHERE label <> qlabel)
+      SELECT n.query_id, n.rank, n.vec_id AS negative_id,
+        n.label AS neg_label, n.cosine,
+        round(coalesce(p.pos_cosine, 0.0) - n.cosine, 6) AS margin
+      FROM neg n LEFT JOIN pos p ON p.query_id = n.query_id
+      WHERE n.rank <= 5 ORDER BY n.query_id, n.rank"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
-    q170AdcSearch, q172AdcIngest)
+    q170AdcSearch, q172AdcIngest, q174HardNegatives)
 }

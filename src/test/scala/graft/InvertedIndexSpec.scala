@@ -247,6 +247,50 @@ class InvertedIndexSpec extends SparkSpec {
     assert(search(dir) == search(scratch) && search(dir).nonEmpty)
   }
 
+  test("maxScoreSearch: essential-prefix rule is minimal and safe") {
+    import InvertedIndex.essentialPrefix
+    // θ=0 (seed underfilled): no pruning, every term essential
+    assert(essentialPrefix(Seq(100L, 10L, 5L), 0L) == 3)
+    // suffix after the first term = 15 < 20 = θ → only term 0 essential
+    assert(essentialPrefix(Seq(100L, 10L, 5L), 20L) == 1)
+    // suffix after term 0 = 15 ≥ 12, after term 1 = 5 < 12 → two
+    assert(essentialPrefix(Seq(100L, 10L, 5L), 12L) == 2)
+    // θ above everything still caps at |terms|
+    assert(essentialPrefix(Seq(100L, 10L, 5L), 1L) == 3)
+    assert(essentialPrefix(Seq.empty, 7L) == 0)
+  }
+
+  test("maxScoreSearch equals search bit-exactly, pruned and fallback") {
+    val dir = tmp()
+    // 40 docs all holding the stopword; 4 also hold the rare term
+    val rows = (1L to 40L).map { i =>
+      i -> (if (i % 10 == 0) "the zebra filler" else "the filler words")
+    }
+    InvertedIndex.build(spark, docs(rows: _*), dir)
+    def both(terms: Seq[String], k: Int) = {
+      val a = InvertedIndex.search(spark, dir, terms, k)
+        .collect().toSeq.map(_.toSeq)
+      val b = InvertedIndex.maxScoreSearch(spark, dir, terms, k)
+        .collect().toSeq.map(_.toSeq)
+      (a, b)
+    }
+    // pruned path: seed 'zebra' (df 4 ≥ k) makes 'the' non-essential
+    val (a1, b1) = both(Seq("the", "zebra"), 3)
+    assert(a1 == b1 && b1.nonEmpty)
+    // the final pass's candidate filter carries ONLY the essential
+    // term — the stopword's docs never reach the doc-keyed exchange
+    val plan = InvertedIndex.maxScoreSearch(spark, dir, Seq("the", "zebra"), 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("= zebra") && !plan.contains("= the"),
+      s"essential filter should be {zebra} alone:\n$plan")
+    // fallback: k above the seed term's df → θ=0 → identical, unpruned
+    val (a2, b2) = both(Seq("the", "zebra"), 10)
+    assert(a2 == b2 && b2.size == 10)
+    // single-term and k > corpus edge
+    val (a3, b3) = both(Seq("zebra"), 50)
+    assert(a3 == b3 && b3.size == 4)
+  }
+
   test("proximity search: sort-based min pair distance boosts BM25 exactly") {
     val dir = tmp()
     InvertedIndex.build(spark, docs(
