@@ -291,33 +291,6 @@ object InvertedIndex {
       .limit(k)
   }
 
-  /** MaxScore/WAND-pruned BM25 top-k — exact same results as
-    * [[search]], but the per-doc aggregation only ever sees documents
-    * that can still make the top k (Turtle & Flood, IPM 1995; Broder
-    * et al., CIKM 2003 — the dynamic-pruning family every production
-    * text engine ships). Batch (term-at-a-time) formulation:
-    *
-    *  1. per-term upper bound ub(t) = max ts_micro over t's postings
-    *     (exact, from the same pruned bucket read — a |terms|-row agg);
-    *  2. seed threshold θ: fully score only the docs containing the
-    *     highest-ub term (the rarest/most selective one — its posting
-    *     list is the shortest) and take the k-th best total;
-    *  3. essential terms E = the minimal ub-descending prefix such
-    *     that Σ ub over the REMAINING terms < θ. A doc containing no
-    *     essential term scores ≤ that suffix sum < θ ≤ the true k-th
-    *     best, so it can never enter the top k;
-    *  4. final pass: aggregate ONLY docs containing ≥ 1 essential
-    *     term. Every true top-k doc survives (score ≥ θ), ties break
-    *     identically — bit-equal output, smaller doc-keyed exchange.
-    *
-    * At 100 TB the win is step 4's shuffle: a stopword's postings are
-    * corpus-sized, but its docs only reach the per-doc sum when they
-    * also contain a selective term. df stays computed over the FULL
-    * per-term postings (before any candidate pruning), so scores are
-    * identical to [[search]]'s by construction. Falls back to the
-    * unpruned plan when fewer than k docs contain the seed term
-    * (θ = 0 → every term essential).
-    */
   /** Length of the minimal essential prefix of `ubs` (already sorted
     * descending): the shortest prefix whose COMPLEMENT's upper-bound
     * sum stays under θ — a doc holding only complement terms scores
@@ -329,6 +302,36 @@ object InvertedIndex {
     (1 to ubs.length).find(l => suffix(l) < theta).getOrElse(ubs.length)
   }
 
+  /** MaxScore/WAND-pruned BM25 top-k — exact same results as
+    * [[search]], but the per-doc aggregation only ever sees documents
+    * that can still make the top k (Turtle & Flood, IPM 1995; Broder
+    * et al., CIKM 2003 — the dynamic-pruning family every production
+    * text engine ships). Batch (term-at-a-time) formulation:
+    *
+    *  1. per-term upper bound ub(t) = max ts_micro over t's postings
+    *     (exact, from the same pruned bucket read — a |terms|-row agg);
+    *  2. seed threshold θ: the k-th best PARTIAL score over the
+    *     highest-ub term's own postings (the rarest/most selective
+    *     term — the shortest list; a doc's full score ≥ its seed-term
+    *     contribution, so θ lower-bounds the true k-th best);
+    *  3. essential terms E = the minimal ub-descending prefix such
+    *     that Σ ub over the REMAINING terms < θ. A doc containing no
+    *     essential term scores ≤ that suffix sum < θ ≤ the true k-th
+    *     best, so it can never enter the top k;
+    *  4. final pass: aggregate ONLY docs containing ≥ 1 essential
+    *     term. Every true top-k doc survives (score ≥ θ), ties break
+    *     identically — bit-equal output, smaller doc-keyed exchange.
+    *
+    * At 100 TB the win is the wire: [[search]] shuffles EVERY candidate
+    * posting twice (the df window, then the doc-keyed agg); here df
+    * comes from the same |terms|-row stats pass as the upper bounds and
+    * re-enters as a broadcast join, and the doc-keyed agg only sees
+    * essential-term candidates — the posting rows themselves never
+    * shuffle. df stays computed over the FULL per-term postings (before
+    * any candidate pruning), so scores are identical to [[search]]'s by
+    * construction. Falls back to the unpruned plan when fewer than k
+    * docs contain the seed term (θ = 0 → every term essential).
+    */
   def maxScoreSearch(spark: SparkSession, dir: String, terms: Seq[String],
                      k: Int): DataFrame = {
     require(terms.nonEmpty && k > 0)
@@ -337,49 +340,84 @@ object InvertedIndex {
       sys.error(s"InvertedIndex.maxScoreSearch: no corpus at $dir")).head()
     val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
     val avgdl = sumDl.toDouble / nDocs
-    val buckets = terms.toDF("term").select(bucketOf(col("term")))
-      .as[Int].collect().distinct.toSeq
-    val wTerm = Window.partitionBy(col("term"))
-    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-      (col("df") + lit(0.5))
+    def prunedFor(ts: Seq[String]): DataFrame = {
+      val buckets = ts.toDF("term").select(bucketOf(col("term")))
+        .as[Int].collect().distinct.toSeq
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(ts: _*))
+    }
+    def pruned = prunedFor(terms)
+    // the df-independent factor of the term score; ts_micro =
+    // round(idf · g · 1e6), and g is what the per-term upper bound
+    // maximizes over
+    def g(tf: Column, dl: Column): Column = (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / lit(avgdl)))
+    // ONE bounded pass replaces [[search]]'s corpus-wide df window:
+    // per-term df AND max g — |terms| rows to the driver, agg partials
+    // only on the wire (the window form shuffles EVERY posting row).
+    // idf > 0 always (Robertson form), so max ts = round(idf·max g·1e6)
+    // by monotonicity; +1 absorbs any float-order ulp, keeping the
+    // bound conservative (pruning stays exact, never lossy).
+    val stats = pruned.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(g(col("tf"), col("dl"))).as("gmax"))
+      .collect().map { r =>
+        val df = r.getLong(1).toDouble
+        val idf = (nDocs.toDouble - df + 0.5) / (df + 0.5)
+        (r.getString(0), r.getLong(1), math.round(idf * r.getDouble(2) * 1e6) + 1L)
+      }
+    if (stats.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_terms", "bm25_micro")
+    val ubs = stats.map(s => (s._1, s._3)).toSeq
+      .sortBy { case (t, ub) => (-ub, t) }
+    val dfDf = stats.map(s => (s._1, s._2)).toSeq.toDF("term", "df")
+    // EXACT [[search]] expression shape (same float-op order as the
+    // oracle), df supplied by a broadcast of the |terms|-row stats
+    // instead of the window
+    val idf = (lit(nDocs.toDouble) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
     val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
-    val scored = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
-      .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
+    val dfByTerm = stats.map(s => s._1 -> s._2).toMap
+    // the semi join's candidate side is bounded EXACTLY by the included
+    // terms' df sum (one posting row per (doc, term)) — when that bound
+    // is broadcast-sized, hint it so the corpus-sized posting side
+    // never shuffles; past the bound (the θ=0 fallback: every doc a
+    // candidate) fall back to the shuffled join, which is then the
+    // plain [[search]] shape anyway
+    val BroadcastCandBound = 4000000L
+    def topk(cands: DataFrame, candBound: Long): DataFrame = pruned
+      .join(broadcast(dfDf), Seq("term"))
       .withColumn("ts_micro",
         round(idf * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
-      .select(col("doc_id"), col("term"), col("ts_micro"))
-    // the window output feeds three bounded jobs (ub agg, seed pass,
-    // final pass) — keep it materialized instead of recomputing the
-    // bucket scan + df window each time
-    scored.persist()
-    try {
-      // 1. exact per-term upper bounds (|terms| rows to the driver)
-      val ubs = scored.groupBy(col("term"))
-        .agg(max(col("ts_micro")).as("ub"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-        .sortBy { case (t, ub) => (-ub, t) }
-      def topk(cands: DataFrame): DataFrame = scored
-        .join(cands, Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("ts_micro")).as("bm25_micro"))
-        .orderBy(col("bm25_micro").desc, col("doc_id"))
-        .limit(k)
-      if (ubs.isEmpty) return topk(scored.select(col("doc_id")))
-      // 2. seed θ from the highest-ub term's docs (k rows collected)
-      val seedScores = topk(
-        scored.filter(col("term") === ubs.head._1).select(col("doc_id")))
-        .select(col("bm25_micro")).as[Long].collect()
-      val theta = if (seedScores.length >= k) seedScores.min else 0L
-      val essential = ubs.take(essentialPrefix(ubs.map(_._2), theta))
-        .map(_._1)
-      // 4. aggregate only candidate docs — exact by the θ bound
-      topk(scored.filter(col("term").isin(essential: _*))
-        .select(col("doc_id")))
-    } finally scored.unpersist()
+      .join(if (candBound <= BroadcastCandBound) broadcast(cands) else cands,
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("ts_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+    // seed θ: the k-th best PARTIAL score among the seed term's own
+    // postings (the classic MaxScore bootstrap) — a doc's full score
+    // ≥ its seed-term contribution, so the true k-th best full score
+    // ≥ this θ and pruning against it stays exact. One scan of the
+    // seed term's bucket alone (the shortest posting list by choice
+    // of seed), k values collected.
+    val seedTs = prunedFor(Seq(ubs.head._1))
+      .join(broadcast(dfDf), Seq("term"))
+      .select(round(idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType)
+        .as("ts_micro"))
+      .orderBy(col("ts_micro").desc).limit(k)
+      .as[Long].collect()
+    val theta = if (seedTs.length >= k) seedTs.min else 0L
+    val essential = ubs.take(essentialPrefix(ubs.map(_._2), theta))
+      .map(_._1)
+    // aggregate only candidate docs — exact by the θ bound; the cands
+    // scan reads only the essential terms' buckets
+    topk(prunedFor(essential).select(col("doc_id")),
+      essential.map(dfByTerm).sum)
   }
 
   /** BM25 top-k over the persisted index. Reads ONLY the query

@@ -3071,6 +3071,89 @@ object TextQueries {
       WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 10
       ORDER BY da, db"""))
 
+  val q177MixturePlan = Q("q177_mixture_plan",
+    // training-data MIXTURE PLANNING with epoch caps — the op behind
+    // every published pretraining mix (The Pile, LLaMA: per-source
+    // target weights, small high-quality sources repeated up to an
+    // epoch cap, the repeat set chosen deterministically so the plan
+    // is reproducible run-over-run): given per-source token
+    // inventories, target weights w_s ∝ (source index mod 5)+1, and
+    // a budget of 2× the corpus, compute each source's target,
+    // integer-micro epochs capped at 3.0, and the EXACT extra-repeat
+    // document set for the fractional epoch — selected by arithmetic
+    // hash (doc_id·2654435761 mod 1e6 < frac_micro, the Knuth
+    // multiplicative scheme), not RNG, so both engines (and any two
+    // cluster runs) pick identical documents. All integer micro-unit
+    // arithmetic — no float rounding can diverge at any scale.
+    // Shuffles: one per-source agg + one broadcast-back join of the
+    // 20-row plan; the repeat-set scan is expression-only. At
+    // 100 TB: the plan is a driver-sized table, the corpus makes one
+    // pass, and the selection predicate vectorizes in the scan.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+      val inv = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("available"))
+        .withColumn("w_raw",
+          pmod(substring(col("source"), 4, 10).cast(LongType), lit(5L)) + 1)
+      val wAll = Window.partitionBy() // |sources|-row frame — bounded
+      val plan = inv
+        .withColumn("avail_total", sum(col("available")).over(wAll))
+        .withColumn("w_sum", sum(col("w_raw")).over(wAll))
+        // budget = 2× corpus; integer div — exact in both engines
+        .withColumn("target_tokens",
+          expr("(w_raw * avail_total * 2) div w_sum"))
+        .withColumn("epochs_micro",
+          least(lit(3000000L),
+            expr("(target_tokens * 1000000) div available")))
+        .withColumn("frac_micro", pmod(col("epochs_micro"), lit(1000000L)))
+      // join the plan back and select the fractional-epoch repeats
+      val repeats = docs.join(broadcast(
+          plan.select(col("source"), col("frac_micro"))), Seq("source"))
+        .filter(pmod(col("doc_id") * 2654435761L, lit(1000000L)) <
+          col("frac_micro"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_extra_docs"),
+          sum(col("toks")).as("extra_tokens"))
+      plan.join(repeats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("available"),
+          col("w_raw"), col("target_tokens"), col("epochs_micro"),
+          coalesce(col("n_extra_docs"), lit(0L)).as("n_extra_docs"),
+          (expr("epochs_micro div 1000000") * col("available") +
+            coalesce(col("extra_tokens"), lit(0L))).as("planned_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        inv AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(toks) AS BIGINT) AS available,
+            CAST(substr(source, 4) AS BIGINT) % 5 + 1 AS w_raw
+          FROM docs GROUP BY source),
+        plan AS (SELECT *,
+            CAST((w_raw * CAST(sum(available) OVER () AS BIGINT) * 2)
+              // CAST(sum(w_raw) OVER () AS BIGINT) AS BIGINT)
+              AS target_tokens
+          FROM inv),
+        plan2 AS (SELECT *,
+            CAST(least(3000000, (target_tokens * 1000000) // available)
+              AS BIGINT) AS epochs_micro
+          FROM plan),
+        rep AS (SELECT d.source, count(*) AS n_extra_docs,
+            CAST(sum(d.toks) AS BIGINT) AS extra_tokens
+          FROM docs d JOIN plan2 p ON p.source = d.source
+          WHERE (d.doc_id * 2654435761) % 1000000 <
+            p.epochs_micro % 1000000
+          GROUP BY d.source)
+      SELECT p.source, p.n_docs, p.available, p.w_raw, p.target_tokens,
+        p.epochs_micro,
+        coalesce(r.n_extra_docs, 0) AS n_extra_docs,
+        CAST((p.epochs_micro // 1000000) * p.available
+          + coalesce(r.extra_tokens, 0) AS BIGINT) AS planned_tokens
+      FROM plan2 p LEFT JOIN rep r ON r.source = p.source
+      ORDER BY p.source"""))
+
   val all: Seq[Q] = Seq(q25TokenStats, q26LangId, q27QualityScore,
     q28Fingerprint, q29DedupExact, q30MinhashLsh, q31NgramJaccard, q32Simhash,
     q49CorpusPrep, q50TokenBudget, q51RedactPii, q57RegexExtract,
@@ -3084,5 +3167,5 @@ object TextQueries {
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
-    q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup)
+    q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan)
 }

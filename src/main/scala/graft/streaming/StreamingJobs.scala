@@ -500,6 +500,34 @@ object StreamingJobs {
       .start()
   }
 
+  /** Maintain an AdcIngest vector-index warehouse from a parquet
+    * vector stream — the vector-side twin of
+    * [[runCorpusIngestAvailableNow]]/[[runInvertedIndexAvailableNow]]:
+    * each micro-batch is encoded under the FROZEN persisted models and
+    * appended as its own generation; restarts replay micro-batches into
+    * `AdcIngest.append`'s high-water no-op, and a fresh checkpoint
+    * against a maintained warehouse is refused (same restart-id trap).
+    * The warehouse must be bootstrapped first (models + batch 0).
+    */
+  def runAdcIngestAvailableNow(spark: SparkSession, srcDir: String,
+                               warehouseDir: String,
+                               checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        guardCheckpointIdentity(s, checkpointDir, warehouseDir)
+        graft.ops.AdcIngest.append(s,
+          batch.select("vec_id", "embedding"), warehouseDir, 1L + batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Pin the warehouse at `stateRoot` to the checkpoint lifetime that
     * first maintained it (stored as a one-row table at
     * `stateRoot/ckpt`); refuse any other checkpoint — a fresh one

@@ -975,15 +975,15 @@ object Stress {
     // ---- through the whole join chain; rarest-first starts from   ----
     // ---- the 1k-row list, so the wall tracks the RARE term's df.  ----
     val phDir = s"$dir/stress_phrase"
+    def phraseDocs = spark.range(1000000L).select(col("id").as("doc_id"),
+      concat(lit("the "),
+        when(col("id") % 1000 === 0, lit("zebra ")).otherwise(lit("")),
+        concat_ws(" ", (0 until 20).map { j =>
+          concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
+            lit(50000)))
+        }: _*)).as("text"))
     time("phrase index 1M docs") {
-      val docs = spark.range(1000000L).select(col("id").as("doc_id"),
-        concat(lit("the "),
-          when(col("id") % 1000 === 0, lit("zebra ")).otherwise(lit("")),
-          concat_ws(" ", (0 until 20).map { j =>
-            concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
-              lit(50000)))
-          }: _*)).as("text"))
-      graft.ops.InvertedIndex.build(spark, docs, phDir)
+      graft.ops.InvertedIndex.build(spark, phraseDocs, phDir)
       spark.read.parquet(s"$phDir/postings").count()
     }
     time("phrase search stopword-led") {
@@ -991,6 +991,52 @@ object Stress {
         Seq("the", "zebra")).count()
       require(n == 1000L, s"expected 1000 phrase matches, got $n")
       n
+    }
+
+    // ---- MaxScore/WAND A/B (q173 shape) over the SAME index:      ----
+    // ---- "the zebra" as a bag-of-words top-10. The unpruned       ----
+    // ---- search drags ALL 1,001,000 postings into the doc-keyed   ----
+    // ---- exchange; maxScoreSearch's essential set is {zebra}      ----
+    // ---- (θ from the 1k zebra docs dwarfs the stopword's ub-sum), ----
+    // ---- so only ~2k candidate postings reach it. Wall AND        ----
+    // ---- shuffle-write records recorded per side; results must    ----
+    // ---- be bit-identical — pruning is exact, never lossy.        ----
+    val msLabels = Seq("maxscore topk 1M docs", "bm25 full topk 1M docs")
+    if (msLabels.exists(wanted)) {
+      if (!new java.io.File(s"$phDir/postings/_SUCCESS").exists)
+        graft.ops.InvertedIndex.build(spark, phraseDocs, phDir)
+      val msRecs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            Option(te.taskMetrics).foreach(m =>
+              msRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten))
+        })
+      def withShuffleRecords(label: String)(f: => Long): Unit = {
+        Thread.sleep(300) // settle listener events from prior work
+        val before = msRecs.get()
+        time(label)(f)
+        Thread.sleep(500)
+        println(f"[stress] $label shuffle records: " +
+          f"${msRecs.get() - before}%,d")
+      }
+      var pruned: Seq[Seq[Any]] = Seq.empty
+      var full: Seq[Seq[Any]] = Seq.empty
+      withShuffleRecords("maxscore topk 1M docs") {
+        pruned = graft.ops.InvertedIndex
+          .maxScoreSearch(spark, phDir, Seq("the", "zebra"), 10)
+          .collect().toSeq.map(_.toSeq)
+        pruned.size.toLong
+      }
+      withShuffleRecords("bm25 full topk 1M docs") {
+        full = graft.ops.InvertedIndex
+          .search(spark, phDir, Seq("the", "zebra"), 10)
+          .collect().toSeq.map(_.toSeq)
+        full.size.toLong
+      }
+      require(pruned == full && pruned.size == 10,
+        s"maxscore must equal the unpruned search: $pruned vs $full")
     }
     time("invidx full-scan bm25 A/B") {
       // what serving WITHOUT the index costs: recompute stats + tf over

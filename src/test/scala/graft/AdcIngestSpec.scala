@@ -68,6 +68,42 @@ class AdcIngestSpec extends SparkSpec {
     assert(AdcIngest.lastBatch(spark, dir) == 1L)
   }
 
+  test("streaming maintainer: waves == one-shot encode, restart no-op, fresh checkpoint refused") {
+    val src = Files.createTempDirectory("adc_src").toString
+    val (dir, ckpt) = (tmp(), Files.createTempDirectory("adc_ck").toString)
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    def wave(from: Long, until: Long): Unit =
+      vecs(from, until).coalesce(1).write.mode("append").parquet(src)
+    wave(64, 80)
+    graft.streaming.StreamingJobs
+      .runAdcIngestAvailableNow(spark, src, dir, ckpt).awaitTermination()
+    wave(80, 96)
+    graft.streaming.StreamingJobs
+      .runAdcIngestAvailableNow(spark, src, dir, ckpt).awaitTermination()
+    // restart with nothing new: replayed micro-batches must not double
+    graft.streaming.StreamingJobs
+      .runAdcIngestAvailableNow(spark, src, dir, ckpt).awaitTermination()
+    assert(rows(dir).keySet == (0L until 96L).toSet)
+    // bit-parity with the one-shot encode under the same frozen models
+    val oneShot = AdcIngest.encodeBatch(spark, vecs(0, 96), dir)
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster_id"),
+            r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+            r.getAs[Double]("vn")))
+      }.toMap
+    assert(rows(dir) == oneShot)
+    // a FRESH checkpoint against the maintained warehouse must refuse
+    val ckpt2 = Files.createTempDirectory("adc_ck2").toString
+    wave(96, 100)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamingJobs
+        .runAdcIngestAvailableNow(spark, src, dir, ckpt2).awaitTermination()
+    }
+    assert(err.getMessage.contains("checkpoint") ||
+      Option(err.getCause).exists(_.getMessage.contains("checkpoint")))
+  }
+
   test("re-bootstrap into a dirty dir resurrects nothing") {
     val dir = tmp()
     AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
