@@ -420,6 +420,57 @@ object InvertedIndex {
       essential.map(dfByTerm).sum)
   }
 
+  /** BATCHED BM25 top-k: score a whole `(query_id, term)` query table
+    * against the index in ONE pass — the retrieval-eval workload
+    * (thousands of queries per run), where per-query [[search]] calls
+    * would re-read the index and recompute df once per query. One
+    * pruned scan of the union of query terms, one df window over it,
+    * then a broadcast join against the query table (a term shared by
+    * q queries fans its postings out q ways — the amortization is the
+    * point), a (query_id, doc_id) aggregation, and a per-query top-k
+    * window. Scoring conventions identical to [[search]], so a
+    * single-query batch returns exactly `search`'s rows. Output:
+    * (query_id, rank, doc_id, n_terms, bm25_micro).
+    */
+  def searchBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                  k: Int): DataFrame = {
+    require(k > 0)
+    import spark.implicits._
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.searchBatch: no corpus at $dir")).head()
+    val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
+    val avgdl = sumDl.toDouble / nDocs
+    // distinct terms + their bucket literals: one bounded collect of
+    // the query table (batch-sized by definition)
+    val terms = queries.select(col("term")).distinct().as[String]
+      .collect().toSeq
+    require(terms.nonEmpty, "empty query batch")
+    val buckets = terms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val wTerm = Window.partitionBy(col("term"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
+      .withColumn("ts_micro",
+        round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
+      .join(broadcast(queries.select(col("query_id"), col("term"))),
+        Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts_micro")).as("bm25_micro"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("bm25_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BM25 top-k over the persisted index. Reads ONLY the query
     * terms' bucket dirs + the 1-row corpus table; plan shape is
     * pruned-scan → per-term df window → per-doc integer sum →

@@ -3071,6 +3071,167 @@ object TextQueries {
       WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 10
       ORDER BY da, db"""))
 
+  /** Span-level benchmark decontamination (the GPT-3 appendix-C
+    * recipe, Brown et al. 2020): REMOVE from each training document
+    * every `winLen`-token window that also occurs in the eval set,
+    * keeping the rest of the document (q72 only detects; dropping
+    * whole contaminated documents wastes the clean 95% of a page that
+    * quotes one benchmark question). Same spine as
+    * [[substringDedupRewrite]] — the census key is the window's
+    * md5-prefix fingerprint, so document text never shuffles — except
+    * the dup set is the EVAL side's window fingerprints, which is
+    * benchmark-sized by nature and always broadcasts: the training
+    * corpus makes one scan + one semi probe, covered positions fold
+    * per-doc, and the rewrite is one doc_id join + doc-local
+    * filter/transform in codegen.
+    */
+  def decontaminateRewrite(train0: DataFrame, eval0: DataFrame,
+                           winLen: Int): DataFrame = {
+    def withToks(df: DataFrame) =
+      df.select(col("doc_id"), toks(col("text")).as("t"))
+    def winsOf(df: DataFrame) = df.select(col("doc_id"), posexplode(expr(
+      s"""if(size(t) >= $winLen,
+         |  transform(sequence(1, size(t) - ${winLen - 1}),
+         |    i -> substring(md5(concat_ws(' ', slice(t, i, $winLen))), 1, 16)),
+         |  array())"""
+        .stripMargin)).as(Seq("p0", "wh")))
+    val train = withToks(train0)
+    val evalWins = winsOf(withToks(eval0)).select(col("wh")).distinct()
+    val covSet = winsOf(train)
+      .join(broadcast(evalWins), Seq("wh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p0")).as("p0s"))
+      .select(col("doc_id"), array_distinct(flatten(transform(
+        array_sort(col("p0s")),
+        p => sequence(p + 1, p + winLen)))).as("cov"))
+    train.join(covSet, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("cov"), expr("array()")).as("cov"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(col("cov")).cast(LongType).as("n_removed"),
+        concat_ws(" ", expr(
+          """transform(filter(
+            |  transform(t, (x, i) -> struct(i + 1 AS pos, x AS tok)),
+            |  s -> NOT array_contains(cov, s.pos)), s -> s.tok)"""
+            .stripMargin)).as("clean_text"))
+  }
+
+  val q178Decontaminate = Q("q178_decontaminate",
+    // span-level eval-set decontamination ([[decontaminateRewrite]]):
+    // eval set = the doc_id % 11 == 0 documents; train = the rest,
+    // with contamination PLANTED so the gate is non-vacuous at every
+    // SF — each % 13 == 0 train doc gets the first 13 tokens of a
+    // deterministic eval partner ((doc_id % 45) * 11, always an eval
+    // member at every SF) appended, so exactly one aligned 13-gram
+    // window matches the eval side and the rewrite must strike
+    // exactly those 13 positions (windows straddling the appended
+    // boundary mix tokens and must NOT match). Both engines construct
+    // the planted corpus by the same expressions; the oracle replays
+    // the census, the covered-position fold, and the rewrite.
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val eval0 = docs.filter(col("doc_id") % 11 === 0)
+      val probe = eval0
+        .select((col("doc_id") / 11).cast(LongType).as("pk"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 13)).as("ptext"))
+      val train = docs.filter(col("doc_id") % 11 =!= 0)
+        .join(broadcast(probe),
+          col("pk") === pmod(col("doc_id"), lit(45L)), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0 && col("ptext").isNotNull,
+            concat(col("text"), lit(" "), col("ptext")))
+            .otherwise(col("text")).as("text"))
+      decontaminateRewrite(train, eval0, 13).orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+        ev AS (SELECT doc_id, text FROM docs WHERE doc_id % 11 = 0),
+        probe AS (SELECT doc_id // 11 AS pk,
+            array_to_string((string_split(text, ' '))[1:13], ' ') AS ptext
+          FROM ev),
+        train AS (SELECT d.doc_id,
+            CASE WHEN d.doc_id % 13 = 0 AND p.ptext IS NOT NULL
+              THEN d.text || ' ' || p.ptext ELSE d.text END AS text
+          FROM docs d LEFT JOIN probe p ON p.pk = d.doc_id % 45
+          WHERE d.doc_id % 11 <> 0),
+        tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM train),
+        et AS (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+        ewins AS (SELECT DISTINCT
+            substr(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS wh
+          FROM et, unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS u(i)),
+        twins AS (SELECT doc_id, i AS p0,
+            substr(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS wh
+          FROM tt, unnest(range(1, greatest(len(t) - 12, 0) + 1)) AS u(i)),
+        cov AS (SELECT DISTINCT w.doc_id, c.pos
+          FROM twins w, unnest(range(w.p0, w.p0 + 13)) AS c(pos)
+          WHERE w.wh IN (SELECT wh FROM ewins)),
+        tok AS (SELECT doc_id, j AS pos, t[j] AS tok
+          FROM tt, unnest(range(1, len(t) + 1)) AS v(j)),
+        kept AS (SELECT k.doc_id, count(*) AS n_kept,
+            string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text
+          FROM tok k LEFT JOIN cov c
+            ON k.doc_id = c.doc_id AND k.pos = c.pos
+          WHERE c.pos IS NULL GROUP BY k.doc_id)
+      SELECT tt.doc_id, CAST(len(tt.t) AS BIGINT) AS n_tokens,
+        CAST(len(tt.t) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(kept.clean_text, '') AS clean_text
+      FROM tt LEFT JOIN kept ON tt.doc_id = kept.doc_id
+      ORDER BY tt.doc_id"""))
+
+  val q179BatchSearch = Q("q179_batch_search",
+    // BATCHED multi-query BM25 over the persisted index
+    // (InvertedIndex.searchBatch) — the retrieval-eval workload
+    // (BEIR/MS MARCO style: thousands of queries against one index):
+    // q157 serves ONE query per pass; a batch amortizes the index
+    // read and the df computation across every query that shares a
+    // term. One pruned scan of the UNION of query terms, one df
+    // window over it, a broadcast join against the (query_id, term)
+    // table (terms shared by queries fan out here — the batching
+    // win), one (query_id, doc_id) aggregation, and a per-query
+    // top-k window. At 100 TB the postings cross the wire once for
+    // the whole batch instead of once per query. The oracle replays
+    // the batch from the same persisted index parquet with a VALUES
+    // query table.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q179"
+      graft.ops.InvertedIndex.build(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), wh)
+      import s.implicits._
+      val queries = Seq(
+        (1L, "dup"), (1L, "scan"),
+        (2L, "merge"), (2L, "scan"), (2L, "query"),
+        (3L, "spark")).toDF("query_id", "term")
+      graft.ops.InvertedIndex.searchBatch(s, wh, queries, 5)
+    },
+    Some("""WITH qt (query_id, term) AS (VALUES
+          (1, 'dup'), (1, 'scan'),
+          (2, 'merge'), (2, 'scan'), (2, 'query'),
+          (3, 'spark')),
+        p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q179/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q179/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN (SELECT DISTINCT term FROM qt)),
+        s AS (SELECT doc_id, term, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT qt.query_id, s.doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s JOIN qt ON qt.term = s.term),
+        agg AS (SELECT query_id, doc_id,
+            CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+          FROM t GROUP BY query_id, doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25_micro DESC, doc_id) AS rank FROM agg)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(rank AS INTEGER) AS rank, doc_id, n_terms, bm25_micro
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val q177MixturePlan = Q("q177_mixture_plan",
     // training-data MIXTURE PLANNING with epoch caps — the op behind
     // every published pretraining mix (The Pile, LLaMA: per-source
@@ -3167,5 +3328,6 @@ object TextQueries {
     q154NbClassifier, q155HtmlExtract, q157InvertedIndex, q158WindowChunks,
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
-    q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan)
+    q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
+    q178Decontaminate, q179BatchSearch)
 }

@@ -291,6 +291,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a3 == b3 && b3.size == 4)
   }
 
+  test("searchBatch: single-query batch == search; shared terms fan out per query") {
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(corpus: _*), dir)
+    val single = Seq((7L, "spark"), (7L, "query")).toDF("query_id", "term")
+    val batched = InvertedIndex.searchBatch(spark, dir, single, 10)
+      .select("doc_id", "n_terms", "bm25_micro")
+      .collect().toSeq.map(_.toSeq)
+    val direct = InvertedIndex.search(spark, dir, Seq("spark", "query"), 10)
+      .collect().toSeq.map(_.toSeq)
+    assert(batched == direct && batched.nonEmpty)
+    // two queries sharing a term: each gets its own isolated ranking
+    val multi = Seq((1L, "spark"), (2L, "spark"), (2L, "merge"))
+      .toDF("query_id", "term")
+    val got = InvertedIndex.searchBatch(spark, dir, multi, 10)
+      .select("query_id", "rank", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q1 = got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq
+    val q2 = got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq
+    val ref1 = InvertedIndex.search(spark, dir, Seq("spark"), 10)
+      .collect().zipWithIndex.map { case (r, i) => (i + 1, r.getLong(0)) }.toSeq
+    val ref2 = InvertedIndex.search(spark, dir, Seq("spark", "merge"), 10)
+      .collect().zipWithIndex.map { case (r, i) => (i + 1, r.getLong(0)) }.toSeq
+    assert(q1 == ref1 && q2 == ref2)
+  }
+
   test("proximity search: sort-based min pair distance boosts BM25 exactly") {
     val dir = tmp()
     InvertedIndex.build(spark, docs(

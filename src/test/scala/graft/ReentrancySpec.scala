@@ -37,7 +37,8 @@ class ReentrancySpec extends SparkSpec {
     "q170_adc_search",          // graft_centroids/q170 + graft_pq/q170
     "q171_auto_compact",        // graft_invidx/q171
     "q172_adc_ingest",          // graft_adc/q172
-    "q173_maxscore_topk")       // graft_invidx/q173
+    "q173_maxscore_topk",       // graft_invidx/q173
+    "q179_batch_search")        // graft_invidx/q179
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
