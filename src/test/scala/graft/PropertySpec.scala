@@ -72,6 +72,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("maxScoreSearch == search over random corpora, queries, and k") {
+    // the pruning proof (θ lower-bounds the true k-th best; docs with
+    // only non-essential terms score below θ) must hold for ANY df
+    // skew, tie pattern, and k — not just the planted stopword case
+    val vocab = Vector("a", "b", "c", "d", "e", "stop")
+    val docGen = Gen.listOfN(24, Gen.nonEmptyListOf(
+      Gen.frequency(4 -> Gen.oneOf(vocab.init), 6 -> Gen.const("stop"))
+        ).map(_.take(8)))
+    samples(Gen.zip(docGen, Gen.choose(1, 12)), 4)
+      .foreach { case (texts, k) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory("msprop").toString + "/ix"
+        val docs = texts.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+          .toDF("doc_id", "text")
+        graft.ops.InvertedIndex.build(spark, docs, dir)
+        Seq(Seq("stop", "a"), Seq("a", "b", "c"), Seq("stop"),
+          Seq("e", "stop", "d")).foreach { q =>
+          val a = graft.ops.InvertedIndex.search(spark, dir, q, k)
+            .collect().toSeq.map(_.toSeq)
+          val b = graft.ops.InvertedIndex.maxScoreSearch(spark, dir, q, k)
+            .collect().toSeq.map(_.toSeq)
+          assert(a == b, s"maxscore diverged for q=$q k=$k:\n$a\nvs\n$b")
+        }
+      }
+  }
+
   test("requireNonNull is a partition of the input") {
     samples(kvGen, 5).foreach { rows =>
       val df = rows.toDF("k", "ord", "v")
