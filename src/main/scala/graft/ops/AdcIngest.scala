@@ -127,7 +127,56 @@ object AdcIngest {
     * codes, vn) — feed to [[Pq.adcSearch]] with [[Pq.probeLuts]] built
     * from the same persisted models.
     */
-  def index(spark: SparkSession, dir: String): DataFrame =
+  def index(spark: SparkSession, dir: String): DataFrame = {
+    Load.recoverSwap(spark, s"$dir/index")
     spark.read.parquet(s"$dir/index")
       .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+  }
+
+  /** Number of `batch=` generations in the index tree — the
+    * [[compact]] trigger (the vector twin of
+    * `InvertedIndex.segmentCount`): every search opens O(generations)
+    * file groups, so an append-heavy index decays toward one file set
+    * per batch. One driver-side listStatus, no Spark job.
+    */
+  def segmentCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Load.recoverSwap(spark, s"$dir/index")
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+  }
+
+  /** Collapse every generation into a single `batch=0` tree — a PURE
+    * physical move (batches carry disjoint vec_ids under the append
+    * contract; per-vector rows never merge), clustered by cluster_id
+    * within files so probe-routed reads touch contiguous runs.
+    * Crash-safe via the warehouse two-rename swap; the meta row —
+    * including the exactly-once `last_batch` high-water mark — is
+    * untouched, so replay protection and the next append id survive.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val indexDir = s"$dir/index"
+    Load.recoverSwap(spark, indexDir)
+    val staging = s"$indexDir.__staging"
+    spark.read.parquet(indexDir)
+      .drop("batch").withColumn("batch", lit(0L))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("batch").parquet(staging)
+    Load.atomicSwap(spark, staging, indexDir)
+  }
+
+  /** The compaction POLICY hook (vector twin of
+    * `InvertedIndex.compactIfNeeded`): compact when the tree holds
+    * more than `maxSegments` generations, else no-op. Idempotent under
+    * streaming replays; a crash mid-compaction heals through
+    * [[segmentCount]]'s recoverSwap on the next call.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+                      maxSegments: Int): Boolean = {
+    require(maxSegments >= 1, "maxSegments must be at least 1")
+    if (segmentCount(spark, dir) > maxSegments) { compact(spark, dir); true }
+    else false
+  }
 }

@@ -1290,8 +1290,118 @@ object VectorQueries {
       FROM neg n LEFT JOIN pos p ON p.query_id = n.query_id
       WHERE n.rank <= 5 ORDER BY n.query_id, n.rank"""))
 
+  val q180AdcCompact = Q("q180_adc_compact",
+    // vector-index auto-compaction policy (AdcIngest.compactIfNeeded)
+    // — q171's twin for the PQ/ADC warehouse: append-heavy vector
+    // ingest decays the index toward one file set per generation, and
+    // the maintenance rewrite is a PURE physical move (batches carry
+    // disjoint vec_ids; rows never merge) through the crash-safe
+    // two-rename swap, cluster-clustered within files so probe-routed
+    // reads touch contiguous runs. Lifecycle: bootstrap (%4==1) →
+    // append %4==2 → policy no-op at 2 ≤ 2 → append %4==3 → policy
+    // FIRES at 3 > 2 → 1 generation → append %4==0 lands as batch 3
+    // (the exactly-once high-water mark survives the rewrite; its
+    // replay stays refused) → 2 generations. The oracle replays the
+    // ADC search from the POST-POLICY index parquet (the compacted
+    // batch=0 + the post-compaction batch=3) — what's compared is the
+    // physical tree the policy produced, scored through the same LUT
+    // conventions as q170/q172.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val wh = "/root/repo/target/graft_adc/q180"
+      val ai = graft.ops.AdcIngest
+      ai.bootstrap(s, e.filter(col("vec_id") % 4 === 1), wh,
+        k = 16, m = 8, ks = 16)
+      require(ai.append(s, e.filter(col("vec_id") % 4 === 2), wh, 1L),
+        "batch 1 must land")
+      require(!ai.compactIfNeeded(s, wh, maxSegments = 2),
+        "policy fired inside the segment budget")
+      require(ai.segmentCount(s, wh) == 2, "no-op policy touched the tree")
+      require(ai.append(s, e.filter(col("vec_id") % 4 === 3), wh, 2L),
+        "batch 2 must land")
+      require(ai.compactIfNeeded(s, wh, maxSegments = 2),
+        "policy must fire at 3 generations > budget 2")
+      require(ai.segmentCount(s, wh) == 1,
+        "expected 1 generation after the policy fired")
+      require(ai.append(s, e.filter(col("vec_id") % 4 === 0), wh, 3L),
+        "append after compaction must land")
+      require(!ai.append(s, e.filter(col("vec_id") % 4 === 0), wh, 3L),
+        "replayed id must stay refused after the policy fired")
+      require(ai.segmentCount(s, wh) == 2,
+        "post-compaction append must open its own generation")
+      val cents = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 3), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcSearch(ai.index(s, wh), pl, topC = 12)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q180/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q180/codebooks/*.parquet')),
+        idx AS (SELECT vec_id, cluster_id, codes, vn FROM read_parquet(
+          '/root/repo/target/graft_adc/q180/index/*/*.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 4),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 3),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 12),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
-    q170AdcSearch, q172AdcIngest, q174HardNegatives)
+    q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact)
 }

@@ -104,6 +104,30 @@ class AdcIngestSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("checkpoint")))
   }
 
+  test("compact: generations collapse, rows bit-equal, lifecycle continues") {
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    assert(AdcIngest.append(spark, vecs(80, 96), dir, 2L))
+    assert(AdcIngest.segmentCount(spark, dir) == 3)
+    val before = rows(dir)
+    AdcIngest.compact(spark, dir)
+    assert(AdcIngest.segmentCount(spark, dir) == 1)
+    assert(rows(dir) == before, "compaction must be a pure physical move")
+    // exactly-once survives: replay refused, next id lands
+    assert(AdcIngest.lastBatch(spark, dir) == 2L)
+    assert(!AdcIngest.append(spark, vecs(80, 96), dir, 2L))
+    assert(AdcIngest.append(spark, vecs(96, 104), dir, 3L))
+    assert(AdcIngest.segmentCount(spark, dir) == 2)
+    assert(rows(dir).keySet == (0L until 104L).toSet)
+    // the policy hook: no-op at/below budget, compacts above
+    assert(!AdcIngest.compactIfNeeded(spark, dir, maxSegments = 2))
+    assert(AdcIngest.segmentCount(spark, dir) == 2)
+    assert(AdcIngest.compactIfNeeded(spark, dir, maxSegments = 1))
+    assert(AdcIngest.segmentCount(spark, dir) == 1)
+    assert(rows(dir).keySet == (0L until 104L).toSet)
+  }
+
   test("re-bootstrap into a dirty dir resurrects nothing") {
     val dir = tmp()
     AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)

@@ -38,7 +38,8 @@ class ReentrancySpec extends SparkSpec {
     "q171_auto_compact",        // graft_invidx/q171
     "q172_adc_ingest",          // graft_adc/q172
     "q173_maxscore_topk",       // graft_invidx/q173
-    "q179_batch_search")        // graft_invidx/q179
+    "q179_batch_search",        // graft_invidx/q179
+    "q180_adc_compact")         // graft_adc/q180
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
