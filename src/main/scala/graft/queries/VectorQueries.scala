@@ -1400,8 +1400,161 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q181MmrDiversify = Q("q181_mmr_diversify",
+    // MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998) —
+    // the post-retrieval step every RAG/search stack and
+    // diversity-aware data-selection pipeline runs: greedily pick k
+    // results maximizing relevance − λ·(max similarity to anything
+    // already picked), so near-duplicate hits don't crowd the window.
+    // Candidates = per-anchor top-8 cosine (one broadcast pass, the
+    // q34 shape); the greedy selection is UNROLLED into k−1 exact
+    // relational steps (each an argmax window over score =
+    // rel − 0.5·max-sim-to-selected), with every cosine rounded to
+    // 6 dp BEFORE ranking so both engines order identically. Per-query
+    // state is ≤ candidate-window-sized at every step — at 100 TB the
+    // candidate generation is the only corpus-scale pass; the MMR
+    // steps touch nq×8 rows regardless of corpus size.
+    (s, d) => {
+      val k = 4
+      // λ = 0.5 folded into integers: mmr_micro2 = 2·rel_micro −
+      // max_sim_micro — the BM25 micro-unit convention, so greedy
+      // ranking is exact integer arithmetic in both engines (a
+      // float re-round of rel − 0.5·sim diverged by an ulp at sf0.1)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel_micro").desc, col("vec_id"))
+      val cands = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          col("nrm"),
+          round(dot(col("qe"), col("embedding")) /
+            (col("qn") * col("nrm")) * 1e6, 0).cast(LongType)
+            .as("rel_micro"))
+        .withColumn("crank", row_number().over(wRel))
+        .filter(col("crank") <= 8)
+        .transform(eager) // candidate window: re-joined k times below
+      // pairwise sims within each query's candidate window (≤ 8×8)
+      val pair = cands.select(col("query_id"), col("vec_id").as("ca"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(cands.select(col("query_id"), col("vec_id").as("cb"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("query_id"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")) * 1e6, 0)
+            .cast(LongType).as("sim_micro"))
+        .transform(eager)
+      // step 1: pure relevance
+      var selected = cands.filter(col("crank") === 1)
+        .select(col("query_id"), col("vec_id"), lit(1).as("pick_order"),
+          (col("rel_micro") * 2).as("mmr_micro2"))
+      // steps 2..k: argmax of 2·rel_micro − max(sim_micro to selected)
+      for (t <- 2 to k) {
+        val maxSim = pair
+          .join(selected.select(col("query_id"), col("vec_id").as("cb")),
+            Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca"))
+          .agg(max(col("sim_micro")).as("msim"))
+          .select(col("query_id").as("__mq"), col("ca").as("__mc"),
+            col("msim"))
+        val wPick = Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr_micro2").desc, col("vec_id"))
+        val pick = cands
+          .join(selected.select(col("query_id").as("__selq"),
+            col("vec_id").as("__sel")),
+            col("query_id") === col("__selq") &&
+              col("vec_id") === col("__sel"), "left_anti")
+          .join(maxSim, col("__mc") === col("vec_id") &&
+            col("__mq") === col("query_id"), "left")
+          .select(col("query_id"), col("vec_id"),
+            (col("rel_micro") * 2 - coalesce(col("msim"), lit(0L)))
+              .as("mmr_micro2"))
+          .withColumn("pr", row_number().over(wPick))
+          .filter(col("pr") === 1)
+          .select(col("query_id"), col("vec_id"),
+            lit(t).as("pick_order"), col("mmr_micro2"))
+        // localCheckpoint, not persist: each step references the prior
+        // selected set THREE times (max-sim join, anti-join, union), so
+        // a lineage-preserving cache still embeds the previous step's
+        // plan 3× — exponential plan growth across k steps (measured:
+        // 2,276 exchanges in the k=4 executed plan). Checkpointing
+        // truncates the logical plan to the materialized rows (nq·t —
+        // driver-bounded), keeping every step's plan constant-size.
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      selected.orderBy(col("query_id"), col("pick_order"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id % 101 = 0),
+        cand0 AS (SELECT q.query_id, e.vec_id, e.embedding, e.nrm,
+            CAST(round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm)
+              * 1e6, 0) AS BIGINT) AS rel_micro,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              CAST(round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm)
+                * 1e6, 0) AS BIGINT) DESC, e.vec_id) AS crank
+          FROM e JOIN q ON e.vec_id <> q.query_id),
+        cands AS (SELECT * FROM cand0 WHERE crank <= 8),
+        pair AS (SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+            CAST(round(${duckDot("a.embedding", "b.embedding")}
+              / (a.nrm * b.nrm) * 1e6, 0) AS BIGINT) AS sim_micro
+          FROM cands a JOIN cands b ON a.query_id = b.query_id
+            AND a.vec_id <> b.vec_id),
+        s1 AS (SELECT query_id, vec_id, 1 AS pick_order,
+            rel_micro * 2 AS mmr_micro2 FROM cands WHERE crank = 1),
+        m2 AS (SELECT p.query_id, p.ca, max(p.sim_micro) AS msim FROM pair p
+          JOIN s1 ON s1.query_id = p.query_id AND s1.vec_id = p.cb
+          GROUP BY p.query_id, p.ca),
+        p2 AS (SELECT query_id, vec_id, 2 AS pick_order, mmr_micro2 FROM (
+            SELECT c.query_id, c.vec_id,
+              c.rel_micro * 2 - coalesce(m.msim, 0) AS mmr_micro2,
+              row_number() OVER (PARTITION BY c.query_id ORDER BY
+                c.rel_micro * 2 - coalesce(m.msim, 0) DESC, c.vec_id) AS pr
+            FROM cands c LEFT JOIN m2 m
+              ON m.query_id = c.query_id AND m.ca = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM s1
+              WHERE s1.query_id = c.query_id AND s1.vec_id = c.vec_id))
+          WHERE pr = 1),
+        s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+        m3 AS (SELECT p.query_id, p.ca, max(p.sim_micro) AS msim FROM pair p
+          JOIN s2 ON s2.query_id = p.query_id AND s2.vec_id = p.cb
+          GROUP BY p.query_id, p.ca),
+        p3 AS (SELECT query_id, vec_id, 3 AS pick_order, mmr_micro2 FROM (
+            SELECT c.query_id, c.vec_id,
+              c.rel_micro * 2 - coalesce(m.msim, 0) AS mmr_micro2,
+              row_number() OVER (PARTITION BY c.query_id ORDER BY
+                c.rel_micro * 2 - coalesce(m.msim, 0) DESC, c.vec_id) AS pr
+            FROM cands c LEFT JOIN m3 m
+              ON m.query_id = c.query_id AND m.ca = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM s2
+              WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id))
+          WHERE pr = 1),
+        s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3),
+        m4 AS (SELECT p.query_id, p.ca, max(p.sim_micro) AS msim FROM pair p
+          JOIN s3 ON s3.query_id = p.query_id AND s3.vec_id = p.cb
+          GROUP BY p.query_id, p.ca),
+        p4 AS (SELECT query_id, vec_id, 4 AS pick_order, mmr_micro2 FROM (
+            SELECT c.query_id, c.vec_id,
+              c.rel_micro * 2 - coalesce(m.msim, 0) AS mmr_micro2,
+              row_number() OVER (PARTITION BY c.query_id ORDER BY
+                c.rel_micro * 2 - coalesce(m.msim, 0) DESC, c.vec_id) AS pr
+            FROM cands c LEFT JOIN m4 m
+              ON m.query_id = c.query_id AND m.ca = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM s3
+              WHERE s3.query_id = c.query_id AND s3.vec_id = c.vec_id))
+          WHERE pr = 1),
+        s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM p4)
+      SELECT query_id, vec_id, pick_order,
+        CAST(mmr_micro2 AS BIGINT) AS mmr_micro2 FROM s4
+      ORDER BY query_id, pick_order"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
-    q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact)
+    q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
+    q181MmrDiversify)
 }
