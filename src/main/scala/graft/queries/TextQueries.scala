@@ -3232,6 +3232,52 @@ object TextQueries {
         CAST(rank AS INTEGER) AS rank, doc_id, n_terms, bm25_micro
       FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  val q182CcnetBuckets = Q("q182_ccnet_buckets",
+    // per-language calibrated quality buckets (CCNet, Wenzek et al.
+    // 2019): a single GLOBAL quality threshold over-filters whatever a
+    // global model scores oddly (low-resource languages first), so
+    // CCNet buckets each document against ITS OWN language's score
+    // distribution — head/middle/tail at the per-language terciles —
+    // and trains on head+middle. Score here is the integer
+    // milli-average-token-length (n_chars·1000 div n_tokens — the
+    // deterministic stand-in for the LM perplexity this container
+    // can't host); thresholds are exact type-7 percentiles per
+    // language (the q70 convention: Spark `percentile` ≡ DuckDB
+    // `quantile_cont`), integer scores against interpolated-double
+    // cuts so the comparisons are ulp-safe. Shape at 100 TB: one
+    // per-language aggregate (|langs| rows) broadcast back over one
+    // corpus pass — the classic calibrate-then-gate two-phase scan.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars * 1000 div size(split(text, ' '))")
+            .as("score_milli"))
+      val cuts = docs.groupBy(col("lang"))
+        .agg(expr("percentile(score_milli, 0.3333333333333333D)").as("p33"),
+          expr("percentile(score_milli, 0.6666666666666666D)").as("p67"))
+      docs.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score_milli"),
+          col("p33"), col("p67"),
+          when(col("score_milli") <= col("p33"), lit("head"))
+            .when(col("score_milli") <= col("p67"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, lang,
+          n_chars * 1000 // len(string_split(text, ' ')) AS score_milli
+          FROM documents),
+        cuts AS (SELECT lang,
+            quantile_cont(score_milli, 0.3333333333333333) AS p33,
+            quantile_cont(score_milli, 0.6666666666666666) AS p67
+          FROM docs GROUP BY lang)
+      SELECT d.doc_id, d.lang, CAST(d.score_milli AS BIGINT) AS score_milli,
+        c.p33, c.p67,
+        CASE WHEN d.score_milli <= c.p33 THEN 'head'
+          WHEN d.score_milli <= c.p67 THEN 'middle'
+          ELSE 'tail' END AS bucket
+      FROM docs d JOIN cuts c ON c.lang = d.lang
+      ORDER BY d.doc_id"""))
+
   val q177MixturePlan = Q("q177_mixture_plan",
     // training-data MIXTURE PLANNING with epoch caps — the op behind
     // every published pretraining mix (The Pile, LLaMA: per-source
@@ -3329,5 +3375,5 @@ object TextQueries {
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
-    q178Decontaminate, q179BatchSearch)
+    q178Decontaminate, q179BatchSearch, q182CcnetBuckets)
 }
