@@ -1552,9 +1552,91 @@ object VectorQueries {
         CAST(mmr_micro2 AS BIGINT) AS mmr_micro2 FROM s4
       ORDER BY query_id, pick_order"""))
 
+  val q183RetrievalMetrics = Q("q183_retrieval_metrics",
+    // retrieval-quality EVAL over the ANN stack — the measurement loop
+    // every index change runs before shipping (recall@k and MRR, the
+    // two metrics whose discounts are RATIONAL, so the whole
+    // evaluation stays exact integer micro-units cross-engine; nDCG's
+    // log2 discount is libm-dependent and has no exact replay).
+    // Relevance = label agreement (the embeddings table's planted
+    // ground truth); system under eval = brute-force cosine top-5
+    // (the q34 shape — swap in any candidate frame with the same
+    // columns). Per query: hits@5, recall@5_micro = 1e6·hits/
+    // min(5, n_relevant), MRR_micro = 1e6 div first-relevant rank;
+    // then the macro average over queries, all integer division.
+    // At 100 TB: eval queries are a broadcast-sized sample; the one
+    // corpus-scale pass is the candidate generation being evaluated.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      val ranked = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+          round(dot(col("qe"), col("embedding")) /
+            (col("qn") * col("nrm")) * 1e6, 0).cast(LongType)
+            .as("cos_micro"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val nRel = e.join(broadcast(q.select(col("query_id"),
+          col("qlabel"))), col("vec_id") =!= col("query_id"))
+        .filter(col("label") === col("qlabel"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+      val perQuery = ranked
+        .groupBy(col("query_id"), col("qlabel"))
+        .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits"),
+          min(when(col("label") === col("qlabel"), col("rank")))
+            .as("first_rel"))
+        .join(nRel, Seq("query_id"), "left")
+        .select(col("query_id"), col("hits"),
+          expr("hits * 1000000 div least(5, coalesce(n_relevant, 0) + " +
+            "if(n_relevant is null, 1, 0))").as("recall_micro"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_micro"))
+      perQuery
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("total_hits"),
+          expr("sum(recall_micro) div count(1)").as("macro_recall_micro"),
+          expr("sum(mrr_micro) div count(1)").as("macro_mrr_micro"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+              nrm AS qn FROM e WHERE vec_id % 61 = 0),
+        ranked0 AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+            CAST(round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm)
+              * 1e6, 0) AS BIGINT) AS cos_micro
+          FROM e JOIN q ON e.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_micro DESC, vec_id) AS rank FROM ranked0),
+        top5 AS (SELECT * FROM ranked WHERE rank <= 5),
+        nrel AS (SELECT q.query_id, count(*) AS n_relevant
+          FROM e JOIN q ON e.vec_id <> q.query_id AND e.label = q.qlabel
+          GROUP BY q.query_id),
+        pq AS (SELECT t.query_id,
+            CAST(sum(CASE WHEN t.label = t.qlabel THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits,
+            min(CASE WHEN t.label = t.qlabel THEN t.rank END) AS first_rel
+          FROM top5 t GROUP BY t.query_id),
+        m AS (SELECT p.query_id, p.hits,
+            p.hits * 1000000 // least(5, coalesce(n.n_relevant, 0)
+              + CASE WHEN n.n_relevant IS NULL THEN 1 ELSE 0 END)
+              AS recall_micro,
+            coalesce(1000000 // p.first_rel, 0) AS mrr_micro
+          FROM pq p LEFT JOIN nrel n ON n.query_id = p.query_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(hits) AS BIGINT) AS total_hits,
+        CAST(sum(recall_micro) // count(*) AS BIGINT) AS macro_recall_micro,
+        CAST(sum(mrr_micro) // count(*) AS BIGINT) AS macro_mrr_micro
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
     q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
-    q181MmrDiversify)
+    q181MmrDiversify, q183RetrievalMetrics)
 }
