@@ -1634,9 +1634,144 @@ object VectorQueries {
         CAST(sum(mrr_micro) // count(*) AS BIGINT) AS macro_mrr_micro
       FROM m"""))
 
+  val q184WarehouseRrf = Q("q184_warehouse_rrf",
+    // WAREHOUSE-SERVED hybrid retrieval — the day-2 production
+    // composition: q166 fuses ad-hoc scans; this gate serves the
+    // lexical list from the PERSISTED inverted index (q157's
+    // warehouse) and the dense list from the INCREMENTALLY-BUILT
+    // PQ/ADC warehouse (q172's bootstrap + append lifecycle runs
+    // in-query, so the fused results are served across generations),
+    // then fuses by reciprocal-rank (Cormack & Clarke 2009) in exact
+    // integer nano-units: rrf_nano = Σ_lists 1e9 div (60 + rank) —
+    // only ranks cross the fusion boundary, and integer division
+    // keeps both engines bit-equal. The oracle replays BOTH serving
+    // paths from the persisted trees alone (postings parquet; index
+    // generations + frozen models) and the same fusion. At 100 TB:
+    // each side is the index-accelerated plan it was gated with
+    // individually; fusion moves 2k rank rows.
+    (s, d) => {
+      val whIx = "/root/repo/target/graft_invidx/q184"
+      val whAdc = "/root/repo/target/graft_adc/q184"
+      val ix = graft.ops.InvertedIndex
+      val ai = graft.ops.AdcIngest
+      ix.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        whIx)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      ai.bootstrap(s, e.filter(col("vec_id") % 3 =!= 0), whAdc,
+        k = 16, m = 8, ks = 16)
+      require(ai.append(s, e.filter(col("vec_id") % 3 === 0), whAdc, 1L),
+        "dense batch 1 must land")
+      val lex = ix.search(s, whIx, Seq("dup", "scan", "merge"), 20)
+        .withColumn("lrank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))) // 20 rows
+          .cast(LongType))
+        .select(col("doc_id"), col("lrank"))
+      val cents = graft.ops.VectorOps.loadCentroids(s, whAdc + "/centroids")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, whAdc + "/codebooks").get)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4), cdf, cbSeq)
+      val den = graft.ops.IvfPq.rerank(
+        graft.ops.Pq.adcSearch(ai.index(s, whAdc), pl, topC = 24),
+        e, topK = 20)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").cast(LongType).as("drank"))
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lrank"), col("drank"),
+          (coalesce(expr("1000000000 div (60 + lrank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + drank)"), lit(0L)))
+            .as("rrf_nano"))
+        .orderBy(col("rrf_nano").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q184/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q184/corpus/*.parquet')),
+        lq AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('dup', 'scan', 'merge')),
+        ls AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM lq),
+        lt AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM ls),
+        lagg AS (SELECT doc_id, CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+          FROM lt GROUP BY doc_id
+          ORDER BY bm25_micro DESC, doc_id LIMIT 20),
+        lex AS (SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS lrank
+          FROM lagg),
+        e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q184/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q184/codebooks/*.parquet')),
+        idx AS (SELECT vec_id, cluster_id, codes, vn FROM read_parquet(
+          '/root/repo/target/graft_adc/q184/index/*/*.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id = 0),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 4),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 24),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        den AS (SELECT neighbor_id AS doc_id,
+            CAST(rank AS BIGINT) AS drank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+          WHERE rank <= 20)
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lrank, d.drank,
+        coalesce(1000000000 // (60 + l.lrank), 0)
+          + coalesce(1000000000 // (60 + d.drank), 0) AS rrf_nano
+      FROM lex l FULL OUTER JOIN den d ON d.doc_id = l.doc_id
+      ORDER BY rrf_nano DESC, doc_id LIMIT 15"""))
+
   val all: Seq[Q] = Seq(q33CosinePairs, q34AnnTopk, q35AnnIvf, q75VectorNorms,
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
     q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
-    q181MmrDiversify, q183RetrievalMetrics)
+    q181MmrDiversify, q183RetrievalMetrics, q184WarehouseRrf)
 }
