@@ -76,21 +76,29 @@ object AdcIngest {
 
   /** Bootstrap the warehouse from the initial corpus (fully wipes
     * `dir` — generation zero): trains + persists k coarse centroids
-    * and m×ks PQ codebooks on `vecs` alone, then lands its encode as
-    * `batch=0`.
+    * and m×ks PQ codebooks, then lands the encode of ALL of `vecs` as
+    * `batch=0`. `trainOn` (default: `vecs` itself) is the training
+    * subset — at corpus scale Lloyd iterations over every vector are
+    * neither affordable nor needed (Jégou et al. train PQ on ~100k
+    * samples); pass a DETERMINISTIC sample so re-bootstraps reproduce
+    * the same models. Correctness is unaffected either way: the
+    * models are persisted and every consumer (ingest, search, the
+    * oracles) reads them back.
     */
   def bootstrap(spark: SparkSession, vecs: DataFrame, dir: String,
-                k: Int, m: Int, ks: Int, iters: Int = 2): Unit = {
+                k: Int, m: Int, ks: Int, iters: Int = 2,
+                trainOn: Option[DataFrame] = None): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
+    val train = trainOn.getOrElse(vecs)
     VectorOps.saveCentroids(spark,
       VectorOps.kmeansFit(
-        vecs.select(col("vec_id"), col("embedding")), k, iters),
+        train.select(col("vec_id"), col("embedding")), k, iters),
       s"$dir/centroids")
     val cents = VectorOps.loadCentroids(spark, s"$dir/centroids")
     val assigned = VectorOps.assignClusters(
-        vecs.select(col("vec_id"), col("embedding")), cents)
+        train.select(col("vec_id"), col("embedding")), cents)
       .withColumn("cluster_id", col("cluster_id").cast(LongType))
     Load.replaceTable(spark,
       Pq.trainCodebooks(spark,

@@ -807,6 +807,50 @@ object Stress {
         s"ADC top-k diverged from reconstruction: $agree/${bSet.size}")
     }
 
+    // ---- INCREMENTAL PQ/ADC warehouse (q172/q180 shape) at 1M     ----
+    // ---- vectors: bootstrap trains + persists both models and     ----
+    // ---- encodes generation 0; a 10k batch then folds under the   ----
+    // ---- FROZEN models (assignment join + fused encode — zero     ----
+    // ---- shuffle, O(batch)); compaction collapses the generations ----
+    // ---- with one cluster-keyed shuffle. The A/B is the warehouse ----
+    // ---- contract: append cost must be independent of the stored  ----
+    // ---- 1M vectors, compaction linear in index size.             ----
+    val aiLabels = Seq("adcingest bootstrap 1M", "adcingest 10k batch",
+      "adcingest compact 1M")
+    if (aiLabels.exists(wanted)) {
+      val aiDir = s"$dir/stress_adcingest"
+      val aiDim = 32
+      def aiVecs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").as("vec_id"),
+        array((0 until aiDim).map { j =>
+          ((pmod(hash(pmod(col("id"), lit(64)) * 1009L + lit(j)),
+              lit(2000003)) / 1000001.0 - 1.0) +
+            pmod(hash(col("id") * 31L + lit(j * 7 + 1)), lit(1000003))
+              / 10000030.0)
+            .cast(FloatType)
+        }: _*).as("embedding"))
+      time("adcingest bootstrap 1M") {
+        // deterministic contiguous 5% training sample (the strided-
+        // sample/planted-cycle lesson from the round-8 PQ fixture)
+        graft.ops.AdcIngest.bootstrap(spark, aiVecs(0L, 1000000L), aiDir,
+          k = 64, m = 16, ks = 256,
+          trainOn = Some(aiVecs(0L, 50000L)))
+        spark.read.parquet(s"$aiDir/index").count()
+      }
+      time("adcingest 10k batch") {
+        require(graft.ops.AdcIngest.append(spark,
+          aiVecs(1000000L, 1010000L), aiDir, 1L), "batch 1 must land")
+        spark.read.parquet(s"$aiDir/index")
+          .filter(col("batch") === 1).count()
+      }
+      time("adcingest compact 1M") {
+        graft.ops.AdcIngest.compact(spark, aiDir)
+        require(graft.ops.AdcIngest.segmentCount(spark, aiDir) == 1,
+          "compaction must leave one generation")
+        spark.read.parquet(s"$aiDir/index").count()
+      }
+    }
+
     // ---- NB classifier (q154 shape) at 1M docs: 32 high-frequency ----
     // ---- class-marker words (pos: cm0-15, neg: cm16-31, present   ----
     // ---- in ~97% of docs) + 25 filler tokens from a 50k vocab     ----
