@@ -1859,6 +1859,79 @@ object TextQueries {
       SELECT a.doc_id, a.n_words, a.n_tokens, h.toks_head
       FROM a JOIN h USING (doc_id) ORDER BY a.doc_id"""))
 
+  val q185BpeFertility = Q("q185_bpe_fertility",
+    // TOKENIZER FERTILITY per language — the metric multilingual
+    // pipelines use to pick (or re-train) a tokenizer: tokens/word
+    // and chars/token per language under the SAME persisted BPE
+    // merges. A tokenizer trained lopsidedly fragments low-resource
+    // languages into near-character sequences (fertility ≫ 1), which
+    // silently multiplies their compute cost and shrinks their
+    // effective context — the per-language report is how that's
+    // caught before training. Integer micro-unit ratios from exact
+    // count/sum aggregates; the oracle re-derives the segmentation
+    // lexicon from the persisted merges parquet (q149's recursive
+    // CTE) and replays the per-language fold. At 100 TB: train reads
+    // a sample, the lexicon broadcasts, and the fertility pass is
+    // one encode join + a |langs|-row aggregate.
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val merges = graft.ops.Bpe.train(s,
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          col("text")), numMerges = 24)
+      graft.ops.Bpe.saveMerges(s, merges, BpeWarehouse + "/merges_q185")
+      val ranked = graft.ops.Bpe.loadMerges(s, BpeWarehouse + "/merges_q185")
+      val lex = graft.ops.Bpe.lexicon(
+        graft.ops.Bpe.wordCounts(docs.select(col("doc_id"), col("text")))
+          .select(col("word")), ranked)
+      graft.ops.Bpe.encode(docs.select(col("doc_id"), col("text")),
+          lex, ranked)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("words"), col("tokens"),
+          expr("tokens * 1000000 div words").as("fertility_micro"),
+          expr("chars * 1000000 div tokens").as("chars_per_token_micro"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH RECURSIVE
+        m AS (SELECT rank, left_sym, right_sym FROM
+          read_parquet('/root/repo/target/graft_bpe/merges_q185/*.parquet')),
+        w AS (SELECT DISTINCT word FROM (SELECT
+            unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) > 0),
+        seg(word, s, r) AS (
+          SELECT word,
+            '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ', 0
+          FROM w
+          UNION ALL
+          SELECT seg.word,
+            replace(seg.s, ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+                           ' ' || m.left_sym || m.right_sym || ' '),
+            seg.r + 1
+          FROM seg JOIN m ON m.rank = seg.r + 1),
+        lex AS (SELECT word, string_split(trim(s), '  ') AS toks FROM seg
+          WHERE r = (SELECT count(*) FROM m)),
+        bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        enc AS (SELECT b.doc_id, count(*) AS n_words,
+            CAST(sum(len(lex.toks)) AS BIGINT) AS n_tokens
+          FROM bw b JOIN lex USING (word)
+          WHERE length(b.word) > 0 GROUP BY b.doc_id)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(e.n_words) AS BIGINT) AS words,
+        CAST(sum(e.n_tokens) AS BIGINT) AS tokens,
+        CAST(sum(e.n_tokens) * 1000000 // sum(e.n_words) AS BIGINT)
+          AS fertility_micro,
+        CAST(sum(d.n_chars) * 1000000 // sum(e.n_tokens) AS BIGINT)
+          AS chars_per_token_micro
+      FROM documents d JOIN enc e ON e.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   /** Planted encoding damage for q151, derived from the SAME mapping
     * code that builds the repair table — so the corrupted column the
     * Spark query and the DuckDB oracle construct is byte-identical by
@@ -3375,5 +3448,5 @@ object TextQueries {
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
-    q178Decontaminate, q179BatchSearch, q182CcnetBuckets)
+    q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility)
 }

@@ -40,7 +40,8 @@ class ReentrancySpec extends SparkSpec {
     "q173_maxscore_topk",       // graft_invidx/q173
     "q179_batch_search",        // graft_invidx/q179
     "q180_adc_compact",         // graft_adc/q180
-    "q184_warehouse_rrf")       // graft_invidx/q184 + graft_adc/q184
+    "q184_warehouse_rrf",       // graft_invidx/q184 + graft_adc/q184
+    "q185_bpe_fertility")       // graft_bpe/merges_q185
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
