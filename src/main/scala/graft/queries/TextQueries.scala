@@ -1859,6 +1859,74 @@ object TextQueries {
       SELECT a.doc_id, a.n_words, a.n_tokens, h.toks_head
       FROM a JOIN h USING (doc_id) ORDER BY a.doc_id"""))
 
+  val q186FunnelReport = Q("q186_funnel_report",
+    // curation FUNNEL report — the per-source audit every dataset
+    // release ships (how many documents/tokens survived each stage,
+    // and which sources the pipeline is silently eating): raw →
+    // exact dedup (q29's keep-min-doc_id-per-content rule, planted
+    // duplicates via the %9==4 docs re-entering with shifted ids) →
+    // length gate (tokens ≥ 55). Counts and token sums per source at
+    // every stage plus the integer-micro retention ratio. One content
+    // groupBy + one source aggregate per stage — at 100 TB the same
+    // two exchanges, with the report itself |sources|-sized.
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+      // planted duplicate wave: %9==4 docs arrive again under new ids
+      val raw = base.unionByName(
+        base.filter(col("doc_id") % 9 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val dedup = raw
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keeper"))
+      val gated = dedup.filter(col("toks") >= 55)
+      def stage(df: DataFrame, n: String, t: String) =
+        df.groupBy(col("source"))
+          .agg(count(lit(1)).as(n), sum(col("toks")).as(t))
+      stage(raw, "n_raw", "tok_raw")
+        .join(stage(dedup, "n_dedup", "tok_dedup"), Seq("source"), "left")
+        .join(stage(gated, "n_gated", "tok_gated"), Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("tok_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("tok_dedup"), lit(0L)).as("tok_dedup"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("tok_gated"), lit(0L)).as("tok_gated"),
+          expr("coalesce(tok_gated, 0) * 1000000 div tok_raw")
+            .as("retained_micro"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (SELECT doc_id, source, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        raw AS (SELECT * FROM base
+          UNION ALL
+          SELECT doc_id + 1000000, source, text, toks FROM base
+          WHERE doc_id % 9 = 4),
+        dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text))
+            AS keeper FROM raw),
+        dedup AS (SELECT * FROM dd WHERE doc_id = keeper),
+        gated AS (SELECT * FROM dedup WHERE toks >= 55),
+        s0 AS (SELECT source, count(*) AS n_raw,
+            CAST(sum(toks) AS BIGINT) AS tok_raw FROM raw GROUP BY source),
+        s1 AS (SELECT source, count(*) AS n_dedup,
+            CAST(sum(toks) AS BIGINT) AS tok_dedup FROM dedup
+          GROUP BY source),
+        s2 AS (SELECT source, count(*) AS n_gated,
+            CAST(sum(toks) AS BIGINT) AS tok_gated FROM gated
+          GROUP BY source)
+      SELECT s0.source, s0.n_raw, s0.tok_raw,
+        coalesce(s1.n_dedup, 0) AS n_dedup,
+        coalesce(s1.tok_dedup, 0) AS tok_dedup,
+        coalesce(s2.n_gated, 0) AS n_gated,
+        coalesce(s2.tok_gated, 0) AS tok_gated,
+        coalesce(s2.tok_gated, 0) * 1000000 // s0.tok_raw
+          AS retained_micro
+      FROM s0 LEFT JOIN s1 ON s1.source = s0.source
+      LEFT JOIN s2 ON s2.source = s0.source
+      ORDER BY s0.source"""))
+
   val q185BpeFertility = Q("q185_bpe_fertility",
     // TOKENIZER FERTILITY per language — the metric multilingual
     // pipelines use to pick (or re-train) a tokenizer: tokens/word
@@ -3448,5 +3516,6 @@ object TextQueries {
     q159SnapshotDiff, q160PhraseSearch, q161DsirSelect, q162CorpusBuild,
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
-    q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility)
+    q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
+    q186FunnelReport)
 }
