@@ -124,6 +124,13 @@ object AdcIngest {
     require(batchId == last + 1,
       s"batch $batchId arrived over high-water mark $last — ids must " +
         "be contiguous or the skipped batch would silently never land")
+    // Heal a half-finished compaction swap BEFORE writing: if compact
+    // crashed between atomicSwap's two renames (index/ moved to
+    // index.__old, staging not yet renamed), writing here would
+    // recreate index/ holding only this batch, and the next
+    // recoverSwap — seeing both dirs — would delete __old and with it
+    // every prior generation, while meta still claimed they landed.
+    Load.recoverSwap(spark, s"$dir/index")
     writeGeneration(encodeBatch(spark, vecs, dir), dir, batchId)
     import spark.implicits._
     Load.replaceTable(spark, Seq(batchId).toDF("last_batch"),

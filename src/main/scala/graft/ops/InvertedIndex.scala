@@ -109,6 +109,13 @@ object InvertedIndex {
       require(batchId == last + 1,
         s"batch $batchId arrived over high-water mark $last — ids must " +
           "be contiguous or the skipped batch would silently never land")
+      // Heal a half-finished compaction swap BEFORE writing (same
+      // hazard as AdcIngest.append): a crash between atomicSwap's two
+      // renames leaves only postings.__old; writing here first would
+      // recreate postings/ with just this batch and the next
+      // recoverSwap would then delete __old — every prior generation —
+      // while the corpus row still claimed they landed.
+      Load.recoverSwap(spark, s"$dir/postings")
       postings(docs).withColumn("batch", lit(batchId))
         .repartition(col("bucket"))
         .write.mode("overwrite")
@@ -460,7 +467,11 @@ object InvertedIndex {
       .withColumn("ts_micro",
         round(idf * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
-      .join(broadcast(queries.select(col("query_id"), col("term"))),
+      // distinct() mirrors search's isin dedup of repeated terms in
+      // one query — without it a duplicate (query_id, term) row would
+      // double-count n_terms and bm25_micro for that query
+      .join(broadcast(
+          queries.select(col("query_id"), col("term")).distinct()),
         Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("ts_micro")).as("bm25_micro"))

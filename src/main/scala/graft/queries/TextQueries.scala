@@ -3429,9 +3429,10 @@ object TextQueries {
     // a budget of 2× the corpus, compute each source's target,
     // integer-micro epochs capped at 3.0, and the EXACT extra-repeat
     // document set for the fractional epoch — selected by arithmetic
-    // hash (doc_id·2654435761 mod 1e6 < frac_micro, the Knuth
-    // multiplicative scheme), not RNG, so both engines (and any two
-    // cluster runs) pick identical documents. All integer micro-unit
+    // hash ((doc_id mod 1e6)·2654435761 mod 1e6 < frac_micro, the
+    // Knuth multiplicative scheme, multiplicand bounded first so the
+    // product never overflows BIGINT), not RNG, so both engines (and
+    // any two cluster runs) pick identical documents. All integer micro-unit
     // arithmetic — no float rounding can diverge at any scale.
     // Shuffles: one per-source agg + one broadcast-back join of the
     // 20-row plan; the repeat-set scan is expression-only. At
@@ -3459,8 +3460,13 @@ object TextQueries {
       // join the plan back and select the fractional-epoch repeats
       val repeats = docs.join(broadcast(
           plan.select(col("source"), col("frac_micro"))), Seq("source"))
-        .filter(pmod(col("doc_id") * 2654435761L, lit(1000000L)) <
-          col("frac_micro"))
+        // doc_id is bounded to < 1e6 BEFORE the multiply: the raw
+        // product overflows BIGINT above doc_id ≈ 3.47e9, where Spark
+        // silently wraps but DuckDB raises — bounding first keeps the
+        // product ≤ ~2.7e15 and the cross-engine determinism exact at
+        // any scale
+        .filter(pmod(pmod(col("doc_id"), lit(1000000L)) * 2654435761L,
+          lit(1000000L)) < col("frac_micro"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_extra_docs"),
           sum(col("toks")).as("extra_tokens"))
@@ -3491,7 +3497,7 @@ object TextQueries {
         rep AS (SELECT d.source, count(*) AS n_extra_docs,
             CAST(sum(d.toks) AS BIGINT) AS extra_tokens
           FROM docs d JOIN plan2 p ON p.source = d.source
-          WHERE (d.doc_id * 2654435761) % 1000000 <
+          WHERE ((d.doc_id % 1000000) * 2654435761) % 1000000 <
             p.epochs_micro % 1000000
           GROUP BY d.source)
       SELECT p.source, p.n_docs, p.available, p.w_raw, p.target_tokens,

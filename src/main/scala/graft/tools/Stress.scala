@@ -1050,37 +1050,43 @@ object Stress {
       if (!new java.io.File(s"$phDir/postings/_SUCCESS").exists)
         graft.ops.InvertedIndex.build(spark, phraseDocs, phDir)
       val msRecs = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            Option(te.taskMetrics).foreach(m =>
-              msRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten))
-        })
-      def withShuffleRecords(label: String)(f: => Long): Unit = {
-        Thread.sleep(300) // settle listener events from prior work
-        val before = msRecs.get()
-        time(label)(f)
-        Thread.sleep(500)
-        println(f"[stress] $label shuffle records: " +
-          f"${msRecs.get() - before}%,d")
+      val msListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(te.taskMetrics).foreach(m =>
+            msRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten))
       }
-      var pruned: Seq[Seq[Any]] = Seq.empty
-      var full: Seq[Seq[Any]] = Seq.empty
-      withShuffleRecords("maxscore topk 1M docs") {
-        pruned = graft.ops.InvertedIndex
-          .maxScoreSearch(spark, phDir, Seq("the", "zebra"), 10)
-          .collect().toSeq.map(_.toSeq)
-        pruned.size.toLong
+      spark.sparkContext.addSparkListener(msListener)
+      try {
+        def withShuffleRecords(label: String)(f: => Long): Unit = {
+          Thread.sleep(300) // settle listener events from prior work
+          val before = msRecs.get()
+          time(label)(f)
+          Thread.sleep(500)
+          println(f"[stress] $label shuffle records: " +
+            f"${msRecs.get() - before}%,d")
+        }
+        var pruned: Seq[Seq[Any]] = Seq.empty
+        var full: Seq[Seq[Any]] = Seq.empty
+        withShuffleRecords("maxscore topk 1M docs") {
+          pruned = graft.ops.InvertedIndex
+            .maxScoreSearch(spark, phDir, Seq("the", "zebra"), 10)
+            .collect().toSeq.map(_.toSeq)
+          pruned.size.toLong
+        }
+        withShuffleRecords("bm25 full topk 1M docs") {
+          full = graft.ops.InvertedIndex
+            .search(spark, phDir, Seq("the", "zebra"), 10)
+            .collect().toSeq.map(_.toSeq)
+          full.size.toLong
+        }
+        require(pruned == full && pruned.size == 10,
+          s"maxscore must equal the unpruned search: $pruned vs $full")
+      } finally {
+        // stacked stress runs in one session would otherwise
+        // accumulate listeners and cross-attribute shuffle counts
+        spark.sparkContext.removeSparkListener(msListener)
       }
-      withShuffleRecords("bm25 full topk 1M docs") {
-        full = graft.ops.InvertedIndex
-          .search(spark, phDir, Seq("the", "zebra"), 10)
-          .collect().toSeq.map(_.toSeq)
-        full.size.toLong
-      }
-      require(pruned == full && pruned.size == 10,
-        s"maxscore must equal the unpruned search: $pruned vs $full")
     }
     time("invidx full-scan bm25 A/B") {
       // what serving WITHOUT the index costs: recompute stats + tf over

@@ -128,6 +128,24 @@ class AdcIngestSpec extends SparkSpec {
     assert(rows(dir).keySet == (0L until 104L).toSet)
   }
 
+  test("append after a crashed compaction swap loses no generations") {
+    // Simulate compact dying between atomicSwap's two renames: index/
+    // moved aside to index.__old, staging not yet promoted. The next
+    // append must heal FIRST — if it wrote into a fresh index/ dir,
+    // the later recoverSwap would see both trees, assume the swap
+    // completed, and delete __old (every prior generation) while meta
+    // still claimed they landed.
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    Files.move(java.nio.file.Paths.get(s"$dir/index"),
+      java.nio.file.Paths.get(s"$dir/index.__old"))
+    assert(AdcIngest.append(spark, vecs(80, 96), dir, 2L))
+    assert(rows(dir).keySet == (0L until 96L).toSet,
+      "prior generations lost after crashed-swap append")
+    assert(!new java.io.File(s"$dir/index.__old").exists())
+  }
+
   test("re-bootstrap into a dirty dir resurrects nothing") {
     val dir = tmp()
     AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)

@@ -24,6 +24,12 @@ class InvertedIndexSpec extends SparkSpec {
     1L -> "spark merge spark", 2L -> "query plan", 3L -> "spark query",
     4L -> "merge batch", 5L -> "window sort")
 
+  private def postingsOf(d: String) = spark.read.parquet(s"$d/postings")
+    .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+      concat_ws(",", col("positions").cast("array<string>")).as("p"))
+    .as[(String, Long, Long, Int, String)]
+    .collect().toSet
+
   test("incremental addBatch equals the from-scratch build") {
     val (a, b) = (tmp(), tmp())
     InvertedIndex.build(spark, docs(corpus: _*), a)
@@ -314,6 +320,37 @@ class InvertedIndexSpec extends SparkSpec {
     val ref2 = InvertedIndex.search(spark, dir, Seq("spark", "merge"), 10)
       .collect().zipWithIndex.map { case (r, i) => (i + 1, r.getLong(0)) }.toSeq
     assert(q1 == ref1 && q2 == ref2)
+    // duplicate (query_id, term) rows must collapse — search dedups
+    // repeated terms via isin, so a batch carrying ("spark","query",
+    // "spark") must equal the deduped one (no double-counted n_terms
+    // or bm25_micro)
+    val dup = Seq((7L, "spark"), (7L, "query"), (7L, "spark"))
+      .toDF("query_id", "term")
+    val deduped = InvertedIndex.searchBatch(spark, dir, dup, 10)
+      .select("doc_id", "n_terms", "bm25_micro")
+      .collect().toSeq.map(_.toSeq)
+    assert(deduped == direct,
+      "duplicate (query_id, term) rows double-counted the scores")
+  }
+
+  test("addBatch after a crashed compaction swap loses no generations") {
+    // compact dying between atomicSwap's two renames leaves only
+    // postings.__old; the next addBatch must heal first or the later
+    // recoverSwap deletes __old — every prior generation — while the
+    // corpus row still claims they landed
+    val dir = tmp()
+    InvertedIndex.build(spark, docs(corpus.take(3): _*), dir)
+    assert(InvertedIndex.addBatch(spark, docs(corpus.drop(3): _*), dir, 1L))
+    Files.move(java.nio.file.Paths.get(s"$dir/postings"),
+      java.nio.file.Paths.get(s"$dir/postings.__old"))
+    assert(InvertedIndex.addBatch(spark,
+      docs(10L -> "fresh crash batch"), dir, 2L))
+    val dir2 = tmp()
+    InvertedIndex.build(spark,
+      docs(corpus :+ (10L -> "fresh crash batch"): _*), dir2)
+    assert(postingsOf(dir) == postingsOf(dir2),
+      "prior generations lost after crashed-swap addBatch")
+    assert(!new java.io.File(s"$dir/postings.__old").exists())
   }
 
   test("proximity search: sort-based min pair distance boosts BM25 exactly") {
