@@ -1789,6 +1789,14 @@ object TextQueries {
     */
   private val BpeWarehouse = "/root/repo/target/graft_bpe"
 
+  /** Stable warehouse root for the unigram-LM tokenizer artifacts
+    * (the [[BpeWarehouse]] rationale: the DuckDB oracle re-runs the
+    * Viterbi DP from the PERSISTED piece table after this JVM exits).
+    * Declared here, BEFORE first use — object vals initialize in
+    * source order.
+    */
+  private val UnigramWarehouse = "/root/repo/target/graft_unigram"
+
   val q149BpeTokenize = Q("q149_bpe_tokenize",
     // distributed BPE subword tokenization with a TRAIN / APPLY split
     // (ops/Bpe) — the subword upgrade of q137's word-level vocab, and
@@ -1928,45 +1936,89 @@ object TextQueries {
       ORDER BY s0.source"""))
 
   val q185BpeFertility = Q("q185_bpe_fertility",
-    // TOKENIZER FERTILITY per language — the metric multilingual
-    // pipelines use to pick (or re-train) a tokenizer: tokens/word
-    // and chars/token per language under the SAME persisted BPE
-    // merges. A tokenizer trained lopsidedly fragments low-resource
-    // languages into near-character sequences (fertility ≫ 1), which
-    // silently multiplies their compute cost and shrinks their
-    // effective context — the per-language report is how that's
-    // caught before training. Integer micro-unit ratios from exact
-    // count/sum aggregates; the oracle re-derives the segmentation
-    // lexicon from the persisted merges parquet (q149's recursive
-    // CTE) and replays the per-language fold. At 100 TB: train reads
-    // a sample, the lexicon broadcasts, and the fertility pass is
-    // one encode join + a |langs|-row aggregate.
+    // TOKENIZER FERTILITY A/B per language — the report multilingual
+    // pipelines use to PICK a tokenizer: tokens/word and chars/token
+    // per language under BOTH trained families, the persisted BPE
+    // merges (q149) and the persisted unigram-LM piece table (q187,
+    // Kudo 2018), side by side. A tokenizer trained lopsidedly
+    // fragments low-resource languages into near-character sequences
+    // (fertility ≫ 1), silently multiplying their compute cost — and
+    // the A/B is how BPE-vs-unigram is decided before training.
+    // Both tokenizers TRAIN ONCE per fixture input (q168's marker
+    // pattern — the gated content is the fertility REPORT under the
+    // persisted models, so the bench charges serving, not re-trains);
+    // integer micro-unit ratios from exact count/sum aggregates. The
+    // oracle re-derives BOTH segmentation lexicons from the persisted
+    // model tables alone (q149's recursive merge CTE; q187's unrolled
+    // Viterbi DP) and replays the per-language fold. At 100 TB: train
+    // reads a sample, both lexicons broadcast, and the fertility pass
+    // is ONE corpus pass (two broadcast probes on the same exploded
+    // word stream) + a |langs|-row aggregate.
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
-      val merges = graft.ops.Bpe.train(s,
-        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
-          col("text")), numMerges = 24)
-      graft.ops.Bpe.saveMerges(s, merges, BpeWarehouse + "/merges_q185")
+      val marker = BpeWarehouse + "/fixture_q185"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+        .getString(0)).toOption.contains(d)
+      if (fresh) {
+        val trainDocs = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text"))
+        graft.ops.Bpe.saveMerges(s,
+          graft.ops.Bpe.train(s, trainDocs, numMerges = 24),
+          BpeWarehouse + "/merges_q185")
+        graft.ops.UnigramLm.savePieces(s,
+          graft.ops.UnigramLm.train(s, trainDocs, vocabSize = 24,
+            maxPieceLen = 8, emRounds = 3, seedSize = 1000),
+          UnigramWarehouse + "/pieces_q185")
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
       val ranked = graft.ops.Bpe.loadMerges(s, BpeWarehouse + "/merges_q185")
-      val lex = graft.ops.Bpe.lexicon(
-        graft.ops.Bpe.wordCounts(docs.select(col("doc_id"), col("text")))
-          .select(col("word")), ranked)
-      graft.ops.Bpe.encode(docs.select(col("doc_id"), col("text")),
-          lex, ranked)
-        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
-          Seq("doc_id"))
+      val pieces = graft.ops.UnigramLm.loadPieces(s,
+        UnigramWarehouse + "/pieces_q185")
+      val body = docs.select(col("doc_id"), col("text"))
+      val words = graft.ops.Bpe.wordCounts(body).select(col("word"))
+      require(words.agg(max(length(col("word")))).head.getInt(0) <= 8,
+        "oracle DP unrolls 8 positions — a corpus word exceeds it")
+      // ONE corpus pass: both vocab-sized lexicons broadcast onto the
+      // same exploded word stream — no doc_id join of two separate
+      // encode outputs (that shape costs a corpus-sized sort-merge
+      // join; this one is two broadcast probes + one doc aggregate).
+      // lang and n_chars ride the explode (constant per doc), so the
+      // per-doc regroup needs no join back to documents either.
+      val bpeLex = graft.ops.Bpe.lexicon(words, ranked)
+        .select(col("word"), size(col("toks")).cast(LongType).as("bpe_n"))
+      val uniLex = graft.ops.UnigramLm.viterbiLexicon(words, pieces,
+          maxPieceLen = 8)
+        .select(col("word"), col("n_toks").as("uni_n"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(bpeLex), Seq("word"))
+        .join(broadcast(uniLex), Seq("word"))
+        .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("bpe_n")).as("bpe_toks"),
+          sum(col("uni_n")).as("uni_toks"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("words"),
-          sum(col("n_tokens")).as("tokens"),
+          sum(col("bpe_toks")).as("bpe_tokens"),
+          sum(col("uni_toks")).as("uni_tokens"),
           sum(col("n_chars")).as("chars"))
-        .select(col("lang"), col("n_docs"), col("words"), col("tokens"),
-          expr("tokens * 1000000 div words").as("fertility_micro"),
-          expr("chars * 1000000 div tokens").as("chars_per_token_micro"))
+        .select(col("lang"), col("n_docs"), col("words"),
+          col("bpe_tokens"), col("uni_tokens"),
+          expr("bpe_tokens * 1000000 div words")
+            .as("bpe_fertility_micro"),
+          expr("uni_tokens * 1000000 div words")
+            .as("uni_fertility_micro"),
+          expr("chars * 1000000 div bpe_tokens")
+            .as("bpe_chars_per_token_micro"),
+          expr("chars * 1000000 div uni_tokens")
+            .as("uni_chars_per_token_micro"))
         .orderBy(col("lang"))
     },
-    Some("""WITH RECURSIVE
+    Some(s"""WITH RECURSIVE
         m AS (SELECT rank, left_sym, right_sym FROM
           read_parquet('/root/repo/target/graft_bpe/merges_q185/*.parquet')),
         w AS (SELECT DISTINCT word FROM (SELECT
@@ -1974,7 +2026,7 @@ object TextQueries {
           WHERE length(word) > 0),
         seg(word, s, r) AS (
           SELECT word,
-            '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ', 0
+            '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  ', 0
           FROM w
           UNION ALL
           SELECT seg.word,
@@ -1984,21 +2036,136 @@ object TextQueries {
           FROM seg JOIN m ON m.rank = seg.r + 1),
         lex AS (SELECT word, string_split(trim(s), '  ') AS toks FROM seg
           WHERE r = (SELECT count(*) FROM m)),
+        ${unigramViterbiSql(
+          UnigramWarehouse + "/pieces_q185/*.parquet",
+          "SELECT word FROM w", 8)},
         bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
           FROM documents),
         enc AS (SELECT b.doc_id, count(*) AS n_words,
-            CAST(sum(len(lex.toks)) AS BIGINT) AS n_tokens
-          FROM bw b JOIN lex USING (word)
+            CAST(sum(len(lex.toks)) AS BIGINT) AS bpe_toks,
+            CAST(sum(ulex.n_toks) AS BIGINT) AS uni_toks
+          FROM bw b JOIN lex USING (word) JOIN ulex USING (word)
           WHERE length(b.word) > 0 GROUP BY b.doc_id)
       SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(e.n_words) AS BIGINT) AS words,
-        CAST(sum(e.n_tokens) AS BIGINT) AS tokens,
-        CAST(sum(e.n_tokens) * 1000000 // sum(e.n_words) AS BIGINT)
-          AS fertility_micro,
-        CAST(sum(d.n_chars) * 1000000 // sum(e.n_tokens) AS BIGINT)
-          AS chars_per_token_micro
+        CAST(sum(e.bpe_toks) AS BIGINT) AS bpe_tokens,
+        CAST(sum(e.uni_toks) AS BIGINT) AS uni_tokens,
+        CAST(sum(e.bpe_toks) * 1000000 // sum(e.n_words) AS BIGINT)
+          AS bpe_fertility_micro,
+        CAST(sum(e.uni_toks) * 1000000 // sum(e.n_words) AS BIGINT)
+          AS uni_fertility_micro,
+        CAST(sum(d.n_chars) * 1000000 // sum(e.bpe_toks) AS BIGINT)
+          AS bpe_chars_per_token_micro,
+        CAST(sum(d.n_chars) * 1000000 // sum(e.uni_toks) AS BIGINT)
+          AS uni_chars_per_token_micro
       FROM documents d JOIN enc e ON e.doc_id = d.doc_id
       GROUP BY d.lang ORDER BY d.lang"""))
+
+  /** Generate the DuckDB CTE fragment that replays unigram-LM Viterbi
+    * segmentation from a persisted piece table — the oracle twin of
+    * [[graft.ops.UnigramLm.viterbiLexicon]]. Emits CTEs `up` (pieces),
+    * `uw` (words from `wordsSql`), `um` (per-position piece matches)
+    * and an UNROLLED exact DP `udp1..udp{maxW}` — position i's best
+    * (score, -ntoks, path) chosen by
+    * `ORDER BY sc DESC, nt DESC, path DESC`, byte-identical to the
+    * Spark side's struct-max tie-break — ending in `ulex`
+    * (word, toks, n_toks). Callers must bound corpus word length to
+    * `maxW` (the Spark query asserts it), and the caller's SQL appends
+    * its own encode/aggregate over `ulex`.
+    */
+  private def unigramViterbiSql(piecesGlob: String, wordsSql: String,
+                                maxW: Int): String = {
+    val steps = (1 to maxW).map { i =>
+      s"""udp$i AS (SELECT word, $i AS pos, sc, nt, path FROM (
+          SELECT m.word, d.sc + m.lp_micro AS sc, d.nt - 1 AS nt,
+            d.path || ' ' || m.piece AS path,
+            row_number() OVER (PARTITION BY m.word
+              ORDER BY d.sc + m.lp_micro DESC, d.nt - 1 DESC,
+                d.path || ' ' || m.piece DESC) AS rn
+          FROM um m JOIN uda${i - 1} d
+            ON d.word = m.word AND d.pos = m.st
+          WHERE m.fin = $i) WHERE rn = 1),
+        uda$i AS (SELECT * FROM uda${i - 1}
+          UNION ALL SELECT * FROM udp$i)"""
+    }.mkString(",\n        ")
+    s"""up AS (SELECT piece, lp_micro FROM read_parquet('$piecesGlob')),
+        uw AS ($wordsSql),
+        um AS (SELECT w.word, e.fin,
+            e.fin - length(p.piece) AS st, p.lp_micro, p.piece
+          FROM uw w
+          JOIN (SELECT unnest(range(1, ${maxW + 1})) AS fin) e
+            ON e.fin <= length(w.word)
+          JOIN up p ON length(p.piece) <= e.fin
+            AND substring(w.word, e.fin - length(p.piece) + 1,
+              length(p.piece)) = p.piece),
+        uda0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+            0 AS nt, '' AS path FROM uw),
+        $steps,
+        ulex AS (SELECT word, string_split(ltrim(path), ' ') AS toks,
+            CAST(-nt AS BIGINT) AS n_toks
+          FROM uda$maxW WHERE pos = length(word) AND pos > 0)"""
+  }
+
+  private val UnigramWordsSql =
+    """SELECT DISTINCT word FROM (SELECT
+        unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0"""
+
+  val q187UnigramTokenize = Q("q187_unigram_tokenize",
+    // unigram-LM subword tokenization (Kudo 2018, the SentencePiece
+    // unigram model) with the same TRAIN / APPLY warehouse split as
+    // q149's BPE — the tokenizer family real pipelines A/B against
+    // BPE. TRAIN (outside the oracle, pinned by UnigramLmSpec against
+    // a sequential reference DP): hard-EM over a substring seed vocab
+    // on the % 3 != 0 split — the corpus is shuffled ONCE (word
+    // counts); seeding and every EM round are vocab-sized. The piece
+    // table (piece, integer micro log-prob) persists as a warehouse
+    // table. APPLY (what the oracle gates): exact Viterbi
+    // segmentation as a single `aggregate` fold per distinct word —
+    // max (score, -ntoks, path) with all-integer scores — then the
+    // broadcast-lexicon encode join. The DuckDB oracle replays the
+    // IDENTICAL DP from the persisted piece table alone with
+    // position-unrolled CTEs (word length is asserted ≤ the unroll
+    // depth in-query), so the segmentation math itself is verified
+    // cross-engine. At 100 TB: train reads a sample, apply is one
+    // broadcast join — q149's scale shape exactly.
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pieces = graft.ops.UnigramLm.train(s,
+        docs.filter(col("doc_id") % 3 =!= 0), vocabSize = 24,
+        maxPieceLen = 8, emRounds = 3, seedSize = 1000)
+      graft.ops.UnigramLm.savePieces(s, pieces,
+        UnigramWarehouse + "/pieces_q187")
+      val loaded = graft.ops.UnigramLm.loadPieces(s,
+        UnigramWarehouse + "/pieces_q187")
+      val words = graft.ops.Bpe.wordCounts(docs).select(col("word"))
+      require(words.agg(max(length(col("word")))).head.getInt(0) <= 8,
+        "oracle DP unrolls 8 positions — a corpus word exceeds it")
+      val lex = graft.ops.UnigramLm.viterbiLexicon(words, loaded,
+        maxPieceLen = 8)
+      graft.ops.UnigramLm.encode(docs.filter(col("doc_id") % 3 === 0), lex)
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 12)).as("toks_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${unigramViterbiSql(
+        UnigramWarehouse + "/pieces_q187/*.parquet", UnigramWordsSql, 8)},
+        bw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+            generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id % 3 = 0),
+        enc AS (SELECT b.doc_id, b.pos, ulex.toks FROM bw b
+          JOIN ulex USING (word) WHERE length(b.word) > 0),
+        a AS (SELECT doc_id, count(*) AS n_words,
+            CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM enc GROUP BY doc_id),
+        flat AS (SELECT doc_id, pos, generate_subscripts(toks, 1) AS sp,
+            unnest(toks) AS tok FROM enc),
+        h AS (SELECT doc_id,
+            array_to_string((list(tok ORDER BY pos, sp))[1:12], ' ')
+              AS toks_head
+          FROM flat GROUP BY doc_id)
+      SELECT a.doc_id, a.n_words, a.n_tokens, h.toks_head
+      FROM a JOIN h USING (doc_id) ORDER BY a.doc_id"""))
 
   /** Planted encoding damage for q151, derived from the SAME mapping
     * code that builds the repair table — so the corrupted column the
@@ -3523,5 +3690,5 @@ object TextQueries {
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
-    q186FunnelReport)
+    q186FunnelReport, q187UnigramTokenize)
 }

@@ -41,7 +41,9 @@ class ReentrancySpec extends SparkSpec {
     "q179_batch_search",        // graft_invidx/q179
     "q180_adc_compact",         // graft_adc/q180
     "q184_warehouse_rrf",       // graft_invidx/q184 + graft_adc/q184
-    "q185_bpe_fertility")       // graft_bpe/merges_q185
+    "q185_bpe_fertility",       // graft_bpe/merges_q185 + fixture marker
+                                //   + graft_unigram/pieces_q185
+    "q187_unigram_tokenize")    // graft_unigram/pieces_q187
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
