@@ -138,6 +138,40 @@ object AdcIngest {
     true
   }
 
+  /** Roll the index back to generation `toBatch`: delete every
+    * `batch > toBatch` generation and reset the high-water mark — the
+    * vector twin of `CorpusIngest.rollback`, the recovery lever when a
+    * bad batch landed (and the fixture lever that lets a gate re-run
+    * the ingest lifecycle against a frozen bootstrap). Refused when
+    * compaction has merged generations — the physical tree then no
+    * longer holds one dir per batch, so later batches' rows hide
+    * inside earlier trees and deletion-by-generation would be silent
+    * data corruption; rebuild from bootstrap instead.
+    */
+  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
+    require(toBatch >= 0, "cannot roll back past the bootstrap")
+    val last = lastBatch(spark, dir)
+    require(last >= toBatch,
+      s"AdcIngest.rollback: no warehouse at $dir at or above batch " +
+        s"$toBatch")
+    Load.recoverSwap(spark, s"$dir/index")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).toSet
+    require(ids == (0L to last).toSet,
+      s"AdcIngest.rollback: generations ${ids.toSeq.sorted} don't " +
+        s"match 0..$last — compaction has merged batches; rebuild " +
+        "from bootstrap instead")
+    ids.filter(_ > toBatch).foreach(b => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/index/batch=$b"), true))
+    import spark.implicits._
+    Load.replaceTable(spark, Seq(toBatch).toDF("last_batch"),
+      s"$dir/meta")
+    ()
+  }
+
   /** The served index across all generations: (vec_id, cluster_id,
     * codes, vn) — feed to [[Pq.adcSearch]] with [[Pq.probeLuts]] built
     * from the same persisted models.

@@ -146,6 +146,38 @@ class AdcIngestSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/index.__old").exists())
   }
 
+  test("rollback truncates bit-identically and the lifecycle continues") {
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    val base = rows(dir)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    assert(AdcIngest.append(spark, vecs(80, 96), dir, 2L))
+    AdcIngest.rollback(spark, dir, 0L)
+    assert(rows(dir) == base, "rollback to 0 diverged from bootstrap")
+    assert(AdcIngest.lastBatch(spark, dir) == 0L)
+    // the lifecycle continues: batch 1 re-lands, its replay refused
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    assert(!AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    assert(rows(dir).keySet == (0L until 80L).toSet)
+    // partial rollback: 2 of 3 generations survive
+    assert(AdcIngest.append(spark, vecs(80, 96), dir, 2L))
+    AdcIngest.rollback(spark, dir, 1L)
+    assert(rows(dir).keySet == (0L until 80L).toSet)
+    assert(AdcIngest.lastBatch(spark, dir) == 1L)
+  }
+
+  test("rollback refuses merged generations after compaction") {
+    // post-compact, later batches' rows hide inside batch=0 —
+    // deletion-by-generation would silently corrupt, so it must throw
+    val dir = tmp()
+    AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)
+    assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
+    AdcIngest.compact(spark, dir)
+    val before = rows(dir)
+    intercept[IllegalArgumentException](AdcIngest.rollback(spark, dir, 0L))
+    assert(rows(dir) == before, "refused rollback must not touch data")
+  }
+
   test("re-bootstrap into a dirty dir resurrects nothing") {
     val dir = tmp()
     AdcIngest.bootstrap(spark, vecs(0, 64), dir, k = 4, m = 2, ks = 4)

@@ -40,6 +40,7 @@ class ReentrancySpec extends SparkSpec {
     "q173_maxscore_topk",       // graft_invidx/q173
     "q179_batch_search",        // graft_invidx/q179
     "q180_adc_compact",         // graft_adc/q180
+    "q181_mmr_diversify",       // graft_adc/q181 + fixture marker
     "q184_warehouse_rrf",       // graft_invidx/q184 + graft_adc/q184
     "q185_bpe_fertility",       // graft_bpe/merges_q185 + fixture marker
                                 //   + graft_unigram/pieces_q185
