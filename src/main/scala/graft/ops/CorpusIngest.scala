@@ -309,6 +309,83 @@ object CorpusIngest {
     true
   }
 
+  /** Per-source ingest FUNNEL audit of `batch` against the warehouse's
+    * PERSISTED artifacts — the release report every curation pipeline
+    * ships: how many of the batch's documents survive each production
+    * stage (raw → in-batch url dedup → seen-set rejection → NB gate →
+    * DSIR threshold admission) and what actually LANDED as
+    * `corpus/batch=landedBatch`. Read-only: stage memberships are
+    * replayed with the SAME private helpers and persisted models
+    * [[ingest]] used (seen set filtered to `batch < landedBatch`,
+    * thresholds from the state table — frozen at bootstrap, so
+    * reading them post-ingest is exact), which makes every count
+    * replayable by an external engine from the persisted tables.
+    * Output per source: n_raw, n_urldedup, n_fresh, n_nb, n_admitted,
+    * n_landed, tok_landed. One aggregate per stage over O(batch) rows
+    * plus a |sources|-row report at any corpus size.
+    */
+  def funnel(spark: SparkSession, batch: DataFrame, dir: String,
+             landedBatch: Long): DataFrame = {
+    require(batch.columns.toSeq == CrawlCols,
+      s"funnel batch must be $CrawlCols, got ${batch.columns.toSeq}")
+    val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
+    val stateRows: Map[String, Long] =
+      Load.readTable(spark, s"$dir/state").get.collect()
+        .map(r => r.getAs[String]("source") ->
+          r.getAs[Long]("lr_min_micro")).toMap
+    require(stateRows.nonEmpty,
+      s"CorpusIngest.funnel: empty state table at $dir/state")
+    val globalMin = stateRows.values.min
+    import spark.implicits._
+    val thr = broadcast(stateRows.toSeq.toDF("source", "lr_min_micro"))
+    val keep0 = eager(dedupByUrl(batch))
+    val seen = spark.read.parquet(s"$dir/urls")
+      .filter(col("batch") < landedBatch)
+      .join(broadcast(keep0.select(col("canon_url"))),
+        Seq("canon_url"), "left_semi")
+      .select(col("canon_url")).distinct()
+    val fresh = eager(
+      keep0.join(broadcast(seen), Seq("canon_url"), "left_anti"))
+    val gated = eager(NaiveBayes
+      .score(spark, toPool(fresh, mapping), s"$dir/nb")
+      .filter(col("pred_pos"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("margin_micro")))
+    val admitted = Dsir.score(spark, gated, s"$dir/dsir")
+      .join(thr, Seq("source"), "left")
+      .filter(col("lr_micro") >= coalesce(col("lr_min_micro"),
+        lit(globalMin)))
+    val landed = spark.read.parquet(s"$dir/corpus")
+      .filter(col("batch") === landedBatch)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_landed"),
+        sum(col("n_tokens")).as("tok_landed"))
+    def stage(df: DataFrame, n: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(n))
+    val out = stage(batch, "n_raw")
+      .join(stage(keep0, "n_urldedup"), Seq("source"), "left")
+      .join(stage(fresh, "n_fresh"), Seq("source"), "left")
+      .join(stage(gated, "n_nb"), Seq("source"), "left")
+      .join(stage(admitted, "n_admitted"), Seq("source"), "left")
+      .join(landed, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_urldedup"), lit(0L)).as("n_urldedup"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        coalesce(col("n_nb"), lit(0L)).as("n_nb"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("n_landed"), lit(0L)).as("n_landed"),
+        coalesce(col("tok_landed"), lit(0L)).as("tok_landed"))
+    // localCheckpoint (eager) BEFORE dropping the stage caches: the
+    // returned frame is lazily consumed and would otherwise recompute
+    // every stage (double NB/DSIR scoring) uncached — and checkpointing
+    // also truncates the report's lineage to its |sources| materialized
+    // rows, so consumers' plans don't re-embed the whole stage pipeline
+    // (the q181 plan-explosion precedent)
+    val res = out.localCheckpoint()
+    Seq(keep0, fresh, gated).foreach(_.unpersist())
+    res
+  }
+
   /** Roll the warehouse back to `toBatch`: every `corpus/batch>I` and
     * `urls/batch>I` subtree is deleted and the state table is rebuilt
     * from the surviving corpus alone — per-source thresholds re-frozen

@@ -626,6 +626,154 @@ object PipelineQueries {
         CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS end_seq
       FROM bc ORDER BY doc_id"""))
 
+  val q189IngestFunnel = Q("q189_ingest_funnel",
+    // the q186 funnel report over the REAL production pipeline: per
+    // source, how many of an ingest batch's documents survive each of
+    // q168's ACTUAL warehouse stages — raw → in-batch url dedup →
+    // seen-set rejection → NB gate → DSIR threshold admission — and
+    // what landed as corpus/batch=1 (rows + tokens). The warehouse
+    // bootstraps ONCE per fixture input (q168's marker pattern); each
+    // pass rolls back to batch 0, re-ingests batch 1, then runs
+    // CorpusIngest.funnel, which replays stage memberships under the
+    // PERSISTED artifacts alone — so the DuckDB oracle re-derives
+    // every count from the persisted models/urls/state/corpus tables
+    // plus the raw documents (q168's replay CTEs, aggregated per
+    // stage instead of packed). The n_admitted == n_landed invariant
+    // is visible in the report rather than asserted away. At 100 TB:
+    // each stage is one O(batch) aggregate; the report is
+    // |sources|-sized.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_corpus/q189"
+      val docs = graft.tables.Tables.documents(s, d)
+      val marker = s"$wh/fixture"
+      val needBootstrap = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        scala.util.Try(graft.ops.CorpusIngest.rollback(s, wh, 0L)).isFailure
+      if (needBootstrap) {
+        graft.ops.CorpusIngest.bootstrap(s,
+          q168Crawl(docs.filter(col("doc_id") % 4 =!= 3)), wh,
+          nbLabel = col("lang") === "en",
+          nbSplit = col("doc_id") % 3 =!= 0,
+          dsirTarget = col("lang") === "en",
+          selectPct = 50)
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      val batch = q168Crawl(docs.filter(col("doc_id") % 4 === 3))
+      require(graft.ops.CorpusIngest.ingest(s, batch, wh, 1L),
+        "batch 1 must land")
+      graft.ops.CorpusIngest.funnel(s, batch, wh, 1L)
+        .orderBy(col("source"))
+    },
+    Some(raw"""WITH RECURSIVE
+        mm AS (SELECT rank, moji, fixed FROM read_parquet(
+          '/root/repo/target/graft_corpus/q189/mapping/*.parquet')),
+        nw AS (SELECT token, weight_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q189/nb/weights/*.parquet')),
+        nm AS (SELECT prior_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q189/nb/meta/*.parquet')),
+        dm AS (SELECT bucket, lr_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q189/dsir/model/*.parquet')),
+        u0 AS (SELECT canon_url FROM read_parquet(
+          '/root/repo/target/graft_corpus/q189/urls/batch=0/*.parquet')),
+        c0 AS (SELECT source, min(lr_micro) AS thr
+          FROM read_parquet(
+            '/root/repo/target/graft_corpus/q189/corpus/batch=0/*.parquet')
+          GROUP BY source),
+        gmin AS (SELECT min(thr) AS g FROM c0),
+        landed AS (SELECT source, count(*) AS n_landed,
+            CAST(sum(n_tokens) AS BIGINT) AS tok_landed
+          FROM read_parquet(
+            '/root/repo/target/graft_corpus/q189/corpus/batch=1/*.parquet')
+          GROUP BY source),
+        base AS (SELECT doc_id, source, lang, text,
+            CASE WHEN doc_id % 20 = 7 THEN doc_id - 4
+              WHEN doc_id % 10 = 9 THEN doc_id - 1
+              ELSE doc_id END AS kk
+          FROM documents WHERE doc_id % 4 = 3),
+        b2 AS (SELECT doc_id, source, lang,
+          'https://www.example' || (kk % 7) || '.com/page/' || kk
+            || '?id=' || kk AS canon_url,
+          '<html><head><title>Corpus page'
+          || '</title><script>track();</script></head><body>'
+          || '<nav><a href="/">Home</a></nav><p>'
+          || text || ' '
+          || (CASE WHEN doc_id % 2 = 0 THEN '${Q168MojiPlants(0)}'
+              ELSE '${Q168MojiPlants(1)}' END)
+          || '</p><footer><a href="/t">Terms</a></footer></body></html>'
+          AS h FROM base),
+        keepd AS (SELECT doc_id, source, lang, canon_url, h
+          FROM (SELECT *, row_number() OVER (PARTITION BY canon_url
+              ORDER BY doc_id) AS rn FROM b2) WHERE rn = 1),
+        freshd AS (SELECT k.* FROM keepd k
+          WHERE NOT EXISTS (SELECT 1 FROM u0
+            WHERE u0.canon_url = k.canon_url)),
+        ext AS (SELECT doc_id, source, lang,
+          ${graft.ops.HtmlText.duckExtract("h")} AS raw_text FROM freshd),
+        rec(doc_id, s2, r) AS (
+          SELECT doc_id, raw_text, 0 FROM ext
+          UNION ALL
+          SELECT rec.doc_id, replace(rec.s2, mm.moji, mm.fixed), rec.r + 1
+          FROM rec JOIN mm ON mm.rank = rec.r + 1),
+        rep AS (SELECT e.doc_id, e.source, e.lang, rec.s2 AS text
+          FROM rec JOIN ext e USING (doc_id)
+          WHERE rec.r = (SELECT count(*) FROM mm)),
+        ntk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM rep),
+        ntf AS (SELECT doc_id, token FROM ntk WHERE length(token) > 0),
+        nj AS (SELECT ntf.doc_id, nw.weight_micro
+          FROM ntf LEFT JOIN nw USING (token)),
+        na AS (SELECT doc_id, coalesce(sum(weight_micro), 0) AS wsum
+          FROM nj GROUP BY doc_id),
+        gated AS (SELECT p.doc_id, p.source, p.lang, p.text
+          FROM rep p LEFT JOIN na USING (doc_id)
+          WHERE (SELECT prior_micro FROM nm) + coalesce(na.wsum, 0) > 0),
+        dt AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+          FROM gated),
+        dfeat AS (SELECT doc_id, list_concat(t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END) AS feats
+          FROM dt),
+        de AS (SELECT doc_id, unnest(feats) AS feat FROM dfeat),
+        db AS (SELECT doc_id,
+            CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 512
+              AS bucket
+          FROM de),
+        da AS (SELECT doc_id, sum(dm.lr_micro) AS wsum
+          FROM db JOIN dm USING (bucket) GROUP BY doc_id),
+        sel AS (SELECT g.doc_id, g.source FROM gated g
+          LEFT JOIN da USING (doc_id) LEFT JOIN c0 USING (source)
+          WHERE CAST(coalesce(da.wsum, 0) AS BIGINT) >=
+            coalesce(c0.thr, (SELECT g FROM gmin))),
+        s_raw AS (SELECT source, count(*) AS n_raw FROM b2
+          GROUP BY source),
+        s_d1 AS (SELECT source, count(*) AS n_urldedup FROM keepd
+          GROUP BY source),
+        s_fr AS (SELECT source, count(*) AS n_fresh FROM freshd
+          GROUP BY source),
+        s_nb AS (SELECT source, count(*) AS n_nb FROM gated
+          GROUP BY source),
+        s_ad AS (SELECT source, count(*) AS n_admitted FROM sel
+          GROUP BY source)
+      SELECT r.source, r.n_raw,
+        coalesce(s_d1.n_urldedup, 0) AS n_urldedup,
+        coalesce(s_fr.n_fresh, 0) AS n_fresh,
+        coalesce(s_nb.n_nb, 0) AS n_nb,
+        coalesce(s_ad.n_admitted, 0) AS n_admitted,
+        coalesce(landed.n_landed, 0) AS n_landed,
+        coalesce(landed.tok_landed, 0) AS tok_landed
+      FROM s_raw r
+      LEFT JOIN s_d1 ON s_d1.source = r.source
+      LEFT JOIN s_fr ON s_fr.source = r.source
+      LEFT JOIN s_nb ON s_nb.source = r.source
+      LEFT JOIN s_ad ON s_ad.source = r.source
+      LEFT JOIN landed ON landed.source = r.source
+      ORDER BY r.source"""))
+
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
-    q111ScopedMerge, q114DayMerge, q118Retention, q168IncrementalCorpus)
+    q111ScopedMerge, q114DayMerge, q118Retention, q168IncrementalCorpus,
+    q189IngestFunnel)
 }

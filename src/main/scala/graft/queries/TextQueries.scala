@@ -3290,6 +3290,28 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
 
+  /** Stub-decode pixel i of the 8×9 dHash grid over a hex payload
+    * column `h` of byte length `n` (+ brightness, clamped) — shared by
+    * q176 and q188; the DuckDB twin replays it byte-for-byte.
+    */
+  private def dhashPix(i: Int, h: Column, n: Column,
+                       bright: Column): Column = least(lit(255),
+    conv(h.substr((floor(lit(i) * n / 72) * 2 + 1).cast(IntegerType),
+      lit(2)), 16, 10).cast(IntegerType) + bright)
+
+  /** One 32-bit half of the 64-bit dHash (bit b = pix(r,c) < pix(r,c+1)
+    * on the 8×9 grid, bit index b = r*8+c), packed as a non-negative
+    * long — no sign traps in either engine.
+    */
+  private def dhashHalf(lo: Int, h: Column, n: Column,
+                        bright: Column): Column =
+    (lo until lo + 32).map { b =>
+      val (r, c) = (b / 8, b % 8)
+      when(dhashPix(r * 9 + c, h, n, bright) <
+          dhashPix(r * 9 + c + 1, h, n, bright),
+        lit(1L << (b - lo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   val q176DhashNeardup = Q("q176_dhash_neardup",
     // PERCEPTUAL-HASH near-dup over the multimodal payload column —
     // the image-dedup pipeline (LAION-style): decode → difference
@@ -3311,17 +3333,9 @@ object TextQueries {
     (s, d) => {
       val h = col("hx")
       val n = col("n")
-      // stub decode: pixel i = byte at ⌊i·n/72⌋ (+brightness, clamped)
-      def pix(i: Int): Column = least(lit(255),
-        conv(h.substr((floor(lit(i) * n / 72) * 2 + 1).cast(IntegerType),
-          lit(2)), 16, 10).cast(IntegerType) + col("bright"))
-      // dHash bit (r,c) = pix(r,c) < pix(r,c+1) on the 8×9 grid;
-      // packed into two 32-bit halves (bit index b = r*8+c)
-      def half(lo: Int): Column = (lo until lo + 32).map { b =>
-        val (r, c) = (b / 8, b % 8)
-        when(pix(r * 9 + c) < pix(r * 9 + c + 1),
-          lit(1L << (b - lo))).otherwise(lit(0L))
-      }.reduce(_ + _)
+      // stub decode: pixel i = byte at ⌊i·n/72⌋ (+brightness, clamped);
+      // the grid/packing live in dhashPix/dhashHalf (shared with q188)
+      def half(lo: Int): Column = dhashHalf(lo, h, n, col("bright"))
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val media = docs
         .select((col("doc_id") * 2).as("doc_id"), col("text"),
@@ -3391,6 +3405,166 @@ object TextQueries {
       FROM cand c JOIN hh x ON x.media_id = c.da JOIN hh y ON y.media_id = c.db
       WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 10
       ORDER BY da, db"""))
+
+  val q188PairDedup = Q("q188_pair_dedup",
+    // CROSS-MODAL image-text PAIR dedup — the LAION curation shape: a
+    // pair is a duplicate when EITHER modality matches a kept pair,
+    // transitively (A~B by image, B~C by caption ⇒ one cluster). The
+    // image side is q176's dHash + 16-bit-band LSH + Hamming≤10
+    // verify (a brightness re-encode collides at Hamming 0 without
+    // byte-identical payloads); the caption side is q30's
+    // MinHash-LSH + Jaccard≥0.5 verify; the union edge set resolves
+    // by connected components (q143's pointer jumping) and each
+    // cluster keeps its minimum pair_id. Planted waves exercise both
+    // modalities separately: %11==3 docs re-enter with the SAME image
+    // at +16 brightness and a DISTINCT caption (image-only match);
+    // %11==7 docs re-enter with a reversed payload and the SAME
+    // caption (caption-only match). The oracle replays both hash
+    // pipelines and the CC from the raw table alone. At 100 TB: two
+    // band-bucketed candidate joins (both capped — never n²) + the
+    // O(log d) label rounds; per-modality state is the q30/q176
+    // shape unchanged.
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs.select((col("doc_id") * 4).as("pair_id"),
+        col("text").as("img"), lit(0).as("bright"),
+        col("text").as("caption"))
+      val imgWave = docs.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") * 4 + 1).as("pair_id"),
+          col("text").as("img"), lit(16).as("bright"),
+          concat(lit("alt caption "), col("doc_id")).as("caption"))
+      val capWave = docs.filter(col("doc_id") % 11 === 7)
+        .select((col("doc_id") * 4 + 2).as("pair_id"),
+          reverse(col("text")).as("img"), lit(0).as("bright"),
+          col("text").as("caption"))
+      val pairs = base.unionByName(imgWave).unionByName(capWave)
+        .transform(eager) // feeds both modality pipelines + the node set
+      // ---- image modality: q176's dHash/band/verify ----
+      val hashed = pairs
+        .select(col("pair_id"),
+          hex(col("img").cast(BinaryType)).as("hx"),
+          octet_length(col("img").cast(BinaryType)).as("n"),
+          col("bright"))
+        .filter(col("n") > 0)
+        .select(col("pair_id"),
+          dhashHalf(0, col("hx"), col("n"), col("bright")).as("h0"),
+          dhashHalf(32, col("hx"), col("n"), col("bright")).as("h1"))
+        .transform(eager)
+      val iExploded = hashed.select(col("pair_id").as("doc_id"),
+        posexplode(array(
+          pmod(col("h0"), lit(65536L)), expr("h0 div 65536"),
+          pmod(col("h1"), lit(65536L)), expr("h1 div 65536")))
+          .as(Seq("band", "sig")))
+      val imgEdges = cappedBandCandidates(iExploded, BandCap)
+        .join(hashed.select(col("pair_id").as("da"), col("h0").as("a0"),
+          col("h1").as("a1")), Seq("da"))
+        .join(hashed.select(col("pair_id").as("db"), col("h0").as("b0"),
+          col("h1").as("b1")), Seq("db"))
+        .filter((bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1")))) <= 10)
+        .select(col("da").as("a"), col("db").as("b"))
+      // ---- caption modality: q30's MinHash-LSH + Jaccard verify ----
+      val caps = pairs
+        .select(col("pair_id").as("doc_id"), shingles(col("caption")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .transform(eager)
+      val cExploded = graft.ops.IncrementalDedup.bandRows(
+        graft.ops.IncrementalDedup.signatures(caps)).transform(eager)
+      val capEdges = cappedBandCandidates(cExploded, BandCap)
+        .join(caps.select(col("doc_id").as("da"), col("sh").as("sha")),
+          Seq("da"))
+        .join(caps.select(col("doc_id").as("db"), col("sh").as("shb")),
+          Seq("db"))
+        .filter(round(size(array_intersect(col("sha"), col("shb"))) /
+          size(array_union(col("sha"), col("shb"))), 6) >= 0.5)
+        .select(col("da").as("a"), col("db").as("b"))
+      // ---- union of modalities → components → keep min pair_id ----
+      graft.ops.Graph.connectedComponents(
+          pairs.select(col("pair_id").as("node")),
+          imgEdges.unionByName(capEdges))
+        .select(col("node").as("pair_id"), col("lbl").as("keeper"),
+          (col("node") === col("lbl")).as("keep"))
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH RECURSIVE m AS (
+          SELECT doc_id * 4 AS pair_id, text AS img, 0 AS bright,
+            text AS caption FROM documents
+          UNION ALL
+          SELECT doc_id * 4 + 1, text, 16,
+            'alt caption ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 11 = 3
+          UNION ALL
+          SELECT doc_id * 4 + 2, reverse(text), 0, text
+          FROM documents WHERE doc_id % 11 = 7),
+        raw AS (SELECT pair_id, bright, hex(CAST(img AS BLOB)) AS h,
+            octet_length(CAST(img AS BLOB)) AS n
+          FROM m WHERE octet_length(CAST(img AS BLOB)) > 0),
+        px AS (SELECT pair_id, i, least(255,
+            CAST('0x' || substr(h, CAST(2 * ((i * n) // 72) + 1 AS INTEGER),
+              2) AS INTEGER) + bright) AS p
+          FROM raw, unnest(range(0, 72)) t(i)),
+        bits AS (SELECT a.pair_id, (a.i // 9) * 8 + (a.i % 9) AS bit,
+            CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS v
+          FROM px a JOIN px b ON b.pair_id = a.pair_id AND b.i = a.i + 1
+          WHERE a.i % 9 < 8),
+        hh AS (SELECT pair_id,
+            sum(CASE WHEN bit < 32 THEN v * (1::BIGINT << bit)
+              ELSE 0 END) AS h0,
+            sum(CASE WHEN bit >= 32 THEN v * (1::BIGINT << (bit - 32))
+              ELSE 0 END) AS h1
+          FROM bits GROUP BY pair_id),
+        ibands AS (SELECT pair_id, t.band,
+            CAST(CASE t.band WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+              WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS VARCHAR) AS sig
+          FROM hh, unnest(range(0, 4)) t(band)),
+        ihot AS (SELECT band, sig FROM ibands
+          GROUP BY band, sig HAVING count(*) > 64),
+        icapped AS (SELECT * FROM ibands b WHERE NOT EXISTS
+          (SELECT 1 FROM ihot h WHERE h.band = b.band AND h.sig = b.sig)),
+        icand AS (SELECT DISTINCT a.pair_id AS da, b.pair_id AS db
+          FROM icapped a JOIN icapped b
+          ON a.band = b.band AND a.sig = b.sig AND a.pair_id < b.pair_id),
+        iedge AS (SELECT c.da, c.db FROM icand c
+          JOIN hh x ON x.pair_id = c.da JOIN hh y ON y.pair_id = c.db
+          WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1))
+            <= 10),
+        t AS (SELECT pair_id AS doc_id, string_split(caption, ' ') AS toks
+          FROM m),
+        sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+        sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        inst AS (SELECT doc_id,
+            CAST('0x' || substr(md5(unnest(shingles)), 1, 8) AS BIGINT)
+              % 1000000007 AS h FROM sh2),
+        mh AS (SELECT doc_id, r.i AS i,
+            min(((2*r.i + 3) * h + 7919*(r.i + 1)) % 1000000007) AS mn
+            FROM inst, range(0, 12) r(i) GROUP BY doc_id, r.i),
+        cbands AS (SELECT doc_id, i // 3 AS band,
+            string_agg(CAST(mn AS VARCHAR), '|' ORDER BY i) AS sig
+            FROM mh GROUP BY doc_id, i // 3),
+        chot AS (SELECT band, sig FROM cbands
+          GROUP BY band, sig HAVING count(*) > 64),
+        ccapped AS (SELECT * FROM cbands b WHERE NOT EXISTS
+          (SELECT 1 FROM chot h WHERE h.band = b.band AND h.sig = b.sig)),
+        ccand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM ccapped a JOIN ccapped b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        cedge AS (SELECT c.da, c.db FROM ccand c
+          JOIN sh2 x ON x.doc_id = c.da JOIN sh2 y ON y.doc_id = c.db
+          WHERE round(len(list_intersect(x.shingles, y.shingles)) /
+            len(list_distinct(x.shingles || y.shingles)), 6) >= 0.5),
+        edges AS (SELECT da AS a, db AS b FROM iedge
+          UNION SELECT db, da FROM iedge
+          UNION SELECT da, db FROM cedge
+          UNION SELECT db, da FROM cedge),
+        cc(node, lbl) AS (
+          SELECT pair_id, pair_id FROM m
+          UNION
+          SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+          WHERE c.lbl < e.b),
+        lab AS (SELECT node AS pair_id, min(lbl) AS keeper
+          FROM cc GROUP BY node)
+      SELECT pair_id, keeper, pair_id = keeper AS keep
+      FROM lab ORDER BY pair_id"""))
 
   /** Span-level benchmark decontamination (the GPT-3 appendix-C
     * recipe, Brown et al. 2020): REMOVE from each training document
@@ -3703,5 +3877,5 @@ object TextQueries {
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
-    q186FunnelReport, q187UnigramTokenize)
+    q186FunnelReport, q187UnigramTokenize, q188PairDedup)
 }

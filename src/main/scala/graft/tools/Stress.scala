@@ -1088,6 +1088,65 @@ object Stress {
         spark.sparkContext.removeSparkListener(msListener)
       }
     }
+    // ---- MaxScore A/B at the SCALE knob (rows arg; the 1M→N growth ----
+    // ---- curve BASELINE.md records): same fixture shape, doc count ----
+    // ---- = `rows`. The unpruned side's shuffle grows linearly with ----
+    // ---- the corpus (every stopword posting crosses the doc-keyed  ----
+    // ---- exchange); the pruned side's essential set stays {zebra}  ----
+    // ---- = rows/1000 postings — the separation RATIO is the scale  ----
+    // ---- evidence. Select with label prefix "maxscore10m".         ----
+    val ms10Labels = Seq("maxscore10m topk", "maxscore10m full")
+    if (ms10Labels.exists(wanted)) {
+      val dir10 = s"$dir/stress_maxscore_scale"
+      def docs10 = spark.range(rows).select(col("id").as("doc_id"),
+        concat(lit("the "),
+          when(col("id") % 1000 === 0, lit("zebra ")).otherwise(lit("")),
+          concat_ws(" ", (0 until 20).map { j =>
+            concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
+              lit(50000)))
+          }: _*)).as("text"))
+      if (!new java.io.File(s"$dir10/postings/_SUCCESS").exists)
+        time("maxscore10m index build") {
+          graft.ops.InvertedIndex.build(spark, docs10, dir10)
+          spark.read.parquet(s"$dir10/postings").count()
+        }
+      val recs10 = new java.util.concurrent.atomic.AtomicLong
+      val l10 = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(te.taskMetrics).foreach(m =>
+            recs10.addAndGet(m.shuffleWriteMetrics.recordsWritten))
+      }
+      spark.sparkContext.addSparkListener(l10)
+      try {
+        def withRecs(label: String)(f: => Long): Unit = {
+          Thread.sleep(300)
+          val before = recs10.get()
+          time(label)(f)
+          Thread.sleep(500)
+          println(f"[stress] $label shuffle records: " +
+            f"${recs10.get() - before}%,d")
+        }
+        var pruned: Seq[Seq[Any]] = Seq.empty
+        var full: Seq[Seq[Any]] = Seq.empty
+        withRecs("maxscore10m topk") {
+          pruned = graft.ops.InvertedIndex
+            .maxScoreSearch(spark, dir10, Seq("the", "zebra"), 10)
+            .collect().toSeq.map(_.toSeq)
+          pruned.size.toLong
+        }
+        withRecs("maxscore10m full") {
+          full = graft.ops.InvertedIndex
+            .search(spark, dir10, Seq("the", "zebra"), 10)
+            .collect().toSeq.map(_.toSeq)
+          full.size.toLong
+        }
+        require(pruned == full && pruned.size == 10,
+          s"maxscore must equal the unpruned search: $pruned vs $full")
+      } finally {
+        spark.sparkContext.removeSparkListener(l10)
+      }
+    }
     time("invidx full-scan bm25 A/B") {
       // what serving WITHOUT the index costs: recompute stats + tf over
       // the whole corpus per query (the q144 shape at 1M docs) — two

@@ -117,6 +117,29 @@ class CorpusIngestSpec extends SparkSpec {
     assert(u1 == Set("c10", "dup", "c14", "n15").map("https://ex.com/" + _))
   }
 
+  test("funnel reports every stage's closed-form per-source counts") {
+    val dir = tmp()
+    boot(dir)
+    val t = state(dir)("A")._2 / 3
+    assert(CorpusIngest.ingest(spark, batch, dir, 1L))
+    val f = CorpusIngest.funnel(spark, batch, dir, 1L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // A: 5 raw → 4 after in-batch dup (13 drops) → 3 after seen-set
+    // (11 rejects) → 2 after NB (14 rejects) → 2 admitted == 2 landed
+    val a = f("A")
+    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_nb", "n_admitted",
+      "n_landed").map(a.getAs[Long]) == Seq(5L, 4L, 3L, 2L, 2L, 2L))
+    assert(a.getAs[Long]("tok_landed") == 2 * t)
+    // N: the unseen source survives every stage
+    val nrow = f("N")
+    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_nb", "n_admitted",
+      "n_landed").map(nrow.getAs[Long]) == Seq(1L, 1L, 1L, 1L, 1L, 1L))
+    assert(nrow.getAs[Long]("tok_landed") == t)
+    // the audit invariant the report exists to surface
+    assert(f.values.forall(r =>
+      r.getAs[Long]("n_admitted") == r.getAs[Long]("n_landed")))
+  }
+
   test("streaming maintainer: waves land exactly-once, fresh checkpoint refused") {
     val dir = tmp()
     val src = Files.createTempDirectory("ci_src").toString

@@ -44,7 +44,8 @@ class ReentrancySpec extends SparkSpec {
     "q184_warehouse_rrf",       // graft_invidx/q184 + graft_adc/q184
     "q185_bpe_fertility",       // graft_bpe/merges_q185 + fixture marker
                                 //   + graft_unigram/pieces_q185
-    "q187_unigram_tokenize")    // graft_unigram/pieces_q187
+    "q187_unigram_tokenize",    // graft_unigram/pieces_q187
+    "q189_ingest_funnel")       // graft_corpus/q189 (bootstrap/rollback)
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
