@@ -1024,6 +1024,9 @@ object VectorQueries {
         .select(col("doc_id"),
           round(termScores.reduceLeft(_ + _), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        // partitionless window is BY CONSTRUCTION over the 50-row
+        // limit above — the single-partition move WindowExec warns
+        // about is 50 rows, not the corpus
         .withColumn("lex_rank",
           row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
       val e = Tables.embeddings(s, d)
@@ -1036,6 +1039,7 @@ object VectorQueries {
           round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")),
             6).as("cosine"))
         .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+        // 50-row frame — see lex_rank note
         .withColumn("dense_rank",
           row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
       lex.select(col("doc_id"), col("lex_rank"))
@@ -1777,7 +1781,10 @@ object VectorQueries {
       }
       val lex = ix.search(s, whIx, Seq("dup", "scan", "merge"), 20)
         .withColumn("lrank", row_number().over(
-          Window.orderBy(col("bm25_micro").desc, col("doc_id"))) // 20 rows
+          // partitionless window over the ≤20 rows ix.search returned
+          // — the single-partition move WindowExec warns about is the
+          // rank frame, never corpus-sized
+          Window.orderBy(col("bm25_micro").desc, col("doc_id")))
           .cast(LongType))
         .select(col("doc_id"), col("lrank"))
       val cents = graft.ops.VectorOps.loadCentroids(s, whAdc + "/centroids")
