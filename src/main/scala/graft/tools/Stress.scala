@@ -1147,6 +1147,43 @@ object Stress {
         spark.sparkContext.removeSparkListener(l10)
       }
     }
+    // ---- unigram-LM tokenizer (q187 shape) at a fixed 50k-word     ----
+    // ---- vocabulary: the scale claim is that train cost tracks the ----
+    // ---- DISTINCT-WORD frame, never corpus rows — so training on   ----
+    // ---- 5× the corpus must cost ≈ the extra wordCounts shuffle    ----
+    // ---- alone, and the Viterbi lexicon pass is vocab-bound. Run   ----
+    // ---- with `Stress <rows> unigram`.                             ----
+    val ugLabels = Seq("unigram train small", "unigram train 5x corpus",
+      "unigram viterbi lexicon")
+    if (ugLabels.exists(wanted)) {
+      def ugDocs(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map { j =>
+          concat(lit("w"), pmod(hash(col("id") * 31L + lit(j)),
+            lit(50000)))
+        }: _*).as("text"))
+      var model: org.apache.spark.sql.DataFrame = null
+      time("unigram train small") {
+        model = graft.ops.UnigramLm.train(spark, ugDocs(rows / 5),
+          vocabSize = 512, maxPieceLen = 6, emRounds = 2,
+          seedSize = 2000)
+        model.count()
+      }
+      time("unigram train 5x corpus") {
+        // SAME 50k-word vocabulary — only the one corpus-scale
+        // wordCounts shuffle grows
+        graft.ops.UnigramLm.train(spark, ugDocs(rows), vocabSize = 512,
+          maxPieceLen = 6, emRounds = 2, seedSize = 2000).count()
+      }
+      time("unigram viterbi lexicon") {
+        // the apply pass over the full 50k-word vocabulary DIRECTLY —
+        // no corpus scan in the timing; this is the cost every encode
+        // amortizes behind a broadcast
+        graft.ops.UnigramLm.viterbiLexicon(
+          spark.range(50000).select(
+            concat(lit("w"), col("id")).as("word")),
+          model, maxPieceLen = 6).count()
+      }
+    }
     time("invidx full-scan bm25 A/B") {
       // what serving WITHOUT the index costs: recompute stats + tf over
       // the whole corpus per query (the q144 shape at 1M docs) — two
