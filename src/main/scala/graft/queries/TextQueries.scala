@@ -1958,8 +1958,16 @@ object TextQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
       val marker = BpeWarehouse + "/fixture_q185"
+      // marker match alone is not enough: the two model artifacts live
+      // in DIFFERENT warehouse roots (graft_bpe + graft_unigram), so a
+      // wiped root with a surviving marker must force the retrain, not
+      // fail every later pass at loadPieces/loadMerges
       val fresh = !scala.util.Try(s.read.parquet(marker).head()
-        .getString(0)).toOption.contains(d)
+          .getString(0)).toOption.contains(d) ||
+        scala.util.Try {
+          s.read.parquet(BpeWarehouse + "/merges_q185").schema
+          s.read.parquet(UnigramWarehouse + "/pieces_q185").schema
+        }.isFailure
       if (fresh) {
         val trainDocs = docs.filter(col("doc_id") % 3 =!= 0)
           .select(col("doc_id"), col("text"))
@@ -1977,9 +1985,16 @@ object TextQueries {
       val pieces = graft.ops.UnigramLm.loadPieces(s,
         UnigramWarehouse + "/pieces_q185")
       val body = docs.select(col("doc_id"), col("text"))
-      val words = graft.ops.Bpe.wordCounts(body).select(col("word"))
-      require(words.agg(max(length(col("word")))).head.getInt(0) <= 8,
-        "oracle DP unrolls 8 positions — a corpus word exceeds it")
+      // length bound guarded as an EXPRESSION riding the lexicon
+      // builds (the q187 pattern) — a standalone aggregate assert
+      // would add a third corpus-scale wordCounts job to a query
+      // whose contract is ONE corpus pass
+      val words = graft.ops.Bpe.wordCounts(body).select(
+        when(length(col("word")) > 8,
+          raise_error(concat(
+            lit("oracle DP unrolls 8 positions — word '"), col("word"),
+            lit("' exceeds it"))))
+          .otherwise(col("word")).as("word"))
       // ONE corpus pass: both vocab-sized lexicons broadcast onto the
       // same exploded word stream — no doc_id join of two separate
       // encode outputs (that shape costs a corpus-sized sort-merge
@@ -2138,9 +2153,16 @@ object TextQueries {
         UnigramWarehouse + "/pieces_q187")
       val loaded = graft.ops.UnigramLm.loadPieces(s,
         UnigramWarehouse + "/pieces_q187")
-      val words = graft.ops.Bpe.wordCounts(docs).select(col("word"))
-      require(words.agg(max(length(col("word")))).head.getInt(0) <= 8,
-        "oracle DP unrolls 8 positions — a corpus word exceeds it")
+      // the oracle's DP unrolls 8 positions — guard word length as an
+      // EXPRESSION riding the existing lexicon build (zero extra jobs;
+      // a standalone aggregate assert would re-run the corpus-scale
+      // wordCounts shuffle just to check a bound)
+      val words = graft.ops.Bpe.wordCounts(docs).select(
+        when(length(col("word")) > 8,
+          raise_error(concat(
+            lit("oracle DP unrolls 8 positions — word '"), col("word"),
+            lit("' exceeds it"))))
+          .otherwise(col("word")).as("word"))
       val lex = graft.ops.UnigramLm.viterbiLexicon(words, loaded,
         maxPieceLen = 8)
       graft.ops.UnigramLm.encode(docs.filter(col("doc_id") % 3 === 0), lex)

@@ -1045,48 +1045,55 @@ object Stress {
     // ---- so only ~2k candidate postings reach it. Wall AND        ----
     // ---- shuffle-write records recorded per side; results must    ----
     // ---- be bit-identical — pruning is exact, never lossy.        ----
-    val msLabels = Seq("maxscore topk 1M docs", "bm25 full topk 1M docs")
-    if (msLabels.exists(wanted)) {
-      if (!new java.io.File(s"$phDir/postings/_SUCCESS").exists)
-        graft.ops.InvertedIndex.build(spark, phraseDocs, phDir)
-      val msRecs = new java.util.concurrent.atomic.AtomicLong
-      val msListener = new org.apache.spark.scheduler.SparkListener {
+    // shared A/B harness (used at both scales below): shuffle-write
+    // records counted around each side via a listener that is ALWAYS
+    // removed afterward — stacked stress runs in one session would
+    // otherwise accumulate listeners and cross-attribute counts — and
+    // the pruned side is require-pinned bit-equal to the full search.
+    def maxScoreAb(ixDir: String, labelTopk: String,
+                   labelFull: String): Unit = {
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           Option(te.taskMetrics).foreach(m =>
-            msRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten))
+            recs.addAndGet(m.shuffleWriteMetrics.recordsWritten))
       }
-      spark.sparkContext.addSparkListener(msListener)
+      spark.sparkContext.addSparkListener(listener)
       try {
         def withShuffleRecords(label: String)(f: => Long): Unit = {
           Thread.sleep(300) // settle listener events from prior work
-          val before = msRecs.get()
+          val before = recs.get()
           time(label)(f)
           Thread.sleep(500)
           println(f"[stress] $label shuffle records: " +
-            f"${msRecs.get() - before}%,d")
+            f"${recs.get() - before}%,d")
         }
         var pruned: Seq[Seq[Any]] = Seq.empty
         var full: Seq[Seq[Any]] = Seq.empty
-        withShuffleRecords("maxscore topk 1M docs") {
+        withShuffleRecords(labelTopk) {
           pruned = graft.ops.InvertedIndex
-            .maxScoreSearch(spark, phDir, Seq("the", "zebra"), 10)
+            .maxScoreSearch(spark, ixDir, Seq("the", "zebra"), 10)
             .collect().toSeq.map(_.toSeq)
           pruned.size.toLong
         }
-        withShuffleRecords("bm25 full topk 1M docs") {
+        withShuffleRecords(labelFull) {
           full = graft.ops.InvertedIndex
-            .search(spark, phDir, Seq("the", "zebra"), 10)
+            .search(spark, ixDir, Seq("the", "zebra"), 10)
             .collect().toSeq.map(_.toSeq)
           full.size.toLong
         }
         require(pruned == full && pruned.size == 10,
           s"maxscore must equal the unpruned search: $pruned vs $full")
       } finally {
-        // stacked stress runs in one session would otherwise
-        // accumulate listeners and cross-attribute shuffle counts
-        spark.sparkContext.removeSparkListener(msListener)
+        spark.sparkContext.removeSparkListener(listener)
       }
+    }
+    val msLabels = Seq("maxscore topk 1M docs", "bm25 full topk 1M docs")
+    if (msLabels.exists(wanted)) {
+      if (!new java.io.File(s"$phDir/postings/_SUCCESS").exists)
+        graft.ops.InvertedIndex.build(spark, phraseDocs, phDir)
+      maxScoreAb(phDir, "maxscore topk 1M docs", "bm25 full topk 1M docs")
     }
     // ---- MaxScore A/B at the SCALE knob (rows arg; the 1M→N growth ----
     // ---- curve BASELINE.md records): same fixture shape, doc count ----
@@ -1105,47 +1112,23 @@ object Stress {
             concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
               lit(50000)))
           }: _*)).as("text"))
-      if (!new java.io.File(s"$dir10/postings/_SUCCESS").exists)
+      // the index varies with the `rows` argument — pin the scale it
+      // was built at (the events-table _GRAFT_ROWS pattern), or a
+      // stale index from a prior run at a different [rows] would
+      // silently feed 1M-scale figures into the N-scale growth curve
+      val rows10 = new java.io.File(s"$dir10/_GRAFT_ROWS")
+      val have10 = new java.io.File(s"$dir10/postings/_SUCCESS").exists &&
+        rows10.exists &&
+        new String(java.nio.file.Files.readAllBytes(rows10.toPath),
+          "UTF-8").trim == rows.toString
+      if (!have10)
         time("maxscore10m index build") {
           graft.ops.InvertedIndex.build(spark, docs10, dir10)
+          java.nio.file.Files.write(rows10.toPath,
+            rows.toString.getBytes("UTF-8"))
           spark.read.parquet(s"$dir10/postings").count()
         }
-      val recs10 = new java.util.concurrent.atomic.AtomicLong
-      val l10 = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          Option(te.taskMetrics).foreach(m =>
-            recs10.addAndGet(m.shuffleWriteMetrics.recordsWritten))
-      }
-      spark.sparkContext.addSparkListener(l10)
-      try {
-        def withRecs(label: String)(f: => Long): Unit = {
-          Thread.sleep(300)
-          val before = recs10.get()
-          time(label)(f)
-          Thread.sleep(500)
-          println(f"[stress] $label shuffle records: " +
-            f"${recs10.get() - before}%,d")
-        }
-        var pruned: Seq[Seq[Any]] = Seq.empty
-        var full: Seq[Seq[Any]] = Seq.empty
-        withRecs("maxscore10m topk") {
-          pruned = graft.ops.InvertedIndex
-            .maxScoreSearch(spark, dir10, Seq("the", "zebra"), 10)
-            .collect().toSeq.map(_.toSeq)
-          pruned.size.toLong
-        }
-        withRecs("maxscore10m full") {
-          full = graft.ops.InvertedIndex
-            .search(spark, dir10, Seq("the", "zebra"), 10)
-            .collect().toSeq.map(_.toSeq)
-          full.size.toLong
-        }
-        require(pruned == full && pruned.size == 10,
-          s"maxscore must equal the unpruned search: $pruned vs $full")
-      } finally {
-        spark.sparkContext.removeSparkListener(l10)
-      }
+      maxScoreAb(dir10, "maxscore10m topk", "maxscore10m full")
     }
     // ---- unigram-LM tokenizer (q187 shape) at a fixed 50k-word     ----
     // ---- vocabulary: the scale claim is that train cost tracks the ----
@@ -1162,10 +1145,10 @@ object Stress {
             lit(50000)))
         }: _*).as("text"))
       var model: org.apache.spark.sql.DataFrame = null
+      def trainSmall() = graft.ops.UnigramLm.train(spark, ugDocs(rows / 5),
+        vocabSize = 512, maxPieceLen = 6, emRounds = 2, seedSize = 2000)
       time("unigram train small") {
-        model = graft.ops.UnigramLm.train(spark, ugDocs(rows / 5),
-          vocabSize = 512, maxPieceLen = 6, emRounds = 2,
-          seedSize = 2000)
+        model = trainSmall()
         model.count()
       }
       time("unigram train 5x corpus") {
@@ -1174,6 +1157,10 @@ object Stress {
         graft.ops.UnigramLm.train(spark, ugDocs(rows), vocabSize = 512,
           maxPieceLen = 6, emRounds = 2, seedSize = 2000).count()
       }
+      // phase filters may select the lexicon label alone — the model
+      // must then still exist (trained untimed), not NPE
+      if (wanted("unigram viterbi lexicon") && model == null)
+        model = trainSmall()
       time("unigram viterbi lexicon") {
         // the apply pass over the full 50k-word vocabulary DIRECTLY —
         // no corpus scan in the timing; this is the cost every encode
