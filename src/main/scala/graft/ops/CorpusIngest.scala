@@ -330,7 +330,9 @@ object CorpusIngest {
       s"funnel batch must be $CrawlCols, got ${batch.columns.toSeq}")
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val stateRows: Map[String, Long] =
-      Load.readTable(spark, s"$dir/state").get.collect()
+      Load.readTable(spark, s"$dir/state").getOrElse(
+        sys.error(s"CorpusIngest.funnel: no state table at $dir/state " +
+          "— bootstrap the warehouse first")).collect()
         .map(r => r.getAs[String]("source") ->
           r.getAs[Long]("lr_min_micro")).toMap
     require(stateRows.nonEmpty,

@@ -130,8 +130,11 @@ object UnigramLm {
     ms.select(col("word"),
         when(best.getField("sc") <= NegInf,
           raise_error(concat(lit("unigram viterbi: word '"), col("word"),
-            lit("' has no segmentation — the piece table lost a " +
-              "character; retrain with single-char coverage"))))
+            lit("' has no segmentation — it contains a character that " +
+              "never appeared in the corpus the piece table was " +
+              "trained on (single-char coverage spans the TRAINING " +
+              "split's characters only); train on a corpus covering " +
+              "the apply vocabulary's characters"))))
           .otherwise(best).as("b"))
       .select(col("word"),
         split(ltrim(col("b").getField("path")), " ").as("toks"),

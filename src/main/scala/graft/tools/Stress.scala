@@ -1061,14 +1061,21 @@ object Stress {
       }
       spark.sparkContext.addSparkListener(listener)
       try {
-        def withShuffleRecords(label: String)(f: => Long): Unit = {
-          Thread.sleep(300) // settle listener events from prior work
-          val before = recs.get()
-          time(label)(f)
-          Thread.sleep(500)
-          println(f"[stress] $label shuffle records: " +
-            f"${recs.get() - before}%,d")
-        }
+        // BOTH sides always execute — the bit-equality require below
+        // needs both result sets even when the phase filter selects
+        // only one A/B label; the filter gates only the timing and
+        // shuffle-record prints (an unselected side used to skip its
+        // collect entirely, crashing the require on an empty seq and
+        // printing a misleading 0-record line)
+        def withShuffleRecords(label: String)(f: => Long): Unit =
+          if (wanted(label)) {
+            Thread.sleep(300) // settle listener events from prior work
+            val before = recs.get()
+            time(label)(f)
+            Thread.sleep(500)
+            println(f"[stress] $label shuffle records: " +
+              f"${recs.get() - before}%,d")
+          } else { f; () }
         var pruned: Seq[Seq[Any]] = Seq.empty
         var full: Seq[Seq[Any]] = Seq.empty
         withShuffleRecords(labelTopk) {
@@ -1121,13 +1128,19 @@ object Stress {
         rows10.exists &&
         new String(java.nio.file.Files.readAllBytes(rows10.toPath),
           "UTF-8").trim == rows.toString
-      if (!have10)
-        time("maxscore10m index build") {
-          graft.ops.InvertedIndex.build(spark, docs10, dir10)
-          java.nio.file.Files.write(rows10.toPath,
-            rows.toString.getBytes("UTF-8"))
-          spark.read.parquet(s"$dir10/postings").count()
-        }
+      // build UNGATED (the 1M block's pattern): a phase filter that
+      // selects only the topk/full labels still needs an index to
+      // search — only the timing PRINT is label-gated
+      if (!have10) {
+        val t0 = System.nanoTime()
+        graft.ops.InvertedIndex.build(spark, docs10, dir10)
+        java.nio.file.Files.write(rows10.toPath,
+          rows.toString.getBytes("UTF-8"))
+        val n = spark.read.parquet(s"$dir10/postings").count()
+        if (wanted("maxscore10m index build"))
+          println(f"[stress] ${"maxscore10m index build"}%-28s " +
+            f"rows=$n%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
       maxScoreAb(dir10, "maxscore10m topk", "maxscore10m full")
     }
     // ---- unigram-LM tokenizer (q187 shape) at a fixed 50k-word     ----
