@@ -131,6 +131,7 @@ object AdcIngest {
     // recoverSwap — seeing both dirs — would delete __old and with it
     // every prior generation, while meta still claimed they landed.
     Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
     writeGeneration(encodeBatch(spark, vecs, dir), dir, batchId)
     import spark.implicits._
     Load.replaceTable(spark, Seq(batchId).toDF("last_batch"),
@@ -138,15 +139,29 @@ object AdcIngest {
     true
   }
 
-  /** Roll the index back to generation `toBatch`: delete every
-    * `batch > toBatch` generation and reset the high-water mark — the
-    * vector twin of `CorpusIngest.rollback`, the recovery lever when a
-    * bad batch landed (and the fixture lever that lets a gate re-run
-    * the ingest lifecycle against a frozen bootstrap). Refused when
-    * compaction has merged generations — the physical tree then no
-    * longer holds one dir per batch, so later batches' rows hide
-    * inside earlier trees and deletion-by-generation would be silent
-    * data corruption; rebuild from bootstrap instead.
+  /** Roll the index back to generation `toBatch`: reset the high-water
+    * mark, then delete every `batch > toBatch` generation — the vector
+    * twin of `CorpusIngest.rollback`, the recovery lever when a bad
+    * batch landed (and the fixture lever that lets a gate re-run the
+    * ingest lifecycle against a frozen bootstrap).
+    *
+    * Crash ordering: meta lands FIRST. A crash between the two steps
+    * then leaves generation dirs ABOVE the high-water mark — inert
+    * remnants that [[index]]/[[segmentCount]] filter out, the next
+    * [[rollback]] deletes on entry, and a later [[append]] of the same
+    * id dynamic-overwrites — never a meta that claims generations the
+    * tree no longer fully holds (the old delete-first order could
+    * crash into exactly that, and the strict contiguity check then
+    * misdiagnosed the half-finished rollback as a merged tree).
+    *
+    * Compaction awareness: under the [[SegmentCompaction]] coverage
+    * invariant (live dir I holds original batches [I, next live id −
+    * 1]), a rollback cut is legal iff it falls on a generation
+    * boundary — `toBatch + 1` must itself be a live dir (or the cut is
+    * a no-op at the high-water mark). A cut INSIDE a merged tree is
+    * refused: its files interleave rows from batches on both sides of
+    * the cut, so deletion-by-generation would be silent data
+    * corruption; rebuild from bootstrap instead.
     */
   def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
     require(toBatch >= 0, "cannot roll back past the bootstrap")
@@ -155,20 +170,28 @@ object AdcIngest {
       s"AdcIngest.rollback: no warehouse at $dir at or above batch " +
         s"$toBatch")
     Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def delete(b: Long): Unit = { fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/index/batch=$b"), true); () }
     val ids = fs.listStatus(p).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong).toSet
-    require(ids == (0L to last).toSet,
-      s"AdcIngest.rollback: generations ${ids.toSeq.sorted} don't " +
-        s"match 0..$last — compaction has merged batches; rebuild " +
-        "from bootstrap instead")
-    ids.filter(_ > toBatch).foreach(b => fs.delete(
-      new org.apache.hadoop.fs.Path(s"$dir/index/batch=$b"), true))
+    // heal: dirs above the high-water mark are remnants of a prior
+    // rollback that crashed after its meta write — delete before
+    // validating coverage
+    ids.filter(_ > last).foreach(delete)
+    val live = ids.filter(_ <= last)
+    require(toBatch == last || live.contains(toBatch + 1),
+      s"AdcIngest.rollback: generation ${toBatch + 1} has been merged " +
+        "into an earlier tree by compaction — its files hold rows from " +
+        s"batches <= $toBatch too, so rolling back to $toBatch would " +
+        "corrupt them; rebuild from bootstrap instead")
     import spark.implicits._
     Load.replaceTable(spark, Seq(toBatch).toDF("last_batch"),
       s"$dir/meta")
+    live.filter(_ > toBatch).foreach(delete)
     ()
   }
 
@@ -178,7 +201,13 @@ object AdcIngest {
     */
   def index(spark: SparkSession, dir: String): DataFrame = {
     Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
+    // generations above the high-water mark never serve: they are
+    // either a crashed rollback's undeleted remnants (meta lands
+    // first) or a crashed append's half-landed batch (meta lands
+    // last) — a pure partition-pruned filter, no exchange
     spark.read.parquet(s"$dir/index")
+      .filter(col("batch") <= lastBatch(spark, dir))
       .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
   }
 
@@ -192,8 +221,14 @@ object AdcIngest {
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
     if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+    else {
+      val last = lastBatch(spark, dir)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .count(_.stripPrefix("batch=").toLong <= last)
+    }
   }
 
   /** Collapse every generation into a single `batch=0` tree — a PURE
@@ -207,8 +242,12 @@ object AdcIngest {
   def compact(spark: SparkSession, dir: String): Unit = {
     val indexDir = s"$dir/index"
     Load.recoverSwap(spark, indexDir)
+    // heal a crashed tiered merge before the full rewrite reads the
+    // tree (aside'd generations would otherwise drop silently)
+    SegmentCompaction.recover(spark, indexDir)
     val staging = s"$indexDir.__staging"
     spark.read.parquet(indexDir)
+      .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
       .drop("batch").withColumn("batch", lit(0L))
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col("vec_id"))
@@ -227,5 +266,41 @@ object AdcIngest {
     require(maxSegments >= 1, "maxSegments must be at least 1")
     if (segmentCount(spark, dir) > maxSegments) { compact(spark, dir); true }
     else false
+  }
+
+  /** Size-tiered compaction — `InvertedIndex.tieredCompact`'s vector
+    * twin (policy, coverage invariant and crash protocol in
+    * [[SegmentCompaction]]): merge the unsettled tail of generations
+    * into one generation at the tail's lowest batch id when at least
+    * `minMerge` candidates exist, leaving large settled trees — above
+    * all the bootstrap — untouched on disk. A pure physical move
+    * (disjoint vec_ids per the [[append]] contract), cluster-clustered
+    * within files like [[compact]]; meta and its exactly-once
+    * `last_batch` are untouched, and because merges collapse a
+    * CONTIGUOUS run into its lowest id, [[rollback]] stays decidable
+    * from the dir listing (cuts on surviving boundaries allowed, cuts
+    * inside a merged tree refused). Returns the merged batch ids
+    * (empty = policy did not fire).
+    */
+  def tieredCompact(spark: SparkSession, dir: String, ratio: Double = 4.0,
+                    minMerge: Int = 2): Seq[Long] = {
+    val indexDir = s"$dir/index"
+    Load.recoverSwap(spark, indexDir)
+    SegmentCompaction.recover(spark, indexDir)
+    val last = lastBatch(spark, dir)
+    val ids = SegmentCompaction.mergeSet(
+      SegmentCompaction.genSizes(spark, indexDir).filter(_._1 <= last),
+      ratio, minMerge)
+    if (ids.isEmpty) return Seq.empty
+    val lo = ids.min
+    spark.read.parquet(indexDir)
+      .filter(col("batch").isin(ids: _*))
+      .drop("batch").withColumn("batch", lit(lo))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$indexDir.__tiered_staging")
+    SegmentCompaction.commit(spark, indexDir, ids)
+    ids
   }
 }

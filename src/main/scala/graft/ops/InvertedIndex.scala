@@ -86,6 +86,11 @@ object InvertedIndex {
     * per file.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // wipe tiered-merge remnants from any PRIOR index at this path —
+    // the overwrite below replaces postings/ but not its siblings, and
+    // a stale __tiered_old would later "heal" dead generations into
+    // the fresh index
+    SegmentCompaction.clearRemnants(spark, s"$dir/postings")
     postings(docs).withColumn("batch", lit(0L))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
@@ -116,6 +121,7 @@ object InvertedIndex {
       // recoverSwap would then delete __old — every prior generation —
       // while the corpus row still claimed they landed.
       Load.recoverSwap(spark, s"$dir/postings")
+      SegmentCompaction.recover(spark, s"$dir/postings")
       postings(docs).withColumn("batch", lit(batchId))
         .repartition(col("bucket"))
         .write.mode("overwrite")
@@ -142,6 +148,7 @@ object InvertedIndex {
     val p = new Path(s"$dir/postings")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
   }
@@ -165,6 +172,10 @@ object InvertedIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val postingsDir = s"$dir/postings"
     Load.recoverSwap(spark, postingsDir)
+    // a crashed tiered merge must heal BEFORE the full rewrite reads
+    // the tree, or the generations sitting in the aside dir would be
+    // silently dropped from the rewrite
+    SegmentCompaction.recover(spark, postingsDir)
     val staging = s"$postingsDir.__staging"
     spark.read.parquet(postingsDir)
       .drop("batch").withColumn("batch", lit(0L))
@@ -189,6 +200,43 @@ object InvertedIndex {
     require(maxSegments >= 1, "maxSegments must be at least 1")
     if (segmentCount(spark, dir) > maxSegments) { compact(spark, dir); true }
     else false
+  }
+
+  /** Size-tiered compaction — the bounded-write-amplification
+    * alternative to [[compact]]'s full rewrite (policy, invariants and
+    * crash protocol in [[SegmentCompaction]]): merge every generation
+    * newer than the newest settled one (settled ⇔ ≥ `ratio` × the
+    * total bytes of everything newer) into ONE generation at the run's
+    * lowest batch id, when at least `minMerge` candidates exist. Large
+    * settled trees — above all the bootstrap — are never opened or
+    * rewritten; under a steady append stream each byte re-merges
+    * O(ratio)-bounded times instead of once per policy firing. Still a
+    * PURE physical move (disjoint doc_ids per the [[addBatch]]
+    * contract — search results identical before and after), still
+    * leaves the corpus row and its exactly-once `last_batch` untouched.
+    * The merged read is partition-pruned to the candidate generations;
+    * the write re-clusters them bucket-keyed, term-sorted — the same
+    * layout [[compact]] produces. Returns the merged batch ids (empty =
+    * policy did not fire).
+    */
+  def tieredCompact(spark: SparkSession, dir: String, ratio: Double = 4.0,
+                    minMerge: Int = 2): Seq[Long] = {
+    val postingsDir = s"$dir/postings"
+    Load.recoverSwap(spark, postingsDir)
+    SegmentCompaction.recover(spark, postingsDir)
+    val ids = SegmentCompaction.mergeSet(
+      SegmentCompaction.genSizes(spark, postingsDir), ratio, minMerge)
+    if (ids.isEmpty) return Seq.empty
+    val lo = ids.min
+    spark.read.parquet(postingsDir)
+      .filter(col("batch").isin(ids: _*))
+      .drop("batch").withColumn("batch", lit(lo))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("batch", "bucket")
+      .parquet(s"$postingsDir.__tiered_staging")
+    SegmentCompaction.commit(spark, postingsDir, ids)
+    ids
   }
 
   /** Exact phrase lookup over the persisted positional index:

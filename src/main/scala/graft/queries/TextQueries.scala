@@ -3271,6 +3271,82 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q190TieredCompact = Q("q190_tiered_compact",
+    // SIZE-TIERED index compaction (InvertedIndex.tieredCompact /
+    // ops/SegmentCompaction) — the write-amplification fix over
+    // q167/q171's full rewrite: the full compact rewrites the ENTIRE
+    // index into batch=0 every firing (O(N·index/K) total bytes under
+    // a steady append stream — the LSM full-rewrite anti-shape; O'Neil
+    // 1996, the size-tiered policy of Lucene/RocksDB), while tiered
+    // merging folds only the unsettled tail of small generations into
+    // one, leaving the large settled bootstrap untouched ON DISK.
+    // Lifecycle under gate: bootstrap 80% of docs → append 5% (single
+    // candidate: policy must NOT fire) → append 5% more → policy fires
+    // merging EXACTLY {1,2}, and the bootstrap generation's files are
+    // require-pinned byte-identical (path+len+mtime) across the merge
+    // — the "never rewrite settled trees" contract full compaction
+    // cannot give. The corpus row (incl. the exactly-once high-water
+    // mark) is untouched: the replayed id stays refused, the next id
+    // lands in its own generation. The oracle replays q157's BM25 from
+    // the post-merge postings parquet — search parity over the tiered
+    // tree is exactly what the gate pins.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q190"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = graft.ops.InvertedIndex
+      ix.build(s, docs.filter(col("doc_id") % 20 < 16), wh)
+      ix.addBatch(s, docs.filter(col("doc_id") % 20 === 16), wh, 1L)
+      require(ix.tieredCompact(s, wh, ratio = 4.0).isEmpty,
+        "a single small generation must not trigger a tiered merge")
+      require(ix.segmentCount(s, wh) == 2, "no-op policy touched the tree")
+      ix.addBatch(s, docs.filter(col("doc_id") % 20 === 17), wh, 2L)
+      def stamps(): Set[(String, Long, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/postings/batch=0")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        val b = Set.newBuilder[(String, Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+        b.result()
+      }
+      val bootstrapBefore = stamps()
+      require(ix.tieredCompact(s, wh, ratio = 4.0) == Seq(1L, 2L),
+        "the unsettled tail {1,2} must merge")
+      require(stamps() == bootstrapBefore,
+        "the settled bootstrap generation was rewritten — tiered " +
+          "compaction must leave settled trees byte-identical")
+      require(ix.segmentCount(s, wh) == 2,
+        "expected generations {0, merged 1} after the tiered merge")
+      require(!ix.addBatch(s, docs.filter(col("doc_id") % 20 === 17), wh, 2L),
+        "replayed id must stay refused after the tiered merge")
+      require(ix.addBatch(s, docs.filter(col("doc_id") % 20 === 18), wh, 3L),
+        "append after the tiered merge must land")
+      require(ix.segmentCount(s, wh) == 3,
+        "post-merge append must open its own generation")
+      ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q190/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q190/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('spark', 'query', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
   val q173MaxscoreTopk = Q("q173_maxscore_topk",
     // MaxScore/WAND dynamic pruning (InvertedIndex.maxScoreSearch) —
     // the top-k short-circuit every production text engine ships
@@ -3899,5 +3975,5 @@ object TextQueries {
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
-    q186FunnelReport, q187UnigramTokenize, q188PairDedup)
+    q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact)
 }

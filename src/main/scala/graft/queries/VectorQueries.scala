@@ -1419,6 +1419,137 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q191AdcTiered = Q("q191_adc_tiered",
+    // SIZE-TIERED compaction for the PQ/ADC vector warehouse
+    // (AdcIngest.tieredCompact / ops/SegmentCompaction) — q190's twin,
+    // closing the write-amplification fix for BOTH index kinds: q180's
+    // full compact rewrites the whole index per firing; tiered merging
+    // folds only the unsettled generation tail and leaves the large
+    // settled bootstrap byte-identical on disk (require-pinned below,
+    // path+len+mtime). The merge is still a pure physical move
+    // (disjoint vec_ids), meta and its exactly-once high-water mark
+    // untouched — and because a merge collapses a CONTIGUOUS run into
+    // its lowest id, rollback stays decidable: a cut INSIDE the merged
+    // run is require-pinned REFUSED (its files now interleave rows
+    // from both sides of the cut), while boundary cuts stay legal.
+    // Lifecycle: bootstrap 80% → append 5% (policy must not fire) →
+    // append 5% → policy merges exactly {1,2} → replay refused, next
+    // id lands in its own generation. Oracle: replay the ADC search
+    // from the post-merge index parquet (q180's convention) — serving
+    // parity over the tiered tree is what the gate pins.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val wh = "/root/repo/target/graft_adc/q191"
+      val ai = graft.ops.AdcIngest
+      ai.bootstrap(s, e.filter(col("vec_id") % 20 < 16), wh,
+        k = 16, m = 8, ks = 16)
+      require(ai.append(s, e.filter(col("vec_id") % 20 === 16), wh, 1L),
+        "batch 1 must land")
+      require(ai.tieredCompact(s, wh, ratio = 4.0).isEmpty,
+        "a single small generation must not trigger a tiered merge")
+      require(ai.segmentCount(s, wh) == 2, "no-op policy touched the tree")
+      require(ai.append(s, e.filter(col("vec_id") % 20 === 17), wh, 2L),
+        "batch 2 must land")
+      def stamps(): Set[(String, Long, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/index/batch=0")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        val b = Set.newBuilder[(String, Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+        b.result()
+      }
+      val bootstrapBefore = stamps()
+      require(ai.tieredCompact(s, wh, ratio = 4.0) == Seq(1L, 2L),
+        "the unsettled tail {1,2} must merge")
+      require(stamps() == bootstrapBefore,
+        "the settled bootstrap generation was rewritten — tiered " +
+          "compaction must leave settled trees byte-identical")
+      require(ai.segmentCount(s, wh) == 2,
+        "expected generations {0, merged 1} after the tiered merge")
+      // a rollback cut INSIDE the merged run is data corruption and
+      // must refuse with the merged diagnosis
+      require(scala.util.Try(ai.rollback(s, wh, 1L)).isFailure,
+        "rollback into a merged generation must be refused")
+      require(!ai.append(s, e.filter(col("vec_id") % 20 === 17), wh, 2L),
+        "replayed id must stay refused after the tiered merge")
+      require(ai.append(s, e.filter(col("vec_id") % 20 === 18), wh, 3L),
+        "append after the tiered merge must land")
+      require(ai.segmentCount(s, wh) == 3,
+        "post-merge append must open its own generation")
+      val cents = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 3), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcSearch(ai.index(s, wh), pl, topC = 12)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q191/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q191/codebooks/*.parquet')),
+        idx AS (SELECT vec_id, cluster_id, codes, vn FROM read_parquet(
+          '/root/repo/target/graft_adc/q191/index/*/*.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 4),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 3),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 12),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val q181MmrDiversify = Q("q181_mmr_diversify",
     // MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998) —
     // the post-retrieval step every RAG/search stack and
@@ -1892,5 +2023,6 @@ object VectorQueries {
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
     q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
+    q191AdcTiered,
     q181MmrDiversify, q183RetrievalMetrics, q184WarehouseRrf)
 }

@@ -1247,6 +1247,121 @@ object Stress {
       }
     }
 
+    // ---- TIERED vs FULL compaction write amplification (q190/    ----
+    // ---- q191 shape): the same bootstrap + 8-append stream       ----
+    // ---- maintained two ways — compactIfNeeded(maxSegments=3)    ----
+    // ---- (full rewrite per firing) vs tieredCompact(ratio=3.5)   ----
+    // ---- (merge only the unsettled tail). Recorded per kind:     ----
+    // ---- total bytes rewritten by maintenance over the stream    ----
+    // ---- and the full/tiered ratio; asserted: the two trees      ----
+    // ---- serve identical rows, and the tiered bootstrap          ----
+    // ---- generation was never rewritten (byte-identical). Run    ----
+    // ---- with `Stress <rows> tiered`; BASELINE.md records 1M.    ----
+    val tieredLabels = Seq("tiered invidx lifecycle", "tiered adc lifecycle")
+    if (tieredLabels.exists(wanted)) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def bytesOf(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      def stampsOf(path: String): Set[(String, Long, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hconf)
+        val it = fs.listFiles(p, true)
+        val b = Set.newBuilder[(String, Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+        b.result()
+      }
+      def tiDocs(from: Long, until: Long) =
+        spark.range(from, until).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 20).map { j =>
+            concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
+              lit(50000)))
+          }: _*).as("text"))
+      time("tiered invidx lifecycle") {
+        val fullDir = s"$dir/stress_tiered_ix_full"
+        val tierDir = s"$dir/stress_tiered_ix_tier"
+        var fullBytes = 0L
+        var tierBytes = 0L
+        graft.ops.InvertedIndex.build(spark, tiDocs(0, rows), fullDir)
+        graft.ops.InvertedIndex.build(spark, tiDocs(0, rows), tierDir)
+        val boot0 = stampsOf(s"$tierDir/postings/batch=0")
+        (1L to 8L).foreach { b =>
+          val batch = tiDocs(rows + (b - 1) * 10000L, rows + b * 10000L)
+          graft.ops.InvertedIndex.addBatch(spark, batch, fullDir, b)
+          graft.ops.InvertedIndex.addBatch(spark, batch, tierDir, b)
+          if (graft.ops.InvertedIndex.compactIfNeeded(spark, fullDir,
+              maxSegments = 3))
+            fullBytes += bytesOf(s"$fullDir/postings")
+          val merged = graft.ops.InvertedIndex.tieredCompact(spark,
+            tierDir, ratio = 3.5)
+          if (merged.nonEmpty)
+            tierBytes += bytesOf(s"$tierDir/postings/batch=${merged.min}")
+        }
+        require(stampsOf(s"$tierDir/postings/batch=0") == boot0,
+          "tiered maintenance rewrote the settled bootstrap generation")
+        val a = spark.read.parquet(s"$fullDir/postings")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        val bb = spark.read.parquet(s"$tierDir/postings")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        val (na, nb) = (a.count(), bb.count())
+        require(na == nb && a.exceptAll(bb).isEmpty,
+          "full- and tiered-maintained indexes diverged")
+        println(f"[stress] tiered invidx bytes rewritten: " +
+          f"full=$fullBytes%,d tiered=$tierBytes%,d " +
+          f"ratio=${fullBytes.toDouble / tierBytes}%.1f")
+        na
+      }
+      time("tiered adc lifecycle") {
+        def tiVecs(from: Long, until: Long) =
+          spark.range(from, until).select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              (pmod(hash(col("id") * 13L + j), lit(1000))
+                .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+                .cast(org.apache.spark.sql.types.FloatType))
+              .as("embedding"))
+        val nBoot = rows / 10
+        val nApp = math.max(1000L, nBoot / 100)
+        val fullDir = s"$dir/stress_tiered_adc_full"
+        val tierDir = s"$dir/stress_tiered_adc_tier"
+        var fullBytes = 0L
+        var tierBytes = 0L
+        graft.ops.AdcIngest.bootstrap(spark, tiVecs(0, nBoot), fullDir,
+          k = 64, m = 8, ks = 16)
+        graft.ops.AdcIngest.bootstrap(spark, tiVecs(0, nBoot), tierDir,
+          k = 64, m = 8, ks = 16)
+        val boot0 = stampsOf(s"$tierDir/index/batch=0")
+        (1L to 8L).foreach { b =>
+          val batch = tiVecs(nBoot + (b - 1) * nApp, nBoot + b * nApp)
+          graft.ops.AdcIngest.append(spark, batch, fullDir, b)
+          graft.ops.AdcIngest.append(spark, batch, tierDir, b)
+          if (graft.ops.AdcIngest.compactIfNeeded(spark, fullDir,
+              maxSegments = 3))
+            fullBytes += bytesOf(s"$fullDir/index")
+          val merged = graft.ops.AdcIngest.tieredCompact(spark, tierDir,
+            ratio = 3.5)
+          if (merged.nonEmpty)
+            tierBytes += bytesOf(s"$tierDir/index/batch=${merged.min}")
+        }
+        require(stampsOf(s"$tierDir/index/batch=0") == boot0,
+          "tiered maintenance rewrote the settled bootstrap generation")
+        val a = graft.ops.AdcIngest.index(spark, fullDir)
+        val bb = graft.ops.AdcIngest.index(spark, tierDir)
+        val (na, nb) = (a.count(), bb.count())
+        require(na == nb && a.exceptAll(bb).isEmpty,
+          "full- and tiered-maintained ADC indexes diverged")
+        println(f"[stress] tiered adc bytes rewritten: " +
+          f"full=$fullBytes%,d tiered=$tierBytes%,d " +
+          f"ratio=${fullBytes.toDouble / tierBytes}%.1f")
+        na
+      }
+    }
+
     // ---- DSIR importance selection (q161 shape): pool of [rows]  ----
     // ---- docs, every 10th speaks a PLANTED target dialect (token ----
     // ---- prefix "t", 500-word vocab) while the rest speak "r".   ----

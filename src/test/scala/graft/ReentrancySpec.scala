@@ -45,7 +45,9 @@ class ReentrancySpec extends SparkSpec {
     "q185_bpe_fertility",       // graft_bpe/merges_q185 + fixture marker
                                 //   + graft_unigram/pieces_q185
     "q187_unigram_tokenize",    // graft_unigram/pieces_q187
-    "q189_ingest_funnel")       // graft_corpus/q189 (bootstrap/rollback)
+    "q189_ingest_funnel",       // graft_corpus/q189 (bootstrap/rollback)
+    "q190_tiered_compact",      // graft_invidx/q190
+    "q191_adc_tiered")          // graft_adc/q191
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
