@@ -388,6 +388,27 @@ object CorpusIngest {
     res
   }
 
+  /** TIME-TRAVEL READ: the packed corpus exactly as of generation
+    * `batch` — every row batches 0..batch landed, nothing newer. This
+    * is the reproducible-training snapshot lever: "train on the corpus
+    * as of last Tuesday's fold" is a partition-pruned read (the
+    * `batch=I` layout makes the snapshot O(1) — no copy, no log
+    * replay), and because [[ingest]] is exactly-once and append-only
+    * below the high-water mark, as-of(I) is BIT-IDENTICAL to what a
+    * reader saw before batch I+1 landed (CorpusIngestSpec pins it).
+    * Rows above the high-water mark are refused loudly — an as-of
+    * beyond history is a caller bug, not an empty frame.
+    */
+  def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
+    require(batch >= 0, "as-of generations start at 0 (the bootstrap)")
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"CorpusIngest.readAsOf: no warehouse at $dir")
+    require(batch <= last,
+      s"CorpusIngest.readAsOf: generation $batch is above the " +
+        s"high-water mark $last")
+    spark.read.parquet(s"$dir/corpus").filter(col("batch") <= batch)
+  }
+
   /** Roll the warehouse back to `toBatch`: every `corpus/batch>I` and
     * `urls/batch>I` subtree is deleted and the state table is rebuilt
     * from the surviving corpus alone — per-source thresholds re-frozen

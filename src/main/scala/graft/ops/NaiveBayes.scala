@@ -170,6 +170,165 @@ object NaiveBayes {
     * Output adds: n_tokens, n_hits (in-vocab tokens), margin_micro
     * (prior + Σ weight_micro, exact BIGINT), pred_pos.
     */
+  // ---------------------------------------------------------------
+  // Multiclass extension — language identification (the CCNet / crawl
+  // pipeline first stage: a char-n-gram linear classifier; Cavnar &
+  // Trenkle 1994 established character n-grams as THE language-ID
+  // feature, fastText langid is the production descendant). Same
+  // design rules as the binary model: additive integer sufficient
+  // statistics (extendMulti ≡ retrain, bit for bit), integer
+  // micro-unit weights persisted once, APPLY with zero exchanges —
+  // one WeightedTokenSum fold per class over the same token array,
+  // argmax with a deterministic (score desc, label asc) tie-break.
+  // ---------------------------------------------------------------
+
+  /** Char n-grams of `c` (spaces included — they carry word-boundary
+    * signal), the language-ID feature stream. Empty array when the
+    * string is shorter than n. Pure codegen expression work.
+    */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** (token, label, cnt) — the mergeable multiclass sufficient
+    * statistics of a (tokens ARRAY<STRING>, label STRING) frame. One
+    * shuffle, map-side combined.
+    */
+  private def tokenCountsMulti(labeled: DataFrame): DataFrame = labeled
+    .select(explode(col("tokens")).as("token"), col("label"))
+    .groupBy(col("token"), col("label"))
+    .agg(count(lit(1)).as("cnt"))
+
+  /** (label, n_docs) of a labeled frame — driver rows, |labels|-bounded. */
+  private def docCountsMulti(labeled: DataFrame): Seq[(String, Long)] =
+    labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  /** Derive and persist the multiclass model from count statistics:
+    * `dir`/counts (full merge state: token, label, cnt), `dir`/weights
+    * (top-V vocabulary × every class: token, label, cnt, weight_micro
+    * — the class-absent cells EXIST with cnt 0, carrying the smoothed
+    * floor ln(1/(tot_c+V))), `dir`/meta (one row per class: label,
+    * n_docs, tot_toks, vocab_v, prior_micro). Laplace-smoothed
+    * multinomial NB: w_c(t) = ln((cnt_c(t)+1)/(tot_c+V)),
+    * prior_c = ln(n_docs_c) — argmax is invariant to the shared
+    * total-docs constant, so it is left out. All stored ×1e6 rounded;
+    * OOV tokens contribute 0 in every class at APPLY (the binary
+    * model's documented neutral-evidence convention).
+    */
+  private def fitFromCountsMulti(spark: SparkSession, counts0: DataFrame,
+                                 nDocs: Seq[(String, Long)], dir: String,
+                                 vocabCap: Int): Unit = {
+    require(nDocs.size >= 2,
+      s"NaiveBayes multiclass: need >=2 classes, got ${nDocs.map(_._1)}")
+    require(nDocs.forall(_._2 > 0),
+      s"NaiveBayes multiclass: every class needs >=1 document: $nDocs")
+    val counts = counts0.cache()
+    val tots: Map[String, Long] = counts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // top-V vocabulary by TOTAL count across classes, deterministic
+    // tie-break; V = the realized size (feeds the smoothing mass)
+    val vocab = counts.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tot_tok"))
+      .orderBy(col("tot_tok").desc, col("token"))
+      .limit(vocabCap).select(col("token"))
+    val v = vocab.count()
+    import spark.implicits._
+    val labelTots = nDocs.map { case (l, _) => (l, tots.getOrElse(l, 0L)) }
+      .toDF("label", "tot")
+    val weights = vocab.crossJoin(broadcast(labelTots))
+      .join(counts, Seq("token", "label"), "left")
+      .select(col("token"), col("label"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast(DoubleType) /
+          (col("tot") + lit(v)).cast(DoubleType)) * 1e6, 0)
+          .cast(LongType).as("weight_micro"))
+    // same write-order contract as the binary fit: counts swap LAST so
+    // an extend-path cache recompute still reads the PRE-swap table
+    Load.replaceTable(spark, weights, s"$dir/weights")
+    Load.replaceTable(spark,
+      nDocs.map { case (l, n) =>
+        (l, n, tots.getOrElse(l, 0L), v,
+          math.round(math.log(n.toDouble) * 1e6))
+      }.toDF("label", "n_docs", "tot_toks", "vocab_v", "prior_micro"),
+      s"$dir/meta")
+    Load.replaceTable(spark, counts, s"$dir/counts")
+    counts.unpersist()
+    ()
+  }
+
+  /** Train a multiclass model from scratch on a (tokens ARRAY<STRING>,
+    * label STRING) frame, overwriting the model at `dir`.
+    */
+  def trainMulti(spark: SparkSession, labeled: DataFrame, dir: String,
+                 vocabCap: Int): Unit =
+    fitFromCountsMulti(spark, tokenCountsMulti(labeled),
+      docCountsMulti(labeled), dir, vocabCap)
+
+  /** Fold a labeled batch into the persisted multiclass model —
+    * EXACTLY the model [[trainMulti]] would produce on corpus ∪ batch
+    * (additive integer statistics, weights re-derived), at
+    * O(batch + vocab) cost. A class first seen in the batch joins the
+    * model; historical documents are never re-read.
+    */
+  def extendMulti(spark: SparkSession, labeled: DataFrame, dir: String,
+                  vocabCap: Int): Unit = {
+    val old = Load.readTable(spark, s"$dir/counts").getOrElse(
+      sys.error(s"NaiveBayes.extendMulti: no model at $dir/counts"))
+    val merged = old.union(tokenCountsMulti(labeled))
+      .groupBy(col("token"), col("label"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val oldDocs = Load.readTable(spark, s"$dir/meta").get
+      .select(col("label"), col("n_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchDocs = docCountsMulti(labeled).toMap
+    val nDocs = (oldDocs.keySet ++ batchDocs.keySet).toSeq.sorted
+      .map(l => l -> (oldDocs.getOrElse(l, 0L) + batchDocs.getOrElse(l, 0L)))
+    fitFromCountsMulti(spark, merged, nDocs, dir, vocabCap)
+  }
+
+  /** Score a frame carrying a `tokens` ARRAY<STRING> column against
+    * the persisted multiclass model: adds `pred_label`, `best_micro`
+    * (the winning class's prior + Σ weights) and `runnerup_micro` —
+    * best − runnerup is the decision margin a curation gate thresholds
+    * on. Zero exchanges: one [[graft.functions.WeightedTokenSum]] fold
+    * per class over the same token array (|classes| is small — 5
+    * languages = 5 codegen'd traversals), argmax via an integer struct
+    * min over (−score, label): ties break to the LEXICALLY SMALLEST
+    * label, deterministically, in any engine.
+    */
+  def scoreMulti(spark: SparkSession, docs: DataFrame,
+                 dir: String): DataFrame = {
+    val w = Load.readTable(spark, s"$dir/weights").getOrElse(
+      sys.error(s"NaiveBayes.scoreMulti: no model at $dir/weights"))
+      .select(col("label"), col("token"), col("weight_micro"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val priors = Load.readTable(spark, s"$dir/meta").get
+      .select(col("label"), col("prior_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val scored = priors.foldLeft(docs) { case (df, (l, p)) =>
+      df.withColumn(s"__s_$l", graft.functions.WeightedTokenSum
+        .weightedTokenSum(col("tokens"), w(l), p)
+        .getField("margin_micro"))
+    }
+    val entries = array(priors.map { case (l, _) =>
+      struct((-col(s"__s_$l")).as("neg"), lit(l).as("label"))
+    }: _*)
+    val ranked = array_sort(entries)
+    scored
+      .withColumn("pred_label",
+        element_at(ranked, 1).getField("label"))
+      .withColumn("best_micro", -element_at(ranked, 1).getField("neg"))
+      .withColumn("runnerup_micro", -element_at(ranked, 2).getField("neg"))
+      .drop(priors.map(p => s"__s_${p._1}"): _*)
+  }
+
   def score(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
     val w = Load.readTable(spark, s"$dir/weights").getOrElse(
       sys.error(s"NaiveBayes.score: no model at $dir/weights"))

@@ -247,6 +247,28 @@ object Pq {
       .drop("__cr")
   }
 
+  /** Threshold variant of [[adcSearch]] — the screening shape for
+    * semantic decontamination / near-duplicate FLAGGING, where the
+    * contract is "everything approximately above τ", not a top-k
+    * window: same LUT scoring, but candidates pass by
+    * approx ≥ `tauPre` instead of rank. ZERO exchanges — without the
+    * per-query window even the rank shuffle disappears; the scan
+    * reads only (codes, vn) inside the probed clusters and the filter
+    * is pure map-side expression work. `tauPre` is the loose ADC
+    * pre-threshold; callers verify survivors EXACTLY (one bounded
+    * embedding join) against the real τ — the standard
+    * screen-then-verify contract.
+    */
+  def adcScreen(adcIdx: DataFrame, probeLut: DataFrame,
+                tauPre: Double): DataFrame =
+    adcIdx.join(broadcast(probeLut), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        col("vec_id").as("neighbor_id"),
+        ((col("qc") + graft.functions.PqAdc.adcSum(col("codes"), col("lut")))
+          / (col("qn") * col("vn"))).as("approx"))
+      .filter(col("approx") >= tauPre)
+
   /** Coarse pass over PQ reconstructions: cosine of query vs ĉ inside
     * probed clusters, top-`topC` per query — the float table is never
     * touched; feed the output to [[IvfPq.rerank]] for the exact top-k.

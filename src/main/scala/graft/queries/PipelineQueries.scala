@@ -780,7 +780,61 @@ object PipelineQueries {
       LEFT JOIN landed ON landed.source = r.source
       ORDER BY r.source"""))
 
+  val q195CorpusAsof = Q("q195_corpus_asof",
+    // corpus TIME-TRAVEL read (CorpusIngest.readAsOf, verdict #7) —
+    // the reproducible-training snapshot lever: "train on the corpus
+    // as of generation I" is a partition-pruned read of
+    // corpus/batch<=I, O(1) thanks to the batch= layout (no copy, no
+    // log replay), and exactly-once append-only ingest makes as-of(I)
+    // BIT-IDENTICAL to what a reader saw before batch I+1 landed
+    // (CorpusIngestSpec pins the equivalence through a live ingest;
+    // an as-of beyond the high-water mark is refused loudly). The
+    // warehouse bootstraps + lands batches 1 and 2 ONCE per fixture
+    // input (the q189 marker pattern); each pass serves the as-of-1
+    // snapshot while batch 2 exists on disk — pruned away, never
+    // read — and the oracle replays the same cut from the persisted
+    // corpus parquet alone.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_corpus/q195"
+      val docs = graft.tables.Tables.documents(s, d)
+      val marker = s"$wh/fixture"
+      val needBootstrap = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        graft.ops.CorpusIngest.lastBatch(s, wh) < 0L
+      if (needBootstrap) {
+        graft.ops.CorpusIngest.bootstrap(s,
+          q168Crawl(docs.filter(col("doc_id") % 4 <= 1)), wh,
+          nbLabel = col("lang") === "en",
+          nbSplit = col("doc_id") % 3 =!= 0,
+          dsirTarget = col("lang") === "en",
+          selectPct = 50)
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      if (graft.ops.CorpusIngest.lastBatch(s, wh) < 1L)
+        require(graft.ops.CorpusIngest.ingest(s,
+          q168Crawl(docs.filter(col("doc_id") % 4 === 2)), wh, 1L),
+          "batch 1 must land")
+      if (graft.ops.CorpusIngest.lastBatch(s, wh) < 2L)
+        require(graft.ops.CorpusIngest.ingest(s,
+          q168Crawl(docs.filter(col("doc_id") % 4 === 3)), wh, 2L),
+          "batch 2 must land")
+      graft.ops.CorpusIngest.readAsOf(s, wh, 1L)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("margin_micro"), col("lr_micro"), col("n_tokens"),
+          col("tok_before"), col("start_seq"), col("end_seq"),
+          col("batch").cast(LongType).as("batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, lang, margin_micro, lr_micro,
+        n_tokens, tok_before, start_seq, end_seq,
+        CAST(batch AS BIGINT) AS batch
+      FROM read_parquet(
+        '/root/repo/target/graft_corpus/q195/corpus/*/*.parquet',
+        hive_partitioning = true)
+      WHERE batch <= 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
     q111ScopedMerge, q114DayMerge, q118Retention, q168IncrementalCorpus,
-    q189IngestFunnel)
+    q189IngestFunnel, q195CorpusAsof)
 }

@@ -3347,6 +3347,76 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q192LangidPredict = Q("q192_langid_predict",
+    // REAL language identification (NaiveBayes.trainMulti/scoreMulti
+    // over char trigrams — Cavnar & Trenkle 1994's n-gram text
+    // categorization, the feature CCNet's fastText langid stage is
+    // built on): every earlier per-language operator (q182 buckets,
+    // q185 fertility, q116 resampling) CONSUMES the planted `lang`
+    // column; this is the operator that PREDICTS it — the first stage
+    // of any real crawl pipeline. Train a multiclass NB on the
+    // doc_id%3!=0 split (labels = the planted lang), persist per-class
+    // integer micro-unit weights as one warehouse table, then score
+    // EVERY document with zero exchanges (one WeightedTokenSum fold
+    // per class over the same trigram array, argmax tie-broken
+    // score desc → label asc) and report the confusion matrix vs the
+    // planted truth, with the summed winning scores as the exactness
+    // witness. The oracle replays scoring ENTIRELY from the persisted
+    // weights/meta parquet (the q141 consume-the-model rule). On this
+    // synthetic corpus the text is deliberately language-uncorrelated,
+    // so the confusion concentrates on the prior-favored class —
+    // NaiveBayesSpec plants a discriminative fixture to pin that real
+    // signal separates when present. At 100 TB: train is one
+    // vocab-sized shuffle, scoring rides the corpus scan map-side.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_nb/q192"
+      val nb = graft.ops.NaiveBayes
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          nb.charNgrams(col("text"), 3).as("tokens"))
+      nb.trainMulti(s,
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("tokens"), col("lang").as("label")),
+        wh, vocabCap = 512)
+      nb.scoreMulti(s, docs, wh)
+        .groupBy(col("lang"), col("pred_label").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("best_micro")).as("sum_best_micro"),
+          sum(col("best_micro") - col("runnerup_micro")).as("sum_margin_micro"))
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          col("sum_best_micro"), col("sum_margin_micro"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, text FROM documents),
+        toks AS (SELECT doc_id,
+            unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+              i -> substr(text, i, 3))) AS token
+          FROM d),
+        w AS (SELECT token, label, weight_micro FROM read_parquet(
+          '/root/repo/target/graft_nb/q192/weights/*.parquet')),
+        m AS (SELECT label, prior_micro FROM read_parquet(
+          '/root/repo/target/graft_nb/q192/meta/*.parquet')),
+        hits AS (SELECT t.doc_id, w.label,
+            CAST(sum(w.weight_micro) AS BIGINT) AS s
+          FROM toks t JOIN w ON w.token = t.token
+          GROUP BY t.doc_id, w.label),
+        sc AS (SELECT d.doc_id, d.lang, m.label,
+            m.prior_micro + coalesce(h.s, 0) AS score
+          FROM d CROSS JOIN m
+          LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = m.label),
+        best AS (SELECT doc_id, lang, label AS pred_lang, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, label) AS rn
+          FROM sc),
+        b1 AS (SELECT doc_id, lang, pred_lang, score FROM best WHERE rn = 1),
+        b2 AS (SELECT doc_id, score AS score2 FROM best WHERE rn = 2)
+      SELECT b1.lang, b1.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(b1.score) AS BIGINT) AS sum_best_micro,
+        CAST(sum(b1.score - b2.score2) AS BIGINT) AS sum_margin_micro
+      FROM b1 JOIN b2 USING (doc_id)
+      GROUP BY b1.lang, b1.pred_lang
+      ORDER BY b1.lang, b1.pred_lang"""))
+
   val q173MaxscoreTopk = Q("q173_maxscore_topk",
     // MaxScore/WAND dynamic pruning (InvertedIndex.maxScoreSearch) —
     // the top-k short-circuit every production text engine ships
@@ -3975,5 +4045,6 @@ object TextQueries {
     q164ProximitySearch, q165ShardManifest, q167IndexCompact,
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
-    q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact)
+    q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
+    q192LangidPredict)
 }

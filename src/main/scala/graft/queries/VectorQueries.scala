@@ -1550,6 +1550,349 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q193SemanticDecon = Q("q193_semantic_decon",
+    // SEMANTIC (embedding-level) eval-set decontamination, served from
+    // the PQ/ADC index (verdict #4): q72/q178 remove n-gram overlap,
+    // which PARAPHRASED contamination evades — the industry answer is
+    // embedding-cosine screening of the training corpus against the
+    // eval set (e.g. the contamination audits in Brown et al. 2020
+    // App. C extended to semantic similarity). Eval set = vec_id%11==0
+    // (benchmark-sized, the broadcast side — the q178 argument); train
+    // = the rest, with paraphrase-style contamination PLANTED so the
+    // gate is non-vacuous at every SF (the q178 pattern): each %13==0
+    // train vector is REPLACED by its deterministic eval partner
+    // ((vec_id%45)*11 — an eval member at every SF) perturbed in one
+    // coordinate (double-add, cast back to float — bit-identical in
+    // both engines), cosine ≈ 0.999 with ZERO shared text n-grams'
+    // worth of signal (PqAdcSpec pins the text-side provably-not-
+    // caught twin). Serving path: ADC warehouse bootstrapped ONCE per
+    // fixture on the planted train side; each run probe-routes the
+    // eval queries (nprobe=4), SCREENS by ADC approx ≥ 0.55 —
+    // Pq.adcScreen, ZERO exchanges, no top-k window to truncate
+    // matches; the m=8/ks=16 product quantizer compresses a true
+    // 0.999 cosine down to ADC ≈ 0.61-0.66 while background pairs top
+    // out ≈ 0.53, so 0.55 splits the gap — then verifies survivors
+    // EXACTLY (one bounded join) at cosine ≥ 0.99 rounded 6dp; any
+    // background pair the loose screen passes dies there exactly. In-query recall pin: the flagged set
+    // must be EXACTLY the planted set (background pairs max ≈ 0.53,
+    // never flag). The oracle replays the FULL serving path — planted
+    // corpus construction, probe routing, LUT scoring, screen,
+    // verify — from the persisted models/index parquet alone (the
+    // q181 oracle rule). At 100 TB: the corpus-scale work is the
+    // cluster-pruned compressed scan; the eval side is benchmark-
+    // sized and broadcast; the exact verify touches only survivors.
+    (s, d) => {
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalSet = e0.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("pe"))
+      val train = e0.filter(col("vec_id") % 11 =!= 0)
+        .join(broadcast(evalSet),
+          col("eval_id") === pmod(col("vec_id"), lit(45L)) * 11, "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 13 === 0 && col("pe").isNotNull,
+            transform(col("pe"), (x, k) =>
+              (x.cast(DoubleType) +
+                when(k.cast(LongType) === pmod(col("vec_id"), lit(8L)),
+                  lit(0.05)).otherwise(lit(0.0))).cast(FloatType)))
+            .otherwise(col("embedding")).as("embedding"))
+      val wh = "/root/repo/target/graft_adc/q193"
+      val ai = graft.ops.AdcIngest
+      val marker = s"$wh/fixture"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        scala.util.Try(ai.index(s, wh).schema).isFailure
+      if (fresh) {
+        ai.bootstrap(s, train, wh, k = 16, m = 8, ks = 16)
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      val cdf = {
+        import s.implicits._
+        graft.ops.VectorOps.loadCentroids(s, wh + "/centroids").toSeq
+          .toDF("cluster_id", "ce")
+          .withColumn("cluster_id", col("cluster_id").cast(LongType))
+          .withColumn("cn", norm(col("ce")))
+      }
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = evalSet.select(col("eval_id").as("query_id"),
+        col("pe").as("qe"), norm(col("pe")).as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcScreen(ai.index(s, wh), pl, tauPre = 0.55)
+      val tn = train
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      // survivors are contamination-sized (<< corpus) — broadcast them
+      // so the train side never shuffles for the exact verify
+      val out = eager(tn
+        .join(broadcast(cand), tn("vec_id") === cand("neighbor_id"))
+        .select(col("vec_id"), col("query_id").as("eval_id"),
+          round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.99)
+        .orderBy(col("vec_id"), col("eval_id")))
+      // recall pin (non-vacuous at every SF): exactly the planted set
+      // flags — background cosine tops out ≈ 0.53 and the planted
+      // partner sits ≈ 0.999, so a mismatch means the serving path
+      // (probe routing or ADC screen) dropped true contamination
+      val planted = train.join(broadcast(evalSet.select(
+          (col("eval_id")).as("__pid"))),
+          col("__pid") === pmod(col("vec_id"), lit(45L)) * 11, "left_semi")
+        .filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val flagged = out.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      require(flagged == planted,
+        s"semantic decontamination must flag exactly the planted set " +
+          s"(missed ${planted -- flagged}, spurious ${flagged -- planted})")
+      out
+    },
+    Some(s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        ev AS (SELECT vec_id AS eval_id, embedding AS pe FROM e0
+               WHERE vec_id % 11 = 0),
+        tr0 AS (SELECT t.vec_id,
+            CASE WHEN t.vec_id % 13 = 0 AND p.pe IS NOT NULL THEN
+              list_transform(range(1, len(p.pe) + 1), k ->
+                CAST(CAST(p.pe[k] AS DOUBLE) +
+                  CASE WHEN k - 1 = t.vec_id % 8 THEN 0.05 ELSE 0.0 END
+                  AS FLOAT))
+            ELSE t.embedding END AS embedding
+          FROM e0 t LEFT JOIN ev p ON p.eval_id = (t.vec_id % 45) * 11
+          WHERE t.vec_id % 11 <> 0),
+        tr AS (SELECT vec_id, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM tr0),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q193/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q193/codebooks/*.parquet')),
+        idx AS (SELECT vec_id, cluster_id, codes, vn FROM read_parquet(
+          '/root/repo/target/graft_adc/q193/index/*/*.parquet')),
+        q AS (SELECT eval_id AS query_id, pe AS qe,
+            sqrt(${duckDot("pe", "pe")}) AS qn FROM ev),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 4),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        scr AS (SELECT p.query_id, p.qe, p.qn, a.vec_id
+          FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+          JOIN pq p ON p.query_id = a.query_id
+            AND p.cluster_id = v.cluster_id
+          WHERE (p.qc + a.adcsum) / (p.qn * v.vn) >= 0.55),
+        verified AS (SELECT t.vec_id, s.query_id AS eval_id,
+            round(${duckDot("s.qe", "t.embedding")} / (s.qn * t.nrm), 6)
+              AS cosine
+          FROM scr s JOIN tr t ON t.vec_id = s.vec_id)
+      SELECT vec_id, eval_id, cosine FROM verified
+      WHERE cosine >= 0.99 ORDER BY vec_id, eval_id"""))
+
+  val q194RecallDrift = Q("q194_recall_drift",
+    // ANN RECALL-DRIFT AUDIT over the incremental ADC warehouse
+    // (verdict #6) — the day-2 operational signal for every
+    // frozen-model vector index: centroids and codebooks are trained
+    // at bootstrap and FROZEN (the q172 contract), so as appended
+    // batches drift from the training distribution, routing and
+    // quantization quality decay silently; this audit is the metric
+    // that tells an operator WHEN to retrain and re-baseline. Per
+    // generation g: serve the SAME sampled query set through the real
+    // path (probe-route nprobe=2 → ADC topC=16 → exact rerank top-5)
+    // against the index as of batch ≤ g (a partition-pruned
+    // time-travel read — the batch= layout makes it O(1)), compute
+    // exact brute-force top-5 over the vectors ingested through g,
+    // and report recall@5 and MRR-of-exact-top-1 as exact integer
+    // micro sums (the q183 convention). Drift is PLANTED so the
+    // signal is non-vacuous at every SF: batch 2 ingests REVERSED
+    // embeddings — a distribution the frozen models never saw. The
+    // oracle replays BOTH paths per generation from the persisted
+    // models/index parquet (hive-partitioned batch column) and the
+    // same constructed universe. At 100 TB: the served side is the
+    // cluster-pruned compressed scan per generation; the exact side
+    // is |queries| × corpus — queries are a fixed audit sample, so
+    // one broadcast pass (the q174 shape), amortized across the
+    // generations it audits.
+    (s, d) => {
+      val k = 5
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // the universe AS INGESTED: gen 0/1 raw, gen 2 reversed (drift)
+      val uni = e0.select(col("vec_id"),
+          when(col("vec_id") % 3 === 2, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("gen", pmod(col("vec_id"), lit(3L)))
+      val wh = "/root/repo/target/graft_adc/q194"
+      val ai = graft.ops.AdcIngest
+      val marker = s"$wh/fixture"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        scala.util.Try(ai.lastBatch(s, wh)).getOrElse(-1L) != 2L
+      if (fresh) {
+        ai.bootstrap(s, uni.filter(col("gen") === 0)
+          .select(col("vec_id"), col("embedding")), wh, k = 16, m = 8, ks = 16)
+        ai.append(s, uni.filter(col("gen") === 1)
+          .select(col("vec_id"), col("embedding")), wh, 1L)
+        ai.append(s, uni.filter(col("gen") === 2)
+          .select(col("vec_id"), col("embedding")), wh, 2L)
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      val cdf = {
+        import s.implicits._
+        graft.ops.VectorOps.loadCentroids(s, wh + "/centroids").toSeq
+          .toDF("cluster_id", "ce")
+          .withColumn("cluster_id", col("cluster_id").cast(LongType))
+          .withColumn("cn", norm(col("ce")))
+      }
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = uni.filter(col("gen") === 0 && col("vec_id") % 51 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 2), cdf, cbSeq)
+      val idxAll = s.read.parquet(s"$wh/index")
+      val gens = (0L to 2L).map { g =>
+        val uniG = uni.filter(col("gen") <= g)
+        val idxG = idxAll.filter(col("batch") <= g)
+          .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+        val srv = graft.ops.IvfPq.rerank(
+            graft.ops.Pq.adcSearch(idxG, pl, topC = 16), uniG, topK = k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("exc").desc, col("vec_id"))
+        val ex = uniG.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+              .as("exc"))
+          .withColumn("erank", row_number().over(wEx))
+          .filter(col("erank") <= k)
+        // every frame from here down is audit-sized (|queries| x k) —
+        // broadcast so no exchange ever carries them
+        val hits = srv.join(
+          broadcast(ex.select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("erank"))),
+          Seq("query_id", "neighbor_id"))
+        val perQ = hits.groupBy(col("query_id")).agg(
+          (count(lit(1)) * lit(1000000L / k)).as("recall_micro"),
+          max(when(col("erank") === 1,
+            expr("1000000 div rank"))).as("mrr0"))
+        q.select(col("query_id")).join(broadcast(perQ), Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(col("recall_micro"), lit(0L)))
+              .as("sum_recall_micro"),
+            sum(coalesce(col("mrr0"), lit(0L))).as("sum_mrr_micro"))
+          .select(lit(g).as("generation"),
+            lit(idxG.count()).as("n_indexed"), col("n_queries"),
+            col("sum_recall_micro"), col("sum_mrr_micro"))
+      }
+      val out = gens.reduce(_ unionByName _).orderBy(col("generation"))
+        .transform(eager)
+      require(out.filter(col("generation") === 0)
+          .head().getAs[Long]("sum_recall_micro") > 0,
+        "recall audit vacuous: generation 0 found nothing")
+      out
+    },
+    Some(s"""WITH gens AS (SELECT unnest(range(0, 3)) AS g),
+        e0 AS (SELECT vec_id, embedding FROM embeddings),
+        uni0 AS (SELECT vec_id,
+            CASE WHEN vec_id % 3 = 2 THEN
+              list_transform(range(1, len(embedding) + 1),
+                k -> embedding[len(embedding) + 1 - k])
+            ELSE embedding END AS embedding,
+            vec_id % 3 AS gen
+          FROM e0),
+        un AS (SELECT vec_id, gen, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM uni0),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM un WHERE gen = 0 AND vec_id % 51 = 0),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q194/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q194/codebooks/*.parquet')),
+        idx AS (SELECT vec_id, cluster_id, codes, vn, CAST(batch AS BIGINT) AS batch
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q194/index/*/*.parquet',
+            hive_partitioning = true)),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 2),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT g.g, p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM gens g, pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]
+          WHERE i.batch <= g.g),
+        adc AS (SELECT g, query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY g, query_id, vec_id),
+        cand AS (SELECT g, query_id, qe, qn, neighbor_id FROM (
+            SELECT a.g, p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY a.g, p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 16),
+        srv AS (SELECT g, query_id, neighbor_id, rank FROM (
+            SELECT c.g, c.query_id, c.neighbor_id,
+              row_number() OVER (PARTITION BY c.g, c.query_id ORDER BY
+                round(${duckDot("c.qe", "u.embedding")} / (c.qn * u.nrm), 6)
+                  DESC, c.neighbor_id) AS rank
+            FROM cand c JOIN un u ON u.vec_id = c.neighbor_id)
+          WHERE rank <= 5),
+        ex AS (SELECT g, query_id, vec_id, erank FROM (
+            SELECT g.g, q.query_id, u.vec_id,
+              row_number() OVER (PARTITION BY g.g, q.query_id ORDER BY
+                round(${duckDot("q.qe", "u.embedding")} / (q.qn * u.nrm), 6)
+                  DESC, u.vec_id) AS erank
+            FROM gens g, q JOIN un u ON u.vec_id <> q.query_id
+            WHERE u.gen <= g.g) WHERE erank <= 5),
+        hits AS (SELECT s.g, s.query_id,
+            CAST(count(*) * 200000 AS BIGINT) AS recall_micro,
+            CAST(coalesce(max(CASE WHEN e.erank = 1
+              THEN 1000000 // s.rank END), 0) AS BIGINT) AS mrr0
+          FROM srv s JOIN ex e ON e.g = s.g AND e.query_id = s.query_id
+            AND e.vec_id = s.neighbor_id
+          GROUP BY s.g, s.query_id),
+        perq AS (SELECT g.g, q.query_id,
+            coalesce(h.recall_micro, 0) AS recall_micro,
+            coalesce(h.mrr0, 0) AS mrr0
+          FROM gens g CROSS JOIN q
+          LEFT JOIN hits h ON h.g = g.g AND h.query_id = q.query_id)
+      SELECT CAST(p.g AS BIGINT) AS generation,
+        (SELECT count(*) FROM idx i WHERE i.batch <= p.g) AS n_indexed,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(sum(recall_micro) AS BIGINT) AS sum_recall_micro,
+        CAST(sum(mrr0) AS BIGINT) AS sum_mrr_micro
+      FROM perq p GROUP BY p.g ORDER BY generation"""))
+
   val q181MmrDiversify = Q("q181_mmr_diversify",
     // MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998) —
     // the post-retrieval step every RAG/search stack and
@@ -2023,6 +2366,6 @@ object VectorQueries {
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
     q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
-    q191AdcTiered,
+    q191AdcTiered, q193SemanticDecon, q194RecallDrift,
     q181MmrDiversify, q183RetrievalMetrics, q184WarehouseRrf)
 }

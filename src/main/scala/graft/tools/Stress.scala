@@ -1362,6 +1362,104 @@ object Stress {
       }
     }
 
+    // ---- ANN recall drift vs generation (q194 shape) at scale:   ----
+    // ---- bootstrap rows/2 vectors, append rows/4 in-distribution ----
+    // ---- (gen 1), append rows/4 REVERSED (gen 2 — drift the      ----
+    // ---- frozen models never saw). Per generation: recall@5 and  ----
+    // ---- MRR of the served path (nprobe=4 → ADC topC=16 → exact  ----
+    // ---- rerank) vs brute force, printed as the drift curve      ----
+    // ---- BASELINE.md records. Run with `Stress 1000000           ----
+    // ---- recalldrift`.                                           ----
+    if (wanted("recalldrift audit")) {
+      time("recalldrift audit") {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        val k = 5
+        val nBoot = rows / 2
+        val nApp = rows / 4
+        def rdVecs(from: Long, until: Long, rev: Boolean) = {
+          val base = spark.range(from, until).select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              (pmod(hash(col("id") * 13L + j), lit(1000))
+                .cast(DoubleType) / 100.0).cast(FloatType))
+              .as("embedding"))
+          if (rev) base.select(col("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+          else base
+        }
+        val dirRd = s"$dir/stress_recalldrift"
+        graft.ops.AdcIngest.bootstrap(spark, rdVecs(0, nBoot, rev = false),
+          dirRd, k = 64, m = 8, ks = 16,
+          trainOn = Some(rdVecs(0, math.min(nBoot, 100000L), rev = false)))
+        graft.ops.AdcIngest.append(spark,
+          rdVecs(nBoot, nBoot + nApp, rev = false), dirRd, 1L)
+        graft.ops.AdcIngest.append(spark,
+          rdVecs(nBoot + nApp, nBoot + 2 * nApp, rev = true), dirRd, 2L)
+        val uni = rdVecs(0, nBoot + nApp, rev = false).unionByName(
+            rdVecs(nBoot + nApp, nBoot + 2 * nApp, rev = true))
+          .withColumn("nrm",
+            sqrt(graft.functions.VectorExpressions.vecDot(
+              col("embedding"), col("embedding"))))
+          .withColumn("gen",
+            when(col("vec_id") < nBoot, 0L)
+              .when(col("vec_id") < nBoot + nApp, 1L).otherwise(2L))
+        val cdf = {
+          import spark.implicits._
+          graft.ops.VectorOps.loadCentroids(spark, s"$dirRd/centroids")
+            .toSeq.toDF("cluster_id", "ce")
+            .withColumn("cluster_id",
+              col("cluster_id").cast(org.apache.spark.sql.types.LongType))
+            .withColumn("cn",
+              sqrt(graft.functions.VectorExpressions.vecDot(
+                col("ce"), col("ce"))))
+        }
+        val cbSeq = graft.ops.Pq.collectCodebook(
+          graft.etl.Load.readTable(spark, s"$dirRd/codebooks").get)
+        val q = uni.filter(col("gen") === 0 &&
+            col("vec_id") % (nBoot / 16) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val pl = graft.ops.Pq.probeLuts(
+          graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4), cdf, cbSeq)
+        val idxAll = spark.read.parquet(s"$dirRd/index")
+        (0L to 2L).foreach { g =>
+          val uniG = uni.filter(col("gen") <= g)
+          val idxG = idxAll.filter(col("batch") <= g)
+            .select(col("vec_id"), col("cluster_id"), col("codes"),
+              col("vn"))
+          val srv = graft.ops.IvfPq.rerank(
+              graft.ops.Pq.adcSearch(idxG, pl, topC = 16), uniG, topK = k)
+            .select(col("query_id"), col("rank"), col("neighbor_id"))
+          val wEx = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("exc").desc, col("vec_id"))
+          val ex = uniG.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              round(graft.functions.VectorExpressions.vecDot(
+                col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+                .as("exc"))
+            .withColumn("erank", row_number().over(wEx))
+            .filter(col("erank") <= k)
+          val agg = srv.join(
+              broadcast(ex.select(col("query_id"),
+                col("vec_id").as("neighbor_id"), col("erank"))),
+              Seq("query_id", "neighbor_id"))
+            .groupBy(col("query_id")).agg(
+              (count(lit(1)) * lit(1000000L / k)).as("recall_micro"),
+              max(when(col("erank") === 1, expr("1000000 div rank")))
+                .as("mrr0"))
+            .agg(count(lit(1)), sum(col("recall_micro")),
+              sum(coalesce(col("mrr0"), lit(0L)))).head()
+          val nq = q.count()
+          println(f"[stress] recalldrift gen=$g " +
+            f"recall@5=${agg.getLong(1).toDouble / (nq * 1e6)}%.3f " +
+            f"mrr=${agg.getLong(2).toDouble / (nq * 1e6)}%.3f " +
+            f"(queries=$nq)")
+        }
+        nBoot + 2 * nApp
+      }
+    }
+
     // ---- DSIR importance selection (q161 shape): pool of [rows]  ----
     // ---- docs, every 10th speaks a PLANTED target dialect (token ----
     // ---- prefix "t", 500-word vocab) while the rest speak "r".   ----

@@ -288,4 +288,34 @@ class CorpusIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("contiguous"))
     assert(state(dir) == before)
   }
+
+  test("readAsOf(I) is bit-identical to the pre-(I+1) corpus") {
+    val dir = tmp()
+    boot(dir)
+    CorpusIngest.ingest(spark, batch, dir, 1L)
+    def full(): Seq[String] = spark.read.parquet(s"$dir/corpus")
+      .collect().map(_.toString).sorted.toSeq
+    val preBatch2 = full()
+    // a second batch lands on top...
+    CorpusIngest.ingest(spark, crawl(Seq(
+      (20L, "A", "en", "z20", true),
+      (21L, "B", "en", "z21", true))), dir, 2L)
+    def asOf(i: Long): Seq[String] = CorpusIngest.readAsOf(spark, dir, i)
+      .collect().map(_.toString).sorted.toSeq
+    // ...and the as-of-1 snapshot is exactly what a reader saw before
+    assert(asOf(1L) == preBatch2)
+    assert(asOf(2L) == full())
+    // the snapshot is a strict prefix, not a filter artifact
+    assert(asOf(0L).size < preBatch2.size)
+    // beyond history: loud refusal, never a silently-empty frame
+    val ex = intercept[IllegalArgumentException] {
+      CorpusIngest.readAsOf(spark, dir, 3L)
+    }
+    assert(ex.getMessage.contains("high-water mark"))
+    // and the cut reaches the scan as a PARTITION filter — newer
+    // generations are pruned at file-listing time, never read
+    val scanned = CorpusIngest.readAsOf(spark, dir, 1L)
+      .queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters") && scanned.contains("batch"))
+  }
 }

@@ -98,4 +98,100 @@ class NaiveBayesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  // ------------- multiclass (language-ID) extension -------------
+
+  test("charNgrams: sliding window incl. spaces; short strings empty") {
+    val r = Seq("abcd", "a bc", "ab", "").toDF("t")
+      .select(NaiveBayes.charNgrams(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("abc", "bcd"))
+    assert(r(1) == Seq("a b", " bc"))
+    assert(r(2) == Seq.empty && r(3) == Seq.empty)
+  }
+
+  test("multiclass: hand-computable weights, per-class floors exist") {
+    val dir = tmp()
+    // en = "aa aa", fr = "bb", counts: aa->(en 2), bb->(fr 1)
+    // tot_en = 2, tot_fr = 1, V = 2
+    NaiveBayes.trainMulti(spark,
+      Seq((Seq("aa", "aa"), "en"), (Seq("bb"), "fr"))
+        .toDF("tokens", "label"),
+      dir, vocabCap = 16)
+    val w = Load.readTable(spark, s"$dir/weights").get.collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[String]("label")) ->
+        r.getAs[Long]("weight_micro")).toMap
+    // w_en(aa) = ln(3/4), w_en(bb) = ln(1/4)  (floor row EXISTS)
+    // w_fr(aa) = ln(1/3), w_fr(bb) = ln(2/3)
+    assert(w == Map(
+      ("aa", "en") -> math.round(math.log(3.0 / 4) * 1e6),
+      ("bb", "en") -> math.round(math.log(1.0 / 4) * 1e6),
+      ("aa", "fr") -> math.round(math.log(1.0 / 3) * 1e6),
+      ("bb", "fr") -> math.round(math.log(2.0 / 3) * 1e6)))
+    val m = Load.readTable(spark, s"$dir/meta").get.collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tot_toks"),
+          r.getAs[Long]("vocab_v"), r.getAs[Long]("prior_micro")))).toMap
+    assert(m("en") == ((1L, 2L, 2L, 0L)) && m("fr") == ((1L, 1L, 2L, 0L)))
+  }
+
+  test("multiclass argmax: deterministic label-asc tie-break") {
+    val dir = tmp()
+    // perfectly symmetric classes -> every score ties -> smallest label
+    NaiveBayes.trainMulti(spark,
+      Seq((Seq("x"), "b"), (Seq("x"), "a"), (Seq("x"), "c"))
+        .toDF("tokens", "label"),
+      dir, vocabCap = 16)
+    val out = NaiveBayes.scoreMulti(spark,
+      Seq(Seq("x", "y")).toDF("tokens"), dir).head()
+    assert(out.getAs[String]("pred_label") == "a")
+    assert(out.getAs[Long]("best_micro") ==
+      out.getAs[Long]("runnerup_micro"))
+  }
+
+  test("multiclass: planted char distributions separate held-out docs") {
+    val dir = tmp()
+    // three "languages" over disjoint alphabets; train on 2/3, predict
+    // the held-out third — real signal must separate perfectly
+    def text(lang: String, seed: Int): String = {
+      val alpha = lang match {
+        case "aa" => "abcde"; case "bb" => "fghij"; case _ => "klmno"
+      }
+      (0 until 40).map(i => alpha((i * 7 + seed) % 5)).mkString
+        .grouped(5).mkString(" ")
+    }
+    val rows = for (l <- Seq("aa", "bb", "cc"); i <- 0 until 9)
+      yield (l, i, text(l, i))
+    val df = rows.toDF("lang", "i", "t")
+      .select(col("lang"), col("i"),
+        NaiveBayes.charNgrams(col("t"), 3).as("tokens"))
+    NaiveBayes.trainMulti(spark,
+      df.filter(col("i") % 3 =!= 0)
+        .select(col("tokens"), col("lang").as("label")),
+      dir, vocabCap = 512)
+    val pred = NaiveBayes.scoreMulti(spark,
+      df.filter(col("i") % 3 === 0), dir)
+    assert(pred.filter(col("pred_label") =!= col("lang")).count() == 0)
+    // and the decision margin is strictly positive on every doc
+    assert(pred.filter(col("best_micro") <= col("runnerup_micro"))
+      .count() == 0)
+  }
+
+  test("extendMulti(batch) is bit-identical to retraining on the union") {
+    val a = Seq((Seq("p", "q"), "en"), (Seq("q"), "fr"),
+      (Seq("r", "r"), "de"))
+    val b = Seq((Seq("p"), "fr"), (Seq("s", "q"), "en"),
+      (Seq("t"), "zh")) // zh first seen in the batch
+    val incr = tmp()
+    val full = tmp()
+    NaiveBayes.trainMulti(spark, a.toDF("tokens", "label"), incr, 16)
+    NaiveBayes.extendMulti(spark, b.toDF("tokens", "label"), incr, 16)
+    NaiveBayes.trainMulti(spark, (a ++ b).toDF("tokens", "label"), full, 16)
+    def snap(d: String, t: String) =
+      Load.readTable(spark, s"$d/$t").get.collect()
+        .map(_.toString).sorted.toSeq
+    Seq("weights", "meta", "counts").foreach { t =>
+      assert(snap(incr, t) == snap(full, t), s"table $t diverged")
+    }
+  }
 }

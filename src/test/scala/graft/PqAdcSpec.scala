@@ -150,4 +150,67 @@ class PqAdcSpec extends SparkSpec {
     assert(reconEx > adcEx,
       s"expected the reconstruction path to shuffle more: $reconEx vs $adcEx")
   }
+
+  test("semantic decon catches a paraphrase the n-gram rewrite provably misses") {
+    // the q193 contract: two documents that share NO token (disjoint
+    // vocabulary -> no 13-gram can match, the q178 detector strikes
+    // zero positions) but whose EMBEDDINGS are near-identical — the
+    // paraphrased-contamination shape n-gram decontamination cannot
+    // see and embedding screening exists for
+    val evalText = "which planet is closest to the sun in our solar " +
+      "system answer mercury orbits nearest"
+    val paraText = "el planeta mas cercano al astro central resulta " +
+      "ser mercurio segun la astronomia moderna"
+    assert(evalText.split(" ").toSet.intersect(
+      paraText.split(" ").toSet).isEmpty)
+    // 1) the n-gram span rewrite strikes NOTHING
+    val struck = graft.queries.TextQueries.decontaminateRewrite(
+      Seq((5L, paraText)).toDF("doc_id", "text"),
+      Seq((100L, evalText)).toDF("doc_id", "text"), winLen = 13)
+      .head()
+    assert(struck.getAs[Long]("n_removed") == 0L)
+    // 2) the embedding path flags exactly the paraphrase: train corpus
+    // = 20 pseudo-random vectors with vec 5 REPLACED by the eval
+    // item's embedding plus a one-coordinate nudge (cosine ~ 0.999)
+    val evalEmb = transform(sequence(lit(0), lit(7)), j =>
+      (pmod(hash(lit(4242L) * 13 + j), lit(1000)).cast(DoubleType) / 100.0)
+        .cast(FloatType))
+    val train = vecs(20).select(col("vec_id"),
+      when(col("vec_id") === 5,
+        transform(evalEmb, (x, k) =>
+          (x.cast(DoubleType) + when(k === 0, lit(0.01)).otherwise(lit(0.0)))
+            .cast(FloatType)))
+        .otherwise(col("embedding")).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("semdecon")
+      .toString + "/w"
+    graft.ops.AdcIngest.bootstrap(spark, train, dir, k = 2, m = 2, ks = 4)
+    val cdf = graft.ops.VectorOps.loadCentroids(spark, s"$dir/centroids")
+      .toSeq.toDF("cluster_id", "ce")
+      .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      .withColumn("cn",
+        sqrt(graft.functions.VectorExpressions.vecDot(col("ce"), col("ce"))))
+    val cb = graft.ops.Pq.collectCodebook(
+      graft.etl.Load.readTable(spark, s"$dir/codebooks").get)
+    val q = Seq(100L).toDF("query_id")
+      .select(col("query_id"), evalEmb.as("qe"))
+      .withColumn("qn",
+        sqrt(graft.functions.VectorExpressions.vecDot(col("qe"), col("qe"))))
+    val pl = graft.ops.Pq.probeLuts(
+      graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 2), cdf, cb)
+    val cand = graft.ops.Pq.adcScreen(
+      graft.ops.AdcIngest.index(spark, dir), pl, tauPre = 0.6)
+    val tn = train.withColumn("nrm",
+      sqrt(graft.functions.VectorExpressions.vecDot(
+        col("embedding"), col("embedding"))))
+    val flagged = cand
+      .join(tn, cand("neighbor_id") === tn("vec_id"))
+      .select(col("vec_id"),
+        round(graft.functions.VectorExpressions.vecDot(
+          col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(5L),
+      s"semantic screen must flag exactly the paraphrase, got $flagged")
+  }
 }

@@ -47,7 +47,11 @@ class ReentrancySpec extends SparkSpec {
     "q187_unigram_tokenize",    // graft_unigram/pieces_q187
     "q189_ingest_funnel",       // graft_corpus/q189 (bootstrap/rollback)
     "q190_tiered_compact",      // graft_invidx/q190
-    "q191_adc_tiered")          // graft_adc/q191
+    "q191_adc_tiered",          // graft_adc/q191
+    "q192_langid_predict",      // graft_nb/q192
+    "q193_semantic_decon",      // graft_adc/q193 + fixture marker
+    "q194_recall_drift",        // graft_adc/q194 + fixture marker
+    "q195_corpus_asof")         // graft_corpus/q195 + fixture marker
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)
