@@ -150,7 +150,70 @@ object InvertedIndex {
     Load.recoverSwap(spark, s"$dir/postings")
     SegmentCompaction.recover(spark, s"$dir/postings")
     if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+    else {
+      val last = lastBatch(spark, dir)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .count(_.stripPrefix("batch=").toLong <= last)
+    }
+  }
+
+  /** Roll the index back to generation `toBatch` — the bad-batch
+    * recovery lever, completing the rollback story across all three
+    * warehouse index kinds (corpus `CorpusIngest.rollback`, vector
+    * `AdcIngest.rollback`). Same discipline as the vector twin:
+    *
+    *  - the corpus row lands FIRST — rebuilt from the surviving
+    *    postings (each doc lives in exactly ONE generation under the
+    *    [[addBatch]] contract and repeats its dl on every posting row,
+    *    so n_docs/sum_dl re-derive from one (doc_id, dl) dedup + a
+    *    1-row fold over batches ≤ toBatch). A crash between the two
+    *    steps leaves generation dirs ABOVE the high-water mark: inert
+    *    remnants every search path filters out (the `batch ≤
+    *    last_batch` partition guard), the next rollback deletes on
+    *    entry, and a re-[[addBatch]] of the same id dynamic-overwrites.
+    *  - compaction awareness via the [[SegmentCompaction]] coverage
+    *    invariant: a cut is legal iff `toBatch + 1` is itself a live
+    *    generation dir (or the cut is a no-op at the high-water
+    *    mark); a cut INSIDE a merged run is refused — its files
+    *    interleave rows from both sides.
+    *
+    * Rolled-back ids re-ingest bit-identically (postings are a pure
+    * function of the batch's documents), which is also what makes a
+    * fixed-path index fixture re-entrant without a rebuild.
+    */
+  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
+    require(toBatch >= 0, "cannot roll back past the bootstrap")
+    val last = lastBatch(spark, dir)
+    require(last >= toBatch,
+      s"InvertedIndex.rollback: no index at $dir at or above batch " +
+        s"$toBatch")
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
+    val p = new Path(s"$dir/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def delete(b: Long): Unit =
+      { fs.delete(new Path(s"$dir/postings/batch=$b"), true); () }
+    val ids = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).toSet
+    // heal: dirs above the high-water mark are a prior crashed
+    // rollback's undeleted remnants — delete before validating
+    ids.filter(_ > last).foreach(delete)
+    val live = ids.filter(_ <= last)
+    require(toBatch == last || live.contains(toBatch + 1),
+      s"InvertedIndex.rollback: generation ${toBatch + 1} has been " +
+        "merged into an earlier tree by compaction — its files hold " +
+        s"rows from batches <= $toBatch too, so rolling back to " +
+        s"$toBatch would corrupt them; rebuild from bootstrap instead")
+    val rebuilt = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch") <= toBatch)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("last_batch", lit(toBatch))
+    Load.replaceTable(spark, rebuilt, s"$dir/corpus")
+    live.filter(_ > toBatch).foreach(delete)
+    ()
   }
 
   /** Compact every `batch=` generation into a single `batch=0` tree —
@@ -178,6 +241,7 @@ object InvertedIndex {
     SegmentCompaction.recover(spark, postingsDir)
     val staging = s"$postingsDir.__staging"
     spark.read.parquet(postingsDir)
+      .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
       .drop("batch").withColumn("batch", lit(0L))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -225,7 +289,8 @@ object InvertedIndex {
     Load.recoverSwap(spark, postingsDir)
     SegmentCompaction.recover(spark, postingsDir)
     val ids = SegmentCompaction.mergeSet(
-      SegmentCompaction.genSizes(spark, postingsDir), ratio, minMerge)
+      SegmentCompaction.genSizes(spark, postingsDir)
+        .filter(_._1 <= lastBatch(spark, dir)), ratio, minMerge)
     if (ids.isEmpty) return Seq.empty
     val lo = ids.min
     spark.read.parquet(postingsDir)
@@ -256,8 +321,11 @@ object InvertedIndex {
     val distinctTerms = phrase.distinct
     val buckets = distinctTerms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
+    // generations above the high-water mark never serve (a crashed
+    // rollback's remnants — the corpus row is the commit point)
     val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
+      .filter(col("batch") <= lastBatch(spark, dir) &&
+        col("bucket").isin(buckets: _*) &&
         col("term").isin(distinctTerms: _*))
       .select(col("doc_id"), col("term"), col("positions"))
     // RAREST-FIRST join order: left-deep reduce means the first
@@ -313,7 +381,8 @@ object InvertedIndex {
     val buckets = terms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
+      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+        col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
     val wTerm = Window.partitionBy(col("term"))
     val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
@@ -399,7 +468,8 @@ object InvertedIndex {
       val buckets = ts.toDF("term").select(bucketOf(col("term")))
         .as[Int].collect().distinct.toSeq
       spark.read.parquet(s"$dir/postings")
-        .filter(col("bucket").isin(buckets: _*) &&
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
           col("term").isin(ts: _*))
     }
     def pruned = prunedFor(terms)
@@ -509,7 +579,8 @@ object InvertedIndex {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
     spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
+      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+        col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
       .withColumn("ts_micro",
@@ -552,7 +623,8 @@ object InvertedIndex {
       (col("df") + lit(0.5))
     val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
     spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
+      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+        col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
       .withColumn("ts_micro",

@@ -3347,6 +3347,68 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q196InvidxRollback = Q("q196_invidx_rollback",
+    // TEXT-INDEX ROLLBACK (InvertedIndex.rollback) — the bad-batch
+    // recovery lever, completing the rollback story across all three
+    // warehouse index kinds (corpus q168, vector q172/q191; the text
+    // index was the one without it). Same discipline as the vector
+    // twin: the corpus row — with the BM25 globals REBUILT from the
+    // surviving generations (each doc lives in exactly one generation,
+    // so n_docs/sum_dl re-derive from one doc-level dedup over
+    // batches ≤ I) — lands FIRST; a crash before the deletes leaves
+    // remnant generations every search path filters out via the new
+    // `batch ≤ last_batch` partition guard (SegmentCompactionSpec
+    // pins the crash window and the merged-run refusal). Lifecycle
+    // under gate: bootstrap → two appends → search snapshot →
+    // rollback to 1 (high-water mark, segment count and rebuilt
+    // globals asserted) → RE-INGEST the rolled-back id → search must
+    // be BIT-IDENTICAL to the pre-rollback snapshot (postings are a
+    // pure function of the batch's documents — what makes rollback a
+    // safe recovery story, not a lossy one). The oracle replays BM25
+    // from the post-re-ingest persisted index.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q196"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = graft.ops.InvertedIndex
+      ix.build(s, docs.filter(col("doc_id") % 3 === 1), wh)
+      ix.addBatch(s, docs.filter(col("doc_id") % 3 === 2), wh, 1L)
+      ix.addBatch(s, docs.filter(col("doc_id") % 3 === 0), wh, 2L)
+      def snap(): Seq[Seq[Any]] =
+        ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+          .collect().toSeq.map(_.toSeq)
+      val before = snap()
+      ix.rollback(s, wh, 1L)
+      require(ix.lastBatch(s, wh) == 1L && ix.segmentCount(s, wh) == 2,
+        "rollback must truncate to generations {0, 1}")
+      require(snap() != before,
+        "the cut must change what serves (non-vacuous rollback)")
+      require(ix.addBatch(s, docs.filter(col("doc_id") % 3 === 0), wh, 2L),
+        "the rolled-back id must re-ingest")
+      require(snap() == before,
+        "re-ingest after rollback must be bit-identical to never " +
+          "having rolled back")
+      ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+    },
+    Some("""WITH p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+          '/root/repo/target/graft_invidx/q196/postings/*/*/*.parquet')),
+        c AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q196/corpus/*.parquet')),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('spark', 'query', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
   val q192LangidPredict = Q("q192_langid_predict",
     // REAL language identification (NaiveBayes.trainMulti/scoreMulti
     // over char trigrams — Cavnar & Trenkle 1994's n-gram text
@@ -4046,5 +4108,5 @@ object TextQueries {
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
     q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
-    q192LangidPredict)
+    q192LangidPredict, q196InvidxRollback)
 }

@@ -51,7 +51,8 @@ class ReentrancySpec extends SparkSpec {
     "q192_langid_predict",      // graft_nb/q192
     "q193_semantic_decon",      // graft_adc/q193 + fixture marker
     "q194_recall_drift",        // graft_adc/q194 + fixture marker
-    "q195_corpus_asof")         // graft_corpus/q195 + fixture marker
+    "q195_corpus_asof",         // graft_corpus/q195 + fixture marker
+    "q196_invidx_rollback")     // graft_invidx/q196
 
   test("every fixed-path query is re-entrant in-session, no manual cleanup") {
     val missing = fixedPathQueries.filterNot(SparkEntry.queries.contains)

@@ -240,4 +240,52 @@ class SegmentCompactionSpec extends SparkSpec {
     assert(AdcIngest.append(spark, vecs(1000, 1100), dir, 1L))
     assert(AdcIngest.index(spark, dir).count() == 1100L)
   }
+
+  test("invidx rollback: rebuilt globals, re-ingest parity, crash heal, " +
+      "merged-run refusal") {
+    val dir = tmp("ix_rollback")
+    InvertedIndex.build(spark, docs(0, 4000), dir)
+    InvertedIndex.addBatch(spark, docs(4000, 4200), dir, 1L)
+    InvertedIndex.addBatch(spark, docs(4200, 4400), dir, 2L)
+    val s12 = searchRows(dir)
+    InvertedIndex.rollback(spark, dir, 1L)
+    assert(InvertedIndex.lastBatch(spark, dir) == 1L)
+    assert(InvertedIndex.segmentCount(spark, dir) == 2)
+    // BM25 globals rebuilt exactly from the surviving generations
+    val c = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head()
+    assert(c.getAs[Long]("n_docs") == 4200L &&
+      c.getAs[Long]("sum_dl") == 42000L)
+    val s1 = searchRows(dir)
+    assert(s1 != s12) // the cut actually changed what serves
+    // rolled-back ids re-ingest bit-identically
+    assert(InvertedIndex.addBatch(spark, docs(4200, 4400), dir, 2L))
+    assert(searchRows(dir) == s12)
+    // crash window: a rollback wrote its corpus row (the commit
+    // point) but died before deleting batch=2 — the remnant must
+    // never serve, and the next rollback heals it
+    graft.etl.Load.replaceTable(spark,
+      Seq((4200L, 42000L, 1L)).toDF("n_docs", "sum_dl", "last_batch"),
+      s"$dir/corpus")
+    assert(searchRows(dir) == s1)
+    assert(InvertedIndex.segmentCount(spark, dir) == 2)
+    InvertedIndex.rollback(spark, dir, 1L)
+    val fs = hadoopFs(dir)
+    assert(!fs.exists(new Path(s"$dir/postings/batch=2")))
+    assert(InvertedIndex.addBatch(spark, docs(4200, 4400), dir, 2L))
+    assert(searchRows(dir) == s12)
+    // a cut INSIDE a tiered-merged run is refused; the boundary below
+    // it stays legal
+    assert(InvertedIndex.tieredCompact(spark, dir, ratio = 4.0) ==
+      Seq(1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      InvertedIndex.rollback(spark, dir, 1L)
+    }
+    assert(ex.getMessage.contains("merged"))
+    InvertedIndex.rollback(spark, dir, 0L)
+    assert(InvertedIndex.lastBatch(spark, dir) == 0L)
+    assert(InvertedIndex.segmentCount(spark, dir) == 1)
+    val c0 = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head()
+    assert(c0.getAs[Long]("n_docs") == 4000L &&
+      c0.getAs[Long]("sum_dl") == 40000L)
+  }
 }
