@@ -195,6 +195,40 @@ object AdcIngest {
     ()
   }
 
+  /** TIME-TRAVEL READ: the compressed index exactly as of generation
+    * `batch` — the vector twin of `CorpusIngest.readAsOf` (the
+    * reproducible-serving snapshot: re-run an audit or an evaluation
+    * against the index as it stood after fold I, O(1) via partition
+    * pruning). Under tiered merges an as-of cut is only exact when it
+    * falls on a surviving generation boundary — a merged dir holds a
+    * contiguous RUN of batches under its lowest id, so a cut inside
+    * the run would silently include newer rows; the same coverage
+    * check as [[rollback]] refuses it loudly.
+    */
+  def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
+    require(batch >= 0, "as-of generations start at 0 (the bootstrap)")
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"AdcIngest.readAsOf: no warehouse at $dir")
+    require(batch <= last,
+      s"AdcIngest.readAsOf: generation $batch is above the high-water " +
+        s"mark $last")
+    Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ <= last).toSet
+    require(batch == last || live.contains(batch + 1),
+      s"AdcIngest.readAsOf: generation ${batch + 1} has been merged " +
+        "into an earlier tree by compaction — an as-of cut inside the " +
+        "merged run would include newer rows; snapshot before " +
+        "compaction or rebuild")
+    spark.read.parquet(s"$dir/index")
+      .filter(col("batch") <= batch)
+      .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+  }
+
   /** The served index across all generations: (vec_id, cluster_id,
     * codes, vn) — feed to [[Pq.adcSearch]] with [[Pq.probeLuts]] built
     * from the same persisted models.

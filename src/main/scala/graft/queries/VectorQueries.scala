@@ -1766,11 +1766,10 @@ object VectorQueries {
           col("nrm").as("qn"))
       val pl = graft.ops.Pq.probeLuts(
         graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 2), cdf, cbSeq)
-      val idxAll = s.read.parquet(s"$wh/index")
       val gens = (0L to 2L).map { g =>
         val uniG = uni.filter(col("gen") <= g)
-        val idxG = idxAll.filter(col("batch") <= g)
-          .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+        // the index AS OF generation g — a partition-pruned snapshot
+        val idxG = ai.readAsOf(s, wh, g)
         val srv = graft.ops.IvfPq.rerank(
             graft.ops.Pq.adcSearch(idxG, pl, topC = 16), uniG, topK = k)
           .select(col("query_id"), col("rank"), col("neighbor_id"))

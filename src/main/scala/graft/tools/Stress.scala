@@ -1460,6 +1460,49 @@ object Stress {
       }
     }
 
+    // ---- multiclass language-ID (q192 shape): [rows] docs across ----
+    // ---- 5 planted "languages" with disjoint alphabets. TRAIN is ----
+    // ---- one vocab-sized shuffle over char trigrams; SCORE is    ----
+    // ---- the zero-exchange per-class WeightedTokenSum fold —     ----
+    // ---- the figure is corpus-scan throughput with 5 codegen'd   ----
+    // ---- folds per doc. Held-out accuracy require-pinned 100%    ----
+    // ---- (the alphabets are disjoint — anything less is a bug).  ----
+    // ---- Run with `Stress <rows> langid`.                        ----
+    val liLabels = Seq("langid train", "langid score")
+    if (liLabels.exists(wanted)) {
+      val alphas = typedLit(Seq("abcde", "fghij", "klmno", "pqrst", "uvwxy"))
+      def liDocs = spark.range(rows).select(
+        col("id").as("doc_id"),
+        concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
+        concat_ws(" ", (0 until 15).map { j =>
+          element_at(alphas, pmod(col("id"), lit(5)).cast(
+            org.apache.spark.sql.types.IntegerType) + 1)
+            .substr(pmod(hash(col("id") * 31L + lit(j)), lit(3))
+              .cast(org.apache.spark.sql.types.IntegerType) + 1, lit(3))
+        }: _*).as("text"))
+      val liDir = s"$dir/stress_langid"
+      val liM = s"${rows / 1000000}M"
+      lazy val liToks = liDocs.select(col("doc_id"), col("lang"),
+        graft.ops.NaiveBayes.charNgrams(col("text"), 3).as("tokens"))
+      time(s"langid train $liM docs") {
+        graft.ops.NaiveBayes.trainMulti(spark,
+          liToks.filter(col("doc_id") % 3 =!= 0)
+            .select(col("tokens"), col("lang").as("label")),
+          liDir, vocabCap = 4096)
+        spark.read.parquet(s"$liDir/weights").count()
+      }
+      time(s"langid score $liM docs") {
+        val scored = graft.ops.NaiveBayes.scoreMulti(spark, liToks, liDir)
+        val agg = scored.agg(
+          sum(when(col("pred_label") === col("lang"), 1L).otherwise(0L)),
+          count(lit(1))).head()
+        require(agg.getLong(0) == agg.getLong(1),
+          s"disjoint alphabets must classify perfectly: " +
+            s"${agg.getLong(0)} of ${agg.getLong(1)}")
+        agg.getLong(1)
+      }
+    }
+
     // ---- DSIR importance selection (q161 shape): pool of [rows]  ----
     // ---- docs, every 10th speaks a PLANTED target dialect (token ----
     // ---- prefix "t", 500-word vocab) while the rest speak "r".   ----

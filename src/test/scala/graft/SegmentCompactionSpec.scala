@@ -219,6 +219,38 @@ class SegmentCompactionSpec extends SparkSpec {
     assert(AdcIngest.append(spark, vecs(3000, 3150), dir, 1L))
   }
 
+  test("adc readAsOf: boundary snapshots exact, merged-run cuts refused") {
+    val dir = tmp("adc_asof")
+    AdcIngest.bootstrap(spark, vecs(0, 3000), dir, k = 4, m = 4, ks = 8)
+    AdcIngest.append(spark, vecs(3000, 3150), dir, 1L)
+    val pre2 = adcRows(dir)
+    AdcIngest.append(spark, vecs(3150, 3300), dir, 2L)
+    def asOf(g: Long): Map[Long, (Long, Seq[Int], Double)] =
+      AdcIngest.readAsOf(spark, dir, g).collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster_id"), r.getAs[Seq[Int]]("codes"),
+            r.getAs[Double]("vn")))
+      }.toMap
+    // as-of(1) is bit-identical to what a reader saw before batch 2
+    assert(asOf(1L) == pre2)
+    assert(asOf(0L).keySet == (0L until 3000L).toSet)
+    assert(asOf(2L) == adcRows(dir))
+    // beyond history: loud refusal
+    assert(intercept[IllegalArgumentException] {
+      AdcIngest.readAsOf(spark, dir, 3L)
+    }.getMessage.contains("high-water mark"))
+    // after a tiered merge of {1,2}: the boundary cuts survive, the
+    // cut INSIDE the merged run is refused (its files hold batch-2
+    // rows a batch<=1 filter cannot exclude)
+    assert(AdcIngest.tieredCompact(spark, dir, ratio = 4.0) ==
+      Seq(1L, 2L))
+    assert(asOf(0L).keySet == (0L until 3000L).toSet)
+    assert(asOf(2L) == adcRows(dir))
+    assert(intercept[IllegalArgumentException] {
+      AdcIngest.readAsOf(spark, dir, 1L)
+    }.getMessage.contains("merged"))
+  }
+
   test("adc rollback crash window: meta-first leaves healable remnants") {
     val dir = tmp("rollback_crash")
     AdcIngest.bootstrap(spark, vecs(0, 1000), dir, k = 4, m = 4, ks = 8)
