@@ -70,7 +70,13 @@ object InvertedIndex {
   }
 
   private def corpusRow(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // count ONLY documents that produce postings (>= 1 non-empty
+    // token): a whitespace-only doc has no posting rows, so counting
+    // it here would make the globals diverge from what
+    // [[rollback]]'s rebuild-from-postings can ever reconstruct
+    .filter(size(filter(col("t"), x => length(x) > 0)) > 0)
+    .select(col("doc_id"), size(col("t")).as("dl"))
     .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
   /** The corpus high-water mark; -1 when no index exists. */
@@ -317,6 +323,12 @@ object InvertedIndex {
   def phraseSearch(spark: SparkSession, dir: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two words")
+    // heal BEFORE reading (the AdcIngest.index contract): a tiered
+    // merge that crashed after moving generations aside would
+    // otherwise serve silently incomplete results against globals
+    // that still count the aside'd docs
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
     import spark.implicits._
     val distinctTerms = phrase.distinct
     val buckets = distinctTerms.toDF("term").select(bucketOf(col("term")))
@@ -373,6 +385,12 @@ object InvertedIndex {
   def proximitySearch(spark: SparkSession, dir: String,
                       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && k > 0)
+    // heal BEFORE reading (the AdcIngest.index contract): a tiered
+    // merge that crashed after moving generations aside would
+    // otherwise serve silently incomplete results against globals
+    // that still count the aside'd docs
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.proximitySearch: no corpus at $dir")).head()
@@ -459,6 +477,12 @@ object InvertedIndex {
   def maxScoreSearch(spark: SparkSession, dir: String, terms: Seq[String],
                      k: Int): DataFrame = {
     require(terms.nonEmpty && k > 0)
+    // heal BEFORE reading (the AdcIngest.index contract): a tiered
+    // merge that crashed after moving generations aside would
+    // otherwise serve silently incomplete results against globals
+    // that still count the aside'd docs
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.maxScoreSearch: no corpus at $dir")).head()
@@ -560,6 +584,12 @@ object InvertedIndex {
   def searchBatch(spark: SparkSession, dir: String, queries: DataFrame,
                   k: Int): DataFrame = {
     require(k > 0)
+    // heal BEFORE reading (the AdcIngest.index contract): a tiered
+    // merge that crashed after moving generations aside would
+    // otherwise serve silently incomplete results against globals
+    // that still count the aside'd docs
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.searchBatch: no corpus at $dir")).head()
@@ -609,6 +639,12 @@ object InvertedIndex {
   def search(spark: SparkSession, dir: String, terms: Seq[String],
              k: Int): DataFrame = {
     require(terms.nonEmpty && k > 0)
+    // heal BEFORE reading (the AdcIngest.index contract): a tiered
+    // merge that crashed after moving generations aside would
+    // otherwise serve silently incomplete results against globals
+    // that still count the aside'd docs
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.search: no corpus table at $dir")).head()

@@ -229,14 +229,18 @@ object NaiveBayes {
     val tots: Map[String, Long] = counts.groupBy(col("label"))
       .agg(sum(col("cnt")).as("tot")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
     // top-V vocabulary by TOTAL count across classes, deterministic
-    // tie-break; V = the realized size (feeds the smoothing mass)
-    val vocab = counts.groupBy(col("token"))
+    // tie-break; V = the realized size (feeds the smoothing mass).
+    // Collected ONCE to the driver (V <= vocabCap — bounded) so the
+    // sort-limit aggregation job doesn't run twice (once for V, once
+    // when the weights materialize)
+    val vocabTokens = counts.groupBy(col("token"))
       .agg(sum(col("cnt")).as("tot_tok"))
       .orderBy(col("tot_tok").desc, col("token"))
-      .limit(vocabCap).select(col("token"))
-    val v = vocab.count()
-    import spark.implicits._
+      .limit(vocabCap).select(col("token")).as[String].collect().toSeq
+    val vocab = vocabTokens.toDF("token")
+    val v = vocabTokens.size.toLong
     val labelTots = nDocs.map { case (l, _) => (l, tots.getOrElse(l, 0L)) }
       .toDF("label", "tot")
     val weights = vocab.crossJoin(broadcast(labelTots))

@@ -114,9 +114,22 @@ object SegmentCompaction {
     val fs = fsOf(spark, new Path(tree))
     if (fs.exists(aside)) {
       val mf = new Path(aside, Manifest)
-      if (!fs.exists(mf)) fs.delete(aside, true) // nothing moved yet
-      else {
-        val ids = readManifest(fs, mf)
+      val ids = if (fs.exists(mf)) readManifest(fs, mf) else Seq.empty
+      if (ids.isEmpty) {
+        // no manifest, or an empty/truncated one (crash during the
+        // manifest write — which happens BEFORE any rename, so nothing
+        // can have moved under a manifest that never finished).
+        // Defensively restore any aside'd dir whose live target is
+        // missing — rename-if-absent is safe in every state: a present
+        // target means the live tree already serves that generation.
+        fs.listStatus(aside).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("batch=") &&
+              !fs.exists(new Path(s"$tree/$name")))
+            restore(fs, st.getPath, new Path(s"$tree/$name"))
+        }
+        fs.delete(aside, true)
+      } else {
         val lo = ids.min
         if (fs.exists(new Path(s"$tree/batch=$lo"))) {
           // committed (the merged dir serves) or never started moving
@@ -124,11 +137,13 @@ object SegmentCompaction {
           // way
           fs.delete(aside, true)
         } else {
-          // uncommitted: restore every generation that was moved aside
+          // uncommitted: restore every generation that was moved
+          // aside; a failed restore must abort BEFORE the aside delete
+          // below, or the only copy of a generation would vanish
           ids.foreach { id =>
             val src = new Path(aside, s"batch=$id")
             if (fs.exists(src))
-              fs.rename(src, new Path(s"$tree/batch=$id"))
+              restore(fs, src, new Path(s"$tree/batch=$id"))
           }
           fs.delete(aside, true)
         }
@@ -185,12 +200,44 @@ object SegmentCompaction {
     ()
   }
 
+  private def restore(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"tiered recovery aborted: cannot restore $src to $dst — the " +
+          "aside dir is left intact for a retry; do NOT delete it " +
+          "(it holds the only copy of that generation)")
+
+  /** Manifest contents, or empty when the file is empty/truncated (a
+    * crash during the manifest write — which precedes every rename,
+    * so an unparsable manifest proves nothing moved).
+    */
   private def readManifest(fs: FileSystem, mf: Path): Seq[Long] = {
     val in = fs.open(mf)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
       in.readFully(bytes)
-      new String(bytes, "UTF-8").trim.split(",").map(_.toLong).toSeq
+      val txt = new String(bytes, "UTF-8").trim
+      try txt.split(",").map(_.toLong).toSeq
+      catch { case _: NumberFormatException => Seq.empty }
     } finally in.close()
+  }
+
+  /** (absolute path, length, modification time) of every file under
+    * `path`, recursively — the byte-identity fingerprint the
+    * settled-tree guarantee is pinned with (q190/q191 requires, the
+    * Stress tiered A/B, SegmentCompactionSpec). One definition so the
+    * fingerprint can never drift between its pinning sites.
+    */
+  def fileStamps(spark: SparkSession,
+                 path: String): Set[(String, Long, Long)] = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      b += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    b.result()
   }
 }

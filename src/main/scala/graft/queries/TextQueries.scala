@@ -3300,17 +3300,8 @@ object TextQueries {
         "a single small generation must not trigger a tiered merge")
       require(ix.segmentCount(s, wh) == 2, "no-op policy touched the tree")
       ix.addBatch(s, docs.filter(col("doc_id") % 20 === 17), wh, 2L)
-      def stamps(): Set[(String, Long, Long)] = {
-        val p = new org.apache.hadoop.fs.Path(s"$wh/postings/batch=0")
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        val b = Set.newBuilder[(String, Long, Long)]
-        while (it.hasNext) {
-          val st = it.next()
-          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
-        }
-        b.result()
-      }
+      def stamps() = graft.ops.SegmentCompaction.fileStamps(s,
+        s"$wh/postings/batch=0")
       val bootstrapBefore = stamps()
       require(ix.tieredCompact(s, wh, ratio = 4.0) == Seq(1L, 2L),
         "the unsettled tail {1,2} must merge")

@@ -1452,17 +1452,8 @@ object VectorQueries {
       require(ai.segmentCount(s, wh) == 2, "no-op policy touched the tree")
       require(ai.append(s, e.filter(col("vec_id") % 20 === 17), wh, 2L),
         "batch 2 must land")
-      def stamps(): Set[(String, Long, Long)] = {
-        val p = new org.apache.hadoop.fs.Path(s"$wh/index/batch=0")
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        val b = Set.newBuilder[(String, Long, Long)]
-        while (it.hasNext) {
-          val st = it.next()
-          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
-        }
-        b.result()
-      }
+      def stamps() = graft.ops.SegmentCompaction.fileStamps(s,
+        s"$wh/index/batch=0")
       val bootstrapBefore = stamps()
       require(ai.tieredCompact(s, wh, ratio = 4.0) == Seq(1L, 2L),
         "the unsettled tail {1,2} must merge")

@@ -1265,17 +1265,8 @@ object Stress {
         val fs = p.getFileSystem(hconf)
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
       }
-      def stampsOf(path: String): Set[(String, Long, Long)] = {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(hconf)
-        val it = fs.listFiles(p, true)
-        val b = Set.newBuilder[(String, Long, Long)]
-        while (it.hasNext) {
-          val st = it.next()
-          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
-        }
-        b.result()
-      }
+      def stampsOf(path: String) =
+        graft.ops.SegmentCompaction.fileStamps(spark, path)
       def tiDocs(from: Long, until: Long) =
         spark.range(from, until).select(col("id").as("doc_id"),
           concat_ws(" ", (0 until 20).map { j =>

@@ -69,21 +69,8 @@ class SegmentCompactionSpec extends SparkSpec {
   private def hadoopFs(dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (relative file path, length, modification time) of every data file
-    * under `dir` — the ScopedMergeSpec untouched-bytes fingerprint.
-    */
-  private def fileStamps(dir: String): Set[(String, Long, Long)] = {
-    val fs = hadoopFs(dir)
-    val root = new Path(dir)
-    val it = fs.listFiles(root, true)
-    val b = Set.newBuilder[(String, Long, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      b += ((st.getPath.toString.stripPrefix(root.toString),
-        st.getLen, st.getModificationTime))
-    }
-    b.result()
-  }
+  private def fileStamps(dir: String): Set[(String, Long, Long)] =
+    SegmentCompaction.fileStamps(spark, dir)
 
   private def searchRows(dir: String): Seq[Seq[Any]] =
     InvertedIndex.search(spark, dir, Seq("w17", "w42", "w133"), 50)
@@ -319,5 +306,56 @@ class SegmentCompactionSpec extends SparkSpec {
     val c0 = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head()
     assert(c0.getAs[Long]("n_docs") == 4000L &&
       c0.getAs[Long]("sum_dl") == 40000L)
+  }
+
+  test("recover: empty/truncated manifest heals instead of wedging") {
+    val dir = tmp("tiered_manifest")
+    InvertedIndex.build(spark, docs(0, 1000), dir)
+    InvertedIndex.addBatch(spark, docs(1000, 1100), dir, 1L)
+    val want = searchRows(dir)
+    val tree = s"$dir/postings"
+    val fs = hadoopFs(dir)
+    val aside = new Path(s"$tree.__tiered_old")
+    // a crash during the manifest write leaves a 0-byte file; per the
+    // protocol nothing has moved yet — but heal defensively even if a
+    // dir sits in the aside (restore-if-target-missing is safe in
+    // every state)
+    fs.mkdirs(aside)
+    fs.create(new Path(aside, "_MANIFEST"), true).close()
+    assert(fs.rename(new Path(s"$tree/batch=1"), new Path(aside, "batch=1")))
+    SegmentCompaction.recover(spark, tree)
+    assert(!fs.exists(aside))
+    assert(fs.exists(new Path(s"$tree/batch=1")))
+    assert(searchRows(dir) == want)
+    // and the serving paths themselves heal (search called recover)
+    fs.mkdirs(aside)
+    fs.create(new Path(aside, "_MANIFEST"), true).close()
+    assert(fs.rename(new Path(s"$tree/batch=1"), new Path(aside, "batch=1")))
+    assert(searchRows(dir) == want)
+    assert(!fs.exists(aside))
+  }
+
+  test("zero-posting docs never enter the BM25 globals (rollback-exact)") {
+    import spark.implicits._
+    val dir = tmp("ix_emptydoc")
+    val emptyish = Seq((9000L, ""), (9001L, " ")).toDF("doc_id", "text")
+    InvertedIndex.build(spark, docs(0, 100).unionByName(emptyish), dir)
+    val c = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head()
+    // the whitespace-only docs produce no postings, so they must not
+    // count — else rollback's rebuild-from-postings could never match
+    assert(c.getAs[Long]("n_docs") == 100L &&
+      c.getAs[Long]("sum_dl") == 1000L)
+    InvertedIndex.addBatch(spark,
+      docs(200, 300).unionByName(Seq((9100L, "")).toDF("doc_id", "text")),
+      dir, 1L)
+    val c1 = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head().toSeq
+    val s1 = searchRows(dir)
+    InvertedIndex.rollback(spark, dir, 0L)
+    assert(InvertedIndex.addBatch(spark,
+      docs(200, 300).unionByName(Seq((9100L, "")).toDF("doc_id", "text")),
+      dir, 1L))
+    assert(graft.etl.Load.readTable(spark, s"$dir/corpus").get.head().toSeq
+      == c1)
+    assert(searchRows(dir) == s1)
   }
 }
