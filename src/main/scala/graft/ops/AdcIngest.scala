@@ -24,7 +24,10 @@ import graft.etl.Load
   *
   * Layout under `dir`: `centroids/` + `codebooks/` (frozen models),
   * `index/batch=I/` (vec_id, cluster_id, codes, vn), `meta/` (one row:
-  * last_batch — the exactly-once replay guard, swapped LAST).
+  * last_batch — the exactly-once replay guard, swapped LAST — and
+  * del_epoch, the [[delete]] commit point), `tombstones/epoch=E/`
+  * (vec_id of logically deleted vectors; every read anti-joins
+  * epochs ≤ the committed del_epoch).
   *
   * Scale: encode is a broadcast-centroid join plus two fused
   * expressions (PqCodes, PqReconNorm) — zero shuffles; the write
@@ -46,18 +49,25 @@ object AdcIngest {
 
   /** Assign → PQ-encode → ADC rows for one frame under the FROZEN
     * persisted models. Input (vec_id, embedding); output
-    * (vec_id, cluster_id, codes, vn).
+    * (vec_id, cluster_id, codes, vn). `meta` names extra columns of
+    * `vecs` to carry INTO the index rows (attribute payload for
+    * FILTERED vector search — the q201 shape: a metadata predicate is
+    * then a map-side filter on the compressed scan itself, never a
+    * corpus-scale join at query time). Pure passthrough: assignment,
+    * codes and vn are unaffected.
     */
   def encodeBatch(spark: SparkSession, vecs: DataFrame,
-                  dir: String): DataFrame = {
+                  dir: String, meta: Seq[String] = Nil): DataFrame = {
     val cents = VectorOps.loadCentroids(spark, s"$dir/centroids")
     val cdf = centDf(spark, dir)
     val cb = Load.readTable(spark, s"$dir/codebooks").getOrElse(
       sys.error(s"AdcIngest: no codebooks at $dir/codebooks"))
     val assigned = VectorOps.assignClusters(
-        vecs.select(col("vec_id"), col("embedding")), cents)
+        vecs.select((Seq("vec_id", "embedding") ++ meta).map(col): _*),
+        cents)
       .withColumn("cluster_id", col("cluster_id").cast(LongType))
-    Pq.adcIndex(Pq.encode(assigned, cdf, cb), cdf, Pq.collectCodebook(cb))
+    Pq.adcIndex(Pq.encode(assigned, cdf, cb, meta), cdf,
+      Pq.collectCodebook(cb), meta)
   }
 
   private def writeGeneration(df: DataFrame, dir: String,
@@ -74,6 +84,31 @@ object AdcIngest {
         .get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(-1L)
 
+  /** The committed delete epoch; 0 (no deletes) for warehouses written
+    * before delete support existed.
+    */
+  private def delEpoch(spark: SparkSession, dir: String): Long =
+    Load.readTable(spark, s"$dir/meta").map { df =>
+      val r = df.head()
+      if (r.schema.fieldNames.contains("del_epoch"))
+        r.getAs[Long]("del_epoch")
+      else 0L
+    }.getOrElse(0L)
+
+  /** Anti-join `df` out of the live tombstone set, or `df` untouched
+    * when the warehouse holds no deletes (delete-free indexes keep
+    * their exact pre-delete plans). Only epochs ≤ the COMMITTED
+    * del_epoch serve — a crashed [[delete]]'s half-landed epoch is
+    * inert. The tombstone side is |deletes|-bounded → broadcast.
+    */
+  private def liveVecs(spark: SparkSession, dir: String, epoch: Long)
+                      (df: DataFrame): DataFrame =
+    if (epoch <= 0L) df
+    else df.join(
+      broadcast(spark.read.parquet(s"$dir/tombstones")
+        .filter(col("epoch") <= epoch).select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+
   /** Bootstrap the warehouse from the initial corpus (fully wipes
     * `dir` — generation zero): trains + persists k coarse centroids
     * and m×ks PQ codebooks, then lands the encode of ALL of `vecs` as
@@ -87,7 +122,8 @@ object AdcIngest {
     */
   def bootstrap(spark: SparkSession, vecs: DataFrame, dir: String,
                 k: Int, m: Int, ks: Int, iters: Int = 2,
-                trainOn: Option[DataFrame] = None): Unit = {
+                trainOn: Option[DataFrame] = None,
+                meta: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
@@ -104,9 +140,10 @@ object AdcIngest {
       Pq.trainCodebooks(spark,
         Pq.subResiduals(assigned, centDf(spark, dir), m), ks, iters),
       s"$dir/codebooks")
-    writeGeneration(encodeBatch(spark, vecs, dir), dir, 0L)
+    writeGeneration(encodeBatch(spark, vecs, dir, meta), dir, 0L)
     import spark.implicits._
-    Load.replaceTable(spark, Seq(0L).toDF("last_batch"), s"$dir/meta")
+    Load.replaceTable(spark, Seq((0L, 0L)).toDF("last_batch", "del_epoch"),
+      s"$dir/meta")
     ()
   }
 
@@ -116,7 +153,7 @@ object AdcIngest {
     * returning false; skipped ids are refused.
     */
   def append(spark: SparkSession, vecs: DataFrame, dir: String,
-             batchId: Long): Boolean = {
+             batchId: Long, meta: Seq[String] = Nil): Boolean = {
     require(batchId >= 1, "batch ids start at 1 (0 is the bootstrap)")
     val last = lastBatch(spark, dir)
     require(last >= 0, s"AdcIngest.append: no warehouse at $dir")
@@ -132,10 +169,18 @@ object AdcIngest {
     // every prior generation, while meta still claimed they landed.
     Load.recoverSwap(spark, s"$dir/index")
     SegmentCompaction.recover(spark, s"$dir/index")
-    writeGeneration(encodeBatch(spark, vecs, dir), dir, batchId)
+    val epoch = delEpoch(spark, dir)
+    val encoded = encodeBatch(spark, vecs, dir, meta)
+    // a generation whose columns diverge from the tree's would read
+    // back as nulls under parquet schema union — refuse loudly
+    require(spark.read.parquet(s"$dir/index").columns
+        .filterNot(_ == "batch").toSet == encoded.columns.toSet,
+      s"AdcIngest.append: meta columns $meta do not reproduce the " +
+        "index schema — every generation must carry the same columns")
+    writeGeneration(encoded, dir, batchId)
     import spark.implicits._
-    Load.replaceTable(spark, Seq(batchId).toDF("last_batch"),
-      s"$dir/meta")
+    Load.replaceTable(spark,
+      Seq((batchId, epoch)).toDF("last_batch", "del_epoch"), s"$dir/meta")
     true
   }
 
@@ -189,10 +234,68 @@ object AdcIngest {
         s"batches <= $toBatch too, so rolling back to $toBatch would " +
         "corrupt them; rebuild from bootstrap instead")
     import spark.implicits._
-    Load.replaceTable(spark, Seq(toBatch).toDF("last_batch"),
+    // tombstones SURVIVE a rollback — it rewinds the INGEST stream,
+    // not the delete requests (a re-appended batch re-enters minus its
+    // tombstoned vectors, exactly the never-rolled-back state)
+    Load.replaceTable(spark,
+      Seq((toBatch, delEpoch(spark, dir))).toDF("last_batch", "del_epoch"),
       s"$dir/meta")
     live.filter(_ > toBatch).foreach(delete)
     ()
+  }
+
+  /** Tombstone-delete vectors by id — the takedown/opt-out lever, the
+    * vector twin of `InvertedIndex.delete` (an embedding derived from
+    * deleted content must leave the serving index NOW, not at the next
+    * re-bootstrap). Logical deletion: the ids land as an `epoch=E`
+    * generation under `tombstones/`; [[index]] and [[readAsOf]]
+    * anti-join them out (broadcast — the set is |deletes|-bounded), so
+    * every served search behaves as if the vectors were never
+    * ingested; physical bytes are reclaimed when compaction next
+    * rewrites the rows' generations ([[compact]]/[[tieredCompact]]
+    * purge). ADC search carries no corpus-level statistics, so unlike
+    * the text twin there are no globals to adjust — the anti-join IS
+    * the whole semantic change.
+    *
+    * Exactly-once, crash-safe: ids are validated against the served
+    * index (one compressed-scan semi-join — `ids` must be
+    * delete-request-sized, it broadcasts; unknown or already-deleted
+    * ids count zero), land as epoch `del_epoch + 1`, and the meta row
+    * — advancing `del_epoch` in ONE swap — commits LAST. A crash in
+    * between leaves an epoch dir above the committed mark: inert,
+    * healed on the next delete's entry. Returns the number of newly
+    * deleted vectors.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+    import spark.implicits._
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"AdcIngest.delete: no warehouse at $dir")
+    Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
+    val e0 = delEpoch(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal: epoch dirs above the committed del_epoch are a prior
+    // crashed delete's remnants (the meta row is the commit point)
+    val tPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fs.exists(tPath))
+      fs.listStatus(tPath).map(_.getPath).filter { q =>
+        val nm = q.getName
+        nm.startsWith("epoch=") && nm.stripPrefix("epoch=").toLong > e0
+      }.foreach(q => { fs.delete(q, true); () })
+    val victims = liveVecs(spark, dir, e0)(
+      spark.read.parquet(s"$dir/index")
+        .filter(col("batch") <= last).select(col("vec_id")))
+      .join(broadcast(ids.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+    val n = victims.count()
+    if (n == 0L) return 0L
+    victims.withColumn("epoch", lit(e0 + 1))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$dir/tombstones")
+    Load.replaceTable(spark,
+      Seq((last, e0 + 1)).toDF("last_batch", "del_epoch"), s"$dir/meta")
+    n
   }
 
   /** TIME-TRAVEL READ: the compressed index exactly as of generation
@@ -224,9 +327,22 @@ object AdcIngest {
         "into an earlier tree by compaction — an as-of cut inside the " +
         "merged run would include newer rows; snapshot before " +
         "compaction or rebuild")
-    spark.read.parquet(s"$dir/index")
-      .filter(col("batch") <= batch)
-      .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+    // deletes are NOT time-traveled: an as-of read rewinds the INGEST
+    // stream, but a takedown applies to every serving read, historical
+    // replays included — that is what a deletion request means
+    servedCols(liveVecs(spark, dir, delEpoch(spark, dir))(
+      spark.read.parquet(s"$dir/index")
+        .filter(col("batch") <= batch)))
+  }
+
+  /** (vec_id, cluster_id, codes, vn) first, then any metadata columns
+    * the ingest carried (see [[encodeBatch]]'s `meta`), minus the
+    * physical `batch` partition column.
+    */
+  private def servedCols(df: DataFrame): DataFrame = {
+    val core = Seq("vec_id", "cluster_id", "codes", "vn")
+    val extras = df.columns.filterNot((core :+ "batch").contains).sorted
+    df.select((core ++ extras).map(col): _*)
   }
 
   /** The served index across all generations: (vec_id, cluster_id,
@@ -239,10 +355,11 @@ object AdcIngest {
     // generations above the high-water mark never serve: they are
     // either a crashed rollback's undeleted remnants (meta lands
     // first) or a crashed append's half-landed batch (meta lands
-    // last) — a pure partition-pruned filter, no exchange
-    spark.read.parquet(s"$dir/index")
-      .filter(col("batch") <= lastBatch(spark, dir))
-      .select(col("vec_id"), col("cluster_id"), col("codes"), col("vn"))
+    // last) — a pure partition-pruned filter, no exchange. Tombstoned
+    // vectors never serve either (broadcast anti-join, see [[delete]]).
+    servedCols(liveVecs(spark, dir, delEpoch(spark, dir))(
+      spark.read.parquet(s"$dir/index")
+        .filter(col("batch") <= lastBatch(spark, dir))))
   }
 
   /** Number of `batch=` generations in the index tree — the
@@ -282,6 +399,10 @@ object AdcIngest {
     val staging = s"$indexDir.__staging"
     spark.read.parquet(indexDir)
       .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
+      // PURGE: tombstoned rows drop from the rewrite (the tombstone
+      // rows stay — they keep delete replays no-ops; the read filter
+      // is idempotent on purged rows)
+      .transform(liveVecs(spark, dir, delEpoch(spark, dir)))
       .drop("batch").withColumn("batch", lit(0L))
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col("vec_id"))
@@ -329,6 +450,9 @@ object AdcIngest {
     val lo = ids.min
     spark.read.parquet(indexDir)
       .filter(col("batch").isin(ids: _*))
+      // purge tombstoned rows falling inside the merged run (settled
+      // generations keep theirs until they eventually merge)
+      .transform(liveVecs(spark, dir, delEpoch(spark, dir)))
       .drop("batch").withColumn("batch", lit(lo))
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col("vec_id"))

@@ -29,6 +29,9 @@ import graft.ops.Relational.eager
   *    the per-source token high-water mark the packer continues from,
   *    and the replay guard. ONE table, swapped atomically, so the
   *    guard and the folds can never disagree.
+  *  - `tombstones/epoch=E/` + `delmeta/` (one row: del_epoch) — the
+  *    [[delete]] takedown ledger: logically deleted doc_ids, and the
+  *    commit point readers trust.
   *
   * Ingest stages, each O(batch):
   *  1. in-batch canonical-URL dedup (one window over the BATCH);
@@ -388,6 +391,120 @@ object CorpusIngest {
     res
   }
 
+  /** The committed delete epoch; 0 (no deletes) for warehouses written
+    * before delete support existed.
+    */
+  private def delEpoch(spark: SparkSession, dir: String): Long =
+    Load.readTable(spark, s"$dir/delmeta")
+      .map(_.head().getAs[Long]("del_epoch")).getOrElse(0L)
+
+  /** Anti-join `df` out of the live tombstone set, or `df` untouched
+    * when the warehouse holds no deletes. Only epochs ≤ the COMMITTED
+    * del_epoch serve (a crashed [[delete]]'s half-landed epoch is
+    * inert); the tombstone side is |deletes|-bounded → broadcast.
+    */
+  private def liveRows(spark: SparkSession, dir: String, epoch: Long)
+                      (df: DataFrame): DataFrame =
+    if (epoch <= 0L) df
+    else df.join(
+      broadcast(spark.read.parquet(s"$dir/tombstones")
+        .filter(col("epoch") <= epoch).select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
+  /** The served packed corpus across all generations, minus tombstoned
+    * documents — what a training-shard writer consumes.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"CorpusIngest.read: no warehouse at $dir")
+    liveRows(spark, dir, delEpoch(spark, dir))(
+      spark.read.parquet(s"$dir/corpus").filter(col("batch") <= last))
+  }
+
+  /** Tombstone-delete documents from the packed corpus — the takedown
+    * lever over the TRAINING DATA itself, completing the delete story
+    * across all three warehouse kinds (text index `InvertedIndex
+    * .delete`, vector `AdcIngest.delete`). Semantics a 100 TB packed
+    * corpus can actually afford:
+    *
+    *  - LOGICAL deletion: the validated ids land as an `epoch=E`
+    *    generation under `tombstones/`, committed LAST through the
+    *    1-row `delmeta/` swap; [[read]]/[[readAsOf]] anti-join them
+    *    out (broadcast — |deletes|-bounded). Deletes are NOT
+    *    time-traveled: a takedown applies to every read, historical
+    *    snapshots included.
+    *  - The token stream keeps its HOLES: every packed row carries its
+    *    own absolute offsets (tok_before/start_seq/end_seq), so
+    *    dropping a document disturbs NO other row and the per-source
+    *    high-water marks stay valid — nothing repacks, which is the
+    *    only viable answer at warehouse scale (re-packing would cascade
+    *    through every later generation's offsets). [[purge]] reclaims
+    *    the bytes physically, offsets untouched.
+    *  - The canonical URL stays in the seen set ON PURPOSE: a re-crawl
+    *    of taken-down content must keep being rejected, not re-admitted
+    *    under a fresh doc_id (spec-pinned).
+    *  - Rollback interplay: `tombstones` survive [[rollback]] (it
+    *    rewinds the ingest stream, not the delete requests), and the
+    *    state rebuild keeps counting tombstoned rows' tokens — their
+    *    packed slots exist whether served or not.
+    *
+    * Exactly-once, crash-safe: replayed ids find nothing new and
+    * return 0 without advancing the epoch; a crash between the
+    * tombstone write and the delmeta swap leaves an inert epoch dir
+    * healed on the next delete's entry. `ids` must be
+    * delete-request-sized (it broadcasts). Returns the number of newly
+    * deleted documents.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+    import spark.implicits._
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"CorpusIngest.delete: no warehouse at $dir")
+    val e0 = delEpoch(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal: epoch dirs above the committed del_epoch are a prior
+    // crashed delete's remnants (delmeta is the commit point)
+    val tPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fs.exists(tPath))
+      fs.listStatus(tPath).map(_.getPath).filter { q =>
+        val nm = q.getName
+        nm.startsWith("epoch=") && nm.stripPrefix("epoch=").toLong > e0
+      }.foreach(q => { fs.delete(q, true); () })
+    val victims = liveRows(spark, dir, e0)(
+      spark.read.parquet(s"$dir/corpus")
+        .filter(col("batch") <= last).select(col("doc_id")))
+      .join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    val n = victims.count()
+    if (n == 0L) return 0L
+    victims.withColumn("epoch", lit(e0 + 1))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$dir/tombstones")
+    Load.replaceTable(spark, Seq(e0 + 1).toDF("del_epoch"),
+      s"$dir/delmeta")
+    n
+  }
+
+  /** Physically reclaim tombstoned rows' bytes: rewrite the corpus
+    * tree minus live tombstones, generation layout and every
+    * surviving row's packing offsets untouched (a dropped document
+    * leaves a HOLE in the token stream — see [[delete]] — so the
+    * rewrite is a pure row filter, never a repack). Crash-safe via the
+    * warehouse two-rename swap; the tombstone ledger is retained (it
+    * keeps delete replays no-ops; the read filter is idempotent on
+    * purged rows).
+    */
+  def purge(spark: SparkSession, dir: String): Unit = {
+    val corpusDir = s"$dir/corpus"
+    Load.recoverSwap(spark, corpusDir)
+    val staging = s"$corpusDir.__staging"
+    liveRows(spark, dir, delEpoch(spark, dir))(
+      spark.read.parquet(corpusDir)
+        .filter(col("batch") <= lastBatch(spark, dir)))
+      .write.mode("overwrite").partitionBy("batch").parquet(staging)
+    Load.atomicSwap(spark, staging, corpusDir)
+  }
+
   /** TIME-TRAVEL READ: the packed corpus exactly as of generation
     * `batch` — every row batches 0..batch landed, nothing newer. This
     * is the reproducible-training snapshot lever: "train on the corpus
@@ -406,7 +523,10 @@ object CorpusIngest {
     require(batch <= last,
       s"CorpusIngest.readAsOf: generation $batch is above the " +
         s"high-water mark $last")
-    spark.read.parquet(s"$dir/corpus").filter(col("batch") <= batch)
+    // deletes are NOT time-traveled: a takedown applies to historical
+    // snapshots too — that is what a deletion request means
+    liveRows(spark, dir, delEpoch(spark, dir))(
+      spark.read.parquet(s"$dir/corpus").filter(col("batch") <= batch))
   }
 
   /** Roll the warehouse back to `toBatch`: every `corpus/batch>I` and

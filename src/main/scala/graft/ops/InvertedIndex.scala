@@ -20,8 +20,17 @@ import graft.etl.Load
   *    dirs. A search for k terms reads ≤ k bucket dirs per batch
   *    (partition pruning on driver-computed bucket literals — the
   *    q136 probe trick), never the corpus.
-  *  - `corpus/` — 1 row (n_docs, sum_dl, last_batch), the BM25
-  *    globals plus the replay high-water mark.
+  *  - `corpus/` — 1 row (n_docs, sum_dl, last_batch, del_epoch), the
+  *    BM25 globals plus the replay high-water mark and the delete
+  *    epoch (see [[delete]]).
+  *  - `docs/batch=I/` — (doc_id, dl), one row per document of
+  *    generation I: the doc-length sidecar [[delete]] resolves ids
+  *    against (n_docs rows total — tiny next to the postings — and
+  *    the only way to adjust the globals for a deleted id WITHOUT a
+  *    postings scan, since postings are term-keyed, not doc-keyed).
+  *  - `tombstones/epoch=E/` — (doc_id, dl) of logically deleted
+  *    documents; every read path anti-joins epochs ≤ the corpus row's
+  *    `del_epoch` (broadcast — the set is |deletes|-bounded).
   *
   * Maintenance contract: batches carry NEW doc_ids (the upstream
   * dedup gate's job) and a monotonically increasing batch id, so
@@ -69,15 +78,47 @@ object InvertedIndex {
       .withColumn("bucket", bucketOf(col("term")))
   }
 
-  private def corpusRow(docs: DataFrame): DataFrame = docs
+  /** (doc_id, dl) of every document that produces postings — the
+    * per-generation content of the `docs/` sidecar, and (aggregated)
+    * the corpus globals. dl counts ALL split tokens (the same dl the
+    * posting rows carry); the filter drops whitespace-only docs, which
+    * have no posting rows and so must not count anywhere (the
+    * [[rollback]] rebuild-from-postings rule).
+    */
+  private def docRows(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(col("text"), " ").as("t"))
-    // count ONLY documents that produce postings (>= 1 non-empty
-    // token): a whitespace-only doc has no posting rows, so counting
-    // it here would make the globals diverge from what
-    // [[rollback]]'s rebuild-from-postings can ever reconstruct
     .filter(size(filter(col("t"), x => length(x) > 0)) > 0)
-    .select(col("doc_id"), size(col("t")).as("dl"))
+    .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
+
+  private def corpusRow(docs: DataFrame): DataFrame = docRows(docs)
     .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** The committed delete epoch of a corpus row; 0 (no deletes) for
+    * rows written before delete support existed.
+    */
+  private def delEpochOf(c: org.apache.spark.sql.Row): Long =
+    if (c.schema.fieldNames.contains("del_epoch"))
+      c.getAs[Long]("del_epoch")
+    else 0L
+
+  private def delEpoch(spark: SparkSession, dir: String): Long =
+    Load.readTable(spark, s"$dir/corpus")
+      .map(df => delEpochOf(df.head())).getOrElse(0L)
+
+  /** Anti-join `df` out of the live tombstone set, or `df` untouched
+    * when the index holds no deletes — delete-free indexes keep their
+    * exact pre-delete plans. Only epochs ≤ the COMMITTED `del_epoch`
+    * serve (a crashed [[delete]]'s half-landed epoch is inert); the
+    * tombstone side is |deletes|-bounded, so the anti-join broadcasts
+    * — zero exchanges added on the postings side.
+    */
+  private def liveDocs(spark: SparkSession, dir: String, epoch: Long)
+                      (df: DataFrame): DataFrame =
+    if (epoch <= 0L) df
+    else df.join(
+      broadcast(spark.read.parquet(s"$dir/tombstones")
+        .filter(col("epoch") <= epoch).select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
 
   /** The corpus high-water mark; -1 when no index exists. */
   def lastBatch(spark: SparkSession, dir: String): Long =
@@ -97,12 +138,20 @@ object InvertedIndex {
     // a stale __tiered_old would later "heal" dead generations into
     // the fresh index
     SegmentCompaction.clearRemnants(spark, s"$dir/postings")
+    // a fresh build must not inherit a PRIOR index's tombstones at
+    // this path — they would silently delete from the new corpus
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/tombstones"), true)
     postings(docs).withColumn("batch", lit(0L))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$dir/postings")
+    docRows(docs).withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/docs")
     Load.replaceTable(spark,
-      corpusRow(docs).withColumn("last_batch", lit(0L)), s"$dir/corpus")
+      corpusRow(docs).withColumn("last_batch", lit(0L))
+        .withColumn("del_epoch", lit(0L)), s"$dir/corpus")
   }
 
   /** Fold a batch of NEW documents under a caller-supplied id ≥ 1:
@@ -134,11 +183,23 @@ object InvertedIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch", "bucket")
         .parquet(s"$dir/postings")
-      val merged = Load.readTable(spark, s"$dir/corpus").get
-        .drop("last_batch").union(corpusRow(docs))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("sum_dl")).as("sum_dl"))
+      docRows(docs).withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$dir/docs")
+      val cOld = Load.readTable(spark, s"$dir/corpus").get.head()
+      // the batch's contribution excludes already-tombstoned ids: a
+      // rolled-back batch re-ingested AFTER one of its docs was
+      // deleted must re-enter minus that doc, or the globals would
+      // double-diverge from every read path's anti-joined view
+      val merged = liveDocs(spark, dir, delEpochOf(cOld))(docRows(docs))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .select(
+          (col("n_docs") + lit(cOld.getAs[Long]("n_docs"))).as("n_docs"),
+          (col("sum_dl") + lit(cOld.getAs[Long]("sum_dl"))).as("sum_dl"))
         .withColumn("last_batch", lit(batchId))
+        .withColumn("del_epoch", lit(delEpochOf(cOld)))
       Load.replaceTable(spark, merged, s"$dir/corpus")
       true
     }
@@ -190,7 +251,9 @@ object InvertedIndex {
     */
   def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
     require(toBatch >= 0, "cannot roll back past the bootstrap")
-    val last = lastBatch(spark, dir)
+    val cOld = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.rollback: no index at $dir")).head()
+    val last = cOld.getAs[Long]("last_batch")
     require(last >= toBatch,
       s"InvertedIndex.rollback: no index at $dir at or above batch " +
         s"$toBatch")
@@ -212,14 +275,101 @@ object InvertedIndex {
         "merged into an earlier tree by compaction — its files hold " +
         s"rows from batches <= $toBatch too, so rolling back to " +
         s"$toBatch would corrupt them; rebuild from bootstrap instead")
-    val rebuilt = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch") <= toBatch)
-      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    // tombstones SURVIVE a rollback — rollback rewinds the INGEST
+    // stream, not the delete requests: a doc deleted from a surviving
+    // generation stays deleted, and a re-ingested batch re-enters
+    // minus its tombstoned docs (exactly the state had the rollback
+    // never happened). The rebuilt globals must therefore exclude
+    // live tombstoned docs too.
+    val epoch = delEpochOf(cOld)
+    val rebuilt = liveDocs(spark, dir, epoch)(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= toBatch)
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("last_batch", lit(toBatch))
+      .withColumn("del_epoch", lit(epoch))
     Load.replaceTable(spark, rebuilt, s"$dir/corpus")
     live.filter(_ > toBatch).foreach(delete)
+    // the docs/ sidecar follows the postings truncation (its dirs are
+    // never merged, so every id above the cut goes — remnants above
+    // `last` included)
+    val dPath = new Path(s"$dir/docs")
+    if (fs.exists(dPath))
+      fs.listStatus(dPath).map(_.getPath).filter { q =>
+        val nm = q.getName
+        nm.startsWith("batch=") && nm.stripPrefix("batch=").toLong > toBatch
+      }.foreach(q => { fs.delete(q, true); () })
     ()
+  }
+
+  /** Tombstone-delete documents by id — the takedown/opt-out lever a
+    * real corpus warehouse cannot ship without (a deletion request
+    * takes effect NOW, not at the next rebuild). Logical deletion, LSM
+    * style (Lucene's liveDocs): the ids land as an `epoch=E`
+    * generation under `tombstones/`, every search path anti-joins them
+    * out (broadcast — the set is |deletes|-bounded), and the BM25
+    * globals are adjusted through the corpus-row commit point, so
+    * served scores are BIT-IDENTICAL to an index rebuilt without the
+    * deleted docs (TombstoneSpec pins the equivalence across every
+    * search path). Physical bytes are reclaimed when compaction next
+    * rewrites the rows' generations ([[compact]]/[[tieredCompact]]
+    * purge tombstoned rows); the tombstone rows themselves are
+    * retained — they are what keeps a replayed delete a no-op — and
+    * stay |total deletes|-sized, negligible against the index.
+    *
+    * Exactly-once, crash-safe: the (doc_id, dl) rows to delete derive
+    * from the `docs/` sidecar semi-joined to `ids` (doc-keyed and
+    * n_docs-sized — never a postings scan) minus already-tombstoned
+    * docs, land as epoch `del_epoch + 1`, and the corpus row —
+    * adjusted globals + advanced `del_epoch` in ONE swap — commits
+    * LAST. A crash in between leaves an epoch dir above the committed
+    * mark: inert (readers filter `epoch ≤ del_epoch`), healed on the
+    * next delete's entry. Replaying the same ids finds nothing new
+    * and returns 0 without advancing the epoch. `ids` must be
+    * delete-request-sized (it broadcasts). Returns the number of
+    * newly deleted documents.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+    import spark.implicits._
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.delete: no index at $dir")).head()
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/docs/batch=0")),
+      s"InvertedIndex.delete: the index at $dir predates delete " +
+        "support (no docs/ sidecar for the bootstrap generation) — " +
+        "rebuild the index to enable deletes")
+    val e0 = delEpochOf(c)
+    // heal: epoch dirs above the committed del_epoch are a prior
+    // crashed delete's remnants (the corpus row is the commit point)
+    val tPath = new Path(s"$dir/tombstones")
+    if (fs.exists(tPath))
+      fs.listStatus(tPath).map(_.getPath).filter { q =>
+        val nm = q.getName
+        nm.startsWith("epoch=") && nm.stripPrefix("epoch=").toLong > e0
+      }.foreach(q => { fs.delete(q, true); () })
+    val victims = liveDocs(spark, dir, e0)(
+      spark.read.parquet(s"$dir/docs")
+        .filter(col("batch") <= c.getAs[Long]("last_batch"))
+        .join(broadcast(ids.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("dl"))
+    val a = victims.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sdl")).head()
+    val (n, sdl) = (a.getLong(0), a.getLong(1))
+    if (n == 0L) return 0L
+    victims.withColumn("epoch", lit(e0 + 1))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$dir/tombstones")
+    Load.replaceTable(spark,
+      Seq((c.getAs[Long]("n_docs") - n, c.getAs[Long]("sum_dl") - sdl,
+        c.getAs[Long]("last_batch"), e0 + 1))
+        .toDF("n_docs", "sum_dl", "last_batch", "del_epoch"),
+      s"$dir/corpus")
+    n
   }
 
   /** Compact every `batch=` generation into a single `batch=0` tree —
@@ -248,6 +398,11 @@ object InvertedIndex {
     val staging = s"$postingsDir.__staging"
     spark.read.parquet(postingsDir)
       .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
+      // PURGE: tombstoned rows are dropped from the rewrite — the
+      // physical reclaim behind [[delete]]'s logical tombstones (the
+      // tombstone rows themselves stay: they keep delete replays
+      // no-ops, and the read-path filter is idempotent on purged rows)
+      .transform(liveDocs(spark, dir, delEpoch(spark, dir)))
       .drop("batch").withColumn("batch", lit(0L))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -301,6 +456,10 @@ object InvertedIndex {
     val lo = ids.min
     spark.read.parquet(postingsDir)
       .filter(col("batch").isin(ids: _*))
+      // purge tombstoned rows falling inside the merged run (settled
+      // generations keep theirs until they eventually merge — the
+      // byte-identity guarantee is untouched)
+      .transform(liveDocs(spark, dir, delEpoch(spark, dir)))
       .drop("batch").withColumn("batch", lit(lo))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -334,11 +493,15 @@ object InvertedIndex {
     val buckets = distinctTerms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     // generations above the high-water mark never serve (a crashed
-    // rollback's remnants — the corpus row is the commit point)
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch") <= lastBatch(spark, dir) &&
-        col("bucket").isin(buckets: _*) &&
-        col("term").isin(distinctTerms: _*))
+    // rollback's remnants — the corpus row is the commit point), and
+    // neither do tombstoned docs
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.phraseSearch: no corpus at $dir")).head()
+    val p = liveDocs(spark, dir, delEpochOf(c))(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(distinctTerms: _*)))
       .select(col("doc_id"), col("term"), col("positions"))
     // RAREST-FIRST join order: left-deep reduce means the first
     // intermediate result rides through every later join, so a phrase
@@ -398,10 +561,11 @@ object InvertedIndex {
     val avgdl = sumDl.toDouble / nDocs
     val buckets = terms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
-        col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+    val p = liveDocs(spark, dir, delEpochOf(c))(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*)))
     val wTerm = Window.partitionBy(col("term"))
     val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
@@ -491,10 +655,14 @@ object InvertedIndex {
     def prunedFor(ts: Seq[String]): DataFrame = {
       val buckets = ts.toDF("term").select(bucketOf(col("term")))
         .as[Int].collect().distinct.toSeq
-      spark.read.parquet(s"$dir/postings")
-        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
-          col("bucket").isin(buckets: _*) &&
-          col("term").isin(ts: _*))
+      // tombstoned docs leave BEFORE the stats pass, so per-term df,
+      // upper bounds and the θ seed all see live rows only — exactly
+      // the rebuilt-index quantities (pruning stays exact)
+      liveDocs(spark, dir, delEpochOf(c))(
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+            col("bucket").isin(buckets: _*) &&
+            col("term").isin(ts: _*)))
     }
     def pruned = prunedFor(terms)
     // the df-independent factor of the term score; ts_micro =
@@ -608,10 +776,11 @@ object InvertedIndex {
     val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
-        col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+    liveDocs(spark, dir, delEpochOf(c))(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*)))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
       .withColumn("ts_micro",
         round(idf * (col("tf") * lit(2.2)) /
@@ -629,6 +798,123 @@ object InvertedIndex {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms"), col("bm25_micro"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** BOOLEAN-FILTERED BM25 top-k — the Lucene BooleanQuery surface
+    * (MUST / SHOULD / MUST_NOT) over the persisted index: candidates
+    * must contain EVERY `must` term and NONE of the `mustNot` terms;
+    * scoring is [[search]]'s exact BM25 micro-unit sum over the
+    * `must` ++ `should` terms the doc contains (SHOULD terms filter
+    * nothing, they only add score — Lucene's optional-clause rule).
+    * Tie-break and every scoring convention identical to [[search]],
+    * so `booleanSearch(must=Nil, should=ts, mustNot=Nil)` returns
+    * exactly `search(ts)`'s rows.
+    *
+    * Plan shape: ONE pruned read of the union of all three term
+    * lists' buckets (≤ |terms| bucket dirs — the corpus is never
+    * scanned), the df window over the scoring terms' live postings
+    * (df semantics identical to [[search]]), then the boolean gates as
+    * doc-keyed joins bounded by the candidate postings themselves: a
+    * MUST gate keeps docs whose distinct-must count equals |must| (an
+    * aggregation over the must terms' postings only), a MUST_NOT gate
+    * is an anti-join against the excluded terms' postings. Every side
+    * is df-bounded — no corpus-sized exchange at any scale.
+    */
+  def booleanSearch(spark: SparkSession, dir: String, must: Seq[String],
+                    should: Seq[String], mustNot: Seq[String],
+                    k: Int): DataFrame = {
+    val scoreTerms = (must ++ should).distinct
+    require(scoreTerms.nonEmpty, "a boolean query needs a scoring term")
+    require(k > 0)
+    require(must.intersect(mustNot).isEmpty,
+      "a term cannot be MUST and MUST_NOT at once")
+    // heal BEFORE reading (the AdcIngest.index contract)
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
+    import spark.implicits._
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.booleanSearch: no corpus at $dir")).head()
+    val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
+    val avgdl = sumDl.toDouble / nDocs
+    val allTerms = (scoreTerms ++ mustNot).distinct
+    val buckets = allTerms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val p = liveDocs(spark, dir, delEpochOf(c))(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(allTerms: _*)))
+    val wTerm = Window.partitionBy(col("term"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
+    val scored = p.filter(col("term").isin(scoreTerms: _*))
+      .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
+      .withColumn("ts_micro",
+        round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
+    val gated =
+      if (must.isEmpty) scored
+      else {
+        val mustDocs = p.filter(col("term").isin(must.distinct: _*))
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("term")).as("__nm"))
+          .filter(col("__nm") === must.distinct.size)
+          .select(col("doc_id"))
+        scored.join(mustDocs, Seq("doc_id"), "left_semi")
+      }
+    val kept =
+      if (mustNot.isEmpty) gated
+      else gated.join(
+        p.filter(col("term").isin(mustNot.distinct: _*))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DELETE BY QUERY — the Lucene/Elasticsearch takedown verb: delete
+    * every document containing ALL `must` terms and NONE of the
+    * `mustNot` terms ("delete everything mentioning X"). The match set
+    * resolves from the index itself (≤ |terms| pruned bucket dirs —
+    * never a corpus scan) and feeds [[delete]], inheriting its
+    * exactly-once epoch commit. The match set must be
+    * delete-request-sized like any [[delete]] input (it broadcasts
+    * against the docs/ sidecar): deleting by a stopword-scale query is
+    * a rebuild decision, not a tombstone one. Returns the number of
+    * newly deleted documents.
+    */
+  def deleteByQuery(spark: SparkSession, dir: String, must: Seq[String],
+                    mustNot: Seq[String] = Nil): Long = {
+    require(must.nonEmpty, "deleteByQuery needs at least one MUST term")
+    require(must.intersect(mustNot).isEmpty,
+      "a term cannot be MUST and MUST_NOT at once")
+    Load.recoverSwap(spark, s"$dir/postings")
+    SegmentCompaction.recover(spark, s"$dir/postings")
+    import spark.implicits._
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.deleteByQuery: no index at $dir")).head()
+    val allTerms = (must ++ mustNot).distinct
+    val buckets = allTerms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+        col("bucket").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+    val matched = p.filter(col("term").isin(must.distinct: _*))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("term")).as("__nm"))
+      .filter(col("__nm") === must.distinct.size)
+      .select(col("doc_id"))
+    val ids =
+      if (mustNot.isEmpty) matched
+      else matched.join(
+        p.filter(col("term").isin(mustNot.distinct: _*))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    delete(spark, dir, ids)
   }
 
   /** BM25 top-k over the persisted index. Reads ONLY the query
@@ -658,10 +944,11 @@ object InvertedIndex {
     val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
     val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
-        col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+    liveDocs(spark, dir, delEpochOf(c))(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*)))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
       .withColumn("ts_micro",
         round(idf * (col("tf") * lit(2.2)) /

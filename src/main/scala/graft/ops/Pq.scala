@@ -153,15 +153,17 @@ object Pq {
       .toSeq
 
   def encode(assigned: DataFrame, centDf: DataFrame,
-             codebook: DataFrame): DataFrame = {
+             codebook: DataFrame,
+             extraCols: Seq[String] = Nil): DataFrame = {
     val cbSeq = collectCodebook(codebook)
     val res = zip_with(col("embedding"), col("ce"),
       (v, c) => v.cast(DoubleType) - c.cast(DoubleType))
     assigned
       .join(broadcast(centDf.select(col("cluster_id"), col("ce"))),
         Seq("cluster_id"))
-      .select(col("vec_id"), col("cluster_id"),
-        graft.functions.PqCodes.pqCodes(res, cbSeq).as("codes"))
+      .select(col("vec_id") +: col("cluster_id") +:
+        graft.functions.PqCodes.pqCodes(res, cbSeq).as("codes") +:
+        extraCols.map(col): _*)
   }
 
   /** Reconstruction ĉ = centroid + concat(codewords): join the m code
@@ -195,13 +197,14 @@ object Pq {
     * batch) disappears entirely.
     */
   def adcIndex(index: DataFrame, centDf: DataFrame,
-               codebook: Seq[(Int, Int, Seq[Double])]): DataFrame =
+               codebook: Seq[(Int, Int, Seq[Double])],
+               extraCols: Seq[String] = Nil): DataFrame =
     index
       .join(broadcast(centDf.select(col("cluster_id"), col("ce"))),
         Seq("cluster_id"))
-      .select(col("vec_id"), col("cluster_id"), col("codes"),
+      .select(col("vec_id") +: col("cluster_id") +: col("codes") +:
         graft.functions.PqAdc.pqReconNorm(col("ce"), col("codes"), codebook)
-          .as("vn"))
+          .as("vn") +: extraCols.map(col): _*)
 
   /** Per-probe ADC query state: the [[IvfPq.probeRoute]] output plus
     * qc = dot(q, centroid) and the m·ks sub-dot LUT — ALL dim-length

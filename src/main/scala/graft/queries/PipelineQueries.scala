@@ -834,7 +834,92 @@ object PipelineQueries {
         hive_partitioning = true)
       WHERE batch <= 1 ORDER BY doc_id"""))
 
+  val q199CorpusDelete = Q("q199_corpus_delete",
+    // TOMBSTONE DELETES over the packed TRAINING CORPUS
+    // (CorpusIngest.delete/purge/read) — the takedown lever over the
+    // training data itself, completing the delete story across all
+    // three warehouse kinds (text index q197, vector q198). The
+    // semantics a 100 TB packed corpus can afford: LOGICAL deletion
+    // (epoch tombstones + the 1-row delmeta commit point; read/
+    // readAsOf anti-join broadcast-side), the token stream keeps its
+    // HOLES — every packed row carries absolute offsets, so nothing
+    // repacks and the per-source high-water marks stay valid — and
+    // the canonical URL stays in the seen set ON PURPOSE: a re-crawl
+    // of taken-down content keeps being rejected (require-pinned: the
+    // victim batch re-ingested under a fresh id lands ZERO rows).
+    // purge() reclaims bytes physically with every surviving row
+    // bit-identical (require-pinned). A second delete lands after the
+    // purge so the final state holds live tombstones the oracle's
+    // NOT-IN must actually apply. Fully-charged lifecycle (the
+    // q190/q196 class): bootstrap → ingest → delete → replay-no-op →
+    // historical-read exclusion → re-crawl rejection → purge →
+    // delete again → serve. TombstoneSpec pins the crash window and
+    // the rollback interplay.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_corpus/q199"
+      val docs = graft.tables.Tables.documents(s, d)
+      val ci = graft.ops.CorpusIngest
+      ci.bootstrap(s, q168Crawl(docs.filter(col("doc_id") % 4 <= 1)), wh,
+        nbLabel = col("lang") === "en",
+        nbSplit = col("doc_id") % 3 =!= 0,
+        dsirTarget = col("lang") === "en",
+        selectPct = 50)
+      require(ci.ingest(s,
+        q168Crawl(docs.filter(col("doc_id") % 4 === 2)), wh, 1L),
+        "batch 1 must land")
+      // victims come FROM the warehouse (packed docs only)
+      def victims(m: Long) = ci.read(s, wh)
+        .filter(col("doc_id") % 5 === m).select(col("doc_id"))
+      val v1 = victims(1L)
+      require(ci.delete(s, wh, v1) > 0, "the delete batch must land")
+      require(ci.delete(s, wh, v1) == 0L,
+        "a replayed delete must be a 0-count no-op")
+      require(ci.readAsOf(s, wh, 0L)
+        .filter(col("doc_id") % 5 === 1).count() == 0L,
+        "a takedown applies to historical snapshots too")
+      // re-crawl rejection: the same crawl slice re-ingested under a
+      // fresh id — every canonical URL is already seen, so nothing
+      // (deleted content included) re-enters
+      require(ci.ingest(s,
+        q168Crawl(docs.filter(col("doc_id") % 4 === 2)), wh, 2L),
+        "the re-crawl batch must fold")
+      require(ci.read(s, wh)
+        .filter(col("batch") === 2).count() == 0L,
+        "a re-crawl of seen (incl. taken-down) URLs must land nothing")
+      val beforePurge = ci.read(s, wh).orderBy(col("doc_id"))
+        .collect().toSeq.map(_.toSeq)
+      ci.purge(s, wh)
+      require(s.read.parquet(s"$wh/corpus")
+        .filter(col("doc_id") % 5 === 1).count() == 0L,
+        "purge must reclaim tombstoned rows physically")
+      require(ci.read(s, wh).orderBy(col("doc_id"))
+        .collect().toSeq.map(_.toSeq) == beforePurge,
+        "purge is physical only — every surviving row bit-identical")
+      require(ci.delete(s, wh, victims(2L)) > 0,
+        "the post-purge delete batch must land")
+      ci.read(s, wh)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("margin_micro"), col("lr_micro"), col("n_tokens"),
+          col("tok_before"), col("start_seq"), col("end_seq"),
+          col("batch").cast(LongType).as("batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH m AS (SELECT del_epoch FROM read_parquet(
+          '/root/repo/target/graft_corpus/q199/delmeta/*.parquet')),
+        tomb AS (SELECT DISTINCT t.doc_id FROM read_parquet(
+            '/root/repo/target/graft_corpus/q199/tombstones/*/*.parquet',
+            hive_partitioning = true) t, m
+          WHERE t.epoch <= m.del_epoch)
+      SELECT doc_id, source, lang, margin_micro, lr_micro,
+        n_tokens, tok_before, start_seq, end_seq,
+        CAST(batch AS BIGINT) AS batch
+      FROM read_parquet(
+        '/root/repo/target/graft_corpus/q199/corpus/*/*.parquet',
+        hive_partitioning = true)
+      WHERE doc_id NOT IN (SELECT doc_id FROM tomb)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
     q111ScopedMerge, q114DayMerge, q118Retention, q168IncrementalCorpus,
-    q189IngestFunnel, q195CorpusAsof)
+    q189IngestFunnel, q195CorpusAsof, q199CorpusDelete)
 }

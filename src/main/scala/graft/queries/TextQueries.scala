@@ -3400,6 +3400,159 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q197IndexDelete = Q("q197_index_delete",
+    // TOMBSTONE DELETES for the text index (InvertedIndex.delete) —
+    // the takedown/opt-out lever: a deletion request must leave the
+    // serving index NOW, not at the next rebuild. LSM-style logical
+    // deletion (Lucene's liveDocs): ids land as epoch generations
+    // under tombstones/, resolved against the doc-keyed docs/ sidecar
+    // (never a postings scan — postings are term-keyed), the BM25
+    // globals adjust through the corpus-row commit point, and every
+    // search path anti-joins the |deletes|-bounded set broadcast-side.
+    // The contract under gate: served scores after a delete are
+    // BIT-IDENTICAL to an index REBUILT from scratch without the
+    // deleted docs (require-pinned below against a real rebuild —
+    // catching a globals-adjustment bug that a persisted-state oracle
+    // alone would replicate rather than catch); replays are 0-count
+    // no-ops; full compaction PURGES tombstoned rows physically while
+    // serving identically. A second delete lands after the compact so
+    // the final persisted state holds live tombstones the oracle's
+    // NOT-IN must actually apply (epoch ≤ del_epoch, the commit
+    // guard). TombstoneSpec pins the crash window, the tiered-merge
+    // purge split, and the rollback interplay.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q197"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = graft.ops.InvertedIndex
+      ix.build(s, docs.filter(col("doc_id") % 3 =!= 0), wh)
+      ix.addBatch(s, docs.filter(col("doc_id") % 3 === 0), wh, 1L)
+      import s.implicits._
+      def victims(m: Long) =
+        docs.filter(col("doc_id") % 7 === m).select(col("doc_id"))
+      val n1 = ix.delete(s, wh, victims(3L))
+      require(n1 > 0, "the first delete batch must land")
+      require(ix.delete(s, wh, victims(3L)) == 0L,
+        "a replayed delete must be a 0-count no-op")
+      def snap(): Seq[Seq[Any]] =
+        ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+          .collect().toSeq.map(_.toSeq)
+      val beforeCompact = snap()
+      ix.compact(s, wh)
+      require(s.read.parquet(s"$wh/postings")
+        .filter(col("doc_id") % 7 === 3).count() == 0L,
+        "full compaction must purge tombstoned rows physically")
+      require(snap() == beforeCompact,
+        "the purge is physical only — serving must not move")
+      require(ix.delete(s, wh, victims(5L)) > 0,
+        "the post-compact delete batch must land")
+      // ground-truth equivalence: a from-scratch index on live docs
+      // serves bit-identically (globals, df, every micro score)
+      val rebuilt = "/root/repo/target/graft_invidx/q197_rebuild"
+      ix.build(s, docs.filter(col("doc_id") % 7 =!= 3 &&
+        col("doc_id") % 7 =!= 5), rebuilt)
+      val got = snap()
+      require(got == ix.search(s, rebuilt,
+          Seq("spark", "query", "merge"), 20)
+          .collect().toSeq.map(_.toSeq),
+        "served-with-tombstones must equal rebuilt-without-deleted")
+      ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+    },
+    Some("""WITH c AS (SELECT n_docs,
+            CAST(sum_dl AS DOUBLE) / n_docs AS avgdl, del_epoch
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q197/corpus/*.parquet')),
+        tomb AS (SELECT DISTINCT t.doc_id FROM read_parquet(
+            '/root/repo/target/graft_invidx/q197/tombstones/*/*.parquet',
+            hive_partitioning = true) t, c
+          WHERE t.epoch <= c.del_epoch),
+        p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+            '/root/repo/target/graft_invidx/q197/postings/*/*/*.parquet')
+          WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+        q AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('spark', 'query', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
+  val q200BooleanSearch = Q("q200_boolean_search",
+    // BOOLEAN RETRIEVAL (InvertedIndex.booleanSearch) + DELETE BY
+    // QUERY (deleteByQuery) — the Lucene BooleanQuery surface the
+    // index still lacked: MUST terms gate (all present), MUST_NOT
+    // terms exclude, SHOULD terms only add score; ranking is q157's
+    // exact BM25 micro-unit sum over the must++should terms each
+    // candidate contains. Gates as doc-keyed joins bounded by the
+    // candidate postings (≤ |terms| pruned bucket dirs — the corpus
+    // is never scanned; every join side is df-bounded). The
+    // degenerate form is require-pinned ≡ plain search
+    // (must=∅, mustNot=∅). deleteByQuery — the Lucene/ES takedown
+    // verb ("delete everything mentioning X") — resolves its match
+    // set from the index itself and feeds q197's tombstone path,
+    // inheriting the exactly-once epoch commit (replay-pinned to 0).
+    // The final boolean search serves with the tombstones live, and
+    // the oracle replays the FULL boolean plan (score terms, MUST
+    // gate, MUST_NOT anti-join, tombstone NOT-IN behind the committed
+    // del_epoch) from the persisted index parquet.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q200"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = graft.ops.InvertedIndex
+      ix.build(s, docs.filter(col("doc_id") % 3 =!= 0), wh)
+      ix.addBatch(s, docs.filter(col("doc_id") % 3 === 0), wh, 1L)
+      val ts = Seq("spark", "query", "merge")
+      require(ix.booleanSearch(s, wh, Nil, ts, Nil, 20)
+          .collect().toSeq.map(_.toSeq) ==
+        ix.search(s, wh, ts, 20).collect().toSeq.map(_.toSeq),
+        "an all-SHOULD boolean query must reduce to plain search")
+      val n = ix.deleteByQuery(s, wh,
+        must = Seq("vector", "stream", "dup"))
+      require(n > 0, "the delete-by-query must match documents")
+      require(ix.deleteByQuery(s, wh,
+          must = Seq("vector", "stream", "dup")) == 0L,
+        "a replayed delete-by-query must be a 0-count no-op")
+      ix.booleanSearch(s, wh, must = Seq("spark", "query"),
+        should = Seq("merge"), mustNot = Seq("hash"), k = 20)
+    },
+    Some("""WITH c AS (SELECT n_docs,
+            CAST(sum_dl AS DOUBLE) / n_docs AS avgdl, del_epoch
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q200/corpus/*.parquet')),
+        tomb AS (SELECT DISTINCT t.doc_id FROM read_parquet(
+            '/root/repo/target/graft_invidx/q200/tombstones/*/*.parquet',
+            hive_partitioning = true) t, c
+          WHERE t.epoch <= c.del_epoch),
+        p AS (SELECT term, doc_id, tf, dl FROM read_parquet(
+            '/root/repo/target/graft_invidx/q200/postings/*/*/*.parquet')
+          WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+        sc AS (SELECT p.*, c.n_docs, c.avgdl FROM p, c
+          WHERE term IN ('spark', 'query', 'merge')),
+        w AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM sc),
+        mustok AS (SELECT doc_id FROM p
+          WHERE term IN ('spark', 'query')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        excl AS (SELECT DISTINCT doc_id FROM p WHERE term = 'hash'),
+        t AS (SELECT w.doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM w
+          JOIN mustok ON mustok.doc_id = w.doc_id
+          WHERE w.doc_id NOT IN (SELECT doc_id FROM excl))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
   val q192LangidPredict = Q("q192_langid_predict",
     // REAL language identification (NaiveBayes.trainMulti/scoreMulti
     // over char trigrams — Cavnar & Trenkle 1994's n-gram text
@@ -4111,5 +4264,6 @@ object TextQueries {
     q171AutoCompact, q173MaxscoreTopk, q176DhashNeardup, q177MixturePlan,
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
     q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
-    q192LangidPredict, q196InvidxRollback)
+    q192LangidPredict, q196InvidxRollback, q197IndexDelete,
+    q200BooleanSearch)
 }

@@ -1541,6 +1541,232 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q198VectorDelete = Q("q198_vector_delete",
+    // TOMBSTONE DELETES for the PQ/ADC vector warehouse
+    // (AdcIngest.delete) — q197's vector twin, completing the delete
+    // lever across both index kinds: an embedding derived from
+    // deleted/opted-out content must leave the SERVING index now, not
+    // at the next re-bootstrap (vector stores call this the forget
+    // path). Logical deletion: validated ids land as epoch generations
+    // under tombstones/, committed LAST through the meta row's
+    // del_epoch; index()/readAsOf anti-join the |deletes|-bounded set
+    // broadcast-side, so every served search behaves as if the vectors
+    // were never ingested; full compaction PURGES the rows physically
+    // while serving identically (require-pinned). A second delete
+    // lands after the compact so the final state holds live tombstones
+    // the oracle's NOT-IN must actually apply. The oracle replays the
+    // FULL serving path (probe-route → LUT ADC scan → exact rerank)
+    // from the persisted models + index + tombstones + meta.
+    // TombstoneSpec pins the crash window, exactly-once replays, and
+    // the rollback interplay.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val wh = "/root/repo/target/graft_adc/q198"
+      val ai = graft.ops.AdcIngest
+      ai.bootstrap(s, e.filter(col("vec_id") % 5 =!= 0), wh,
+        k = 16, m = 8, ks = 16)
+      require(ai.append(s, e.filter(col("vec_id") % 5 === 0), wh, 1L),
+        "batch 1 must land")
+      def victims(m: Long) = e.filter(col("vec_id") % 9 === m)
+        .select(col("vec_id"))
+      require(ai.delete(s, wh, victims(2L)) > 0,
+        "the first delete batch must land")
+      require(ai.delete(s, wh, victims(2L)) == 0L,
+        "a replayed delete must be a 0-count no-op")
+      require(ai.index(s, wh).filter(col("vec_id") % 9 === 2)
+        .limit(1).count() == 0L,
+        "tombstoned vectors must never serve")
+      ai.compact(s, wh)
+      require(s.read.parquet(s"$wh/index")
+        .filter(col("vec_id") % 9 === 2).count() == 0L,
+        "full compaction must purge tombstoned rows physically")
+      require(ai.delete(s, wh, victims(4L)) > 0,
+        "the post-compact delete batch must land")
+      val cents = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 3), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcSearch(ai.index(s, wh), pl, topC = 12)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q198/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q198/codebooks/*.parquet')),
+        m AS (SELECT del_epoch FROM read_parquet(
+          '/root/repo/target/graft_adc/q198/meta/*.parquet')),
+        tomb AS (SELECT DISTINCT t.vec_id FROM read_parquet(
+            '/root/repo/target/graft_adc/q198/tombstones/*/*.parquet',
+            hive_partitioning = true) t, m
+          WHERE t.epoch <= m.del_epoch),
+        idx AS (SELECT vec_id, cluster_id, codes, vn FROM read_parquet(
+            '/root/repo/target/graft_adc/q198/index/*/*.parquet')
+          WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 4),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 3),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 12),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  val q201FilteredAnn = Q("q201_filtered_ann",
+    // FILTERED VECTOR SEARCH — top-k under a metadata predicate
+    // ("nearest neighbors among label=2 vectors"), the workhorse
+    // vector-store feature plain ANN lacks: post-filtering a top-k
+    // list starves recall when the predicate is selective, and a
+    // query-time join of an attribute table against the index is a
+    // corpus-scale shuffle. The engine answer: attributes ride IN the
+    // index rows (AdcIngest meta passthrough — bootstrap/append carry
+    // chosen vector columns through encode into every generation, a
+    // pure projection with zero extra exchanges), so the predicate
+    // becomes a MAP-SIDE FILTER on the partition-pruned compressed
+    // scan itself, BEFORE the ADC top-C window — candidate selection
+    // is then exact with respect to the filtered population (the
+    // pre-filtering design of production IVF stores). Serving path:
+    // probe-route nprobe=3 → filter label=2 → LUT ADC top-12 → exact
+    // rerank top-3. The oracle replays the FULL path from the
+    // persisted models + index parquet with the same WHERE label=2 on
+    // the index CTE — metadata included, because the metadata is IN
+    // the persisted index. AdcIngestSpec pins the passthrough
+    // round-trip and the generation schema-consistency refusal.
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          norm(col("embedding")).as("nrm"))
+      val wh = "/root/repo/target/graft_adc/q201"
+      val ai = graft.ops.AdcIngest
+      ai.bootstrap(s,
+        e.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("label")),
+        wh, k = 16, m = 8, ks = 16, meta = Seq("label"))
+      require(ai.append(s,
+        e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("embedding"), col("label")),
+        wh, 1L, meta = Seq("label")), "batch 1 must land")
+      val cents = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+      import s.implicits._
+      val cdf = cents.toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 3), cdf, cbSeq)
+      // the predicate lands on the compressed scan BEFORE the top-C
+      // window — candidates are exact w.r.t. the filtered population
+      val cand = graft.ops.Pq.adcSearch(
+        ai.index(s, wh).filter(col("label") === 2), pl, topC = 12)
+      graft.ops.IvfPq.rerank(cand, e, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q201/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q201/codebooks/*.parquet')),
+        idx AS (SELECT vec_id, cluster_id, codes, vn FROM read_parquet(
+            '/root/repo/target/graft_adc/q201/index/*/*.parquet')
+          WHERE label = 2),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 4),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 3),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, i.vec_id, s.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[s.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN idx i ON i.cluster_id = p.cluster_id
+            AND i.vec_id <> p.query_id,
+            (SELECT unnest(range(0, 8)) AS sub) s
+          JOIN cb b ON b.sub = s.sub
+            AND b.code_id = i.codes[s.sub + 1]),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN idx v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 12),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val q193SemanticDecon = Q("q193_semantic_decon",
     // SEMANTIC (embedding-level) eval-set decontamination, served from
     // the PQ/ADC index (verdict #4): q72/q178 remove n-gram overlap,
@@ -2356,6 +2582,7 @@ object VectorQueries {
     q99EmbedLsh, q130QuantizeEmbed, q141SemDedup, q148IncrementalIvf,
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
     q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
-    q191AdcTiered, q193SemanticDecon, q194RecallDrift,
-    q181MmrDiversify, q183RetrievalMetrics, q184WarehouseRrf)
+    q191AdcTiered, q193SemanticDecon, q194RecallDrift, q198VectorDelete,
+    q201FilteredAnn, q181MmrDiversify, q183RetrievalMetrics,
+    q184WarehouseRrf)
 }

@@ -528,6 +528,51 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming TAKEDOWN maintainer: each micro-batch of deletion
+    * requests (a one-column id frame) tombstones the target warehouse
+    * through its delete() — `kind` picks the warehouse family:
+    * "invidx" (`InvertedIndex.delete`, id column doc_id), "adc"
+    * (`AdcIngest.delete`, vec_id), "corpus" (`CorpusIngest.delete`,
+    * doc_id). Unlike the append maintainers above, deletes are
+    * idempotent by CONTENT, not by batch id: a replayed request finds
+    * itself already tombstoned and counts zero, the epoch advances
+    * only for genuinely new ids, and a crash between the tombstone
+    * write and the commit row heals on the next request. Restarts,
+    * replays — and even a FRESH checkpoint over the same request
+    * log — are therefore all safe, which is why this maintainer does
+    * NOT need the checkpoint-identity guard the id-addressed append
+    * maintainers require.
+    */
+  def runDeleteStreamAvailableNow(spark: SparkSession, srcDir: String,
+                                  warehouseDir: String,
+                                  checkpointDir: String,
+                                  kind: String): StreamingQuery = {
+    require(Set("invidx", "adc", "corpus").contains(kind),
+      s"unknown warehouse kind '$kind' (invidx | adc | corpus)")
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        kind match {
+          case "invidx" =>
+            graft.ops.InvertedIndex.delete(s,
+              warehouseDir, batch.select("doc_id"))
+          case "adc" =>
+            graft.ops.AdcIngest.delete(s,
+              warehouseDir, batch.select("vec_id"))
+          case _ =>
+            graft.ops.CorpusIngest.delete(s,
+              warehouseDir, batch.select("doc_id"))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Pin the warehouse at `stateRoot` to the checkpoint lifetime that
     * first maintained it (stored as a one-row table at
     * `stateRoot/ckpt`); refuse any other checkpoint — a fresh one

@@ -1353,6 +1353,84 @@ object Stress {
       }
     }
 
+    // ---- Tombstone-delete cost at scale (q197/q198/q199 shape):  ----
+    // ---- build on `rows` docs (rows/10 vectors), delete 1%, and  ----
+    // ---- measure the served search before/after (the broadcast   ----
+    // ---- anti-join tax), the delete itself (doc-keyed sidecar    ----
+    // ---- resolve + epoch write — never a postings scan), the     ----
+    // ---- replayed no-op, and the compaction purge. Run with      ----
+    // ---- `Stress 1000000 deletes`; BASELINE.md records 1M.       ----
+    val delLabels = Seq("deletes invidx", "deletes adc")
+    if (delLabels.exists(wanted)) {
+      def msOf[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e6)
+      }
+      def delDocs(from: Long, until: Long) =
+        spark.range(from, until).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 20).map { j =>
+            concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
+              lit(50000)))
+          }: _*).as("text"))
+      time("deletes invidx") {
+        val d = s"$dir/stress_del_ix"
+        graft.ops.InvertedIndex.build(spark, delDocs(0, rows), d)
+        val terms = Seq("w17", "w42", "w133")
+        def hits() = graft.ops.InvertedIndex
+          .search(spark, d, terms, 10).collect().toSeq.map(_.toSeq)
+        val (_, tBase) = msOf(hits())
+        val victims = spark.range(rows).select(col("id").as("doc_id"))
+          .filter(col("doc_id") % 100 === 7)
+        val (nDel, tDel) = msOf(
+          graft.ops.InvertedIndex.delete(spark, d, victims))
+        require(nDel > 0, "delete phase found nothing to delete")
+        val (after, tAfter) = msOf(hits())
+        require(after.forall(r => r.head.asInstanceOf[Long] % 100 != 7L),
+          "a tombstoned doc served")
+        val (nReplay, tReplay) = msOf(
+          graft.ops.InvertedIndex.delete(spark, d, victims))
+        require(nReplay == 0L, "replayed delete must be a no-op")
+        val (_, tPurge) = msOf(graft.ops.InvertedIndex.compact(spark, d))
+        val (afterPurge, tAfterP) = msOf(hits())
+        require(afterPurge == after, "the purge changed serving")
+        println(f"[stress] deletes invidx: search base=$tBase%.0f ms " +
+          f"tombstoned=$tAfter%.0f ms purged=$tAfterP%.0f ms; " +
+          f"delete(1%%=$nDel%,d)=$tDel%.0f ms replay=$tReplay%.0f ms " +
+          f"purge=$tPurge%.0f ms")
+        nDel
+      }
+      time("deletes adc") {
+        val d = s"$dir/stress_del_adc"
+        val nVec = rows / 10
+        def dVecs(from: Long, until: Long) =
+          spark.range(from, until).select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              (pmod(hash(col("id") * 13L + j), lit(1000))
+                .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+                .cast(org.apache.spark.sql.types.FloatType))
+              .as("embedding"))
+        graft.ops.AdcIngest.bootstrap(spark, dVecs(0, nVec), d,
+          k = 64, m = 8, ks = 16,
+          trainOn = Some(dVecs(0, math.min(nVec, 100000L))))
+        val victims = spark.range(nVec).select(col("id").as("vec_id"))
+          .filter(col("vec_id") % 100 === 7)
+        def served() = graft.ops.AdcIngest.index(spark, d).count()
+        val (nBase, tBase) = msOf(served())
+        val (nDel, tDel) = msOf(
+          graft.ops.AdcIngest.delete(spark, d, victims))
+        require(nDel > 0, "delete phase found nothing to delete")
+        val (nAfter, tAfter) = msOf(served())
+        require(nAfter == nBase - nDel, "served count must drop by nDel")
+        val (_, tPurge) = msOf(graft.ops.AdcIngest.compact(spark, d))
+        require(served() == nAfter, "the purge changed serving")
+        println(f"[stress] deletes adc: scan base=$tBase%.0f ms " +
+          f"tombstoned=$tAfter%.0f ms; delete(1%%=$nDel%,d)=$tDel%.0f ms " +
+          f"purge=$tPurge%.0f ms")
+        nDel
+      }
+    }
+
     // ---- ANN recall drift vs generation (q194 shape) at scale:   ----
     // ---- bootstrap rows/2 vectors, append rows/4 in-distribution ----
     // ---- (gen 1), append rows/4 REVERSED (gen 2 — drift the      ----

@@ -189,4 +189,38 @@ class AdcIngestSpec extends SparkSpec {
     assert(AdcIngest.append(spark, vecs(64, 80), dir, 1L))
     assert(rows(dir).keySet == (0L until 80L).toSet)
   }
+
+  test("meta passthrough: attributes ride in the index rows; a " +
+      "schema-diverging append is refused") {
+    val dir = tmp()
+    val tagged = vecs(0, 96)
+      .withColumn("label", pmod(col("vec_id"), lit(5)).cast(LongType))
+    AdcIngest.bootstrap(spark, tagged, dir, k = 4, m = 2, ks = 4,
+      meta = Seq("label"))
+    assert(AdcIngest.append(spark,
+      vecs(96, 128).withColumn("label",
+        pmod(col("vec_id"), lit(5)).cast(LongType)),
+      dir, 1L, meta = Seq("label")))
+    // round-trip: every served row carries its source attribute
+    val got = AdcIngest.index(spark, dir)
+      .select(col("vec_id"), col("label")).as[(Long, Long)]
+      .collect().toMap
+    assert(got.size == 128 && got.forall { case (v, l) => l == v % 5 })
+    // the attribute is a pure payload: codes/vn identical to an
+    // untagged encode under the same models
+    val plain = AdcIngest.encodeBatch(spark, vecs(0, 128), dir)
+      .select(col("vec_id"), col("vn")).as[(Long, Double)].collect().toMap
+    val taggedVn = AdcIngest.index(spark, dir)
+      .select(col("vec_id"), col("vn")).as[(Long, Double)].collect().toMap
+    assert(taggedVn == plain)
+    // filtered serving: the predicate lands before any window
+    assert(AdcIngest.index(spark, dir).filter(col("label") === 2)
+      .select(col("vec_id")).as[Long].collect()
+      .forall(_ % 5 == 2))
+    // a generation that would not reproduce the schema is refused
+    val e = intercept[IllegalArgumentException] {
+      AdcIngest.append(spark, vecs(128, 160), dir, 2L)
+    }
+    assert(e.getMessage.contains("index schema"))
+  }
 }
