@@ -3553,6 +3553,120 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q202WarehouseStats = Q("q202_warehouse_stats",
+    // WAREHOUSE HEALTH STATS (ops/WarehouseStats) — the day-2
+    // observability surface every production index ships (Lucene
+    // segment stats, RocksDB level summaries), unified across the
+    // index family: per warehouse one row of exact integers —
+    // generations, physical rows, committed tombstone-ledger size,
+    // PURGE BACKLOG (rows on disk belonging to deleted docs — the
+    // bytes the next compaction reclaims), and MERGE_CANDIDATES (the
+    // size of the tiered-merge set the SegmentCompaction policy would
+    // fire on right now; 0 = no maintenance due). This is the frame a
+    // maintenance runner drives compaction/purge decisions from
+    // without ever opening the trees by hand. Lifecycle under gate:
+    // the text index takes q190's shape (bootstrap + two small
+    // appends → the policy IS due, merge_candidates = 2) plus a
+    // delete; the vector warehouse takes the same shape plus a
+    // delete. The oracle re-derives all eight columns per warehouse
+    // from the persisted trees alone — including the size-tiered
+    // policy itself, replayed in SQL as suffix sums over per-
+    // generation counts (settled ⇔ n ≥ ratio × newer total, the
+    // newest never settled, fire iff ≥ minMerge candidates).
+    (s, d) => {
+      val ixWh = "/root/repo/target/graft_invidx/q202"
+      val adcWh = "/root/repo/target/graft_adc/q202"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = graft.ops.InvertedIndex
+      ix.build(s, docs.filter(col("doc_id") % 20 < 16), ixWh)
+      ix.addBatch(s, docs.filter(col("doc_id") % 20 === 16), ixWh, 1L)
+      ix.addBatch(s, docs.filter(col("doc_id") % 20 === 17), ixWh, 2L)
+      require(ix.delete(s, ixWh,
+        docs.filter(col("doc_id") % 11 === 3).select(col("doc_id"))) > 0)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val ai = graft.ops.AdcIngest
+      ai.bootstrap(s, e.filter(col("vec_id") % 20 < 16), adcWh,
+        k = 16, m = 8, ks = 16)
+      require(ai.append(s, e.filter(col("vec_id") % 20 === 16), adcWh, 1L))
+      require(ai.append(s, e.filter(col("vec_id") % 20 === 17), adcWh, 2L))
+      require(ai.delete(s, adcWh,
+        e.filter(col("vec_id") % 9 === 2).select(col("vec_id"))) > 0)
+      val st = graft.ops.WarehouseStats.invidx(s, ixWh)
+        .unionByName(graft.ops.WarehouseStats.adc(s, adcWh))
+        .orderBy(col("kind"))
+      val m = st.collect().map(r =>
+        r.getAs[String]("kind") -> r.getAs[Long]("merge_candidates")).toMap
+      require(m("invidx") == 2L && m("adc") == 2L,
+        "two small appends over a settled bootstrap must show the " +
+          "tiered policy as due on both warehouses")
+      st
+    },
+    Some("""WITH ic AS (SELECT last_batch, del_epoch FROM read_parquet(
+          '/root/repo/target/graft_invidx/q202/corpus/*.parquet')),
+        ig AS (SELECT CAST(batch AS BIGINT) AS b, count(*) AS n
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q202/postings/*/*/*.parquet',
+            hive_partitioning = true)
+          WHERE batch <= (SELECT last_batch FROM ic) GROUP BY 1),
+        itomb AS (SELECT DISTINCT t.doc_id FROM read_parquet(
+            '/root/repo/target/graft_invidx/q202/tombstones/*/*.parquet',
+            hive_partitioning = true) t
+          WHERE t.epoch <= (SELECT del_epoch FROM ic)),
+        istats AS (SELECT 'invidx' AS kind,
+          (SELECT last_batch FROM ic) AS last_batch,
+          (SELECT del_epoch FROM ic) AS del_epoch,
+          (SELECT count(*) FROM ig) AS generations,
+          (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM ig)
+            AS rows_total,
+          (SELECT count(*) FROM itomb) AS tombstoned_docs,
+          (SELECT count(*) FROM read_parquet(
+              '/root/repo/target/graft_invidx/q202/postings/*/*/*.parquet',
+              hive_partitioning = true) p
+            WHERE p.batch <= (SELECT last_batch FROM ic)
+              AND p.doc_id IN (SELECT doc_id FROM itomb))
+            AS purge_backlog_rows,
+          (SELECT CAST(CASE WHEN c >= 2 THEN c ELSE 0 END AS BIGINT)
+            FROM (SELECT count(*) AS c FROM ig
+              WHERE b > COALESCE((SELECT max(g.b) FROM ig g
+                WHERE g.b < (SELECT max(b) FROM ig)
+                  AND g.n >= 4.0 * (SELECT sum(n) FROM ig x
+                    WHERE x.b > g.b)), -1)))
+            AS merge_candidates),
+        ac AS (SELECT last_batch, del_epoch FROM read_parquet(
+          '/root/repo/target/graft_adc/q202/meta/*.parquet')),
+        ag AS (SELECT CAST(batch AS BIGINT) AS b, count(*) AS n
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q202/index/*/*.parquet',
+            hive_partitioning = true)
+          WHERE batch <= (SELECT last_batch FROM ac) GROUP BY 1),
+        atomb AS (SELECT DISTINCT t.vec_id FROM read_parquet(
+            '/root/repo/target/graft_adc/q202/tombstones/*/*.parquet',
+            hive_partitioning = true) t
+          WHERE t.epoch <= (SELECT del_epoch FROM ac)),
+        astats AS (SELECT 'adc' AS kind,
+          (SELECT last_batch FROM ac) AS last_batch,
+          (SELECT del_epoch FROM ac) AS del_epoch,
+          (SELECT count(*) FROM ag) AS generations,
+          (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM ag)
+            AS rows_total,
+          (SELECT count(*) FROM atomb) AS tombstoned_docs,
+          (SELECT count(*) FROM read_parquet(
+              '/root/repo/target/graft_adc/q202/index/*/*.parquet',
+              hive_partitioning = true) p
+            WHERE p.batch <= (SELECT last_batch FROM ac)
+              AND p.vec_id IN (SELECT vec_id FROM atomb))
+            AS purge_backlog_rows,
+          (SELECT CAST(CASE WHEN c >= 2 THEN c ELSE 0 END AS BIGINT)
+            FROM (SELECT count(*) AS c FROM ag
+              WHERE b > COALESCE((SELECT max(g.b) FROM ag g
+                WHERE g.b < (SELECT max(b) FROM ag)
+                  AND g.n >= 4.0 * (SELECT sum(n) FROM ag x
+                    WHERE x.b > g.b)), -1)))
+            AS merge_candidates)
+      SELECT * FROM istats UNION ALL SELECT * FROM astats
+      ORDER BY kind"""))
+
   val q192LangidPredict = Q("q192_langid_predict",
     // REAL language identification (NaiveBayes.trainMulti/scoreMulti
     // over char trigrams — Cavnar & Trenkle 1994's n-gram text
@@ -4265,5 +4379,5 @@ object TextQueries {
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
     q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
     q192LangidPredict, q196InvidxRollback, q197IndexDelete,
-    q200BooleanSearch)
+    q200BooleanSearch, q202WarehouseStats)
 }

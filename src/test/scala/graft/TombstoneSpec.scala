@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.etl.Load
-import graft.ops.{AdcIngest, CorpusIngest, InvertedIndex}
+import graft.ops.{AdcIngest, CorpusIngest, InvertedIndex, WarehouseStats}
 
 /** Tombstone deletes (InvertedIndex.delete / AdcIngest.delete) — the
   * takedown/opt-out lever of the warehouse-index family: logical
@@ -418,6 +418,45 @@ class TombstoneSpec extends SparkSpec {
       .collect().toSeq.map(_.toSeq) == served)
     // tombstones retained: replays still no-ops after the purge
     assert(CorpusIngest.delete(spark, dir, idsDf(Seq(1L, 10L))) == 0L)
+  }
+
+  test("warehouse stats: exact integers, purge backlog drains, the " +
+      "tiered policy signal matches mergeSet") {
+    // corpus kind over the planted fixture (closed-form numbers)
+    val cd = tmp("stats_corpus")
+    bootCorpus(cd)
+    assert(CorpusIngest.delete(spark, cd, idsDf(Seq(1L, 10L))) == 2L)
+    def statRow(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.head().toSeq
+    assert(statRow(WarehouseStats.corpus(spark, cd)) ==
+      Seq("corpus", 1L, 1L, 2L, 6L, 2L, 2L, 0L))
+    CorpusIngest.purge(spark, cd)
+    assert(statRow(WarehouseStats.corpus(spark, cd)) ==
+      Seq("corpus", 1L, 1L, 2L, 4L, 2L, 0L, 0L),
+      "purge must drain the backlog; the ledger stays")
+    // invidx kind: generations/tombstones/merge signal
+    val ix = tmp("stats_ix")
+    InvertedIndex.build(spark, docs(0, 4000), ix)
+    InvertedIndex.addBatch(spark, docs(4000, 4200), ix, 1L)
+    InvertedIndex.addBatch(spark, docs(4200, 4400), ix, 2L)
+    assert(InvertedIndex.delete(spark, ix, idsDf(Seq(5L, 4100L))) == 2L)
+    val r = WarehouseStats.invidx(spark, ix).head()
+    assert(r.getAs[String]("kind") == "invidx" &&
+      r.getAs[Long]("generations") == 3L &&
+      r.getAs[Long]("tombstoned_docs") == 2L &&
+      r.getAs[Long]("merge_candidates") == 2L)
+    assert(r.getAs[Long]("purge_backlog_rows") > 0L)
+    // the merge fires, the signal clears, backlog shrinks by exactly
+    // the merged tail's tombstoned rows
+    assert(InvertedIndex.tieredCompact(spark, ix, ratio = 4.0) ==
+      Seq(1L, 2L))
+    val r2 = WarehouseStats.invidx(spark, ix).head()
+    assert(r2.getAs[Long]("generations") == 2L &&
+      r2.getAs[Long]("merge_candidates") == 0L &&
+      r2.getAs[Long]("tombstoned_docs") == 2L)
+    assert(r2.getAs[Long]("purge_backlog_rows") <
+      r.getAs[Long]("purge_backlog_rows"),
+      "the merged tail's tombstoned rows must leave the backlog")
   }
 
   test("corpus delete crash window heals; rollback keeps tombstones " +
