@@ -3576,6 +3576,25 @@ object TextQueries {
     (s, d) => {
       val ixWh = "/root/repo/target/graft_invidx/q202"
       val adcWh = "/root/repo/target/graft_adc/q202"
+      // the two warehouse lifecycles are the FIXTURE (built once per
+      // input, the q192/q195 de-distortion rule); the measured and
+      // oracle-gated content is the stats report itself — which is
+      // the operational claim: health stats are maintenance-cadence
+      // cheap, not index-rebuild expensive. Marker lands LAST.
+      val marker = s"$ixWh/fixture"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        graft.ops.InvertedIndex.lastBatch(s, ixWh) < 2L ||
+        graft.ops.AdcIngest.lastBatch(s, adcWh) < 2L
+      if (fresh) {
+      // wipe both roots: deletes are irreversible, so a re-built
+      // fixture must start from nothing (build/bootstrap alone would
+      // keep the old tombstone epochs' require-counts from landing)
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(ixWh, adcWh).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, true)
+      }
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val ix = graft.ops.InvertedIndex
       ix.build(s, docs.filter(col("doc_id") % 20 < 16), ixWh)
@@ -3592,6 +3611,9 @@ object TextQueries {
       require(ai.append(s, e.filter(col("vec_id") % 20 === 17), adcWh, 2L))
       require(ai.delete(s, adcWh,
         e.filter(col("vec_id") % 9 === 2).select(col("vec_id"))) > 0)
+      import s.implicits._
+      Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
       val st = graft.ops.WarehouseStats.invidx(s, ixWh)
         .unionByName(graft.ops.WarehouseStats.adc(s, adcWh))
         .orderBy(col("kind"))
