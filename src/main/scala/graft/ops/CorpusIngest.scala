@@ -214,6 +214,11 @@ object CorpusIngest {
     require(batchId >= 1, "batch ids start at 1 (0 is the bootstrap)")
     require(batch.columns.toSeq == CrawlCols,
       s"ingest batch must be $CrawlCols, got ${batch.columns.toSeq}")
+    // heal a crashed purge swap BEFORE writing: with the corpus tree
+    // sitting only in __old, writeBatch would recreate corpus/ holding
+    // just this batch and the next heal would delete __old — every
+    // prior generation — while state still claimed they landed
+    heal(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.ingest: no warehouse at $dir")
     if (batchId <= last) return false
@@ -331,6 +336,7 @@ object CorpusIngest {
              landedBatch: Long): DataFrame = {
     require(batch.columns.toSeq == CrawlCols,
       s"funnel batch must be $CrawlCols, got ${batch.columns.toSeq}")
+    heal(spark, dir)
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val stateRows: Map[String, Long] =
       Load.readTable(spark, s"$dir/state").getOrElse(
@@ -411,10 +417,22 @@ object CorpusIngest {
         .filter(col("epoch") <= epoch).select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
 
+  /** Heal a [[purge]] that crashed between atomicSwap's two renames —
+    * called by EVERY corpus-tree entry point (the addBatch/append
+    * hazard): with the tree sitting only in `corpus.__old`, a write
+    * path would otherwise recreate `corpus/` holding just its own
+    * batch, and the NEXT heal — seeing both dirs — would delete
+    * `__old` and with it every prior generation, while the state
+    * table still claimed they landed.
+    */
+  private def heal(spark: SparkSession, dir: String): Unit =
+    Load.recoverSwap(spark, s"$dir/corpus")
+
   /** The served packed corpus across all generations, minus tombstoned
     * documents — what a training-shard writer consumes.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    heal(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.read: no warehouse at $dir")
     liveRows(spark, dir, delEpoch(spark, dir))(
@@ -457,6 +475,7 @@ object CorpusIngest {
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
     import spark.implicits._
+    heal(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.delete: no warehouse at $dir")
     val e0 = delEpoch(spark, dir)
@@ -496,7 +515,7 @@ object CorpusIngest {
     */
   def purge(spark: SparkSession, dir: String): Unit = {
     val corpusDir = s"$dir/corpus"
-    Load.recoverSwap(spark, corpusDir)
+    heal(spark, dir)
     val staging = s"$corpusDir.__staging"
     liveRows(spark, dir, delEpoch(spark, dir))(
       spark.read.parquet(corpusDir)
@@ -518,6 +537,7 @@ object CorpusIngest {
     */
   def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
     require(batch >= 0, "as-of generations start at 0 (the bootstrap)")
+    heal(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.readAsOf: no warehouse at $dir")
     require(batch <= last,
@@ -545,6 +565,7 @@ object CorpusIngest {
     */
   def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
     require(toBatch >= 0, "cannot roll back past the bootstrap")
+    heal(spark, dir)
     require(lastBatch(spark, dir) >= toBatch,
       s"CorpusIngest.rollback: no warehouse at $dir at or above " +
         s"batch $toBatch")

@@ -459,6 +459,32 @@ class TombstoneSpec extends SparkSpec {
       "the merged tail's tombstoned rows must leave the backlog")
   }
 
+  test("corpus purge crash window: a mid-swap crash heals on every " +
+      "entry point — reads serve the full tree, ingest loses nothing") {
+    val dir = tmp("tomb_corpus_swap")
+    bootCorpus(dir)
+    assert(CorpusIngest.delete(spark, dir, idsDf(Seq(1L, 10L))) == 2L)
+    val view = CorpusIngest.read(spark, dir).orderBy(col("doc_id"))
+      .collect().toSeq.map(_.toSeq)
+    val fs = hadoopFs(dir)
+    // simulate purge dying between atomicSwap's two renames: the live
+    // tree sits only in corpus.__old
+    def crash(): Unit = assert(fs.rename(
+      new Path(s"$dir/corpus"), new Path(s"$dir/corpus.__old")))
+    crash()
+    assert(CorpusIngest.read(spark, dir).orderBy(col("doc_id"))
+      .collect().toSeq.map(_.toSeq) == view,
+      "read must heal the crashed swap and serve the full tree")
+    // the write path: ingest after the same crash state must heal
+    // FIRST — recreating corpus/ with just its own batch would let the
+    // next heal delete __old (every prior generation)
+    crash()
+    assert(CorpusIngest.ingest(spark,
+      crawl(Seq((30L, "A", "a30"))), dir, 2L))
+    assert(corpusIds(dir) == Set(0L, 2L, 3L, 11L, 30L),
+      "no generation may be lost across the crash-then-ingest window")
+  }
+
   test("corpus delete crash window heals; rollback keeps tombstones " +
       "and hole-aware state, re-ingest restores the exact view") {
     val dir = tmp("tomb_corpus_rb")
