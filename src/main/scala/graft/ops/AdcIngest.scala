@@ -283,16 +283,24 @@ object AdcIngest {
         val nm = q.getName
         nm.startsWith("epoch=") && nm.stripPrefix("epoch=").toLong > e0
       }.foreach(q => { fs.delete(q, true); () })
+    // materialized ONCE (eager local checkpoint): the count and the
+    // epoch write must see the SAME rows — a nondeterministic `ids`
+    // could otherwise hand each action a different victim set and the
+    // returned count would disagree with the committed ledger
+    // (InvertedIndex.delete's contract, same rationale)
     val victims = liveVecs(spark, dir, e0)(
       spark.read.parquet(s"$dir/index")
         .filter(col("batch") <= last).select(col("vec_id")))
       .join(broadcast(ids.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_semi")
+      .localCheckpoint()
     val n = victims.count()
     if (n == 0L) return 0L
-    victims.withColumn("epoch", lit(e0 + 1))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$dir/tombstones")
+    // the new epoch writes directly to its OWN dir (never an overwrite
+    // of the tombstones root a reader may hold open; the entry heal
+    // removed any crashed epoch dir > e0, so errorifexists is exact)
+    victims.write.mode("errorifexists")
+      .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
     Load.replaceTable(spark,
       Seq((last, e0 + 1)).toDF("last_batch", "del_epoch"), s"$dir/meta")
     n

@@ -138,11 +138,6 @@ object InvertedIndex {
     // a stale __tiered_old would later "heal" dead generations into
     // the fresh index
     SegmentCompaction.clearRemnants(spark, s"$dir/postings")
-    // a fresh build must not inherit a PRIOR index's tombstones at
-    // this path — they would silently delete from the new corpus
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(s"$dir/tombstones"), true)
     postings(docs).withColumn("batch", lit(0L))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
@@ -152,6 +147,18 @@ object InvertedIndex {
     Load.replaceTable(spark,
       corpusRow(docs).withColumn("last_batch", lit(0L))
         .withColumn("del_epoch", lit(0L)), s"$dir/corpus")
+    // a fresh build must not inherit a PRIOR index's tombstones at
+    // this path (they would silently delete from the new corpus) —
+    // wiped LAST, after the corpus swap: the new row carries
+    // del_epoch=0 so the stale dir is never read in the interim, and
+    // every crash point leaves a readable index. Wiping FIRST instead
+    // would break a crashed build's read-only diagnostics: the PRIOR
+    // corpus row (del_epoch > 0) would reference a missing tombstones
+    // path and every search would throw path-not-found.
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/tombstones"), true)
+    ()
   }
 
   /** Fold a batch of NEW documents under a caller-supplied id ≥ 1:
@@ -351,19 +358,33 @@ object InvertedIndex {
         val nm = q.getName
         nm.startsWith("epoch=") && nm.stripPrefix("epoch=").toLong > e0
       }.foreach(q => { fs.delete(q, true); () })
+    // materialized ONCE (eager local checkpoint): the globals aggregate
+    // and the epoch write below MUST see the same rows — with a
+    // nondeterministic `ids` (sample/limit-derived), a lazily
+    // recomputed frame could hand each action a different victim set,
+    // permanently desyncing the committed globals from the tombstone
+    // ledger. The checkpoint truncates lineage to the materialized
+    // rows (delete-request-sized), so both actions replay nothing.
     val victims = liveDocs(spark, dir, e0)(
       spark.read.parquet(s"$dir/docs")
         .filter(col("batch") <= c.getAs[Long]("last_batch"))
         .join(broadcast(ids.select(col("doc_id")).distinct()),
           Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("dl"))
+      .localCheckpoint()
     val a = victims.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("sdl")).head()
     val (n, sdl) = (a.getLong(0), a.getLong(1))
     if (n == 0L) return 0L
-    victims.withColumn("epoch", lit(e0 + 1))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$dir/tombstones")
+    // the new epoch writes DIRECTLY to its own partition dir (never an
+    // overwrite of the tombstones root the victims plan read from —
+    // the read-own-target hazard Load.swapIn documents, and a mode
+    // that depended on dynamic-overwrite staying configured). The
+    // entry heal above removed any crashed epoch dir > e0, so
+    // errorifexists is exact; readers discover `epoch` from the dir
+    // name, same as the partitionBy layout.
+    victims.write.mode("errorifexists")
+      .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
     Load.replaceTable(spark,
       Seq((c.getAs[Long]("n_docs") - n, c.getAs[Long]("sum_dl") - sdl,
         c.getAs[Long]("last_batch"), e0 + 1))
@@ -899,10 +920,15 @@ object InvertedIndex {
     val allTerms = (must ++ mustNot).distinct
     val buckets = allTerms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
-    val p = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch") <= c.getAs[Long]("last_batch") &&
-        col("bucket").isin(buckets: _*) &&
-        col("term").isin(allTerms: _*))
+    // tombstone-filtered like every serving path: already-deleted docs
+    // would re-match here and ride into delete() only to count zero —
+    // semantically harmless, but the broadcast match set would grow
+    // past its |new matches| bound on repeated overlapping takedowns
+    val p = liveDocs(spark, dir, delEpochOf(c))(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(allTerms: _*)))
     val matched = p.filter(col("term").isin(must.distinct: _*))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("term")).as("__nm"))

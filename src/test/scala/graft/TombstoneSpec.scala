@@ -119,6 +119,30 @@ class TombstoneSpec extends SparkSpec {
     assert(corpusRow(dir)(2) == 2L)
   }
 
+  test("invidx delete writes each epoch to its OWN dir — prior epochs' " +
+      "files byte-untouched, no overwrite of the tombstones root") {
+    val dir = tmp("tomb_ix_epochdir")
+    InvertedIndex.build(spark, docs(0, 200), dir)
+    assert(InvertedIndex.delete(spark, dir, idsDf(Seq(3L, 9L))) == 2L)
+    val stamps1 = graft.ops.SegmentCompaction.fileStamps(
+      spark, s"$dir/tombstones/epoch=1")
+    assert(InvertedIndex.delete(spark, dir, idsDf(Seq(4L))) == 1L)
+    // epoch 1's files are bit-for-bit the ones the first delete wrote:
+    // a root overwrite (the old dynamic-overwrite path) would have
+    // rewritten or — with the dynamic option lost — wiped them
+    assert(graft.ops.SegmentCompaction.fileStamps(
+      spark, s"$dir/tombstones/epoch=1") == stamps1,
+      "a later delete must never rewrite a prior epoch's files")
+    val fs = hadoopFs(dir)
+    assert(fs.exists(new Path(s"$dir/tombstones/epoch=2")))
+    assert(searchRows(dir) ==
+      { val r = tmp("tomb_ix_epochdir_rb")
+        InvertedIndex.build(spark,
+          docs(0, 200).filter(!col("doc_id").isin(3L, 9L, 4L)), r)
+        searchRows(r) },
+      "served results must equal a rebuild without all deleted docs")
+  }
+
   test("invidx delete crash window: a half-landed epoch is inert and " +
       "heals on the next delete") {
     val dir = tmp("tomb_ix_crash")
