@@ -14,6 +14,28 @@ object Bench {
 
   private val Passes = 3
 
+  /** The LIFECYCLE-class gates: queries whose measured pass MUTATES a
+    * persisted index/model/corpus warehouse (build / train / append /
+    * ingest / merge / delete / rollback) rather than only serving from
+    * one. The bench artifact reports this class as its own subtotal so
+    * the per-query trendline separates engine speed from gate
+    * composition — the round-11 aggregate rise was 13 new
+    * fully-charged lifecycle gates, not a regression, and the split
+    * makes that distinction a recorded number instead of a forensic
+    * argument. Serving-class = everything else (pure computation and
+    * serve-only-repeat gates behind fixture markers).
+    */
+  private val LifecycleClass: Set[String] = Set(
+    "q136_incremental_neardup", "q141_semdedup", "q148_incremental_ivf",
+    "q149_bpe_tokenize", "q150_ivf_pq", "q156_cluster_sample",
+    "q157_inverted_index", "q160_phrase_search", "q162_corpus_build",
+    "q163_pq_codebooks", "q164_proximity_search", "q167_index_compact",
+    "q168_incremental_corpus", "q170_adc_search", "q171_auto_compact",
+    "q172_adc_ingest", "q173_maxscore_topk", "q179_batch_search",
+    "q180_adc_compact", "q184_warehouse_rrf", "q190_tiered_compact",
+    "q191_adc_tiered", "q196_invidx_rollback", "q197_index_delete",
+    "q198_vector_delete", "q200_boolean_search", "q201_filtered_ann")
+
   // Single static shutdown hook over a volatile payload: repeated
   // Bench.main invocations inside one long-lived JVM must not stack
   // hooks, or at exit every prior run's stale JSON would print after
@@ -125,10 +147,25 @@ object Bench {
     val minsJson = spreads.map { case (k, (mn, _, _)) =>
       s"\"$k\":${ms(mn)}"
     }.mkString("{", ",", "}")
+    // composition split: lifecycle-class vs serving-class subtotals
+    // (medians and mins) so the trendline separates gate composition
+    // from engine speed
+    val lifecycleMed = medians.collect {
+      case (k, v) if LifecycleClass(k) => v }.sum
+    val lifecycleMin = spreads.collect {
+      case (k, (mn, _, _)) if LifecycleClass(k) => mn }.sum
+    val totalMin = spreads.map(_._2._1).sum
+    val nLifecycle = medians.count(m => LifecycleClass(m._1))
+    val splitJson =
+      s""""lifecycle_s":${ms(lifecycleMed)},""" +
+        s""""serving_s":${ms(total - lifecycleMed)},""" +
+        s""""lifecycle_min_s":${ms(lifecycleMin)},""" +
+        s""""serving_min_s":${ms(totalMin - lifecycleMin)},""" +
+        s""""n_lifecycle":$nLifecycle"""
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
-        s""""cpus":$cpus,"passes":$Passes,""" +
+        s""""cpus":$cpus,"passes":$Passes,$splitJson,""" +
         s""""queries":$qs,"queries_min":$minsJson,"spread":$spreadJson,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     // The capture that records this run keeps only the LAST ~2000
@@ -145,8 +182,8 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""total_s":${ms(total)},"n_queries":${medians.size},""" +
-        s""""cpus":$cpus,"passes":$Passes,"failed":$failedJson,""" +
-        s""""queries":$slowest,""" +
+        s""""cpus":$cpus,"passes":$Passes,$splitJson,""" +
+        s""""failed":$failedJson,"queries":$slowest,""" +
         s""""queries_full":"target/bench.json","sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no executor/log line can interleave
     // with (or clip) the JSON in a captured stream, and also write it to

@@ -61,3 +61,78 @@ object NfcNormalize {
   def nfcNormalize(c: Column): Column =
     graftbridge.column(NfcNormalize(graftbridge.expression(c)))
 }
+
+/** Accent/diacritic fold of a string column: canonical decomposition
+  * (NFD), then every combining mark dropped — `é`/`e`+U+0301 both
+  * become `e`, `señor` → `senor`. The accent-stripping half of the
+  * reference's column normalization recipe
+  * (/root/reference/etl/extract.py:107-114: NFKD → ascii-ignore →
+  * lower), factored out as the index/query analyzer fold of
+  * [[graft.ops.Analyzer.Unicode]].
+  *
+  * Why a custom expression (same reasoning as [[NfcNormalize]]):
+  * Spark ships no fold, a UDF would box every row, and the analyzer
+  * sits on the index-build hot path. The generated code calls the
+  * static kernel; pure-ASCII input (the 100 TB common case) returns
+  * the input UTF8String untouched — `numBytes == numChars` is the
+  * zero-allocation ASCII test.
+  *
+  * Cross-engine contract: DuckDB's `strip_accents` (utf8proc
+  * STRIPMARK) removes the same combining-mark categories after the
+  * same canonical decomposition; outputs can differ only in NFC/NFD
+  * composition of characters that remain NON-alphanumeric — which
+  * the analyzer's `[^a-z0-9]+` tokenizer treats as separators on
+  * both engines, so token streams are identical by construction
+  * (q203's oracle pins it end-to-end).
+  */
+case class AccentFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "accent_fold"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"accent_fold requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AccentFold.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.AccentFold.fold($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): AccentFold =
+    copy(child = newChild)
+}
+
+object AccentFold {
+  private def isMark(c: Char): Boolean = {
+    val t = Character.getType(c)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
+  }
+
+  /** Static kernel shared by eval, codegen, and the driver-side query
+    * analyzer ([[graft.ops.Analyzer.Unicode]] — index side and query
+    * side MUST share this exact function or folded queries would miss
+    * folded postings).
+    */
+  def fold(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s // pure ASCII: nothing to fold
+    val d = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (!isMark(c)) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Column-API entry point for [[AccentFold]]. */
+  def accentFold(c: Column): Column =
+    graftbridge.column(AccentFold(graftbridge.expression(c)))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.etl.Load
+import graft.etl.{Load, WriterLease}
 
 /** Incremental PQ/ADC index warehouse — the vector-side member of the
   * incremental warehouse family (corpus `CorpusIngest`, signature
@@ -77,23 +77,56 @@ object AdcIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$dir/index")
 
-  /** The replay high-water mark; -1 when no warehouse exists. */
-  def lastBatch(spark: SparkSession, dir: String): Long =
+  /** The replay high-water mark; -1 when no warehouse exists. A
+    * [[retrain]] that crashed mid-swap heals here (the warehouse-root
+    * recoverSwap), which covers every entry point — they all read the
+    * high-water mark first.
+    */
+  def lastBatch(spark: SparkSession, dir: String): Long = {
+    Load.recoverSwap(spark, dir)
     Load.readTable(spark, s"$dir/meta")
       .flatMap(df => Option(df.select(max(col("last_batch"))).head()
         .get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(-1L)
+  }
+
+  private def metaField(spark: SparkSession, dir: String,
+                        field: String): Long =
+    Load.readTable(spark, s"$dir/meta").map { df =>
+      val r = df.head()
+      if (r.schema.fieldNames.contains(field)) r.getAs[Long](field) else 0L
+    }.getOrElse(0L)
 
   /** The committed delete epoch; 0 (no deletes) for warehouses written
     * before delete support existed.
     */
   private def delEpoch(spark: SparkSession, dir: String): Long =
-    Load.readTable(spark, s"$dir/meta").map { df =>
-      val r = df.head()
-      if (r.schema.fieldNames.contains("del_epoch"))
-        r.getAs[Long]("del_epoch")
-      else 0L
-    }.getOrElse(0L)
+    metaField(spark, dir, "del_epoch")
+
+  /** The model epoch: 0 = the bootstrap models, +1 per [[retrain]]. */
+  def modelEpoch(spark: SparkSession, dir: String): Long =
+    metaField(spark, dir, "model_epoch")
+
+  /** The lowest generation whose CURRENT on-disk encoding matches what
+    * was originally served (everything below was re-encoded by the
+    * last [[retrain]] under newer models).
+    */
+  private def reencodedThrough(spark: SparkSession, dir: String): Long =
+    metaField(spark, dir, "reencoded_through")
+
+  /** One meta-row writer that PRESERVES the retrain fields — the
+    * 2-field writers append/delete/rollback used before retrain
+    * existed would silently reset the model epoch.
+    */
+  private def writeMeta(spark: SparkSession, dir: String, last: Long,
+                        epoch: Long, modelEp: Long, floor: Long): Unit = {
+    import spark.implicits._
+    Load.replaceTable(spark,
+      Seq((last, epoch, modelEp, floor))
+        .toDF("last_batch", "del_epoch", "model_epoch",
+          "reencoded_through"), s"$dir/meta")
+    ()
+  }
 
   /** Anti-join `df` out of the live tombstone set, or `df` untouched
     * when the warehouse holds no deletes (delete-free indexes keep
@@ -127,6 +160,10 @@ object AdcIngest {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
+    // lease AFTER the wipe (the wipe removes any previous fence with
+    // the rest of the dead warehouse — generation zero restarts it);
+    // from here every bootstrap write runs single-writer
+    WriterLease.withLease(spark, dir, "adc.bootstrap") { _ =>
     val train = trainOn.getOrElse(vecs)
     VectorOps.saveCentroids(spark,
       VectorOps.kmeansFit(
@@ -141,10 +178,8 @@ object AdcIngest {
         Pq.subResiduals(assigned, centDf(spark, dir), m), ks, iters),
       s"$dir/codebooks")
     writeGeneration(encodeBatch(spark, vecs, dir, meta), dir, 0L)
-    import spark.implicits._
-    Load.replaceTable(spark, Seq((0L, 0L)).toDF("last_batch", "del_epoch"),
-      s"$dir/meta")
-    ()
+    writeMeta(spark, dir, last = 0L, epoch = 0L, modelEp = 0L, floor = 0L)
+    }
   }
 
   /** Fold a vector batch under a caller-supplied contiguous id ≥ 1:
@@ -158,6 +193,7 @@ object AdcIngest {
     val last = lastBatch(spark, dir)
     require(last >= 0, s"AdcIngest.append: no warehouse at $dir")
     if (batchId <= last) return false
+    WriterLease.withLease(spark, dir, "adc.append") { lease =>
     require(batchId == last + 1,
       s"batch $batchId arrived over high-water mark $last — ids must " +
         "be contiguous or the skipped batch would silently never land")
@@ -178,10 +214,11 @@ object AdcIngest {
       s"AdcIngest.append: meta columns $meta do not reproduce the " +
         "index schema — every generation must carry the same columns")
     writeGeneration(encoded, dir, batchId)
-    import spark.implicits._
-    Load.replaceTable(spark,
-      Seq((batchId, epoch)).toDF("last_batch", "del_epoch"), s"$dir/meta")
+    WriterLease.check(spark, lease)
+    writeMeta(spark, dir, batchId, epoch,
+      modelEpoch(spark, dir), reencodedThrough(spark, dir))
     true
+    }
   }
 
   /** Roll the index back to generation `toBatch`: reset the high-water
@@ -214,8 +251,12 @@ object AdcIngest {
     require(last >= toBatch,
       s"AdcIngest.rollback: no warehouse at $dir at or above batch " +
         s"$toBatch")
+    WriterLease.withLease(spark, dir, "adc.rollback") { lease =>
     Load.recoverSwap(spark, s"$dir/index")
     SegmentCompaction.recover(spark, s"$dir/index")
+    // an unpublished retained merge may cover generations this cut
+    // deletes — discard (source gens still live) before restructuring
+    SegmentCompaction.discardPending(spark, s"$dir/index")
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def delete(b: Long): Unit = { fs.delete(
@@ -233,15 +274,19 @@ object AdcIngest {
         "into an earlier tree by compaction — its files hold rows from " +
         s"batches <= $toBatch too, so rolling back to $toBatch would " +
         "corrupt them; rebuild from bootstrap instead")
-    import spark.implicits._
     // tombstones SURVIVE a rollback — it rewinds the INGEST stream,
     // not the delete requests (a re-appended batch re-enters minus its
-    // tombstoned vectors, exactly the never-rolled-back state)
-    Load.replaceTable(spark,
-      Seq((toBatch, delEpoch(spark, dir))).toDF("last_batch", "del_epoch"),
-      s"$dir/meta")
+    // tombstoned vectors, exactly the never-rolled-back state). The
+    // re-encode floor clamps to the cut: generations appended AFTER
+    // this rollback live under the current models, so cuts at or above
+    // the new floor stay exact
+    WriterLease.check(spark, lease)
+    writeMeta(spark, dir, toBatch, delEpoch(spark, dir),
+      modelEpoch(spark, dir),
+      math.min(reencodedThrough(spark, dir), toBatch))
     live.filter(_ > toBatch).foreach(delete)
     ()
+    }
   }
 
   /** Tombstone-delete vectors by id — the takedown/opt-out lever, the
@@ -266,7 +311,8 @@ object AdcIngest {
     * healed on the next delete's entry. Returns the number of newly
     * deleted vectors.
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long =
+   WriterLease.withLease(spark, dir, "adc.delete") { lease =>
     import spark.implicits._
     val last = lastBatch(spark, dir)
     require(last >= 0, s"AdcIngest.delete: no warehouse at $dir")
@@ -295,15 +341,19 @@ object AdcIngest {
         Seq("vec_id"), "left_semi")
       .localCheckpoint()
     val n = victims.count()
-    if (n == 0L) return 0L
-    // the new epoch writes directly to its OWN dir (never an overwrite
-    // of the tombstones root a reader may hold open; the entry heal
-    // removed any crashed epoch dir > e0, so errorifexists is exact)
-    victims.write.mode("errorifexists")
-      .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
-    Load.replaceTable(spark,
-      Seq((last, e0 + 1)).toDF("last_batch", "del_epoch"), s"$dir/meta")
-    n
+    if (n == 0L) 0L
+    else {
+      // the new epoch writes directly to its OWN dir (never an
+      // overwrite of the tombstones root a reader may hold open; the
+      // entry heal removed any crashed epoch dir > e0, so
+      // errorifexists is exact)
+      victims.write.mode("errorifexists")
+        .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
+      WriterLease.check(spark, lease)
+      writeMeta(spark, dir, last, e0 + 1,
+        modelEpoch(spark, dir), reencodedThrough(spark, dir))
+      n
+    }
   }
 
   /** TIME-TRAVEL READ: the compressed index exactly as of generation
@@ -323,6 +373,16 @@ object AdcIngest {
     require(batch <= last,
       s"AdcIngest.readAsOf: generation $batch is above the high-water " +
         s"mark $last")
+    // CROSS-EPOCH cuts are refused: generations below the re-encode
+    // floor were ingested under a PREVIOUS model epoch and now exist
+    // only re-encoded under the current one ([[retrain]]) — an as-of
+    // read there would not be the bytes anyone historically served
+    val floor = reencodedThrough(spark, dir)
+    require(batch >= floor,
+      s"AdcIngest.readAsOf: generation $batch predates the model-epoch " +
+        s"${modelEpoch(spark, dir)} retrain (re-encoded through " +
+        s"$floor) — its original encoding no longer exists; snapshot " +
+        "before retraining")
     Load.recoverSwap(spark, s"$dir/index")
     SegmentCompaction.recover(spark, s"$dir/index")
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
@@ -398,12 +458,16 @@ object AdcIngest {
     * including the exactly-once `last_batch` high-water mark — is
     * untouched, so replay protection and the next append id survive.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+   WriterLease.withLease(spark, dir, "adc.compact") { lease =>
     val indexDir = s"$dir/index"
     Load.recoverSwap(spark, indexDir)
     // heal a crashed tiered merge before the full rewrite reads the
-    // tree (aside'd generations would otherwise drop silently)
+    // tree (aside'd generations would otherwise drop silently); an
+    // unpublished retained merge is derived data of gens this rewrite
+    // covers — discard rather than race its eventual publish
     SegmentCompaction.recover(spark, indexDir)
+    SegmentCompaction.discardPending(spark, indexDir)
     val staging = s"$indexDir.__staging"
     spark.read.parquet(indexDir)
       .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
@@ -415,6 +479,7 @@ object AdcIngest {
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col("vec_id"))
       .write.mode("overwrite").partitionBy("batch").parquet(staging)
+    WriterLease.check(spark, lease)
     Load.atomicSwap(spark, staging, indexDir)
   }
 
@@ -446,27 +511,158 @@ object AdcIngest {
     * (empty = policy did not fire).
     */
   def tieredCompact(spark: SparkSession, dir: String, ratio: Double = 4.0,
-                    minMerge: Int = 2): Seq[Long] = {
+                    minMerge: Int = 2,
+                    retainMs: Long = 0L): Seq[Long] =
+   WriterLease.withLease(spark, dir, "adc.tieredCompact") { lease =>
     val indexDir = s"$dir/index"
     Load.recoverSwap(spark, indexDir)
     SegmentCompaction.recover(spark, indexDir)
+    // publish a due retained merge (writer-side, under the lease);
+    // back off while one is still inside its window
+    SegmentCompaction.publishDue(spark, indexDir)
     val last = lastBatch(spark, dir)
-    val ids = SegmentCompaction.mergeSet(
-      SegmentCompaction.genSizes(spark, indexDir).filter(_._1 <= last),
-      ratio, minMerge)
-    if (ids.isEmpty) return Seq.empty
-    val lo = ids.min
-    spark.read.parquet(indexDir)
-      .filter(col("batch").isin(ids: _*))
-      // purge tombstoned rows falling inside the merged run (settled
-      // generations keep theirs until they eventually merge)
-      .transform(liveVecs(spark, dir, delEpoch(spark, dir)))
-      .drop("batch").withColumn("batch", lit(lo))
-      .repartition(col("cluster_id"))
-      .sortWithinPartitions(col("cluster_id"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$indexDir.__tiered_staging")
-    SegmentCompaction.commit(spark, indexDir, ids)
-    ids
+    val ids =
+      if (SegmentCompaction.pending(spark, indexDir).nonEmpty) Seq.empty
+      else SegmentCompaction.mergeSet(
+        SegmentCompaction.genSizes(spark, indexDir).filter(_._1 <= last),
+        ratio, minMerge)
+    if (ids.isEmpty) Seq.empty
+    else {
+      val lo = ids.min
+      spark.read.parquet(indexDir)
+        .filter(col("batch").isin(ids: _*))
+        // purge tombstoned rows falling inside the merged run (settled
+        // generations keep theirs until they eventually merge)
+        .transform(liveVecs(spark, dir, delEpoch(spark, dir)))
+        .drop("batch").withColumn("batch", lit(lo))
+        .repartition(col("cluster_id"))
+        .sortWithinPartitions(col("cluster_id"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$indexDir.__tiered_staging")
+      WriterLease.check(spark, lease)
+      SegmentCompaction.commit(spark, indexDir, ids, retainMs)
+      ids
+    }
   }
+
+  /** RETRAIN the frozen models from the CURRENT live vectors and
+    * re-encode every generation behind ONE crash-safe swap — the
+    * drift responder the q194 recall audit exists for: quantization
+    * models fitted at bootstrap degrade as the vector distribution
+    * drifts (recall@5 0.650 → 0.513 over the recorded 1M drift wave),
+    * and the only prior remedy was a full manual re-bootstrap that
+    * destroyed the high-water mark and the tombstone ledger.
+    *
+    * `vecs` supplies the raw (vec_id, embedding [, meta…]) of the
+    * CURRENT live vectors — the upstream vector store has them; this
+    * warehouse stores only codes. Coverage is REQUIRED: every live
+    * indexed vec_id must appear exactly once in `vecs` (missing rows
+    * would silently vanish from the index — refused loudly).
+    * `trainOn` optionally subsamples the k-means/PQ fit (the Jégou
+    * rule — same contract as [[bootstrap]]).
+    *
+    * What survives: `last_batch` (replay protection and the next
+    * append id), the tombstone ledger and `del_epoch` (deletes stay
+    * deleted — tombstoned vectors are excluded from training AND from
+    * the re-encode, making retrain also the physical purge of every
+    * generation), per-generation membership (each vec_id re-encodes
+    * into the generation it landed in, so rollback boundaries and
+    * [[segmentCount]] are unchanged). What advances: `model_epoch`
+    * +1, and `reencoded_through` = the high-water mark — [[readAsOf]]
+    * refuses cuts below it (the original encodings no longer exist).
+    *
+    * Crash safety: the ENTIRE new warehouse (models, re-encoded
+    * index, meta, tombstone copy, fence/lease continuity) stages
+    * under `dir.__retrain`, then lands through the standard two-rename
+    * [[graft.etl.Load.atomicSwap]] of the warehouse ROOT — one commit
+    * point, healed by the root recoverSwap every entry runs (see
+    * [[lastBatch]]). Every crash point leaves the full old or the
+    * full new warehouse. Returns the number of re-encoded vectors.
+    */
+  def retrain(spark: SparkSession, vecs: DataFrame, dir: String,
+              k: Int, m: Int, ks: Int, iters: Int = 2,
+              trainOn: Option[DataFrame] = None,
+              meta: Seq[String] = Nil): Long =
+   WriterLease.withLease(spark, dir, "adc.retrain") { lease =>
+    Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
+    // an unpublished retained merge is derived data of generations the
+    // re-encode rewrites anyway
+    SegmentCompaction.discardPending(spark, s"$dir/index")
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"AdcIngest.retrain: no warehouse at $dir")
+    val e0 = delEpoch(spark, dir)
+    val stage = s"$dir.__retrain"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true) // stale staging
+    // live generation membership from the served index — each vector
+    // re-encodes into the generation it originally landed in
+    val membership = liveVecs(spark, dir, e0)(
+      spark.read.parquet(s"$dir/index")
+        .filter(col("batch") <= last)
+        .select(col("vec_id"), col("batch").cast(LongType).as("batch")))
+    val joined = graft.ops.Relational.eager(
+      vecs.select((Seq("vec_id", "embedding") ++ meta).map(col): _*)
+        .join(membership, Seq("vec_id")))
+    try {
+      val nLive = membership.count()
+      val n = joined.count()
+      require(n == nLive,
+        s"AdcIngest.retrain: supplied vectors cover $n of $nLive live " +
+          "indexed ids — a partial retrain would silently drop the " +
+          "missing vectors; supply the full live set")
+      // new models fitted on the LIVE vectors (tombstoned ones are
+      // gone from membership, so they influence nothing)
+      val train = trainOn.getOrElse(joined)
+      VectorOps.saveCentroids(spark,
+        VectorOps.kmeansFit(
+          train.select(col("vec_id"), col("embedding")), k, iters),
+        s"$stage/centroids")
+      val cents = VectorOps.loadCentroids(spark, s"$stage/centroids")
+      val assigned = VectorOps.assignClusters(
+          train.select(col("vec_id"), col("embedding")), cents)
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+      Load.replaceTable(spark,
+        Pq.trainCodebooks(spark,
+          Pq.subResiduals(assigned, centDf(spark, stage), m), ks, iters),
+        s"$stage/codebooks")
+      // re-encode every generation under the staged models; `batch`
+      // rides encodeBatch's meta passthrough and restores the layout
+      encodeBatch(spark, joined, stage, meta :+ "batch")
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$stage/index")
+      writeMeta(spark, stage, last, e0,
+        modelEpoch(spark, dir) + 1, floor = last)
+      // the ledger survives verbatim (delete replays stay no-ops);
+      // fence and lease carry over so release() still matches and the
+      // token stays monotonic across the swap
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+        spark.read.parquet(s"$dir/tombstones")
+          .write.mode("overwrite").partitionBy("epoch")
+          .parquet(s"$stage/tombstones")
+      Seq("_FENCE", "_LEASE").foreach { f =>
+        val src = new org.apache.hadoop.fs.Path(s"$dir/$f")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$stage/$f"), false,
+            spark.sparkContext.hadoopConfiguration)
+      }
+      WriterLease.check(spark, lease)
+      Load.atomicSwap(spark, stage, dir)
+      n
+    } finally joined.unpersist()
+  }
+
+  /** Force-publish a snapshot-retained tiered merge NOW — the explicit
+    * vacuum verb (see [[tieredCompact]]'s `retainMs`); call when no
+    * reader still holds the pre-merge snapshot. Returns the published
+    * ids (empty = nothing pending).
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[Long] =
+    WriterLease.withLease(spark, dir, "adc.vacuum") { _ =>
+      Load.recoverSwap(spark, s"$dir/index")
+      SegmentCompaction.recover(spark, s"$dir/index")
+      SegmentCompaction.publish(spark, s"$dir/index")
+    }
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.AccentFold
+
+/** Text analysis policy of an [[InvertedIndex]] — the Lucene analyzer
+  * contract: ONE definition of "what is a token", recorded in the
+  * index's corpus row at build time and applied IDENTICALLY on the
+  * index side ([[InvertedIndex.postings]]) and the query side of every
+  * search path. An index whose queries analyze differently from its
+  * postings silently misses matches — the classic broken-search bug —
+  * so the query paths never take an analyzer parameter: they read the
+  * recorded policy back from the corpus row.
+  *
+  * Two policies:
+  *  - [[Analyzer.Whitespace]] — split on single spaces, verbatim
+  *    tokens. For PRE-TOKENIZED corpora (the driver fixtures, any
+  *    upstream-normalized pipeline) and for byte-compat with indexes
+  *    built before analyzers existed (a corpus row without an
+  *    `analyzer` column reads as whitespace).
+  *  - [[Analyzer.Unicode]] — accent fold (NFD, combining marks
+  *    dropped — [[graft.functions.AccentFold]]) → lowercase → split
+  *    on `[^a-z0-9]+` → drop empties, plus an optional stopword set.
+  *    The reference's own normalization recipe
+  *    (/root/reference/etl/extract.py:107-114) applied to document
+  *    text: `"Spark,"`, `"SPARK"` and `"spárk"` all index and query
+  *    as `spark`. This is the DEFAULT for new indexes — raw text is
+  *    the common case, pre-tokenized the exception.
+  *
+  * Position semantics under Unicode: positions are 1-based offsets in
+  * the ANALYZED token stream with stopword slots RETAINED (a stopword
+  * occupies its position but produces no posting) — so phrase
+  * adjacency reflects the original text, the Lucene StopFilter
+  * position-increment rule. `dl` counts every analyzed slot, stopwords
+  * included (BM25 length = document length, not index size).
+  *
+  * Cross-engine exactness: the Column pipeline and [[analyzeTerms]]
+  * share [[graft.functions.AccentFold.fold]] + UTF8String lowercasing,
+  * and DuckDB replays the whole analysis as
+  * `list_filter(regexp_split_to_array(lower(strip_accents(t)),
+  * '[^a-z0-9]+'), x -> x <> '')` — q203 pins the equality end-to-end.
+  */
+sealed trait Analyzer {
+  /** Policy id recorded in the corpus row. */
+  def kind: String
+
+  /** Stopword set (empty for whitespace), recorded in the corpus row
+    * sorted so the stored row is deterministic.
+    */
+  def stopwords: Seq[String]
+
+  /** The analyzed token-slot array of a text column: positions index
+    * this array (1-based), `dl` is its size. May contain stopwords —
+    * [[isIndexed]] decides which slots produce postings.
+    */
+  def slots(text: Column): Column
+
+  /** Whether an analyzed slot produces a posting row. */
+  def isIndexed(term: Column): Column
+
+  /** Driver-side query analysis: fold + tokenize each input term
+    * exactly as [[slots]] does, DROPPING stopwords (the Lucene
+    * query-side StopFilter: a stopword contributes no postings, so it
+    * cannot score). A term carrying punctuation may analyze to several
+    * tokens. Whitespace is the identity.
+    */
+  def analyzeTerms(terms: Seq[String]): Seq[String]
+
+  /** Query analysis for PHRASES: stopwords are REFUSED loudly rather
+    * than dropped — dropping one would silently change which positions
+    * count as adjacent, and the index holds no postings to match the
+    * slot the stopword occupies.
+    */
+  def analyzePhrase(words: Seq[String]): Seq[String]
+}
+
+object Analyzer {
+
+  /** Split on single spaces, verbatim tokens — pre-tokenized corpora
+    * and pre-analyzer on-disk indexes. `slots` is exactly the
+    * pre-analyzer expression (split on " ", empty slots retained and
+    * counted in dl), so legacy indexes and plans are byte-identical.
+    */
+  case object Whitespace extends Analyzer {
+    val kind = "whitespace"
+    val stopwords: Seq[String] = Nil
+    def slots(text: Column): Column = split(text, " ")
+    def isIndexed(term: Column): Column = length(term) > 0
+    def analyzeTerms(terms: Seq[String]): Seq[String] = terms
+    def analyzePhrase(words: Seq[String]): Seq[String] = words
+  }
+
+  /** Accent fold → lowercase → `[^a-z0-9]+` tokenize → drop empties,
+    * with an optional stopword set. See the trait doc for position and
+    * stopword semantics.
+    */
+  final case class Unicode(stopwords: Seq[String] = Nil) extends Analyzer {
+    val kind = "unicode"
+    private val stopSet = stopwords.toSet
+
+    def slots(text: Column): Column =
+      filter(
+        split(lower(AccentFold.accentFold(text)), TokenSplit),
+        t => length(t) > 0)
+
+    def isIndexed(term: Column): Column =
+      if (stopwords.isEmpty) length(term) > 0
+      else length(term) > 0 && !term.isin(stopwords.sorted: _*)
+
+    def analyzeTerms(terms: Seq[String]): Seq[String] =
+      terms.flatMap(foldSplit).filterNot(stopSet)
+
+    def analyzePhrase(words: Seq[String]): Seq[String] = {
+      val toks = words.flatMap(foldSplit)
+      val stopped = toks.filter(stopSet)
+      require(stopped.isEmpty,
+        s"phrase contains stopwords ${stopped.distinct.mkString(", ")} — " +
+          "the index holds no postings for their slots; rephrase the " +
+          "query or rebuild without a stopword set")
+      toks
+    }
+  }
+
+  private val TokenSplit = "[^a-z0-9]+"
+
+  /** Driver-side twin of [[Unicode.slots]] minus the stopword step —
+    * shares the SAME fold kernel and UTF8String lowercasing as the
+    * Column pipeline, so index-side and query-side analysis can never
+    * diverge.
+    */
+  def foldSplit(s: String): Seq[String] =
+    AccentFold.fold(UTF8String.fromString(s)).toLowerCase.toString
+      .split(TokenSplit, -1).toSeq.filter(_.nonEmpty)
+
+  /** Reconstruct the recorded policy from corpus-row fields. */
+  def of(kind: String, stopwords: Seq[String]): Analyzer = kind match {
+    case Whitespace.kind => Whitespace
+    case "unicode" => Unicode(stopwords)
+    case other => sys.error(s"unknown analyzer kind '$other' — this " +
+      "index was written by a newer library version")
+  }
+}

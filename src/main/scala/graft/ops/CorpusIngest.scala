@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.etl.Load
+import graft.etl.{Load, WriterLease}
 import graft.ops.Relational.eager
 
 /** Incremental corpus-build warehouse — the INGEST twin of the q162
@@ -159,6 +159,9 @@ object CorpusIngest {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
+    // lease AFTER the wipe (the wipe removes the dead warehouse's
+    // fence with everything else — generation zero restarts it)
+    WriterLease.withLease(spark, dir, "corpus.bootstrap") { _ =>
     Mojibake.saveMapping(spark, s"$dir/mapping")
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val keep = eager(dedupByUrl(crawl))
@@ -203,6 +206,7 @@ object CorpusIngest {
         "an empty state table would leave every later ingest without " +
         "thresholds; fix the crawl or the gates and re-bootstrap")
     n
+    }
   }
 
   /** Fold a crawl batch under a caller-supplied contiguous id ≥ 1.
@@ -222,6 +226,7 @@ object CorpusIngest {
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.ingest: no warehouse at $dir")
     if (batchId <= last) return false
+    WriterLease.withLease(spark, dir, "corpus.ingest") { lease =>
     require(batchId == last + 1,
       s"batch $batchId arrived over high-water mark $last — ids must " +
         "be contiguous or the skipped batch would silently never land")
@@ -310,11 +315,13 @@ object CorpusIngest {
         val (lr, hwm) = stateRows.getOrElse(src, (globalMin, 0L))
         (src, lr, hwm + batchToks.getOrElse(src, 0L), batchId)
       }
+    WriterLease.check(spark, lease)
     Load.replaceTable(spark,
       folded.toDF("source", "lr_min_micro", "tok_hwm", "last_batch"),
       s"$dir/state")
     Seq(keep0, fresh, selected, packed).foreach(_.unpersist())
     true
+    }
   }
 
   /** Per-source ingest FUNNEL audit of `batch` against the warehouse's
@@ -473,7 +480,8 @@ object CorpusIngest {
     * delete-request-sized (it broadcasts). Returns the number of newly
     * deleted documents.
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long =
+   WriterLease.withLease(spark, dir, "corpus.delete") { lease =>
     import spark.implicits._
     heal(spark, dir)
     val last = lastBatch(spark, dir)
@@ -501,15 +509,19 @@ object CorpusIngest {
         Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val n = victims.count()
-    if (n == 0L) return 0L
-    // the new epoch writes directly to its OWN dir (never an overwrite
-    // of the tombstones root a reader may hold open; the entry heal
-    // removed any crashed epoch dir > e0, so errorifexists is exact)
-    victims.write.mode("errorifexists")
-      .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
-    Load.replaceTable(spark, Seq(e0 + 1).toDF("del_epoch"),
-      s"$dir/delmeta")
-    n
+    if (n == 0L) 0L
+    else {
+      // the new epoch writes directly to its OWN dir (never an
+      // overwrite of the tombstones root a reader may hold open; the
+      // entry heal removed any crashed epoch dir > e0, so
+      // errorifexists is exact)
+      victims.write.mode("errorifexists")
+        .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
+      WriterLease.check(spark, lease)
+      Load.replaceTable(spark, Seq(e0 + 1).toDF("del_epoch"),
+        s"$dir/delmeta")
+      n
+    }
   }
 
   /** Physically reclaim tombstoned rows' bytes: rewrite the corpus
@@ -521,7 +533,8 @@ object CorpusIngest {
     * keeps delete replays no-ops; the read filter is idempotent on
     * purged rows).
     */
-  def purge(spark: SparkSession, dir: String): Unit = {
+  def purge(spark: SparkSession, dir: String): Unit =
+   WriterLease.withLease(spark, dir, "corpus.purge") { lease =>
     val corpusDir = s"$dir/corpus"
     heal(spark, dir)
     val staging = s"$corpusDir.__staging"
@@ -529,6 +542,7 @@ object CorpusIngest {
       spark.read.parquet(corpusDir)
         .filter(col("batch") <= lastBatch(spark, dir)))
       .write.mode("overwrite").partitionBy("batch").parquet(staging)
+    WriterLease.check(spark, lease)
     Load.atomicSwap(spark, staging, corpusDir)
   }
 
@@ -571,7 +585,8 @@ object CorpusIngest {
     * metadata + one bounded-by-#sources aggregate) — the models and
     * batch-0 artifacts are never touched.
     */
-  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
+  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit =
+   WriterLease.withLease(spark, dir, "corpus.rollback") { lease =>
     require(toBatch >= 0, "cannot roll back past the bootstrap")
     heal(spark, dir)
     require(lastBatch(spark, dir) >= toBatch,
@@ -599,11 +614,12 @@ object CorpusIngest {
       s"CorpusIngest.rollback: no corpus rows at or below batch " +
         s"$toBatch in $dir")
     val globalMin = agg.flatMap(_._3).min
+    WriterLease.check(spark, lease)
     Load.replaceTable(spark,
       agg.toSeq.sortBy(_._1).map { case (src, hwm, lr0) =>
         (src, lr0.getOrElse(globalMin), hwm, toBatch)
       }.toDF("source", "lr_min_micro", "tok_hwm", "last_batch"),
       s"$dir/state")
     ()
-  }
+   }
 }

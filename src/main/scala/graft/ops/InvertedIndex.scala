@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.etl.Load
+import graft.etl.{Load, WriterLease}
 
 /** Persisted inverted index with incremental maintenance + BM25
   * search — the TEXT-index member of the warehouse-index trio
@@ -51,6 +51,14 @@ import graft.etl.Load
   * scores become INTEGER MICRO-UNITS before the per-doc sum, so
   * Spark's partial-aggregation order and DuckDB's fold cannot differ
   * by a ulp.
+  *
+  * Text analysis: the index's [[Analyzer]] (fold/tokenize/stopword
+  * policy) is chosen at [[build]] time, recorded in the corpus row,
+  * and applied identically by every addBatch and on the query side of
+  * ALL search paths + [[deleteByQuery]] — raw cased/punctuated/
+  * accented text indexes and matches folded ([[Analyzer.Unicode]],
+  * the default); pre-tokenized corpora and pre-analyzer on-disk
+  * indexes use [[Analyzer.Whitespace]] semantics unchanged.
   */
 object InvertedIndex {
 
@@ -60,18 +68,21 @@ object InvertedIndex {
 
   /** (term, doc_id, tf, dl, positions, bucket) of a (doc_id, text)
     * frame — one shuffle (groupBy doc_id×term with map-side combine).
-    * `positions` are the term's 1-based token offsets, sorted
-    * (collect_list order is nondeterministic across retries — the
-    * sort makes the stored index byte-stable): the positional payload
-    * is what makes PHRASE search an index lookup instead of a corpus
-    * re-scan, at the standard positional-index storage cost.
+    * `positions` are the term's 1-based offsets in the ANALYZED token
+    * stream (see [[Analyzer]] — under a stopword set, stopword slots
+    * count but produce no posting), sorted (collect_list order is
+    * nondeterministic across retries — the sort makes the stored index
+    * byte-stable): the positional payload is what makes PHRASE search
+    * an index lookup instead of a corpus re-scan, at the standard
+    * positional-index storage cost.
     */
-  def postings(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
+  def postings(docs: DataFrame,
+               az: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val t = az.slots(col("text"))
     docs
       .select(col("doc_id"), size(t).as("dl"),
         posexplode(t).as(Seq("pos0", "term")))
-      .filter(length(col("term")) > 0)
+      .filter(az.isIndexed(col("term")))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         sort_array(collect_list(col("pos0") + 1)).as("positions"))
@@ -80,18 +91,38 @@ object InvertedIndex {
 
   /** (doc_id, dl) of every document that produces postings — the
     * per-generation content of the `docs/` sidecar, and (aggregated)
-    * the corpus globals. dl counts ALL split tokens (the same dl the
-    * posting rows carry); the filter drops whitespace-only docs, which
-    * have no posting rows and so must not count anywhere (the
-    * [[rollback]] rebuild-from-postings rule).
+    * the corpus globals. dl counts ALL analyzed slots (the same dl the
+    * posting rows carry); the filter drops docs with no INDEXED
+    * tokens, which have no posting rows and so must not count anywhere
+    * (the [[rollback]] rebuild-from-postings rule).
     */
-  private def docRows(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), split(col("text"), " ").as("t"))
-    .filter(size(filter(col("t"), x => length(x) > 0)) > 0)
+  private def docRows(docs: DataFrame, az: Analyzer): DataFrame = docs
+    .select(col("doc_id"), az.slots(col("text")).as("t"))
+    .filter(size(filter(col("t"), x => az.isIndexed(x))) > 0)
     .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
 
-  private def corpusRow(docs: DataFrame): DataFrame = docRows(docs)
-    .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+  private def corpusRow(docs: DataFrame, az: Analyzer): DataFrame =
+    docRows(docs, az)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** The corpus row's analyzer fields — written on EVERY corpus-row
+    * rewrite (build/addBatch/rollback/delete) so the recorded policy
+    * survives the whole lifecycle. Stopwords stored sorted: the row is
+    * deterministic.
+    */
+  private def withAnalyzerCols(df: DataFrame, az: Analyzer): DataFrame =
+    df.withColumn("analyzer", lit(az.kind))
+      .withColumn("stopwords", typedlit(az.stopwords.sorted))
+
+  /** The analysis policy recorded in a corpus row; indexes written
+    * before analyzers existed read as [[Analyzer.Whitespace]] — their
+    * exact historical semantics.
+    */
+  def analyzerOf(c: org.apache.spark.sql.Row): Analyzer =
+    if (!c.schema.fieldNames.contains("analyzer")) Analyzer.Whitespace
+    else Analyzer.of(c.getAs[String]("analyzer"),
+      Option(c.getAs[scala.collection.Seq[String]]("stopwords"))
+        .map(_.toSeq).getOrElse(Nil))
 
   /** The committed delete epoch of a corpus row; 0 (no deletes) for
     * rows written before delete support existed.
@@ -126,27 +157,35 @@ object InvertedIndex {
       .map(_.select(col("last_batch")).head().getLong(0)).getOrElse(-1L)
 
   /** Bootstrap the index from a corpus (overwrites `dir`; the corpus
-    * lands as batch 0). The repartition clusters each bucket into ONE
-    * file — without it, partitionBy fans every write task across all
-    * 64 dirs (tasks × buckets small files, the classic
-    * partitioned-write explosion) and the pruned search pays an open
-    * per file.
+    * lands as batch 0). `analyzer` is the index's analysis policy,
+    * recorded in the corpus row and applied by every later addBatch
+    * and every query path ([[Analyzer]]): [[Analyzer.Unicode]] — raw
+    * cased/punctuated/accented text — is the default; pass
+    * [[Analyzer.Whitespace]] for pre-tokenized corpora. The
+    * repartition clusters each bucket into ONE file — without it,
+    * partitionBy fans every write task across all 64 dirs (tasks ×
+    * buckets small files, the classic partitioned-write explosion)
+    * and the pruned search pays an open per file.
     */
-  def build(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+            analyzer: Analyzer = Analyzer.Unicode()): Unit =
+   WriterLease.withLease(spark, dir, "invidx.build") { lease =>
     // wipe tiered-merge remnants from any PRIOR index at this path —
     // the overwrite below replaces postings/ but not its siblings, and
     // a stale __tiered_old would later "heal" dead generations into
     // the fresh index
     SegmentCompaction.clearRemnants(spark, s"$dir/postings")
-    postings(docs).withColumn("batch", lit(0L))
+    postings(docs, analyzer).withColumn("batch", lit(0L))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$dir/postings")
-    docRows(docs).withColumn("batch", lit(0L))
+    docRows(docs, analyzer).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/docs")
+    WriterLease.check(spark, lease)
     Load.replaceTable(spark,
-      corpusRow(docs).withColumn("last_batch", lit(0L))
-        .withColumn("del_epoch", lit(0L)), s"$dir/corpus")
+      withAnalyzerCols(
+        corpusRow(docs, analyzer).withColumn("last_batch", lit(0L))
+          .withColumn("del_epoch", lit(0L)), analyzer), s"$dir/corpus")
     // a fresh build must not inherit a PRIOR index's tombstones at
     // this path (they would silently delete from the new corpus) —
     // wiped LAST, after the corpus swap: the new row carries
@@ -172,7 +211,7 @@ object InvertedIndex {
     val last = lastBatch(spark, dir)
     require(last >= 0, s"InvertedIndex.addBatch: no index at $dir")
     if (batchId <= last) false
-    else {
+    else WriterLease.withLease(spark, dir, "invidx.addBatch") { lease =>
       require(batchId == last + 1,
         s"batch $batchId arrived over high-water mark $last — ids must " +
           "be contiguous or the skipped batch would silently never land")
@@ -184,22 +223,26 @@ object InvertedIndex {
       // while the corpus row still claimed they landed.
       Load.recoverSwap(spark, s"$dir/postings")
       SegmentCompaction.recover(spark, s"$dir/postings")
-      postings(docs).withColumn("batch", lit(batchId))
+      // the batch analyzes under the INDEX's recorded policy — an
+      // addBatch analyzing differently from the bootstrap would split
+      // one term across two spellings and silently halve its postings
+      val cOld = Load.readTable(spark, s"$dir/corpus").get.head()
+      val az = analyzerOf(cOld)
+      postings(docs, az).withColumn("batch", lit(batchId))
         .repartition(col("bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch", "bucket")
         .parquet(s"$dir/postings")
-      docRows(docs).withColumn("batch", lit(batchId))
+      docRows(docs, az).withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(s"$dir/docs")
-      val cOld = Load.readTable(spark, s"$dir/corpus").get.head()
       // the batch's contribution excludes already-tombstoned ids: a
       // rolled-back batch re-ingested AFTER one of its docs was
       // deleted must re-enter minus that doc, or the globals would
       // double-diverge from every read path's anti-joined view
-      val merged = liveDocs(spark, dir, delEpochOf(cOld))(docRows(docs))
+      val merged = liveDocs(spark, dir, delEpochOf(cOld))(docRows(docs, az))
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
         .select(
@@ -207,7 +250,8 @@ object InvertedIndex {
           (col("sum_dl") + lit(cOld.getAs[Long]("sum_dl"))).as("sum_dl"))
         .withColumn("last_batch", lit(batchId))
         .withColumn("del_epoch", lit(delEpochOf(cOld)))
-      Load.replaceTable(spark, merged, s"$dir/corpus")
+      WriterLease.check(spark, lease)
+      Load.replaceTable(spark, withAnalyzerCols(merged, az), s"$dir/corpus")
       true
     }
   }
@@ -264,8 +308,13 @@ object InvertedIndex {
     require(last >= toBatch,
       s"InvertedIndex.rollback: no index at $dir at or above batch " +
         s"$toBatch")
+    WriterLease.withLease(spark, dir, "invidx.rollback") { lease =>
     Load.recoverSwap(spark, s"$dir/postings")
     SegmentCompaction.recover(spark, s"$dir/postings")
+    // an unpublished retained merge may cover generations this cut
+    // deletes — discard it (its source gens are still live) before
+    // restructuring, or the eventual publish would resurrect them
+    SegmentCompaction.discardPending(spark, s"$dir/postings")
     val p = new Path(s"$dir/postings")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def delete(b: Long): Unit =
@@ -296,7 +345,9 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("last_batch", lit(toBatch))
       .withColumn("del_epoch", lit(epoch))
-    Load.replaceTable(spark, rebuilt, s"$dir/corpus")
+    WriterLease.check(spark, lease)
+    Load.replaceTable(spark,
+      withAnalyzerCols(rebuilt, analyzerOf(cOld)), s"$dir/corpus")
     live.filter(_ > toBatch).foreach(delete)
     // the docs/ sidecar follows the postings truncation (its dirs are
     // never merged, so every id above the cut goes — remnants above
@@ -308,6 +359,7 @@ object InvertedIndex {
         nm.startsWith("batch=") && nm.stripPrefix("batch=").toLong > toBatch
       }.foreach(q => { fs.delete(q, true); () })
     ()
+    }
   }
 
   /** Tombstone-delete documents by id — the takedown/opt-out lever a
@@ -337,7 +389,8 @@ object InvertedIndex {
     * delete-request-sized (it broadcasts). Returns the number of
     * newly deleted documents.
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long =
+   WriterLease.withLease(spark, dir, "invidx.delete") { lease =>
     import spark.implicits._
     Load.recoverSwap(spark, s"$dir/postings")
     SegmentCompaction.recover(spark, s"$dir/postings")
@@ -375,22 +428,27 @@ object InvertedIndex {
     val a = victims.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("sdl")).head()
     val (n, sdl) = (a.getLong(0), a.getLong(1))
-    if (n == 0L) return 0L
-    // the new epoch writes DIRECTLY to its own partition dir (never an
-    // overwrite of the tombstones root the victims plan read from —
-    // the read-own-target hazard Load.swapIn documents, and a mode
-    // that depended on dynamic-overwrite staying configured). The
-    // entry heal above removed any crashed epoch dir > e0, so
-    // errorifexists is exact; readers discover `epoch` from the dir
-    // name, same as the partitionBy layout.
-    victims.write.mode("errorifexists")
-      .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
-    Load.replaceTable(spark,
-      Seq((c.getAs[Long]("n_docs") - n, c.getAs[Long]("sum_dl") - sdl,
-        c.getAs[Long]("last_batch"), e0 + 1))
-        .toDF("n_docs", "sum_dl", "last_batch", "del_epoch"),
-      s"$dir/corpus")
-    n
+    if (n == 0L) 0L
+    else {
+      // the new epoch writes DIRECTLY to its own partition dir (never
+      // an overwrite of the tombstones root the victims plan read from
+      // — the read-own-target hazard Load.swapIn documents, and a mode
+      // that depended on dynamic-overwrite staying configured). The
+      // entry heal above removed any crashed epoch dir > e0, so
+      // errorifexists is exact; readers discover `epoch` from the dir
+      // name, same as the partitionBy layout.
+      victims.write.mode("errorifexists")
+        .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
+      WriterLease.check(spark, lease)
+      Load.replaceTable(spark,
+        withAnalyzerCols(
+          Seq((c.getAs[Long]("n_docs") - n, c.getAs[Long]("sum_dl") - sdl,
+            c.getAs[Long]("last_batch"), e0 + 1))
+            .toDF("n_docs", "sum_dl", "last_batch", "del_epoch"),
+          analyzerOf(c)),
+        s"$dir/corpus")
+      n
+    }
   }
 
   /** Compact every `batch=` generation into a single `batch=0` tree —
@@ -409,13 +467,17 @@ object InvertedIndex {
     * leaves the full old or full new tree, healed on the next
     * read/maintenance call through recoverSwap.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+   WriterLease.withLease(spark, dir, "invidx.compact") { lease =>
     val postingsDir = s"$dir/postings"
     Load.recoverSwap(spark, postingsDir)
     // a crashed tiered merge must heal BEFORE the full rewrite reads
     // the tree, or the generations sitting in the aside dir would be
-    // silently dropped from the rewrite
+    // silently dropped from the rewrite; an unpublished retained merge
+    // is pure derived data of the gens this rewrite covers — discard
+    // it rather than race its eventual publish
     SegmentCompaction.recover(spark, postingsDir)
+    SegmentCompaction.discardPending(spark, postingsDir)
     val staging = s"$postingsDir.__staging"
     spark.read.parquet(postingsDir)
       .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
@@ -429,8 +491,22 @@ object InvertedIndex {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(staging)
+    WriterLease.check(spark, lease)
     Load.atomicSwap(spark, staging, postingsDir)
   }
+
+  /** Force-publish a snapshot-retained tiered merge NOW (see
+    * [[tieredCompact]]'s `retainMs` and
+    * [[SegmentCompaction.commit]]) — the explicit vacuum verb for
+    * when the operator KNOWS no reader still holds the pre-merge
+    * snapshot. Returns the published ids (empty = nothing pending).
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[Long] =
+    WriterLease.withLease(spark, dir, "invidx.vacuum") { _ =>
+      Load.recoverSwap(spark, s"$dir/postings")
+      SegmentCompaction.recover(spark, s"$dir/postings")
+      SegmentCompaction.publish(spark, s"$dir/postings")
+    }
 
   /** The compaction POLICY hook a maintenance runner calls after each
     * append: compact when the tree holds more than `maxSegments`
@@ -466,28 +542,40 @@ object InvertedIndex {
     * policy did not fire).
     */
   def tieredCompact(spark: SparkSession, dir: String, ratio: Double = 4.0,
-                    minMerge: Int = 2): Seq[Long] = {
+                    minMerge: Int = 2,
+                    retainMs: Long = 0L): Seq[Long] =
+   WriterLease.withLease(spark, dir, "invidx.tieredCompact") { lease =>
     val postingsDir = s"$dir/postings"
     Load.recoverSwap(spark, postingsDir)
     SegmentCompaction.recover(spark, postingsDir)
-    val ids = SegmentCompaction.mergeSet(
-      SegmentCompaction.genSizes(spark, postingsDir)
-        .filter(_._1 <= lastBatch(spark, dir)), ratio, minMerge)
-    if (ids.isEmpty) return Seq.empty
-    val lo = ids.min
-    spark.read.parquet(postingsDir)
-      .filter(col("batch").isin(ids: _*))
-      // purge tombstoned rows falling inside the merged run (settled
-      // generations keep theirs until they eventually merge — the
-      // byte-identity guarantee is untouched)
-      .transform(liveDocs(spark, dir, delEpoch(spark, dir)))
-      .drop("batch").withColumn("batch", lit(lo))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("batch", "bucket")
-      .parquet(s"$postingsDir.__tiered_staging")
-    SegmentCompaction.commit(spark, postingsDir, ids)
-    ids
+    // a prior retained merge whose window has passed publishes now
+    // (writer-side, under the lease); while one is still within its
+    // window, maintenance BACKS OFF — a second merge over the same
+    // tail would race the eventual publish
+    SegmentCompaction.publishDue(spark, postingsDir)
+    val ids =
+      if (SegmentCompaction.pending(spark, postingsDir).nonEmpty) Seq.empty
+      else SegmentCompaction.mergeSet(
+        SegmentCompaction.genSizes(spark, postingsDir)
+          .filter(_._1 <= lastBatch(spark, dir)), ratio, minMerge)
+    if (ids.isEmpty) Seq.empty
+    else {
+      val lo = ids.min
+      spark.read.parquet(postingsDir)
+        .filter(col("batch").isin(ids: _*))
+        // purge tombstoned rows falling inside the merged run (settled
+        // generations keep theirs until they eventually merge — the
+        // byte-identity guarantee is untouched)
+        .transform(liveDocs(spark, dir, delEpoch(spark, dir)))
+        .drop("batch").withColumn("batch", lit(lo))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("batch", "bucket")
+        .parquet(s"$postingsDir.__tiered_staging")
+      WriterLease.check(spark, lease)
+      SegmentCompaction.commit(spark, postingsDir, ids, retainMs)
+      ids
+    }
   }
 
   /** Exact phrase lookup over the persisted positional index:
@@ -502,7 +590,10 @@ object InvertedIndex {
     */
   def phraseSearch(spark: SparkSession, dir: String,
                    phrase: Seq[String]): DataFrame = {
-    require(phrase.size >= 2, "a phrase needs at least two words")
+    // arity is enforced POST-analysis below: one raw word can analyze
+    // to several consecutive slots ("state-of-the-art" is a 4-slot
+    // phrase under Analyzer.Unicode)
+    require(phrase.nonEmpty, "empty phrase")
     // heal BEFORE reading (the AdcIngest.index contract): a tiered
     // merge that crashed after moving generations aside would
     // otherwise serve silently incomplete results against globals
@@ -510,14 +601,21 @@ object InvertedIndex {
     Load.recoverSwap(spark, s"$dir/postings")
     SegmentCompaction.recover(spark, s"$dir/postings")
     import spark.implicits._
-    val distinctTerms = phrase.distinct
-    val buckets = distinctTerms.toDF("term").select(bucketOf(col("term")))
-      .as[Int].collect().distinct.toSeq
     // generations above the high-water mark never serve (a crashed
     // rollback's remnants — the corpus row is the commit point), and
     // neither do tombstoned docs
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.phraseSearch: no corpus at $dir")).head()
+    // phrase words analyze under the index's policy; a word carrying
+    // punctuation expands to consecutive slots ("state-of-the-art" →
+    // 4 adjacent phrase positions), stopwords are refused loudly
+    // (Analyzer.analyzePhrase)
+    val qphrase = analyzerOf(c).analyzePhrase(phrase)
+    require(qphrase.size >= 2,
+      s"phrase $phrase analyzes to fewer than two tokens")
+    val distinctTerms = qphrase.distinct
+    val buckets = distinctTerms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
     val p = liveDocs(spark, dir, delEpochOf(c))(
       spark.read.parquet(s"$dir/postings")
         .filter(col("batch") <= c.getAs[Long]("last_batch") &&
@@ -534,7 +632,7 @@ object InvertedIndex {
     // commutative; only the join tree shape moves.
     val dfByTerm = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val slots = phrase.zipWithIndex
+    val slots = qphrase.zipWithIndex
       .sortBy { case (w, i) => (dfByTerm.getOrElse(w, 0L), i) }
       .map { case (w, i) =>
         p.filter(col("term") === w)
@@ -543,7 +641,7 @@ object InvertedIndex {
       }
     slots.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
       .select(col("doc_id"),
-        size(phrase.indices.map(i => col(s"__s$i"))
+        size(qphrase.indices.map(i => col(s"__s$i"))
           .reduceLeft(array_intersect)).cast(LongType).as("n_matches"))
       .filter(col("n_matches") > 0)
   }
@@ -578,15 +676,18 @@ object InvertedIndex {
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.proximitySearch: no corpus at $dir")).head()
+    val qterms = analyzerOf(c).analyzeTerms(terms).distinct
+    require(qterms.nonEmpty,
+      s"query $terms analyzes to no indexable terms")
     val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
     val avgdl = sumDl.toDouble / nDocs
-    val buckets = terms.toDF("term").select(bucketOf(col("term")))
+    val buckets = qterms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     val p = liveDocs(spark, dir, delEpochOf(c))(
       spark.read.parquet(s"$dir/postings")
         .filter(col("batch") <= c.getAs[Long]("last_batch") &&
           col("bucket").isin(buckets: _*) &&
-          col("term").isin(terms: _*)))
+          col("term").isin(qterms: _*)))
     val wTerm = Window.partitionBy(col("term"))
     val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
@@ -671,6 +772,9 @@ object InvertedIndex {
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.maxScoreSearch: no corpus at $dir")).head()
+    val qterms = analyzerOf(c).analyzeTerms(terms).distinct
+    require(qterms.nonEmpty,
+      s"query $terms analyzes to no indexable terms")
     val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
     val avgdl = sumDl.toDouble / nDocs
     def prunedFor(ts: Seq[String]): DataFrame = {
@@ -685,7 +789,7 @@ object InvertedIndex {
             col("bucket").isin(buckets: _*) &&
             col("term").isin(ts: _*)))
     }
-    def pruned = prunedFor(terms)
+    def pruned = prunedFor(qterms)
     // the df-independent factor of the term score; ts_micro =
     // round(idf · g · 1e6), and g is what the per-term upper bound
     // maximizes over
@@ -784,11 +888,23 @@ object InvertedIndex {
       sys.error(s"InvertedIndex.searchBatch: no corpus at $dir")).head()
     val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
     val avgdl = sumDl.toDouble / nDocs
+    // batched query-side analysis happens IN the plan with the same
+    // slots/isIndexed expressions the index writer used — index-side ≡
+    // query-side by construction (a punctuated query term expands to
+    // its analyzed tokens; stopwords score nothing)
+    val qn = analyzerOf(c) match {
+      case Analyzer.Whitespace => queries
+      case u: Analyzer.Unicode =>
+        queries.select(col("query_id"),
+            explode(u.slots(col("term"))).as("term"))
+          .filter(u.isIndexed(col("term")))
+    }
     // distinct terms + their bucket literals: one bounded collect of
     // the query table (batch-sized by definition)
-    val terms = queries.select(col("term")).distinct().as[String]
+    val terms = qn.select(col("term")).distinct().as[String]
       .collect().toSeq
-    require(terms.nonEmpty, "empty query batch")
+    require(terms.nonEmpty,
+      "empty query batch (or every term analyzed away)")
     val buckets = terms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     val wTerm = Window.partitionBy(col("term"))
@@ -810,7 +926,7 @@ object InvertedIndex {
       // one query — without it a duplicate (query_id, term) row would
       // double-count n_terms and bm25_micro for that query
       .join(broadcast(
-          queries.select(col("query_id"), col("term")).distinct()),
+          qn.select(col("query_id"), col("term")).distinct()),
         Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("ts_micro")).as("bm25_micro"))
@@ -855,9 +971,22 @@ object InvertedIndex {
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.booleanSearch: no corpus at $dir")).head()
+    // clause terms analyze under the index's policy; a MUST/SHOULD
+    // stopword drops out (it has no postings to gate or score on —
+    // Lucene's query-side StopFilter), and the disjointness re-checks
+    // POST-analysis ("Spark" vs "spark," collide only after folding)
+    val az = analyzerOf(c)
+    val mustA = az.analyzeTerms(must).distinct
+    val shouldA = az.analyzeTerms(should).distinct
+    val mustNotA = az.analyzeTerms(mustNot).distinct
+    require(mustA.intersect(mustNotA).isEmpty,
+      "a term cannot analyze to both MUST and MUST_NOT")
+    val scoreTermsA = (mustA ++ shouldA).distinct
+    require(scoreTermsA.nonEmpty,
+      "every scoring term analyzed away — nothing to rank by")
     val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
     val avgdl = sumDl.toDouble / nDocs
-    val allTerms = (scoreTerms ++ mustNot).distinct
+    val allTerms = (scoreTermsA ++ mustNotA).distinct
     val buckets = allTerms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     val p = liveDocs(spark, dir, delEpochOf(c))(
@@ -869,25 +998,25 @@ object InvertedIndex {
     val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
     val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
-    val scored = p.filter(col("term").isin(scoreTerms: _*))
+    val scored = p.filter(col("term").isin(scoreTermsA: _*))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
       .withColumn("ts_micro",
         round(idf * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
     val gated =
-      if (must.isEmpty) scored
+      if (mustA.isEmpty) scored
       else {
-        val mustDocs = p.filter(col("term").isin(must.distinct: _*))
+        val mustDocs = p.filter(col("term").isin(mustA: _*))
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("term")).as("__nm"))
-          .filter(col("__nm") === must.distinct.size)
+          .filter(col("__nm") === mustA.size)
           .select(col("doc_id"))
         scored.join(mustDocs, Seq("doc_id"), "left_semi")
       }
     val kept =
-      if (mustNot.isEmpty) gated
+      if (mustNotA.isEmpty) gated
       else gated.join(
-        p.filter(col("term").isin(mustNot.distinct: _*))
+        p.filter(col("term").isin(mustNotA: _*))
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     kept.groupBy(col("doc_id"))
@@ -917,7 +1046,16 @@ object InvertedIndex {
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.deleteByQuery: no index at $dir")).head()
-    val allTerms = (must ++ mustNot).distinct
+    val az = analyzerOf(c)
+    val mustA = az.analyzeTerms(must).distinct
+    val mustNotA = az.analyzeTerms(mustNot).distinct
+    // a MUST clause that analyzes away must fail LOUDLY, not no-op: a
+    // stopword-only takedown query is a caller bug either way
+    require(mustA.nonEmpty,
+      s"deleteByQuery MUST terms $must analyze to no indexable terms")
+    require(mustA.intersect(mustNotA).isEmpty,
+      "a term cannot analyze to both MUST and MUST_NOT")
+    val allTerms = (mustA ++ mustNotA).distinct
     val buckets = allTerms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     // tombstone-filtered like every serving path: already-deleted docs
@@ -929,15 +1067,15 @@ object InvertedIndex {
         .filter(col("batch") <= c.getAs[Long]("last_batch") &&
           col("bucket").isin(buckets: _*) &&
           col("term").isin(allTerms: _*)))
-    val matched = p.filter(col("term").isin(must.distinct: _*))
+    val matched = p.filter(col("term").isin(mustA: _*))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("term")).as("__nm"))
-      .filter(col("__nm") === must.distinct.size)
+      .filter(col("__nm") === mustA.size)
       .select(col("doc_id"))
     val ids =
-      if (mustNot.isEmpty) matched
+      if (mustNotA.isEmpty) matched
       else matched.join(
-        p.filter(col("term").isin(mustNot.distinct: _*))
+        p.filter(col("term").isin(mustNotA: _*))
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     delete(spark, dir, ids)
@@ -960,11 +1098,16 @@ object InvertedIndex {
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.search: no corpus table at $dir")).head()
+    // query terms analyze under the INDEX's recorded policy — the one
+    // contract that makes a folded index findable ([[Analyzer]])
+    val qterms = analyzerOf(c).analyzeTerms(terms).distinct
+    require(qterms.nonEmpty,
+      s"query $terms analyzes to no indexable terms")
     val (nDocs, sumDl) = (c.getAs[Long]("n_docs"), c.getAs[Long]("sum_dl"))
     val avgdl = sumDl.toDouble / nDocs
     // bucket literals computed through the SAME hash expression the
     // writer used (a |terms|-row local job — bounded)
-    val buckets = terms.toDF("term").select(bucketOf(col("term")))
+    val buckets = qterms.toDF("term").select(bucketOf(col("term")))
       .as[Int].collect().distinct.toSeq
     val wTerm = Window.partitionBy(col("term"))
     val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
@@ -974,7 +1117,7 @@ object InvertedIndex {
       spark.read.parquet(s"$dir/postings")
         .filter(col("batch") <= c.getAs[Long]("last_batch") &&
           col("bucket").isin(buckets: _*) &&
-          col("term").isin(terms: _*)))
+          col("term").isin(qterms: _*)))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
       .withColumn("ts_micro",
         round(idf * (col("tf") * lit(2.2)) /

@@ -65,6 +65,25 @@ object SegmentCompaction {
   private def stagingPath(tree: String) = new Path(s"$tree.__tiered_staging")
   private val Manifest = "_MANIFEST"
 
+  // ---- deferred publish (snapshot-retention) names ----
+  // A dot-prefixed dir is INVISIBLE to Spark partition discovery and
+  // to hive-glob readers — that invisibility is the whole snapshot
+  // mechanism (see [[commit]] with retainMs > 0).
+  private def mergedPath(tree: String, lo: Long) =
+    new Path(s"$tree/.merged-$lo")
+  private def oldAsidePath(tree: String, lo: Long) =
+    new Path(s"$tree/.old-$lo")
+  private val MergedMarker = "_MERGED_IDS"
+
+  /** A committed-but-unpublished tiered merge: the merged generation
+    * sits HIDDEN in the tree while the generations it replaces keep
+    * serving (both views are identical — the merge is a pure physical
+    * move), until [[publishDue]]/[[publish]] swaps it in after the
+    * retention window.
+    */
+  final case class PendingMerge(ids: Seq[Long], publishAfterMs: Long,
+                                dir: Path)
+
   /** (batch id, row count) per live generation, ascending id. ROWS are
     * the tiering metric, not directory bytes: postings and PQ codes
     * are fixed-width rows, so rows ∝ data bytes at scale — but unlike
@@ -109,6 +128,11 @@ object SegmentCompaction {
     * for the crash-point table. Idempotent and re-entrant.
     */
   def recover(spark: SparkSession, tree: String): Unit = {
+    // publishes that crashed mid-sequence roll FORWARD (the pre-merge
+    // view is already partially destroyed); an intact pending merge is
+    // left alone — reads heal crashes, writers advance state
+    // (publishDue runs from lease-holding maintenance entry points)
+    completeHalfPublished(spark, tree)
     val aside = asidePath(tree)
     val staging = stagingPath(tree)
     val fs = fsOf(spark, new Path(tree))
@@ -162,42 +186,232 @@ object SegmentCompaction {
     val fs = fsOf(spark, new Path(tree))
     fs.delete(asidePath(tree), true)
     fs.delete(stagingPath(tree), true)
+    // a PRIOR index's unpublished merge or publish aside must not
+    // resurrect into the fresh tree either
+    val p = new Path(tree)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath)
+        .filter { q =>
+          q.getName.startsWith(".merged-") || q.getName.startsWith(".old-")
+        }.foreach(q => { fs.delete(q, true); () })
     ()
   }
 
   /** Commit a staged tiered merge: the caller has fully written the
-    * merged generation as `<tree>.__tiered_staging/batch=<ids.min>`;
-    * this executes protocol steps 2–5 (manifest, aside renames
-    * ascending, commit rename, cleanup). Rename failures abort loudly
-    * before the commit point — [[recover]] then restores the pre-merge
-    * tree on the next entry.
+    * merged generation as `<tree>.__tiered_staging/batch=<ids.min>`.
+    *
+    * `retainMs = 0` (the default): immediate publish — protocol steps
+    * 2–5 (manifest, aside renames ascending, commit rename, cleanup).
+    * Rename failures abort loudly before the commit point —
+    * [[recover]] then restores the pre-merge tree on the next entry.
+    *
+    * `retainMs > 0`: SNAPSHOT-RETENTION commit — the merged
+    * generation lands as a HIDDEN `.merged-<lo>` dir (dot-prefixed:
+    * invisible to Spark partition discovery and hive-glob readers)
+    * carrying a `_MERGED_IDS` marker (ids + publish-after timestamp)
+    * that rode the atomic rename from staging; the generations it
+    * replaces keep serving UNTOUCHED. Because the merge is a pure
+    * physical move, the pre-merge view every in-flight and new reader
+    * resolves is semantically identical to the merged one — so a
+    * reader whose plan pinned the old files mid-flight survives the
+    * whole commit, and nothing is deleted until [[publishDue]] (from
+    * a later lease-holding maintenance call) or an explicit
+    * [[publish]] swaps the merged dir in after the window. This is
+    * the Iceberg expire-snapshots contract re-expressed on plain
+    * directories: visibility by metadata, data immutable until
+    * vacuum.
     */
-  def commit(spark: SparkSession, tree: String, ids: Seq[Long]): Unit = {
+  def commit(spark: SparkSession, tree: String, ids: Seq[Long],
+             retainMs: Long = 0L): Unit = {
     require(ids.size >= 2, "a tiered merge spans at least 2 generations")
     val lo = ids.min
-    val aside = asidePath(tree)
     val fs = fsOf(spark, new Path(tree))
     require(fs.exists(new Path(stagingPath(tree), s"batch=$lo")),
       s"tiered commit: no staged batch=$lo under ${stagingPath(tree)}")
-    fs.mkdirs(aside)
-    val out = fs.create(new Path(aside, Manifest), true)
-    try out.write(ids.sorted.mkString(",").getBytes("UTF-8"))
-    finally out.close()
-    ids.sorted.foreach { id =>
-      if (!fs.rename(new Path(s"$tree/batch=$id"),
-          new Path(aside, s"batch=$id")))
+    if (retainMs > 0L) {
+      require(pending(spark, tree).isEmpty,
+        s"a pending merge already awaits publish under $tree — publish " +
+          "or discard it before committing another")
+      // the marker rides the atomic rename: no crash point can leave a
+      // hidden merged dir whose replaced ids are unknown
+      val out = fs.create(
+        new Path(stagingPath(tree), s"batch=$lo/$MergedMarker"), true)
+      try out.write((ids.sorted.mkString(",") + "|" +
+        (System.currentTimeMillis() + retainMs)).getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(new Path(stagingPath(tree), s"batch=$lo"),
+          mergedPath(tree, lo)))
         throw new IllegalStateException(
-          s"tiered merge aborted: cannot move $tree/batch=$id aside " +
-            "(recover() will restore the pre-merge tree)")
+          s"tiered merge aborted: cannot place hidden merged dir in " +
+            s"$tree (pre-merge tree untouched)")
+      fs.delete(stagingPath(tree), true)
+      ()
+    } else {
+      val aside = asidePath(tree)
+      fs.mkdirs(aside)
+      val out = fs.create(new Path(aside, Manifest), true)
+      try out.write(ids.sorted.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+      ids.sorted.foreach { id =>
+        if (!fs.rename(new Path(s"$tree/batch=$id"),
+            new Path(aside, s"batch=$id")))
+          throw new IllegalStateException(
+            s"tiered merge aborted: cannot move $tree/batch=$id aside " +
+              "(recover() will restore the pre-merge tree)")
+      }
+      if (!fs.rename(new Path(stagingPath(tree), s"batch=$lo"),
+          new Path(s"$tree/batch=$lo")))
+        throw new IllegalStateException(
+          s"tiered merge aborted: cannot commit merged batch=$lo into " +
+            s"$tree (recover() will restore the pre-merge tree)")
+      fs.delete(aside, true)
+      fs.delete(stagingPath(tree), true)
+      ()
     }
-    if (!fs.rename(new Path(stagingPath(tree), s"batch=$lo"),
-        new Path(s"$tree/batch=$lo")))
-      throw new IllegalStateException(
-        s"tiered merge aborted: cannot commit merged batch=$lo into " +
-          s"$tree (recover() will restore the pre-merge tree)")
-    fs.delete(aside, true)
-    fs.delete(stagingPath(tree), true)
+  }
+
+  /** The committed-but-unpublished merge at `tree`, if any. */
+  def pending(spark: SparkSession, tree: String): Option[PendingMerge] = {
+    val p = new Path(tree)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath)
+      .find(_.getName.startsWith(".merged-"))
+      .flatMap { mdir =>
+        readMarker(fs, new Path(mdir, MergedMarker))
+          .map { case (ids, after) => PendingMerge(ids, after, mdir) }
+      }
+  }
+
+  /** Publish the pending merge NOW (the vacuum step): swap the hidden
+    * merged dir in over its lowest replaced id and delete the replaced
+    * generations. Returns the published ids, empty when nothing was
+    * pending. Crash-safe roll-forward: the `_MERGED_IDS` marker stays
+    * inside the now-live dir until every replaced generation is gone,
+    * so [[recover]] completes any interrupted publish from the marker
+    * alone. Callers hold the warehouse writer lease and assert the
+    * retention window themselves ([[publishDue]] is the time-gated
+    * form); publishing INVALIDATES reader snapshots older than the
+    * window — the Iceberg expire-snapshots contract.
+    */
+  def publish(spark: SparkSession, tree: String): Seq[Long] =
+    pending(spark, tree) match {
+      case None => Seq.empty
+      case Some(PendingMerge(ids, _, mdir)) =>
+        val fs = fsOf(spark, new Path(tree))
+        val lo = ids.min
+        val live = new Path(s"$tree/batch=$lo")
+        // step 1: the lowest replaced generation moves aside (hidden)
+        // so the merged dir can take its name; a crash here rolls
+        // forward through recover()'s half-published scan
+        if (fs.exists(live) &&
+            !fs.rename(live, oldAsidePath(tree, lo)))
+          throw new IllegalStateException(
+            s"tiered publish aborted: cannot move $live aside")
+        // step 2 — COMMIT: the merged dir becomes the live generation
+        if (!fs.rename(mdir, live))
+          throw new IllegalStateException(
+            s"tiered publish aborted: cannot swap $mdir into $live " +
+              "(recover() rolls the publish forward)")
+        finishPublish(fs, tree, ids)
+        ids
+    }
+
+  /** Time-gated [[publish]]: fires only when the recorded retention
+    * window has passed. The writer-side maintenance entry points call
+    * this; read-side [[recover]] never publishes by time (reads heal
+    * crashes, writers advance state).
+    */
+  def publishDue(spark: SparkSession, tree: String): Seq[Long] =
+    pending(spark, tree) match {
+      case Some(p) if System.currentTimeMillis() >= p.publishAfterMs =>
+        publish(spark, tree)
+      case _ => Seq.empty
+    }
+
+  /** Drop a pre-publish pending merge (its source generations are
+    * still live, so the hidden dir is pure derived data) — called by
+    * tree-restructuring mutators (rollback, full compact) that would
+    * otherwise race the eventual publish. A HALF-published merge is
+    * rolled forward instead (its source is already partially gone).
+    */
+  def discardPending(spark: SparkSession, tree: String): Unit = {
+    completeHalfPublished(spark, tree)
+    pending(spark, tree).foreach { p =>
+      fsOf(spark, new Path(tree)).delete(p.dir, true)
+    }
+  }
+
+  /** Steps 3–5 of a publish: delete the replaced generations (the
+    * lowest sits in its hidden aside), then the marker LAST — the
+    * marker's presence is what makes an interrupted publish
+    * recoverable.
+    */
+  private def finishPublish(fs: FileSystem, tree: String,
+                            ids: Seq[Long]): Unit = {
+    val lo = ids.min
+    ids.filter(_ != lo).foreach { id =>
+      fs.delete(new Path(s"$tree/batch=$id"), true); ()
+    }
+    fs.delete(oldAsidePath(tree, lo), true)
+    fs.delete(new Path(s"$tree/batch=$lo/$MergedMarker"), false)
     ()
+  }
+
+  /** Roll forward publishes that crashed mid-sequence — identified by
+    * (a) a hidden merged dir whose live `batch=<lo>` is already gone
+    * (crash between publish steps 1 and 2), or (b) a live generation
+    * still carrying a `_MERGED_IDS` marker (crash after the commit
+    * rename, before cleanup). Idempotent; called from [[recover]].
+    */
+  private def completeHalfPublished(spark: SparkSession,
+                                    tree: String): Unit = {
+    val p = new Path(tree)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    // (a) merged dir present, live target gone: the publish had
+    // already destroyed the pre-merge view — finish it
+    pending(spark, tree).foreach { pm =>
+      val live = new Path(s"$tree/batch=${pm.ids.min}")
+      if (!fs.exists(live)) {
+        if (!fs.rename(pm.dir, live))
+          throw new IllegalStateException(
+            s"tiered publish recovery aborted: cannot swap ${pm.dir} " +
+              s"into $live — the hidden dir holds the only merged copy")
+        finishPublish(fs, tree, pm.ids)
+      }
+    }
+    // (b) committed merged dir still carrying its marker: cleanup
+    fs.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.startsWith("batch="))
+      .foreach { live =>
+        val mk = new Path(live, MergedMarker)
+        if (fs.exists(mk))
+          readMarker(fs, mk).foreach { case (ids, _) =>
+            finishPublish(fs, tree, ids)
+          }
+      }
+  }
+
+  /** `_MERGED_IDS` contents: `(replaced ids, publish-after ms)`, or
+    * None when empty/truncated (a crash during the marker write —
+    * which precedes the staging rename, so nothing moved).
+    */
+  private def readMarker(fs: FileSystem,
+                         mk: Path): Option[(Seq[Long], Long)] = {
+    if (!fs.exists(mk)) return None
+    val in = fs.open(mk)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(mk).getLen.toInt)
+      in.readFully(bytes)
+      val txt = new String(bytes, "UTF-8").trim
+      txt.split("\\|", 2) match {
+        case Array(ids, after) =>
+          try Some((ids.split(",").map(_.toLong).toSeq, after.toLong))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    } finally in.close()
   }
 
   private def restore(fs: FileSystem, src: Path, dst: Path): Unit =

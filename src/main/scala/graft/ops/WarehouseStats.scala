@@ -73,11 +73,18 @@ object WarehouseStats {
     val mergeDue =
       if (countMerge) SegmentCompaction.mergeSet(sizes, ratio, minMerge).size
       else 0
+    // the concurrency-contract surface (graft.etl.WriterLease):
+    // fence_token = last issued writer lease (how many mutations ever
+    // ran — 0 on a pre-lease tree), lease_held = a writer is live (or
+    // died inside its ttl) RIGHT NOW. A leaked lease after maintenance
+    // shows up here — and the q202 oracle pins lease_held to 0.
+    val fence = graft.etl.WriterLease.fenceToken(spark, dir)
+    val held = if (graft.etl.WriterLease.held(spark, dir)) 1L else 0L
     Seq((kind, last, epoch, sizes.size.toLong, rowsTotal, nTomb,
-      backlog, mergeDue.toLong))
+      backlog, mergeDue.toLong, fence, held))
       .toDF("kind", "last_batch", "del_epoch", "generations",
         "rows_total", "tombstoned_docs", "purge_backlog_rows",
-        "merge_candidates")
+        "merge_candidates", "fence_token", "lease_held")
   }
 
   /** Health row of an [[InvertedIndex]] warehouse. */

@@ -3585,7 +3585,11 @@ object TextQueries {
       val fresh = !scala.util.Try(s.read.parquet(marker).head()
           .getString(0)).toOption.contains(d) ||
         graft.ops.InvertedIndex.lastBatch(s, ixWh) < 2L ||
-        graft.ops.AdcIngest.lastBatch(s, adcWh) < 2L
+        graft.ops.AdcIngest.lastBatch(s, adcWh) < 2L ||
+        // a fixture built before the writer-lease contract carries no
+        // fence — rebuild so the lease columns report real lifecycles
+        graft.etl.WriterLease.fenceToken(s, ixWh) == 0L ||
+        graft.etl.WriterLease.fenceToken(s, adcWh) == 0L
       if (fresh) {
       // wipe both roots: deletes are irreversible, so a re-built
       // fixture must start from nothing (build/bootstrap alone would
@@ -3654,7 +3658,11 @@ object TextQueries {
                 WHERE g.b < (SELECT max(b) FROM ig)
                   AND g.n >= 4.0 * (SELECT sum(n) FROM ig x
                     WHERE x.b > g.b)), -1)))
-            AS merge_candidates),
+            AS merge_candidates,
+          (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
+            '/root/repo/target/graft_invidx/q202/_FENCE'))
+            AS fence_token,
+          CAST(0 AS BIGINT) AS lease_held),
         ac AS (SELECT last_batch, del_epoch FROM read_parquet(
           '/root/repo/target/graft_adc/q202/meta/*.parquet')),
         ag AS (SELECT CAST(batch AS BIGINT) AS b, count(*) AS n
@@ -3685,9 +3693,86 @@ object TextQueries {
                 WHERE g.b < (SELECT max(b) FROM ag)
                   AND g.n >= 4.0 * (SELECT sum(n) FROM ag x
                     WHERE x.b > g.b)), -1)))
-            AS merge_candidates)
+            AS merge_candidates,
+          (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
+            '/root/repo/target/graft_adc/q202/_FENCE'))
+            AS fence_token,
+          CAST(0 AS BIGINT) AS lease_held)
       SELECT * FROM istats UNION ALL SELECT * FROM astats
       ORDER BY kind"""))
+
+  val q203AnalyzedSearch = Q("q203_analyzed_search",
+    // UNICODE ANALYZER CHAIN (ops/Analyzer + InvertedIndex) — the gap
+    // every real corpus hits first: raw text is cased, punctuated and
+    // accented, so an index that tokenizes by raw space-split can
+    // never match a folded query ("Spark," ≠ "spark"). The analyzer
+    // (accent fold via the AccentFold codegen expression — NFD +
+    // combining marks dropped, the reference's own normalization
+    // recipe at /root/reference/etl/extract.py:107-114 — then
+    // lowercase, then [^a-z0-9]+ tokenization) is recorded in the
+    // index's corpus row at build time and applied IDENTICALLY on the
+    // index side and the query side of every search path (the Lucene
+    // analyzer contract; AnalyzerSpec pins index-side ≡ query-side
+    // and phrase-position exactness). Here: the documents table is
+    // deterministically decorated with case flips, punctuation and
+    // accented words, indexed RAW under the default Unicode analyzer
+    // (build once per fixture — repeat passes serve only, the
+    // q192/q195 de-distortion rule), then served a cased/punctuated/
+    // accented 3-term query. The oracle replays the ENTIRE chain from
+    // raw text in DuckDB — decoration, lower+strip_accents fold,
+    // regexp tokenization, BM25 — independent of the persisted index,
+    // so both the index-side analysis and the query-side fold are
+    // cross-engine-gated, not just the serving arithmetic. At 100 TB
+    // the fold is one codegen'd expression on the build scan (ASCII
+    // fast path returns the input buffer untouched); query-side
+    // analysis is driver-side on |terms| strings — zero plan cost.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q203"
+      val raw = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("Café «"), upper(col("text")),
+          lit("» Fin, SEÑOR №"), col("doc_id")).as("text"))
+      val marker = s"$wh/fixture"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        graft.etl.Load.readTable(s, s"$wh/corpus").isEmpty
+      if (fresh) {
+        graft.ops.InvertedIndex.build(s, raw, wh) // Unicode default
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      graft.ops.InvertedIndex.search(s, wh,
+        Seq("SPARK!", "Query,", "mérge"), 20)
+    },
+    Some("""WITH raw AS (SELECT doc_id,
+          'Café «' || upper(text) || '» Fin, SEÑOR №' || doc_id AS rt
+        FROM documents),
+        tok AS (SELECT doc_id, list_filter(regexp_split_to_array(
+            lower(strip_accents(rt)), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM raw),
+        d AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        dlen AS (SELECT doc_id, len(toks) AS dl FROM tok
+          WHERE len(toks) > 0),
+        p0 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM d GROUP BY doc_id, term),
+        p AS (SELECT p0.doc_id, p0.term, p0.tf, dlen.dl
+          FROM p0 JOIN dlen USING (doc_id)),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS DOUBLE) AS sum_dl
+          FROM dlen),
+        q AS (SELECT p.*, c.n_docs, c.sum_dl / c.n_docs AS avgdl
+          FROM p, c WHERE term IN ('spark', 'query', 'merge')),
+        s AS (SELECT doc_id, tf, dl, n_docs, avgdl,
+            CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+          FROM q),
+        t AS (SELECT doc_id,
+            CAST(round((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              * 1e6, 0) AS BIGINT) AS ts_micro
+          FROM s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
+      FROM t GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
   val q192LangidPredict = Q("q192_langid_predict",
     // REAL language identification (NaiveBayes.trainMulti/scoreMulti
@@ -4401,5 +4486,5 @@ object TextQueries {
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
     q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
     q192LangidPredict, q196InvidxRollback, q197IndexDelete,
-    q200BooleanSearch, q202WarehouseStats)
+    q200BooleanSearch, q202WarehouseStats, q203AnalyzedSearch)
 }

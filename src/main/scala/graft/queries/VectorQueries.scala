@@ -1248,6 +1248,218 @@ object VectorQueries {
       SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
       WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  val q204AdcRetrain = Q("q204_adc_retrain",
+    // MODEL RETRAIN — the drift responder the q194 recall audit exists
+    // for (AdcIngest.retrain): quantization models frozen at bootstrap
+    // degrade as the ingested distribution drifts (q194's reversed-
+    // embedding wave), and the answer is re-fitting centroids/
+    // codebooks on the CURRENT live vectors and re-encoding every
+    // generation behind ONE crash-safe root swap — high-water mark,
+    // tombstone ledger and per-generation membership all surviving
+    // (a full re-bootstrap destroys all three). Lifecycle (once per
+    // fixture, the q192/q194 de-distortion rule): bootstrap on the
+    // raw wave, append two more — the third TRUNCATED to an 8-dim
+    // subspace (zeroing the other 56 coords: an arithmetic-free,
+    // cross-engine-exact transform that is genuinely out of the
+    // trained distribution — the old codebooks' residual geometry
+    // cannot represent the -centroid tail in the zeroed dims, which
+    // is what real embedding-model upgrades do to a frozen PQ).
+    // Measure recall@5 of ADC serving vs exact cosine under the OLD
+    // models,
+    // retrain on the full drifted universe, require in-query that
+    // recall IMPROVED and the high-water mark + model epoch moved as
+    // contracted. Every later pass serves post-retrain ADC search.
+    // The oracle replays the ENTIRE post-retrain serving chain from
+    // the persisted NEW models — assignment, residual PQ encode, ADC,
+    // exact rerank (the q172 shape) — so the re-encoded warehouse is
+    // gated against an independent re-derivation, not trusted.
+    // At 100 TB: retrain is one train over a sample + one linear
+    // re-encode pass (broadcast models, zero shuffles) + the swap;
+    // OLD generations are never merged or reshuffled, only re-encoded
+    // in place.
+    (s, d) => {
+      val k = 5
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val uni = e0.select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding"),
+              (x, i) => when(i < 8, x).otherwise(lit(0.0f))))
+            .otherwise(col("embedding")).as("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("gen", pmod(col("vec_id"), lit(3L)))
+      val wh = "/root/repo/target/graft_adc/q204"
+      val ai = graft.ops.AdcIngest
+      val marker = s"$wh/fixture"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        scala.util.Try(ai.lastBatch(s, wh)).getOrElse(-1L) != 2L ||
+        ai.modelEpoch(s, wh) != 1L
+      // recall@k of the warehouse's ADC serving against exact cosine
+      // over the live universe, under the models CURRENTLY persisted
+      // at wh — measured pre- and post-retrain with the same queries
+      def recallMicro(q: DataFrame): Long = {
+        import s.implicits._
+        val cdf = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+          .toSeq.toDF("cluster_id", "ce")
+          .withColumn("cluster_id", col("cluster_id").cast(LongType))
+          .withColumn("cn", norm(col("ce")))
+        val cbSeq = graft.ops.Pq.collectCodebook(
+          graft.etl.Load.readTable(s, wh + "/codebooks").get)
+        val pl = graft.ops.Pq.probeLuts(
+          graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 2), cdf, cbSeq)
+        val srv = graft.ops.IvfPq.rerank(
+            graft.ops.Pq.adcSearch(ai.index(s, wh), pl, topC = 16),
+            uni, topK = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("exc").desc, col("vec_id"))
+        val ex = uni.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")),
+              6).as("exc"))
+          .withColumn("erank", row_number().over(wEx))
+          .filter(col("erank") <= k)
+        srv.join(broadcast(ex.select(col("query_id"),
+            col("vec_id").as("neighbor_id"))),
+          Seq("query_id", "neighbor_id"))
+          .agg(coalesce(sum(lit(1000000L / k)), lit(0L))).head().getLong(0)
+      }
+      if (fresh) {
+        ai.bootstrap(s, uni.filter(col("gen") === 0)
+          .select(col("vec_id"), col("embedding")), wh,
+          k = 16, m = 8, ks = 16)
+        ai.append(s, uni.filter(col("gen") === 1)
+          .select(col("vec_id"), col("embedding")), wh, 1L)
+        ai.append(s, uni.filter(col("gen") === 2)
+          .select(col("vec_id"), col("embedding")), wh, 2L)
+        // audit queries FROM the drifted wave — where the old models
+        // hurt most and the retrained ones must recover
+        val q = uni.filter(col("gen") === 2 && col("vec_id") % 37 === 2)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val pre = recallMicro(q)
+        require(ai.retrain(s,
+          uni.select(col("vec_id"), col("embedding")), wh,
+          k = 16, m = 8, ks = 16) > 0, "retrain re-encoded nothing")
+        val post = recallMicro(q)
+        require(post > pre,
+          s"retrain must restore drifted-wave recall ($pre -> $post)")
+        require(ai.lastBatch(s, wh) == 2L && ai.modelEpoch(s, wh) == 1L,
+          "the high-water mark must survive and the model epoch advance")
+        require(scala.util.Try(ai.readAsOf(s, wh, 1L)).isFailure,
+          "a cross-epoch as-of cut must be refused after retrain")
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      // served output every pass: post-retrain ADC top-3 for fixed
+      // drifted-wave queries — the oracle re-derives it from the
+      // persisted NEW models alone
+      import s.implicits._
+      val cdf = graft.ops.VectorOps.loadCentroids(s, wh + "/centroids")
+        .toSeq.toDF("cluster_id", "ce")
+        .withColumn("cluster_id", col("cluster_id").cast(LongType))
+        .withColumn("cn", norm(col("ce")))
+      val cbSeq = graft.ops.Pq.collectCodebook(
+        graft.etl.Load.readTable(s, wh + "/codebooks").get)
+      val q = uni.filter(col("gen") === 2 && col("vec_id") < 40)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val pl = graft.ops.Pq.probeLuts(
+        graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 3), cdf, cbSeq)
+      val cand = graft.ops.Pq.adcSearch(ai.index(s, wh), pl, topC = 12)
+      graft.ops.IvfPq.rerank(cand, uni, topK = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), col("coarse_cosine").as("adc_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        uni AS (SELECT vec_id,
+            CASE WHEN vec_id % 3 = 2 THEN
+              list_transform(range(1, len(embedding) + 1),
+                k -> CASE WHEN k <= 8 THEN embedding[k]
+                     ELSE CAST(0.0 AS FLOAT) END)
+            ELSE embedding END AS embedding
+          FROM e0),
+        e AS (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM uni),
+        cents AS (SELECT CAST(cluster_id AS BIGINT) AS cid, embedding AS ce,
+            sqrt(${duckDot("embedding", "embedding")}) AS cn
+          FROM read_parquet(
+            '/root/repo/target/graft_adc/q204/centroids/*.parquet')),
+        cb AS (SELECT sub, code_id, cw FROM read_parquet(
+          '/root/repo/target/graft_adc/q204/codebooks/*.parquet')),
+        sim AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC,
+            c.cid) AS rn
+          FROM e CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, embedding, nrm, cid AS cluster_id
+                     FROM sim WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cluster_id,
+            list_transform(range(1, len(a.embedding) + 1),
+              k -> CAST(a.embedding[k] AS DOUBLE) - CAST(c.ce[k] AS DOUBLE))
+              AS res
+          FROM assigned a JOIN cents c ON c.cid = a.cluster_id),
+        subr AS (SELECT vec_id, cluster_id, s.sub,
+            res[s.sub * 8 + 1 : s.sub * 8 + 8] AS subres
+          FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+        enc AS (SELECT vec_id, cluster_id, sub, code_id FROM (
+            SELECT r.vec_id, r.cluster_id, r.sub, b.code_id,
+              row_number() OVER (PARTITION BY r.vec_id, r.sub ORDER BY
+                list_reduce(list_transform(range(1, len(r.subres) + 1),
+                  k -> (r.subres[k] - b.cw[k]) * (r.subres[k] - b.cw[k])),
+                  (x, y) -> x + y) ASC, b.code_id) AS rn
+            FROM subr r JOIN cb b USING (sub)) WHERE rn = 1),
+        rq AS (SELECT e2.vec_id, e2.cluster_id,
+            flatten(list(b.cw ORDER BY e2.sub)) AS rq
+          FROM enc e2 JOIN cb b
+            ON b.sub = e2.sub AND b.code_id = e2.code_id
+          GROUP BY e2.vec_id, e2.cluster_id),
+        vn AS (SELECT r.vec_id, r.cluster_id,
+            sqrt(list_reduce(list_transform(range(1, len(r.rq) + 1),
+              k -> (CAST(c.ce[k] AS DOUBLE) + r.rq[k])
+                 * (CAST(c.ce[k] AS DOUBLE) + r.rq[k])),
+              (x, y) -> x + y)) AS vn
+          FROM rq r JOIN cents c ON c.cid = r.cluster_id),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id % 3 = 2 AND vec_id < 40),
+        probes AS (SELECT query_id, qe, qn, cluster_id FROM (
+            SELECT q.query_id, q.qe, q.qn, c.cid AS cluster_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${duckDot("q.qe", "c.ce")} / (q.qn * c.cn) DESC,
+                c.cid) AS pr
+            FROM q CROSS JOIN cents c) WHERE pr <= 3),
+        pq AS (SELECT p.query_id, p.qe, p.qn, p.cluster_id,
+            ${duckDot("p.qe", "c.ce")} AS qc
+          FROM probes p JOIN cents c ON c.cid = p.cluster_id),
+        subdot AS (SELECT p.query_id, e2.vec_id, e2.sub,
+            list_reduce(list_transform(range(1, 9),
+              k -> CAST(p.qe[e2.sub * 8 + k] AS DOUBLE) * b.cw[k]),
+              (x, y) -> x + y) AS sd
+          FROM pq p JOIN enc e2 ON e2.cluster_id = p.cluster_id
+            AND e2.vec_id <> p.query_id
+          JOIN cb b ON b.sub = e2.sub AND b.code_id = e2.code_id),
+        adc AS (SELECT query_id, vec_id,
+            list_reduce(list(sd ORDER BY sub), (x, y) -> x + y) AS adcsum
+          FROM subdot GROUP BY query_id, vec_id),
+        cand AS (SELECT query_id, qe, qn, neighbor_id, approx FROM (
+            SELECT p.query_id, p.qe, p.qn, a.vec_id AS neighbor_id,
+              (p.qc + a.adcsum) / (p.qn * v.vn) AS approx,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                (p.qc + a.adcsum) / (p.qn * v.vn) DESC, a.vec_id) AS cr
+            FROM adc a JOIN vn v ON v.vec_id = a.vec_id
+            JOIN pq p ON p.query_id = a.query_id
+              AND p.cluster_id = v.cluster_id) WHERE cr <= 12),
+        rr AS (SELECT c.query_id, c.neighbor_id,
+            round(c.approx, 6) AS adc_cosine,
+            round(${duckDot("c.qe", "e.embedding")} / (c.qn * e.nrm), 6)
+              AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+      SELECT query_id, rank, neighbor_id, cosine, adc_cosine FROM rk
+      WHERE rank <= 3 ORDER BY query_id, rank"""))
+
   val q174HardNegatives = Q("q174_hard_negatives",
     // hard-negative mining for embedding-model training (the
     // contrastive-learning data op: SBERT/DPR-style batches want, for
@@ -2583,6 +2795,6 @@ object VectorQueries {
     q150IvfPq, q156ClusterSample, q163PqCodebooks, q166HybridRrf,
     q170AdcSearch, q172AdcIngest, q174HardNegatives, q180AdcCompact,
     q191AdcTiered, q193SemanticDecon, q194RecallDrift, q198VectorDelete,
-    q201FilteredAnn, q181MmrDiversify, q183RetrievalMetrics,
-    q184WarehouseRrf)
+    q201FilteredAnn, q204AdcRetrain, q181MmrDiversify,
+    q183RetrievalMetrics, q184WarehouseRrf)
 }

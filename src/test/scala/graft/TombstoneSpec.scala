@@ -452,11 +452,13 @@ class TombstoneSpec extends SparkSpec {
     assert(CorpusIngest.delete(spark, cd, idsDf(Seq(1L, 10L))) == 2L)
     def statRow(df: org.apache.spark.sql.DataFrame): Seq[Any] =
       df.head().toSeq
+    // fence_token counts the mutations so far (bootstrap, ingest,
+    // delete = 3); lease_held must be 0 — no mutator leaks its lease
     assert(statRow(WarehouseStats.corpus(spark, cd)) ==
-      Seq("corpus", 1L, 1L, 2L, 6L, 2L, 2L, 0L))
+      Seq("corpus", 1L, 1L, 2L, 6L, 2L, 2L, 0L, 3L, 0L))
     CorpusIngest.purge(spark, cd)
     assert(statRow(WarehouseStats.corpus(spark, cd)) ==
-      Seq("corpus", 1L, 1L, 2L, 4L, 2L, 0L, 0L),
+      Seq("corpus", 1L, 1L, 2L, 4L, 2L, 0L, 0L, 4L, 0L),
       "purge must drain the backlog; the ledger stays")
     // invidx kind: generations/tombstones/merge signal
     val ix = tmp("stats_ix")
