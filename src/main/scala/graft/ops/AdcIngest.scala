@@ -654,6 +654,53 @@ object AdcIngest {
     } finally joined.unpersist()
   }
 
+  /** TOMBSTONE-DEBT purge — the vector twin of
+    * `InvertedIndex.purgeDebt`: rewrite (only) the generations whose
+    * tombstoned-row fraction has reached `tau`, reclaiming dead bytes
+    * a settled generation would otherwise hold until it happened to
+    * merge. Generation-scoped two-rename swaps, pure physical filter,
+    * serving identical before/after. Returns the purged generation
+    * ids.
+    */
+  def purgeDebt(spark: SparkSession, dir: String,
+                tau: Double = 0.5): Seq[Long] =
+   WriterLease.withLease(spark, dir, "adc.purgeDebt") { lease =>
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val indexDir = s"$dir/index"
+    Load.recoverSwap(spark, indexDir)
+    SegmentCompaction.recover(spark, indexDir)
+    SegmentCompaction.discardPending(spark, indexDir)
+    val last = lastBatch(spark, dir)
+    require(last >= 0, s"AdcIngest.purgeDebt: no warehouse at $dir")
+    val epoch = delEpoch(spark, dir)
+    if (epoch <= 0L) Seq.empty
+    else {
+      val tomb = broadcast(spark.read.parquet(s"$dir/tombstones")
+        .filter(col("epoch") <= epoch).select(col("vec_id")))
+      val debt = spark.read.parquet(indexDir)
+        .filter(col("batch") <= last)
+        .join(tomb, Seq("vec_id"), "left_semi")
+        .groupBy(col("batch").cast(LongType).as("batch"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val victims = SegmentCompaction.genSizes(spark, indexDir)
+        .filter(_._1 <= last)
+        .collect { case (b, n)
+          if n > 0 && debt.getOrElse(b, 0L).toDouble / n >= tau => b }
+      victims.foreach { b =>
+        val staging = s"$indexDir.__debt_staging"
+        liveVecs(spark, dir, epoch)(
+          spark.read.parquet(indexDir).filter(col("batch") === b))
+          .drop("batch")
+          .repartition(col("cluster_id"))
+          .sortWithinPartitions(col("cluster_id"), col("vec_id"))
+          .write.mode("overwrite").parquet(staging)
+        WriterLease.check(spark, lease)
+        Load.atomicSwap(spark, staging, s"$indexDir/batch=$b")
+      }
+      victims
+    }
+  }
+
   /** Force-publish a snapshot-retained tiered merge NOW — the explicit
     * vacuum verb (see [[tieredCompact]]'s `retainMs`); call when no
     * reader still holds the pre-merge snapshot. Returns the published

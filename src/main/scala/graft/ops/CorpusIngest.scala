@@ -90,6 +90,34 @@ object CorpusIngest {
       Mojibake.repair(HtmlText.extractText(col("html")), mapping)
         .as("text"))
 
+  /** Whether this warehouse runs the langid stage (trained at
+    * bootstrap with `langid = true`).
+    */
+  private def hasLangid(spark: SparkSession, dir: String): Boolean =
+    Load.readTable(spark, s"$dir/langid/meta").isDefined
+
+  /** Stamp and gate a pool frame under the persisted langid model:
+    * `lang` becomes the PREDICTED class (char-trigram multiclass NB —
+    * the q192 operator, here wired into the production pipeline the
+    * CCNet way: langid FIRST, quality gates after, consuming the
+    * prediction instead of a crawl-supplied label), and rows whose
+    * decision margin falls below the bootstrap-frozen threshold drop
+    * (unidentifiable language ⇒ not trainable text). Zero exchanges:
+    * |classes| codegen token-folds + an argmax, a map-side stamp on
+    * the batch scan.
+    */
+  private def applyLangid(spark: SparkSession, pool: DataFrame,
+                          dir: String): DataFrame = {
+    val minMargin = Load.readTable(spark, s"$dir/langidcfg")
+      .map(_.head().getAs[Long]("min_margin")).getOrElse(0L)
+    NaiveBayes.scoreMulti(spark,
+        pool.withColumn("tokens", NaiveBayes.charNgrams(col("text"), 3)),
+        s"$dir/langid")
+      .filter(col("best_micro") - col("runnerup_micro") >= minMargin)
+      .select(col("doc_id"), col("source"),
+        col("pred_label").as("lang"), col("canon_url"), col("text"))
+  }
+
   /** BPE-encode `selected` and pack into `seqLen`-token sequences,
     * continuing each source's token stream from `hwm` (source,
     * tok_hwm) — empty for the bootstrap. One per-source window over
@@ -146,7 +174,9 @@ object CorpusIngest {
                 nbLabel: Column, nbSplit: Column, dsirTarget: Column,
                 selectPct: Int, nbVocabCap: Int = 256,
                 dsirBuckets: Int = 512, bpeMerges: Int = 16,
-                seqLen: Int = 2048, dsirFast: Boolean = false): Long = {
+                seqLen: Int = 2048, dsirFast: Boolean = false,
+                langid: Boolean = false, langidMinMargin: Long = 0L,
+                langidVocabCap: Int = 512): Long = {
     require(crawl.columns.toSeq == CrawlCols,
       s"bootstrap crawl must be $CrawlCols, got ${crawl.columns.toSeq}")
     // FULL reset: a bootstrap is generation zero of the warehouse.
@@ -165,7 +195,25 @@ object CorpusIngest {
     Mojibake.saveMapping(spark, s"$dir/mapping")
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val keep = eager(dedupByUrl(crawl))
-    val pool = eager(toPool(keep, mapping))
+    val pool0 = eager(toPool(keep, mapping))
+    // langid (optional): the bootstrap crawl is the LABELED set — its
+    // `lang` column trains the multiclass model (persisted + frozen);
+    // from here down `lang` means the PREDICTION, for the bootstrap
+    // corpus and every later ingest batch alike (CCNet's ordering:
+    // identify the language first, quality-gate per language after)
+    val pool =
+      if (!langid) pool0
+      else {
+        NaiveBayes.trainMulti(spark,
+          pool0.select(
+            NaiveBayes.charNgrams(col("text"), 3).as("tokens"),
+            col("lang").as("label")),
+          s"$dir/langid", langidVocabCap)
+        Load.replaceTable(spark,
+          spark.range(1).select(lit(langidMinMargin).as("min_margin")),
+          s"$dir/langidcfg")
+        eager(applyLangid(spark, pool0, dir))
+      }
     NaiveBayes.train(spark,
       pool.filter(nbSplit).select(col("text"), nbLabel.as("label")),
       s"$dir/nb", nbVocabCap)
@@ -200,7 +248,8 @@ object CorpusIngest {
           sum(col("n_tokens")).as("tok_hwm"))
         .withColumn("last_batch", lit(0L)),
       s"$dir/state")
-    Seq(keep, pool, gated, selected, packed).foreach(_.unpersist())
+    Seq(keep, pool0, pool, gated, selected, packed)
+      .distinct.foreach(_.unpersist())
     require(n > 0,
       s"CorpusIngest.bootstrap: zero documents selected into $dir — " +
         "an empty state table would leave every later ingest without " +
@@ -270,8 +319,13 @@ object CorpusIngest {
     val fresh = eager(
       keep0.join(broadcast(seen), Seq("canon_url"), "left_anti"))
 
-    // 3–4: extract + repair, NB gate (persisted model, zero exchanges)
-    val pool = toPool(fresh, mapping)
+    // 3–4: extract + repair, langid stamp+gate when the warehouse was
+    // bootstrapped with it (the batch's own lang column is IGNORED —
+    // prediction is the point), then the NB gate (persisted models,
+    // zero exchanges)
+    val pool0 = toPool(fresh, mapping)
+    val pool =
+      if (hasLangid(spark, dir)) applyLangid(spark, pool0, dir) else pool0
     val gated = NaiveBayes.score(spark, pool, s"$dir/nb")
       .filter(col("pred_pos"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
@@ -335,9 +389,11 @@ object CorpusIngest {
     * thresholds from the state table — frozen at bootstrap, so
     * reading them post-ingest is exact), which makes every count
     * replayable by an external engine from the persisted tables.
-    * Output per source: n_raw, n_urldedup, n_fresh, n_nb, n_admitted,
-    * n_landed, tok_landed. One aggregate per stage over O(batch) rows
-    * plus a |sources|-row report at any corpus size.
+    * Output per source: n_raw, n_urldedup, n_fresh, n_langid (the
+    * langid stamp+gate survivors; = n_fresh on warehouses without the
+    * model), n_nb, n_admitted, n_landed, tok_landed. One aggregate per
+    * stage over O(batch) rows plus a |sources|-row report at any
+    * corpus size.
     */
   def funnel(spark: SparkSession, batch: DataFrame, dir: String,
              landedBatch: Long): DataFrame = {
@@ -364,8 +420,14 @@ object CorpusIngest {
       .select(col("canon_url")).distinct()
     val fresh = eager(
       keep0.join(broadcast(seen), Seq("canon_url"), "left_anti"))
+    // langid stage (pass-through for warehouses without the model —
+    // the stage count then equals n_fresh, keeping one report schema)
+    val lpool = eager {
+      val p = toPool(fresh, mapping)
+      if (hasLangid(spark, dir)) applyLangid(spark, p, dir) else p
+    }
     val gated = eager(NaiveBayes
-      .score(spark, toPool(fresh, mapping), s"$dir/nb")
+      .score(spark, lpool, s"$dir/nb")
       .filter(col("pred_pos"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("margin_micro")))
@@ -383,12 +445,14 @@ object CorpusIngest {
     val out = stage(batch, "n_raw")
       .join(stage(keep0, "n_urldedup"), Seq("source"), "left")
       .join(stage(fresh, "n_fresh"), Seq("source"), "left")
+      .join(stage(lpool, "n_langid"), Seq("source"), "left")
       .join(stage(gated, "n_nb"), Seq("source"), "left")
       .join(stage(admitted, "n_admitted"), Seq("source"), "left")
       .join(landed, Seq("source"), "left")
       .select(col("source"), col("n_raw"),
         coalesce(col("n_urldedup"), lit(0L)).as("n_urldedup"),
         coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        coalesce(col("n_langid"), lit(0L)).as("n_langid"),
         coalesce(col("n_nb"), lit(0L)).as("n_nb"),
         coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
         coalesce(col("n_landed"), lit(0L)).as("n_landed"),
@@ -400,7 +464,7 @@ object CorpusIngest {
     // rows, so consumers' plans don't re-embed the whole stage pipeline
     // (the q181 plan-explosion precedent)
     val res = out.localCheckpoint()
-    Seq(keep0, fresh, gated).foreach(_.unpersist())
+    Seq(keep0, fresh, lpool, gated).foreach(_.unpersist())
     res
   }
 

@@ -495,6 +495,66 @@ object InvertedIndex {
     Load.atomicSwap(spark, staging, postingsDir)
   }
 
+  /** TOMBSTONE-DEBT purge: rewrite (only) the generations whose
+    * tombstoned-row fraction has reached `tau`, dropping the dead rows
+    * — the reclaim lever for the case the size-tiered policy never
+    * reaches: a huge SETTLED generation that is 50% deleted would
+    * otherwise hold its dead bytes until it happens to merge
+    * (RocksDB's delete-triggered compaction answers the same problem).
+    * Generation-scoped: each indebted `batch=` dir rewrites through
+    * its own two-rename swap ([[graft.etl.Load.atomicSwap]], healed by
+    * recoverScopedSwaps in every entry heal); generations under the
+    * threshold are never opened — this is exactly NOT a full rewrite.
+    * A pure physical filter (every read path already anti-joins
+    * tombstones), so serving is identical before/after. The debt scan
+    * is one id-column pass + a broadcast semi-join — maintenance
+    * cadence, the same cost as q202's purge_backlog_rows. Returns the
+    * purged generation ids.
+    */
+  def purgeDebt(spark: SparkSession, dir: String,
+                tau: Double = 0.5): Seq[Long] =
+   WriterLease.withLease(spark, dir, "invidx.purgeDebt") { lease =>
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val postingsDir = s"$dir/postings"
+    Load.recoverSwap(spark, postingsDir)
+    SegmentCompaction.recover(spark, postingsDir)
+    Load.recoverScopedSwaps(spark, postingsDir)
+    // an unpublished retained merge covers generations this may
+    // rewrite — discard it (its sources are still live)
+    SegmentCompaction.discardPending(spark, postingsDir)
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.purgeDebt: no index at $dir")).head()
+    val epoch = delEpochOf(c)
+    if (epoch <= 0L) Seq.empty
+    else {
+      val last = c.getAs[Long]("last_batch")
+      val live = spark.read.parquet(postingsDir)
+        .filter(col("batch") <= last)
+      val tomb = broadcast(spark.read.parquet(s"$dir/tombstones")
+        .filter(col("epoch") <= epoch).select(col("doc_id")))
+      val debt = live
+        .join(tomb, Seq("doc_id"), "left_semi")
+        .groupBy(col("batch").cast(LongType).as("batch"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val victims = SegmentCompaction.genSizes(spark, postingsDir)
+        .filter(_._1 <= last)
+        .collect { case (b, n)
+          if n > 0 && debt.getOrElse(b, 0L).toDouble / n >= tau => b }
+      victims.foreach { b =>
+        val staging = s"$postingsDir.__debt_staging"
+        liveDocs(spark, dir, epoch)(
+          spark.read.parquet(postingsDir).filter(col("batch") === b))
+          .drop("batch")
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        WriterLease.check(spark, lease)
+        Load.atomicSwap(spark, staging, s"$postingsDir/batch=$b")
+      }
+      victims
+    }
+  }
+
   /** Force-publish a snapshot-retained tiered merge NOW (see
     * [[tieredCompact]]'s `retainMs` and
     * [[SegmentCompaction.commit]]) — the explicit vacuum verb for

@@ -133,6 +133,14 @@ object SegmentCompaction {
     // left alone — reads heal crashes, writers advance state
     // (publishDue runs from lease-holding maintenance entry points)
     completeHalfPublished(spark, tree)
+    // a debt purge ([[InvertedIndex.purgeDebt]]/[[AdcIngest.purgeDebt]])
+    // that crashed mid-generation-swap leaves a `batch=N.__old` beside
+    // (or instead of) its generation dir — the standard scoped-swap
+    // remnant, healed here so every entry point covers it
+    graft.etl.Load.recoverScopedSwaps(spark, tree)
+    val debtStaging = new Path(s"$tree.__debt_staging")
+    val dfs = fsOf(spark, debtStaging)
+    if (dfs.exists(debtStaging)) dfs.delete(debtStaging, true)
     val aside = asidePath(tree)
     val staging = stagingPath(tree)
     val fs = fsOf(spark, new Path(tree))

@@ -768,6 +768,7 @@ object PipelineQueries {
       SELECT r.source, r.n_raw,
         coalesce(s_d1.n_urldedup, 0) AS n_urldedup,
         coalesce(s_fr.n_fresh, 0) AS n_fresh,
+        coalesce(s_fr.n_fresh, 0) AS n_langid,
         coalesce(s_nb.n_nb, 0) AS n_nb,
         coalesce(s_ad.n_admitted, 0) AS n_admitted,
         coalesce(landed.n_landed, 0) AS n_landed,
@@ -775,6 +776,189 @@ object PipelineQueries {
       FROM s_raw r
       LEFT JOIN s_d1 ON s_d1.source = r.source
       LEFT JOIN s_fr ON s_fr.source = r.source
+      LEFT JOIN s_nb ON s_nb.source = r.source
+      LEFT JOIN s_ad ON s_ad.source = r.source
+      LEFT JOIN landed ON landed.source = r.source
+      ORDER BY r.source"""))
+
+  val q206LangidIngest = Q("q206_langid_ingest",
+    // LANGUAGE ID WIRED INTO THE PRODUCTION INGEST (CorpusIngest
+    // bootstrap/ingest/funnel with langid = true) — closing the gap
+    // the q192 operator left: prediction existed but every pipeline
+    // stage still consumed the crawl's PLANTED lang column. CCNet's
+    // ordering is langid FIRST, then per-language quality — so the
+    // bootstrap now trains the char-trigram multiclass NB on the
+    // labeled bootstrap crawl, freezes it with a decision-margin
+    // threshold, and every batch (this one carrying a language SIGNAL
+    // planted in the text, with a no-signal subset that the margin
+    // gate must handle) is stamped with pred_lang and gated BEFORE
+    // the quality stages — the batch's own lang column is ignored.
+    // The funnel gains the langid stage (n_langid). Fixture built
+    // once (q189's pattern); every pass runs the funnel audit, whose
+    // stage counts the oracle re-derives ENTIRELY from the persisted
+    // artifacts: url seen-set, HTML extract, langid scoring from the
+    // persisted per-class integer weights + the frozen margin
+    // (q192's replay), NB gate from nb weights, DSIR admission from
+    // the model + batch-0 thresholds, landed rows from the corpus
+    // parquet. At 100 TB: the langid stamp is |classes| codegen
+    // token-folds riding the batch scan — zero exchanges added.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_corpus/q206"
+      val docs = graft.tables.Tables.documents(s, d)
+      def crawl(part: org.apache.spark.sql.DataFrame) = {
+        val kk = when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+          .otherwise(col("doc_id"))
+        // language signal: three per-class marker words; the %7==3
+        // subset carries none (ambiguous text for the margin gate)
+        val sig = when(col("doc_id") % 7 === 3, lit(""))
+          .otherwise(concat(lit(" zz"), col("lang"), lit(" zz"),
+            col("lang"), lit(" zz"), col("lang")))
+        part.select(col("doc_id"), col("source"), col("lang"),
+          concat(lit("https://q206.example/"), kk).as("canon_url"),
+          concat(lit("<html><body><p>"), col("text"), sig,
+            lit("</p></body></html>")).as("html"))
+      }
+      val marker = s"$wh/fixture"
+      val needBootstrap = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        graft.ops.CorpusIngest.lastBatch(s, wh) < 1L ||
+        graft.etl.Load.readTable(s, s"$wh/langid/meta").isEmpty
+      if (needBootstrap) {
+        graft.ops.CorpusIngest.bootstrap(s,
+          crawl(docs.filter(col("doc_id") % 4 =!= 3)), wh,
+          nbLabel = col("lang") === "en",
+          nbSplit = col("doc_id") % 3 =!= 0,
+          dsirTarget = col("lang") === "en",
+          selectPct = 50,
+          langid = true, langidMinMargin = 100000L)
+        require(graft.ops.CorpusIngest.ingest(s,
+          crawl(docs.filter(col("doc_id") % 4 === 3)), wh, 1L),
+          "batch 1 must land")
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      graft.ops.CorpusIngest.funnel(s,
+        crawl(docs.filter(col("doc_id") % 4 === 3)), wh, 1L)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH nw AS (SELECT token, weight_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/nb/weights/*.parquet')),
+        nm AS (SELECT prior_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/nb/meta/*.parquet')),
+        dm AS (SELECT bucket, lr_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/dsir/model/*.parquet')),
+        lw AS (SELECT token, label, weight_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/langid/weights/*.parquet')),
+        lm AS (SELECT label, prior_micro FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/langid/meta/*.parquet')),
+        lcfg AS (SELECT min_margin FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/langidcfg/*.parquet')),
+        u0 AS (SELECT canon_url FROM read_parquet(
+          '/root/repo/target/graft_corpus/q206/urls/batch=0/*.parquet')),
+        c0 AS (SELECT source, min(lr_micro) AS thr
+          FROM read_parquet(
+            '/root/repo/target/graft_corpus/q206/corpus/batch=0/*.parquet')
+          GROUP BY source),
+        gmin AS (SELECT min(thr) AS g FROM c0),
+        landed AS (SELECT source, count(*) AS n_landed,
+            CAST(sum(n_tokens) AS BIGINT) AS tok_landed
+          FROM read_parquet(
+            '/root/repo/target/graft_corpus/q206/corpus/batch=1/*.parquet')
+          GROUP BY source),
+        base AS (SELECT doc_id, source, lang, text,
+            CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+              ELSE doc_id END AS kk
+          FROM documents WHERE doc_id % 4 = 3),
+        b2 AS (SELECT doc_id, source, lang,
+          'https://q206.example/' || kk AS canon_url,
+          '<html><body><p>' || text ||
+          (CASE WHEN doc_id % 7 = 3 THEN ''
+            ELSE ' zz' || lang || ' zz' || lang || ' zz' || lang END)
+          || '</p></body></html>' AS h FROM base),
+        keepd AS (SELECT doc_id, source, lang, canon_url, h
+          FROM (SELECT *, row_number() OVER (PARTITION BY canon_url
+              ORDER BY doc_id) AS rn FROM b2) WHERE rn = 1),
+        freshd AS (SELECT k.* FROM keepd k
+          WHERE NOT EXISTS (SELECT 1 FROM u0
+            WHERE u0.canon_url = k.canon_url)),
+        rep AS (SELECT doc_id, source,
+          ${graft.ops.HtmlText.duckExtract("h")} AS text FROM freshd),
+        ltk AS (SELECT doc_id,
+            unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+              i -> substr(text, i, 3))) AS token
+          FROM rep),
+        lhits AS (SELECT t.doc_id, w.label,
+            CAST(sum(w.weight_micro) AS BIGINT) AS hs
+          FROM ltk t JOIN lw w ON w.token = t.token
+          GROUP BY t.doc_id, w.label),
+        lsc AS (SELECT r.doc_id, m.label,
+            m.prior_micro + coalesce(h.hs, 0) AS score
+          FROM rep r CROSS JOIN lm m
+          LEFT JOIN lhits h ON h.doc_id = r.doc_id AND h.label = m.label),
+        lrk AS (SELECT doc_id, label, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, label) AS rn FROM lsc),
+        lid AS (SELECT b1.doc_id FROM
+            (SELECT doc_id, score FROM lrk WHERE rn = 1) b1
+          JOIN (SELECT doc_id, score AS s2 FROM lrk WHERE rn = 2) b2u
+            USING (doc_id)
+          WHERE b1.score - b2u.s2 >= (SELECT min_margin FROM lcfg)),
+        lpool AS (SELECT r.* FROM rep r
+          WHERE EXISTS (SELECT 1 FROM lid WHERE lid.doc_id = r.doc_id)),
+        ntk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM lpool),
+        ntf AS (SELECT doc_id, token FROM ntk WHERE length(token) > 0),
+        nj AS (SELECT ntf.doc_id, nw.weight_micro
+          FROM ntf LEFT JOIN nw USING (token)),
+        na AS (SELECT doc_id, coalesce(sum(weight_micro), 0) AS wsum
+          FROM nj GROUP BY doc_id),
+        gated AS (SELECT p.doc_id, p.source, p.text
+          FROM lpool p LEFT JOIN na USING (doc_id)
+          WHERE (SELECT prior_micro FROM nm) + coalesce(na.wsum, 0) > 0),
+        dt AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+          FROM gated),
+        dfeat AS (SELECT doc_id, list_concat(t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END) AS feats
+          FROM dt),
+        de AS (SELECT doc_id, unnest(feats) AS feat FROM dfeat),
+        db AS (SELECT doc_id,
+            CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 512
+              AS bucket
+          FROM de),
+        da AS (SELECT doc_id, sum(dm.lr_micro) AS wsum
+          FROM db JOIN dm USING (bucket) GROUP BY doc_id),
+        sel AS (SELECT g.doc_id, g.source FROM gated g
+          LEFT JOIN da USING (doc_id) LEFT JOIN c0 USING (source)
+          WHERE CAST(coalesce(da.wsum, 0) AS BIGINT) >=
+            coalesce(c0.thr, (SELECT g FROM gmin))),
+        s_raw AS (SELECT source, count(*) AS n_raw FROM b2
+          GROUP BY source),
+        s_d1 AS (SELECT source, count(*) AS n_urldedup FROM keepd
+          GROUP BY source),
+        s_fr AS (SELECT source, count(*) AS n_fresh FROM freshd
+          GROUP BY source),
+        s_li AS (SELECT source, count(*) AS n_langid FROM lpool
+          GROUP BY source),
+        s_nb AS (SELECT source, count(*) AS n_nb FROM gated
+          GROUP BY source),
+        s_ad AS (SELECT source, count(*) AS n_admitted FROM sel
+          GROUP BY source)
+      SELECT r.source, r.n_raw,
+        coalesce(s_d1.n_urldedup, 0) AS n_urldedup,
+        coalesce(s_fr.n_fresh, 0) AS n_fresh,
+        coalesce(s_li.n_langid, 0) AS n_langid,
+        coalesce(s_nb.n_nb, 0) AS n_nb,
+        coalesce(s_ad.n_admitted, 0) AS n_admitted,
+        coalesce(landed.n_landed, 0) AS n_landed,
+        coalesce(landed.tok_landed, 0) AS tok_landed
+      FROM s_raw r
+      LEFT JOIN s_d1 ON s_d1.source = r.source
+      LEFT JOIN s_fr ON s_fr.source = r.source
+      LEFT JOIN s_li ON s_li.source = r.source
       LEFT JOIN s_nb ON s_nb.source = r.source
       LEFT JOIN s_ad ON s_ad.source = r.source
       LEFT JOIN landed ON landed.source = r.source
@@ -935,5 +1119,6 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(q45EtlPipeline, q66SheetSource, q95CdcApply,
     q111ScopedMerge, q114DayMerge, q118Retention, q168IncrementalCorpus,
-    q189IngestFunnel, q195CorpusAsof, q199CorpusDelete)
+    q189IngestFunnel, q195CorpusAsof, q199CorpusDelete,
+    q206LangidIngest)
 }

@@ -3774,6 +3774,103 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
 
+  val q205TombstoneDebt = Q("q205_tombstone_debt",
+    // TOMBSTONE-DEBT COMPACTION TRIGGER (InvertedIndex.purgeDebt /
+    // AdcIngest.purgeDebt) — the reclaim lever the size-tiered policy
+    // structurally lacks: tiering fires on generation-count shape
+    // only, so a big SETTLED generation that is 50% deleted holds its
+    // dead bytes until it happens to merge (never, for the bootstrap).
+    // RocksDB answers this with delete-triggered compaction; here the
+    // per-generation backlog (q202's purge_backlog_rows, split by
+    // generation) drives generation-SCOPED rewrites: a generation
+    // purges when its tombstoned-row fraction >= tau, through its own
+    // two-rename swap; generations under the threshold are never even
+    // opened. Lifecycle (once per fixture): bootstrap + one append,
+    // delete half the APPENDED generation's docs (debt concentrated),
+    // purgeDebt(0.3) — in-query requires pin that ONLY generation 1
+    // rewrote (generation 0's files byte-identical via fileStamps),
+    // search results identical across the purge (pure physical
+    // filter), and the backlog fully drained. Output: the q202 health
+    // row, whose purge_backlog_rows = 0 IS the drained-debt claim —
+    // re-derived column-by-column by the oracle from the persisted
+    // trees (including the tiered-policy replay and the lease fence).
+    // At 100 TB: the debt scan is one id-column pass at maintenance
+    // cadence; the rewrite cost is |indebted generations| only —
+    // exactly NOT the full rewrite this operator exists to avoid.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q205"
+      val ix = graft.ops.InvertedIndex
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val victims = docs
+        .filter(col("doc_id") % 20 === 16 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"))
+      val marker = s"$wh/fixture"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(d) ||
+        scala.util.Try(ix.lastBatch(s, wh)).getOrElse(-1L) != 1L ||
+        graft.etl.WriterLease.fenceToken(s, wh) < 4L
+      if (fresh) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val hp = new org.apache.hadoop.fs.Path(wh)
+        hp.getFileSystem(conf).delete(hp, true)
+        ix.build(s, docs.filter(col("doc_id") % 20 < 16), wh)
+        ix.addBatch(s, docs.filter(col("doc_id") % 20 === 16), wh, 1L)
+        require(ix.delete(s, wh, victims) > 0)
+        val served = ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+          .collect().toSeq
+        val gen0 = graft.ops.SegmentCompaction.fileStamps(
+          s, s"$wh/postings/batch=0")
+        require(ix.purgeDebt(s, wh, tau = 0.3) == Seq(1L),
+          "exactly the indebted generation must purge")
+        require(graft.ops.SegmentCompaction.fileStamps(
+            s, s"$wh/postings/batch=0") == gen0,
+          "a below-threshold generation must stay byte-identical")
+        require(ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+            .collect().toSeq == served,
+          "the purge must be a pure physical filter")
+        require(graft.ops.WarehouseStats.invidx(s, wh).head()
+            .getAs[Long]("purge_backlog_rows") == 0L,
+          "the backlog must fully drain (the debt was generation-1-only)")
+        import s.implicits._
+        Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      graft.ops.WarehouseStats.invidx(s, wh)
+    },
+    Some("""WITH ic AS (SELECT last_batch, del_epoch FROM read_parquet(
+          '/root/repo/target/graft_invidx/q205/corpus/*.parquet')),
+        ig AS (SELECT CAST(batch AS BIGINT) AS b, count(*) AS n
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q205/postings/*/*/*.parquet',
+            hive_partitioning = true)
+          WHERE batch <= (SELECT last_batch FROM ic) GROUP BY 1),
+        itomb AS (SELECT DISTINCT t.doc_id FROM read_parquet(
+            '/root/repo/target/graft_invidx/q205/tombstones/*/*.parquet',
+            hive_partitioning = true) t
+          WHERE t.epoch <= (SELECT del_epoch FROM ic))
+      SELECT 'invidx' AS kind,
+        (SELECT last_batch FROM ic) AS last_batch,
+        (SELECT del_epoch FROM ic) AS del_epoch,
+        (SELECT count(*) FROM ig) AS generations,
+        (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM ig)
+          AS rows_total,
+        (SELECT count(*) FROM itomb) AS tombstoned_docs,
+        (SELECT count(*) FROM read_parquet(
+            '/root/repo/target/graft_invidx/q205/postings/*/*/*.parquet',
+            hive_partitioning = true) p
+          WHERE p.batch <= (SELECT last_batch FROM ic)
+            AND p.doc_id IN (SELECT doc_id FROM itomb))
+          AS purge_backlog_rows,
+        (SELECT CAST(CASE WHEN c >= 2 THEN c ELSE 0 END AS BIGINT)
+          FROM (SELECT count(*) AS c FROM ig
+            WHERE b > COALESCE((SELECT max(g.b) FROM ig g
+              WHERE g.b < (SELECT max(b) FROM ig)
+                AND g.n >= 4.0 * (SELECT sum(n) FROM ig x
+                  WHERE x.b > g.b)), -1)))
+          AS merge_candidates,
+        (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
+          '/root/repo/target/graft_invidx/q205/_FENCE')) AS fence_token,
+        CAST(0 AS BIGINT) AS lease_held"""))
+
   val q192LangidPredict = Q("q192_langid_predict",
     // REAL language identification (NaiveBayes.trainMulti/scoreMulti
     // over char trigrams — Cavnar & Trenkle 1994's n-gram text
@@ -4486,5 +4583,6 @@ object TextQueries {
     q178Decontaminate, q179BatchSearch, q182CcnetBuckets, q185BpeFertility,
     q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
     q192LangidPredict, q196InvidxRollback, q197IndexDelete,
-    q200BooleanSearch, q202WarehouseStats, q203AnalyzedSearch)
+    q200BooleanSearch, q202WarehouseStats, q203AnalyzedSearch,
+    q205TombstoneDebt)
 }

@@ -117,6 +117,57 @@ class CorpusIngestSpec extends SparkSpec {
     assert(u1 == Set("c10", "dup", "c14", "n15").map("https://ex.com/" + _))
   }
 
+  test("langid = true: the prediction replaces the planted lang, the " +
+      "margin gate drops unidentifiable docs, the funnel reports it") {
+    val dir = tmp()
+    val en = "alpha beta gamma delta"
+    val fr = "rouge bleu vert jaune"
+    val badEn = "zork xult yarp zzen zzen"
+    val badFr = "zork xult yarp zzfr zzfr"
+    val zz = "m1m n2n o3o" // trigrams unseen in training -> margin 0
+    def mk(rows: Seq[(Long, String, String, String)]): DataFrame =
+      rows.toDF("doc_id", "lang", "key", "txt")
+        .select(col("doc_id"), lit("A").as("source"), col("lang"),
+          concat(lit("https://ex.com/"), col("key")).as("canon_url"),
+          concat(lit("<html><head><title>t</title></head><body><p>"),
+            col("txt"), lit("</p></body></html>")).as("html"))
+    // equal class sizes -> equal priors -> a signal-free doc's margin
+    // is exactly 0 (prior difference), deterministically under the gate
+    CorpusIngest.bootstrap(spark, mk(Seq(
+        (0L, "en", "a0", en), (1L, "en", "a1", en),
+        (2L, "fr", "a2", fr), (3L, "fr", "a3", fr),
+        (4L, "en", "a4", badEn), (5L, "fr", "a5", badFr))), dir,
+      nbLabel = !col("text").contains("zork"), nbSplit = lit(true),
+      dsirTarget = lit(true), selectPct = 100,
+      langid = true, langidMinMargin = 1L)
+    // bootstrap corpus carries PREDICTED langs (signal texts classify
+    // perfectly; the bad docs survive langid but fall at the NB gate)
+    val c0 = spark.read.parquet(s"$dir/corpus").filter(col("batch") === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("lang")).toMap
+    assert(c0 == Map(0L -> "en", 1L -> "en", 2L -> "fr", 3L -> "fr"))
+    // the batch plants GARBAGE lang values — ingest must ignore them
+    val batch1 = mk(Seq(
+      (10L, "xx", "c10", en),   // predicted en, lands
+      (11L, "xx", "c11", fr),   // predicted fr, lands
+      (12L, "xx", "c12", zz),   // margin 0 < 1 -> langid-dropped
+      (13L, "xx", "c13", badEn))) // survives langid, NB-rejected
+    assert(CorpusIngest.ingest(spark, batch1, dir, 1L))
+    val c1 = spark.read.parquet(s"$dir/corpus").filter(col("batch") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("lang")).toMap
+    assert(c1 == Map(10L -> "en", 11L -> "fr"),
+      "landed rows must carry the PREDICTION, not the planted column")
+    // the funnel reports the langid stage: 4 fresh -> 3 past langid
+    // -> 2 past NB
+    val f = CorpusIngest.funnel(spark, batch1, dir, 1L).head()
+    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_langid", "n_nb",
+      "n_admitted", "n_landed").map(f.getAs[Long]) ==
+      Seq(4L, 4L, 4L, 3L, 2L, 2L, 2L))
+    // exactly-once replay survives the langid path
+    assert(!CorpusIngest.ingest(spark, batch1, dir, 1L))
+  }
+
   test("funnel reports every stage's closed-form per-source counts") {
     val dir = tmp()
     boot(dir)
@@ -127,13 +178,16 @@ class CorpusIngestSpec extends SparkSpec {
     // A: 5 raw → 4 after in-batch dup (13 drops) → 3 after seen-set
     // (11 rejects) → 2 after NB (14 rejects) → 2 admitted == 2 landed
     val a = f("A")
-    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_nb", "n_admitted",
-      "n_landed").map(a.getAs[Long]) == Seq(5L, 4L, 3L, 2L, 2L, 2L))
+    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_langid", "n_nb",
+      "n_admitted", "n_landed").map(a.getAs[Long]) ==
+      Seq(5L, 4L, 3L, 3L, 2L, 2L, 2L),
+      "n_langid == n_fresh on a warehouse without the langid model")
     assert(a.getAs[Long]("tok_landed") == 2 * t)
     // N: the unseen source survives every stage
     val nrow = f("N")
-    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_nb", "n_admitted",
-      "n_landed").map(nrow.getAs[Long]) == Seq(1L, 1L, 1L, 1L, 1L, 1L))
+    assert(Seq("n_raw", "n_urldedup", "n_fresh", "n_langid", "n_nb",
+      "n_admitted", "n_landed").map(nrow.getAs[Long]) ==
+      Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L))
     assert(nrow.getAs[Long]("tok_landed") == t)
     // the audit invariant the report exists to surface
     assert(f.values.forall(r =>

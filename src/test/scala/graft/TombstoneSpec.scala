@@ -485,6 +485,58 @@ class TombstoneSpec extends SparkSpec {
       "the merged tail's tombstoned rows must leave the backlog")
   }
 
+  test("purgeDebt: only indebted generations rewrite (others " +
+      "byte-identical), backlog drains, search identical, crash heals") {
+    val dir = tmp("tomb_debt")
+    InvertedIndex.build(spark, docs(0, 800), dir)
+    InvertedIndex.addBatch(spark, docs(800, 900), dir, 1L)
+    // delete 60% of generation 1's docs — debt concentrated there
+    assert(InvertedIndex.delete(spark, dir,
+      idsDf((800L until 860L))) == 60L)
+    val served = searchRows(dir)
+    val gen0 = graft.ops.SegmentCompaction.fileStamps(
+      spark, s"$dir/postings/batch=0")
+    assert(InvertedIndex.purgeDebt(spark, dir, tau = 0.5) == Seq(1L),
+      "only the indebted generation purges")
+    assert(graft.ops.SegmentCompaction.fileStamps(
+      spark, s"$dir/postings/batch=0") == gen0,
+      "a below-threshold generation must never be opened or rewritten")
+    assert(searchRows(dir) == served, "purge is a pure physical filter")
+    // gen1's dead rows are physically gone; backlog fully drains
+    // (the deletes were gen1-only)
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("batch") === 1)
+      .join(idsDf((800L until 860L)), Seq("doc_id"), "left_semi")
+      .count() == 0L)
+    assert(WarehouseStats.invidx(spark, dir).head()
+      .getAs[Long]("purge_backlog_rows") == 0L)
+    // replays stay no-ops; re-running the purge is a no-op too
+    assert(InvertedIndex.delete(spark, dir, idsDf(Seq(800L))) == 0L)
+    assert(InvertedIndex.purgeDebt(spark, dir, tau = 0.5).isEmpty)
+    // crash window: a generation sitting only at batch=N.__old heals
+    // on the next entry (the scoped-swap remnant rule)
+    val fs = hadoopFs(dir)
+    assert(fs.rename(new Path(s"$dir/postings/batch=1"),
+      new Path(s"$dir/postings/batch=1.__old")))
+    assert(searchRows(dir) == served,
+      "a crashed generation swap must heal before serving")
+    // the vector twin: same contract
+    val vdir = tmp("tomb_debt_adc")
+    AdcIngest.bootstrap(spark, vecs(0, 300), vdir, k = 4, m = 4, ks = 8)
+    AdcIngest.append(spark, vecs(300, 340), vdir, 1L)
+    assert(AdcIngest.delete(spark, vdir,
+      (300L until 325L).toDF("vec_id")) == 25L)
+    val vgen0 = graft.ops.SegmentCompaction.fileStamps(
+      spark, s"$vdir/index/batch=0")
+    assert(AdcIngest.purgeDebt(spark, vdir, tau = 0.5) == Seq(1L))
+    assert(graft.ops.SegmentCompaction.fileStamps(
+      spark, s"$vdir/index/batch=0") == vgen0)
+    assert(spark.read.parquet(s"$vdir/index")
+      .filter(col("batch") === 1).count() == 15L,
+      "generation 1 holds exactly its live rows after the purge")
+    assert(AdcIngest.index(spark, vdir).count() == 315L)
+  }
+
   test("corpus purge crash window: a mid-swap crash heals on every " +
       "entry point — reads serve the full tree, ingest loses nothing") {
     val dir = tmp("tomb_corpus_swap")
