@@ -107,6 +107,73 @@ case class AccentFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The full Unicode-analyzer tokenization as ONE single-pass codegen
+  * expression: accent fold ([[AccentFold]]) → lowercase (the same
+  * UTF8String op Spark's `lower` uses) → split on runs of
+  * non-`[a-z0-9]` → drop empties — byte-for-byte the composed
+  * `filter(split(lower(accent_fold(text)), "[^a-z0-9]+"), …)` chain,
+  * WITHOUT the regex engine, the intermediate token array, or the
+  * higher-order filter (a run-scanner over the lowered string IS the
+  * `[^a-z0-9]+` split by definition). This is the index-build hot
+  * path: the composed chain measurably regressed every per-pass
+  * index-build bench gate (~+25% on q157/q160/q164/q167/q173/q179 at
+  * sf0.1) and this expression is what restored them. The kernel is
+  * shared with the driver-side query analyzer
+  * ([[graft.ops.Analyzer.foldSplit]]) so index-side and query-side
+  * analysis cannot diverge.
+  */
+case class AnalyzeTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "analyze_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"analyze_tokens requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AnalyzeTokens.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.AnalyzeTokens.tokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): AnalyzeTokens =
+    copy(child = newChild)
+}
+
+object AnalyzeTokens {
+  /** Static kernel shared by eval, codegen and the driver-side query
+    * analyzer. Exactly lower(fold(s)) split on non-[a-z0-9] runs,
+    * empties dropped.
+    */
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = AccentFold.fold(s).toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    var start = -1
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += UTF8String.fromString(str.substring(start, i))
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) out += UTF8String.fromString(str.substring(start))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Column-API entry point for [[AnalyzeTokens]]. */
+  def analyzeTokens(c: Column): Column =
+    graftbridge.column(AnalyzeTokens(graftbridge.expression(c)))
+}
+
 object AccentFold {
   private def isMark(c: Char): Boolean = {
     val t = Character.getType(c)

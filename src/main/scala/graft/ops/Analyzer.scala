@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.AccentFold
+import graft.functions.AnalyzeTokens
 
 /** Text analysis policy of an [[InvertedIndex]] — the Lucene analyzer
   * contract: ONE definition of "what is a token", recorded in the
@@ -101,10 +101,7 @@ object Analyzer {
     val kind = "unicode"
     private val stopSet = stopwords.toSet
 
-    def slots(text: Column): Column =
-      filter(
-        split(lower(AccentFold.accentFold(text)), TokenSplit),
-        t => length(t) > 0)
+    def slots(text: Column): Column = AnalyzeTokens.analyzeTokens(text)
 
     def isIndexed(term: Column): Column =
       if (stopwords.isEmpty) length(term) > 0
@@ -124,16 +121,15 @@ object Analyzer {
     }
   }
 
-  private val TokenSplit = "[^a-z0-9]+"
-
   /** Driver-side twin of [[Unicode.slots]] minus the stopword step —
-    * shares the SAME fold kernel and UTF8String lowercasing as the
-    * Column pipeline, so index-side and query-side analysis can never
+    * the SAME [[graft.functions.AnalyzeTokens]] kernel the Column
+    * pipeline runs, so index-side and query-side analysis can never
     * diverge.
     */
   def foldSplit(s: String): Seq[String] =
-    AccentFold.fold(UTF8String.fromString(s)).toLowerCase.toString
-      .split(TokenSplit, -1).toSeq.filter(_.nonEmpty)
+    AnalyzeTokens.tokens(UTF8String.fromString(s))
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.asInstanceOf[UTF8String].toString).toSeq
 
   /** Reconstruct the recorded policy from corpus-row fields. */
   def of(kind: String, stopwords: Seq[String]): Analyzer = kind match {

@@ -1884,6 +1884,143 @@ object Stress {
       n
     }
 
+    // ---- tombstone-debt purge A/B (q205's machinery): one big     ----
+    // ---- settled generation + one small 80%-deleted one. purgeDebt----
+    // ---- rewrites ONLY the indebted generation (settled files     ----
+    // ---- pinned byte-identical); the full compact — previously    ----
+    // ---- the only reclaim path — rewrites everything. The         ----
+    // ---- wall-clock ratio IS the design win. `Stress 1000000      ----
+    // ---- debt purge`.                                             ----
+    if (wanted("debt purge")) {
+      time("debt purge") {
+        def msOf[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e6)
+        }
+        def dDocs(from: Long, until: Long) =
+          spark.range(from, until).select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 20).map { j =>
+              concat(lit("w"), pmod(hash(col("id") * 29L + lit(j)),
+                lit(50000)))
+            }: _*).as("text"))
+        val d = s"$dir/stress_debt"
+        val nApp = rows / 20
+        graft.ops.InvertedIndex.build(spark, dDocs(0, rows), d)
+        graft.ops.InvertedIndex.addBatch(spark,
+          dDocs(rows, rows + nApp), d, 1L)
+        val victims = spark.range(rows, rows + nApp)
+          .select(col("id").as("doc_id"))
+          .filter(col("doc_id") % 5 =!= 0) // 80% of generation 1
+        val (nDel, tDel) = msOf(
+          graft.ops.InvertedIndex.delete(spark, d, victims))
+        require(nDel > 0, "debt phase deleted nothing")
+        val gen0 = graft.ops.SegmentCompaction.fileStamps(
+          spark, s"$d/postings/batch=0")
+        val (purged, tDebt) = msOf(
+          graft.ops.InvertedIndex.purgeDebt(spark, d, tau = 0.5))
+        require(purged == Seq(1L), s"debt purge fired on $purged")
+        require(graft.ops.SegmentCompaction.fileStamps(spark,
+            s"$d/postings/batch=0") == gen0,
+          "the settled generation was rewritten")
+        val (_, tFull) = msOf(graft.ops.InvertedIndex.compact(spark, d))
+        println(f"[stress] debt purge: delete($nDel%,d)=$tDel%.0f ms; " +
+          f"debt-purge=$tDebt%.0f ms vs full-compact=$tFull%.0f ms " +
+          f"(${tFull / tDebt}%.1fx less rewrite for a 1/20 tail)")
+        nDel
+      }
+    }
+
+    // ---- retrain at scale (q204's machinery): rows/10 vectors —   ----
+    // ---- 2/3 in-distribution bootstrap, 1/3 subspace-truncated    ----
+    // ---- drift appended. recall@5 of the served path (probe →     ----
+    // ---- ADC → exact rerank) on drifted queries before vs after   ----
+    // ---- AdcIngest.retrain, plus the retrain wall-clock (train +  ----
+    // ---- full re-encode + root swap). `Stress 1000000 retrain`.   ----
+    if (wanted("retrain 10%-scale")) {
+      time("retrain 10%-scale") {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        def msOf[T](f: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = f
+          (r, (System.nanoTime() - t0) / 1e6)
+        }
+        val nVec = rows / 10
+        val cut = 2 * nVec / 3
+        def rVecs(from: Long, until: Long, drift: Boolean) = {
+          val base = spark.range(from, until).select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(15)), j =>
+              (pmod(hash(col("id") * 13L + j), lit(1000))
+                .cast(DoubleType) / 100.0).cast(FloatType))
+              .as("embedding"))
+          if (!drift) base
+          else base.select(col("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 4, x).otherwise(lit(0.0f)))
+              .as("embedding"))
+        }
+        val uni = rVecs(0, cut, drift = false)
+          .unionByName(rVecs(cut, nVec, drift = true))
+          .withColumn("nrm", sqrt(
+            graft.functions.VectorExpressions.vecDot(
+              col("embedding"), col("embedding"))))
+        val d = s"$dir/stress_retrain"
+        graft.ops.AdcIngest.bootstrap(spark, rVecs(0, cut, drift = false),
+          d, k = 64, m = 8, ks = 16,
+          trainOn = Some(rVecs(0, math.min(cut, 100000L), drift = false)))
+        graft.ops.AdcIngest.append(spark, rVecs(cut, nVec, drift = true),
+          d, 1L)
+        val q = uni.filter(col("vec_id") >= cut &&
+            col("vec_id") % (nVec / 50) === 1)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        def recallAt5(): Double = {
+          import spark.implicits._
+          val cdf = graft.ops.VectorOps.loadCentroids(spark, s"$d/centroids")
+            .toSeq.toDF("cluster_id", "ce")
+            .withColumn("cluster_id", col("cluster_id").cast(LongType))
+            .withColumn("cn", sqrt(
+              graft.functions.VectorExpressions.vecDot(col("ce"), col("ce"))))
+          val cb = graft.ops.Pq.collectCodebook(
+            graft.etl.Load.readTable(spark, s"$d/codebooks").get)
+          val pl = graft.ops.Pq.probeLuts(
+            graft.ops.IvfPq.probeRoute(q, cdf, nprobe = 4), cdf, cb)
+          val srv = graft.ops.IvfPq.rerank(
+              graft.ops.Pq.adcSearch(
+                graft.ops.AdcIngest.index(spark, d), pl, topC = 16),
+              uni, topK = 5)
+            .select(col("query_id"), col("neighbor_id"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("exc").desc, col("vec_id"))
+          val ex = uni.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              (graft.functions.VectorExpressions.vecDot(
+                col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+                .as("exc"))
+            .withColumn("erank", row_number().over(w))
+            .filter(col("erank") <= 5)
+          val hits = srv.join(broadcast(
+              ex.select(col("query_id"), col("vec_id").as("neighbor_id"))),
+            Seq("query_id", "neighbor_id")).count()
+          hits.toDouble / (q.count() * 5)
+        }
+        val pre = recallAt5()
+        val (n, tRetrain) = msOf(graft.ops.AdcIngest.retrain(spark,
+          uni.select(col("vec_id"), col("embedding")), d,
+          k = 64, m = 8, ks = 16,
+          trainOn = Some(uni.filter(
+              col("vec_id") % math.max(nVec / 100000L, 1L) === 0)
+            .select(col("vec_id"), col("embedding")))))
+        val post = recallAt5()
+        require(graft.ops.AdcIngest.lastBatch(spark, d) == 1L &&
+          graft.ops.AdcIngest.modelEpoch(spark, d) == 1L,
+          "retrain must keep the hwm and advance the epoch")
+        println(f"[stress] retrain: drifted-query recall@5 " +
+          f"$pre%.3f -> $post%.3f; retrain($n%,d vecs)=$tRetrain%.0f ms " +
+          "(train + full re-encode + root swap)")
+        n
+      }
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)
