@@ -63,8 +63,16 @@ object NfcNormalize {
 }
 
 /** Accent/diacritic fold of a string column: canonical decomposition
-  * (NFD), then every combining mark dropped — `é`/`e`+U+0301 both
-  * become `e`, `señor` → `senor`. The accent-stripping half of the
+  * (NFD), every combining mark dropped, then canonical RE-composition
+  * (NFC) — `é`/`e`+U+0301 both become `e`, `señor` → `senor`, and
+  * scripts whose NFD explodes into base letters come back whole
+  * (Hangul syllables decompose into Jamo; without the recompose a
+  * folded `한` would be three Jamo code points while DuckDB's
+  * utf8proc-based `strip_accents` returns the recomposed syllable —
+  * verified divergence, now pinned equal). Japanese dakuten/handakuten
+  * are combining marks under NFD, so `が` folds to `か` — exactly what
+  * utf8proc STRIPMARK and Lucene's ICUFoldingFilter do; the conflation
+  * is the standard fold trade-off. The accent-stripping half of the
   * reference's column normalization recipe
   * (/root/reference/etl/extract.py:107-114: NFKD → ascii-ignore →
   * lower), factored out as the index/query analyzer fold of
@@ -78,12 +86,9 @@ object NfcNormalize {
   * zero-allocation ASCII test.
   *
   * Cross-engine contract: DuckDB's `strip_accents` (utf8proc
-  * STRIPMARK) removes the same combining-mark categories after the
-  * same canonical decomposition; outputs can differ only in NFC/NFD
-  * composition of characters that remain NON-alphanumeric — which
-  * the analyzer's `[^a-z0-9]+` tokenizer treats as separators on
-  * both engines, so token streams are identical by construction
-  * (q203's oracle pins it end-to-end).
+  * STRIPMARK) removes the same combining-mark categories and
+  * recomposes, so fold outputs are byte-identical across engines
+  * (q203/q207 oracles pin it end-to-end).
   */
 case class AccentFold(child: Expression) extends UnaryExpression {
 
@@ -109,18 +114,43 @@ case class AccentFold(child: Expression) extends UnaryExpression {
 
 /** The full Unicode-analyzer tokenization as ONE single-pass codegen
   * expression: accent fold ([[AccentFold]]) → lowercase (the same
-  * UTF8String op Spark's `lower` uses) → split on runs of
-  * non-`[a-z0-9]` → drop empties — byte-for-byte the composed
-  * `filter(split(lower(accent_fold(text)), "[^a-z0-9]+"), …)` chain,
-  * WITHOUT the regex engine, the intermediate token array, or the
-  * higher-order filter (a run-scanner over the lowered string IS the
-  * `[^a-z0-9]+` split by definition). This is the index-build hot
-  * path: the composed chain measurably regressed every per-pass
+  * UTF8String op Spark's `lower` uses) → a script-aware run scanner —
+  * WITHOUT the regex engine, an intermediate token array, or a
+  * higher-order filter. This is the index-build hot path: the
+  * composed expression chain measurably regressed every per-pass
   * index-build bench gate (~+25% on q157/q160/q164/q167/q173/q179 at
   * sf0.1) and this expression is what restored them. The kernel is
   * shared with the driver-side query analyzer
   * ([[graft.ops.Analyzer.foldSplit]]) so index-side and query-side
   * analysis cannot diverge.
+  *
+  * Token alphabet (round 13 — the original `[a-z0-9]`-only alphabet
+  * silently destroyed every non-Latin script):
+  *  - NON-CJK: maximal runs of Unicode letters/digits
+  *    (`Character.isLetterOrDigit` over code points — `\p{L}\p{Nd}`
+  *    in RE2 terms) become one token each; everything else separates.
+  *    Cyrillic, Greek, Arabic, Hebrew, accented Latin all tokenize.
+  *    The Greek final sigma lowercases to the medial form (ς → σ, the
+  *    Lucene GreekLowerCaseFilter rule) — Java's full case mapping is
+  *    position-sensitive while utf8proc's is not, and the σ-everywhere
+  *    form is what makes index-side ≡ oracle-side byte-exact.
+  *  - CJK (Han, Hiragana, Katakana, Hangul scripts): space-less
+  *    scripts can't word-tokenize by separator, so a maximal
+  *    same-class run emits OVERLAPPING CHARACTER BIGRAMS — `東京都` →
+  *    `東京`, `京都` — the Lucene CJKAnalyzer strategy (a lone CJK
+  *    char emits itself). Bigrams occupy consecutive positions, so
+  *    phrase/proximity semantics carry over unchanged.
+  *  - ASCII stays on a branch-predictable fast path (the 100 TB
+  *    common case): for pure-ASCII text the output is byte-identical
+  *    to the pre-round-13 `[^a-z0-9]+` split, which is what keeps
+  *    every existing ASCII fixture and oracle unchanged. Indexes
+  *    recorded as `unicode` whose corpus carried non-ASCII text were
+  *    EMPTY-analyzed before this round (zero postings) — they need a
+  *    rebuild, not a compat shim.
+  *
+  * Cross-engine: DuckDB replays the exact stream as non-CJK split on
+  * `[^\p{L}\p{Nd}]+` (CJK runs blanked first) + per-run bigram
+  * emission via `range()`/`substr` — q207's oracle pins it end-to-end.
   */
 case class AnalyzeTokens(child: Expression) extends UnaryExpression {
 
@@ -146,26 +176,80 @@ case class AnalyzeTokens(child: Expression) extends UnaryExpression {
 }
 
 object AnalyzeTokens {
+
+  import Character.UnicodeScript
+
+  /** The bigram-emitting script class (see the class doc): the four
+    * space-less-or-mixed CJK scripts Lucene's CJKAnalyzer bigrams.
+    * Only consulted for code points ≥ 128 — ASCII never pays the
+    * script lookup.
+    */
+  private def isCjk(cp: Int): Boolean = {
+    val sc = UnicodeScript.of(cp)
+    sc == UnicodeScript.HAN || sc == UnicodeScript.HIRAGANA ||
+      sc == UnicodeScript.KATAKANA || sc == UnicodeScript.HANGUL
+  }
+
   /** Static kernel shared by eval, codegen and the driver-side query
-    * analyzer. Exactly lower(fold(s)) split on non-[a-z0-9] runs,
-    * empties dropped.
+    * analyzer: lower(fold(s)), then non-CJK letter/digit runs as
+    * whole tokens (final sigma normalized medial) and CJK runs as
+    * overlapping character bigrams. One pass, code-point iteration
+    * (supplementary-plane Han is two chars).
     */
   def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val str = AccentFold.fold(s).toLowerCase.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var i = 0
-    var start = -1
-    while (i < str.length) {
-      val c = str.charAt(i)
-      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-      if (alnum) { if (start < 0) start = i }
-      else if (start >= 0) {
-        out += UTF8String.fromString(str.substring(start, i))
-        start = -1
-      }
-      i += 1
+    var start = -1    // pending non-CJK letter/digit run start
+    var cjkStart = -1 // pending CJK run start
+    def emitWord(end: Int): Unit = if (start >= 0) {
+      // ς → σ: Java lowercases a word-final sigma to the final form,
+      // utf8proc to the medial — normalize to medial (the Lucene
+      // GreekLowerCaseFilter rule; String.replace returns `this`
+      // unchanged when the char is absent, so non-Greek pays nothing)
+      out += UTF8String.fromString(
+        str.substring(start, end).replace('ς', 'σ'))
+      start = -1
     }
-    if (start >= 0) out += UTF8String.fromString(str.substring(start))
+    def emitCjk(end: Int): Unit = if (cjkStart >= 0) {
+      val run = str.substring(cjkStart, end)
+      // code-point boundaries of the run
+      val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
+      var p = 0
+      while (p < run.length) {
+        p = run.offsetByCodePoints(p, 1)
+        bounds += p
+      }
+      val n = bounds.length - 1
+      if (n == 1) out += UTF8String.fromString(run)
+      else {
+        var j = 0
+        while (j < n - 1) {
+          out += UTF8String.fromString(run.substring(bounds(j), bounds(j + 2)))
+          j += 1
+        }
+      }
+      cjkStart = -1
+    }
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (cp < 128) { // ASCII fast path — no script lookup
+        if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+          emitCjk(i)
+          if (start < 0) start = i
+        } else { emitWord(i); emitCjk(i) }
+      } else if (isCjk(cp)) {
+        emitWord(i)
+        if (cjkStart < 0) cjkStart = i
+      } else if (Character.isLetterOrDigit(cp)) {
+        emitCjk(i)
+        if (start < 0) start = i
+      } else { emitWord(i); emitCjk(i) }
+      i += w
+    }
+    emitWord(str.length)
+    emitCjk(str.length)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
@@ -196,7 +280,11 @@ object AccentFold {
       if (!isMark(c)) sb.append(c)
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    // recompose (NFC): Hangul must come back from its Jamo
+    // decomposition — utf8proc's strip_accents recomposes, and the
+    // cross-engine fold contract is byte-identity (see the class doc)
+    UTF8String.fromString(
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
 
   /** Column-API entry point for [[AccentFold]]. */

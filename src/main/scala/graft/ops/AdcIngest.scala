@@ -77,13 +77,40 @@ object AdcIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$dir/index")
 
+  /** Read-path crash heal, GATED on writer-lease liveness
+    * ([[graft.etl.WriterLease.liveHolder]] — the InvertedIndex
+    * .healForRead rationale): remnants under a LIVE lease are a
+    * writer's in-flight state, not a crash; a read path "healing"
+    * them could restore a directory the writer is mid-rename on
+    * (retrain's root swap, a purge's generation swap) or delete its
+    * staging. Covers the warehouse ROOT (a crashed [[retrain]]'s
+    * whole-root swap) and the index tree. Writers never use this:
+    * their heals run unconditionally INSIDE their own lease.
+    */
+  private def healForRead(spark: SparkSession, dir: String): Unit =
+    if (!WriterLease.liveHolder(spark, dir)) {
+      Load.recoverSwap(spark, dir)
+      Load.recoverSwap(spark, s"$dir/index")
+      SegmentCompaction.recover(spark, s"$dir/index")
+    }
+
+  /** Writer-side entry heal — unconditional, called INSIDE the held
+    * lease: the root swap remnant first (a crashed retrain), then the
+    * index-tree remnants.
+    */
+  private def healForWrite(spark: SparkSession, dir: String): Unit = {
+    Load.recoverSwap(spark, dir)
+    Load.recoverSwap(spark, s"$dir/index")
+    SegmentCompaction.recover(spark, s"$dir/index")
+  }
+
   /** The replay high-water mark; -1 when no warehouse exists. A
     * [[retrain]] that crashed mid-swap heals here (the warehouse-root
-    * recoverSwap), which covers every entry point — they all read the
-    * high-water mark first.
+    * recoverSwap — gated on lease liveness), which covers every read
+    * entry point; writers heal unconditionally inside their lease.
     */
   def lastBatch(spark: SparkSession, dir: String): Long = {
-    Load.recoverSwap(spark, dir)
+    if (!WriterLease.liveHolder(spark, dir)) Load.recoverSwap(spark, dir)
     Load.readTable(spark, s"$dir/meta")
       .flatMap(df => Option(df.select(max(col("last_batch"))).head()
         .get(0)).map(_.asInstanceOf[Long]))
@@ -159,11 +186,12 @@ object AdcIngest {
                 meta: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.delete(root, true)
-    // lease AFTER the wipe (the wipe removes any previous fence with
-    // the rest of the dead warehouse — generation zero restarts it);
-    // from here every bootstrap write runs single-writer
+    // lease BEFORE the wipe (the lock lives outside the root, so the
+    // wipe cannot destroy it): even the teardown of the previous
+    // warehouse runs single-writer, and the fence stays monotonic
+    // across re-bootstraps
     WriterLease.withLease(spark, dir, "adc.bootstrap") { _ =>
+    if (fs.exists(root)) fs.delete(root, true)
     val train = trainOn.getOrElse(vecs)
     VectorOps.saveCentroids(spark,
       VectorOps.kmeansFit(
@@ -190,21 +218,28 @@ object AdcIngest {
   def append(spark: SparkSession, vecs: DataFrame, dir: String,
              batchId: Long, meta: Seq[String] = Nil): Boolean = {
     require(batchId >= 1, "batch ids start at 1 (0 is the bootstrap)")
-    val last = lastBatch(spark, dir)
-    require(last >= 0, s"AdcIngest.append: no warehouse at $dir")
-    if (batchId <= last) return false
+    val last0 = lastBatch(spark, dir)
+    require(last0 >= 0, s"AdcIngest.append: no warehouse at $dir")
+    if (batchId <= last0) return false
     WriterLease.withLease(spark, dir, "adc.append") { lease =>
-    require(batchId == last + 1,
-      s"batch $batchId arrived over high-water mark $last — ids must " +
-        "be contiguous or the skipped batch would silently never land")
-    // Heal a half-finished compaction swap BEFORE writing: if compact
-    // crashed between atomicSwap's two renames (index/ moved to
-    // index.__old, staging not yet renamed), writing here would
+    // Heal half-finished swaps BEFORE writing (root + index tree): if
+    // compact crashed between atomicSwap's two renames (index/ moved
+    // to index.__old, staging not yet renamed), writing here would
     // recreate index/ holding only this batch, and the next
     // recoverSwap — seeing both dirs — would delete __old and with it
     // every prior generation, while meta still claimed they landed.
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
+    healForWrite(spark, dir)
+    // the replay/contiguity guard re-derives INSIDE the lease: the
+    // pre-lease read above is only a cheap replay fast-path — two
+    // concurrent deliveries of the same id (at-least-once streaming)
+    // could both pass a guard read before mutual exclusion, and the
+    // second would re-add the batch to a meta that already counts it
+    val last = lastBatch(spark, dir)
+    if (batchId <= last) false
+    else {
+    require(batchId == last + 1,
+      s"batch $batchId arrived over high-water mark $last — ids must " +
+        "be contiguous or the skipped batch would silently never land")
     val epoch = delEpoch(spark, dir)
     val encoded = encodeBatch(spark, vecs, dir, meta)
     // a generation whose columns diverge from the tree's would read
@@ -217,7 +252,12 @@ object AdcIngest {
     WriterLease.check(spark, lease)
     writeMeta(spark, dir, batchId, epoch,
       modelEpoch(spark, dir), reencodedThrough(spark, dir))
+    // a retained rollback may have scheduled this id for deferred
+    // deletion — it is live again (the overwrite above is the
+    // exactly-once contract; deferred deletion must never fire on it)
+    SegmentCompaction.unretire(spark, s"$dir/index", batchId)
     true
+    }
     }
   }
 
@@ -245,15 +285,23 @@ object AdcIngest {
     * the cut, so deletion-by-generation would be silent data
     * corruption; rebuild from bootstrap instead.
     */
-  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
+  def rollback(spark: SparkSession, dir: String, toBatch: Long,
+               retainMs: Long = 0L): Unit = {
     require(toBatch >= 0, "cannot roll back past the bootstrap")
-    val last = lastBatch(spark, dir)
-    require(last >= toBatch,
+    val last0 = lastBatch(spark, dir)
+    require(last0 >= toBatch,
       s"AdcIngest.rollback: no warehouse at $dir at or above batch " +
         s"$toBatch")
     WriterLease.withLease(spark, dir, "adc.rollback") { lease =>
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
+    healForWrite(spark, dir)
+    // the high-water mark re-derives INSIDE the lease: a rollback
+    // serialized behind another writer must not trust a pre-lease
+    // read (a concurrent rollback could have already cut below it,
+    // and writing the stale meta back would claim deleted generations)
+    val last = lastBatch(spark, dir)
+    require(last >= toBatch,
+      s"AdcIngest.rollback: a concurrent rollback already cut below " +
+        s"batch $toBatch (high-water mark now $last)")
     // an unpublished retained merge may cover generations this cut
     // deletes — discard (source gens still live) before restructuring
     SegmentCompaction.discardPending(spark, s"$dir/index")
@@ -284,7 +332,16 @@ object AdcIngest {
     writeMeta(spark, dir, toBatch, delEpoch(spark, dir),
       modelEpoch(spark, dir),
       math.min(reencodedThrough(spark, dir), toBatch))
-    live.filter(_ > toBatch).foreach(delete)
+    val cut = live.filter(_ > toBatch).toSeq.sorted
+    if (retainMs > 0L)
+      // SNAPSHOT-RETAINED rollback (the InvertedIndex.rollback
+      // contract): the cut generations stay physically in place
+      // behind the committed high-water mark — in-flight readers'
+      // pinned files untouched — on a deferred-deletion schedule
+      // executed by later lease-holding maintenance or [[vacuum]]
+      SegmentCompaction.retire(spark, s"$dir/index", cut,
+        System.currentTimeMillis() + retainMs)
+    else cut.foreach(delete)
     ()
     }
   }
@@ -314,10 +371,9 @@ object AdcIngest {
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Long =
    WriterLease.withLease(spark, dir, "adc.delete") { lease =>
     import spark.implicits._
+    healForWrite(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"AdcIngest.delete: no warehouse at $dir")
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
     val e0 = delEpoch(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -383,8 +439,7 @@ object AdcIngest {
         s"${modelEpoch(spark, dir)} retrain (re-encoded through " +
         s"$floor) — its original encoding no longer exists; snapshot " +
         "before retraining")
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
+    healForRead(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = fs.listStatus(p).map(_.getPath.getName)
@@ -418,8 +473,7 @@ object AdcIngest {
     * from the same persisted models.
     */
   def index(spark: SparkSession, dir: String): DataFrame = {
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
+    healForRead(spark, dir)
     // generations above the high-water mark never serve: they are
     // either a crashed rollback's undeleted remnants (meta lands
     // first) or a crashed append's half-landed batch (meta lands
@@ -439,8 +493,7 @@ object AdcIngest {
   def segmentCount(spark: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
+    healForRead(spark, dir)
     if (!fs.exists(p)) 0
     else {
       val last = lastBatch(spark, dir)
@@ -458,19 +511,26 @@ object AdcIngest {
     * including the exactly-once `last_batch` high-water mark — is
     * untouched, so replay protection and the next append id survive.
     */
-  def compact(spark: SparkSession, dir: String): Unit =
+  def compact(spark: SparkSession, dir: String,
+              retainMs: Long = 0L): Unit =
    WriterLease.withLease(spark, dir, "adc.compact") { lease =>
     val indexDir = s"$dir/index"
-    Load.recoverSwap(spark, indexDir)
     // heal a crashed tiered merge before the full rewrite reads the
     // tree (aside'd generations would otherwise drop silently); an
     // unpublished retained merge is derived data of gens this rewrite
     // covers — discard rather than race its eventual publish
-    SegmentCompaction.recover(spark, indexDir)
+    healForWrite(spark, dir)
     SegmentCompaction.discardPending(spark, indexDir)
-    val staging = s"$indexDir.__staging"
+    val last = lastBatch(spark, dir)
+    val live = SegmentCompaction.genSizes(spark, indexDir)
+      .map(_._1).filter(_ <= last)
+    // retainMs > 0: commit the full rewrite as a HIDDEN pending over
+    // ALL live generations (the tieredCompact protocol) — the current
+    // tree keeps serving byte-untouched until publish
+    val staging = if (retainMs > 0L) s"$indexDir.__tiered_staging"
+      else s"$indexDir.__staging"
     spark.read.parquet(indexDir)
-      .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
+      .filter(col("batch") <= last) // remnants die here
       // PURGE: tombstoned rows drop from the rewrite (the tombstone
       // rows stay — they keep delete replays no-ops; the read filter
       // is idempotent on purged rows)
@@ -480,7 +540,9 @@ object AdcIngest {
       .sortWithinPartitions(col("cluster_id"), col("vec_id"))
       .write.mode("overwrite").partitionBy("batch").parquet(staging)
     WriterLease.check(spark, lease)
-    Load.atomicSwap(spark, staging, indexDir)
+    if (retainMs > 0L)
+      SegmentCompaction.commit(spark, indexDir, live, retainMs)
+    else Load.atomicSwap(spark, staging, indexDir)
   }
 
   /** The compaction POLICY hook (vector twin of
@@ -515,11 +577,12 @@ object AdcIngest {
                     retainMs: Long = 0L): Seq[Long] =
    WriterLease.withLease(spark, dir, "adc.tieredCompact") { lease =>
     val indexDir = s"$dir/index"
-    Load.recoverSwap(spark, indexDir)
-    SegmentCompaction.recover(spark, indexDir)
+    healForWrite(spark, dir)
     // publish a due retained merge (writer-side, under the lease);
-    // back off while one is still inside its window
+    // back off while one is still inside its window. A retained
+    // rollback's deferred deletions execute here too once due.
     SegmentCompaction.publishDue(spark, indexDir)
+    SegmentCompaction.retireDue(spark, indexDir, lastBatch(spark, dir))
     val last = lastBatch(spark, dir)
     val ids =
       if (SegmentCompaction.pending(spark, indexDir).nonEmpty) Seq.empty
@@ -584,8 +647,7 @@ object AdcIngest {
               trainOn: Option[DataFrame] = None,
               meta: Seq[String] = Nil): Long =
    WriterLease.withLease(spark, dir, "adc.retrain") { lease =>
-    Load.recoverSwap(spark, s"$dir/index")
-    SegmentCompaction.recover(spark, s"$dir/index")
+    healForWrite(spark, dir)
     // an unpublished retained merge is derived data of generations the
     // re-encode rewrites anyway
     SegmentCompaction.discardPending(spark, s"$dir/index")
@@ -612,6 +674,14 @@ object AdcIngest {
         s"AdcIngest.retrain: supplied vectors cover $n of $nLive live " +
           "indexed ids — a partial retrain would silently drop the " +
           "missing vectors; supply the full live set")
+      // row counts alone can't tell a clean cover from one duplicate
+      // masking one missing id — the distinct count closes that hole
+      // (every live vec_id must appear EXACTLY once, per the contract)
+      val nDistinct = joined.select(col("vec_id")).distinct().count()
+      require(nDistinct == nLive,
+        s"AdcIngest.retrain: supplied vectors carry ${n - nDistinct} " +
+          "duplicate vec_id rows masking missing ids — every live " +
+          "vec_id must appear exactly once")
       // new models fitted on the LIVE vectors (tombstoned ones are
       // gone from membership, so they influence nothing)
       val train = trainOn.getOrElse(joined)
@@ -635,19 +705,13 @@ object AdcIngest {
       writeMeta(spark, stage, last, e0,
         modelEpoch(spark, dir) + 1, floor = last)
       // the ledger survives verbatim (delete replays stay no-ops);
-      // fence and lease carry over so release() still matches and the
-      // token stays monotonic across the swap
+      // the lease/fence live OUTSIDE the swapped root (<dir>.__lock —
+      // the WriterLease contract), so the swap cannot destroy them
+      // and no copy is needed
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
         spark.read.parquet(s"$dir/tombstones")
           .write.mode("overwrite").partitionBy("epoch")
           .parquet(s"$stage/tombstones")
-      Seq("_FENCE", "_LEASE").foreach { f =>
-        val src = new org.apache.hadoop.fs.Path(s"$dir/$f")
-        if (fs.exists(src))
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(s"$stage/$f"), false,
-            spark.sparkContext.hadoopConfiguration)
-      }
       WriterLease.check(spark, lease)
       Load.atomicSwap(spark, stage, dir)
       n
@@ -663,12 +727,11 @@ object AdcIngest {
     * ids.
     */
   def purgeDebt(spark: SparkSession, dir: String,
-                tau: Double = 0.5): Seq[Long] =
+                tau: Double = 0.5, retainMs: Long = 0L): Seq[Long] =
    WriterLease.withLease(spark, dir, "adc.purgeDebt") { lease =>
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     val indexDir = s"$dir/index"
-    Load.recoverSwap(spark, indexDir)
-    SegmentCompaction.recover(spark, indexDir)
+    healForWrite(spark, dir)
     SegmentCompaction.discardPending(spark, indexDir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"AdcIngest.purgeDebt: no warehouse at $dir")
@@ -687,15 +750,25 @@ object AdcIngest {
         .collect { case (b, n)
           if n > 0 && debt.getOrElse(b, 0L).toDouble / n >= tau => b }
       victims.foreach { b =>
-        val staging = s"$indexDir.__debt_staging"
-        liveVecs(spark, dir, epoch)(
+        val rewritten = liveVecs(spark, dir, epoch)(
           spark.read.parquet(indexDir).filter(col("batch") === b))
           .drop("batch")
           .repartition(col("cluster_id"))
           .sortWithinPartitions(col("cluster_id"), col("vec_id"))
-          .write.mode("overwrite").parquet(staging)
-        WriterLease.check(spark, lease)
-        Load.atomicSwap(spark, staging, s"$indexDir/batch=$b")
+        if (retainMs > 0L) {
+          // hidden single-generation pending — the indebted generation
+          // keeps serving until the window passes (views identical:
+          // reads anti-join the tombstones either way)
+          rewritten.write.mode("overwrite")
+            .parquet(s"$indexDir.__tiered_staging/batch=$b")
+          WriterLease.check(spark, lease)
+          SegmentCompaction.commit(spark, indexDir, Seq(b), retainMs)
+        } else {
+          val staging = s"$indexDir.__debt_staging"
+          rewritten.write.mode("overwrite").parquet(staging)
+          WriterLease.check(spark, lease)
+          Load.atomicSwap(spark, staging, s"$indexDir/batch=$b")
+        }
       }
       victims
     }
@@ -708,8 +781,9 @@ object AdcIngest {
     */
   def vacuum(spark: SparkSession, dir: String): Seq[Long] =
     WriterLease.withLease(spark, dir, "adc.vacuum") { _ =>
-      Load.recoverSwap(spark, s"$dir/index")
-      SegmentCompaction.recover(spark, s"$dir/index")
-      SegmentCompaction.publish(spark, s"$dir/index")
+      healForWrite(spark, dir)
+      SegmentCompaction.publish(spark, s"$dir/index") ++
+        SegmentCompaction.retireDue(spark, s"$dir/index",
+          lastBatch(spark, dir), force = true)
     }
 }

@@ -22,13 +22,22 @@ import graft.functions.AnalyzeTokens
   *    built before analyzers existed (a corpus row without an
   *    `analyzer` column reads as whitespace).
   *  - [[Analyzer.Unicode]] — accent fold (NFD, combining marks
-  *    dropped — [[graft.functions.AccentFold]]) → lowercase → split
-  *    on `[^a-z0-9]+` → drop empties, plus an optional stopword set.
-  *    The reference's own normalization recipe
-  *    (/root/reference/etl/extract.py:107-114) applied to document
-  *    text: `"Spark,"`, `"SPARK"` and `"spárk"` all index and query
-  *    as `spark`. This is the DEFAULT for new indexes — raw text is
-  *    the common case, pre-tokenized the exception.
+  *    dropped, NFC recompose — [[graft.functions.AccentFold]]) →
+  *    lowercase → SCRIPT-AWARE tokenization ([[graft.functions
+  *    .AnalyzeTokens]]): non-CJK Unicode letter/digit runs become
+  *    whole tokens (Cyrillic, Greek, Arabic, Hebrew and accented
+  *    Latin all index — the original `[a-z0-9]` alphabet silently
+  *    empty-analyzed every non-Latin script), CJK runs (Han/
+  *    Hiragana/Katakana/Hangul) emit overlapping character bigrams
+  *    (the Lucene CJKAnalyzer strategy — space-less scripts cannot
+  *    word-split), plus an optional stopword set. The reference's own
+  *    normalization recipe (/root/reference/etl/extract.py:107-114)
+  *    applied to document text: `"Spark,"`, `"SPARK"` and `"spárk"`
+  *    all index and query as `spark`; `"МОСКВА"` and `"москва"` as
+  *    `москва`; `"東京都"` as the bigrams `東京`,`京都`. ASCII text
+  *    tokenizes byte-identically to the pre-round-13 alphabet. This
+  *    is the DEFAULT for new indexes — raw text is the common case,
+  *    pre-tokenized the exception.
   *
   * Position semantics under Unicode: positions are 1-based offsets in
   * the ANALYZED token stream with stopword slots RETAINED (a stopword
@@ -38,10 +47,13 @@ import graft.functions.AnalyzeTokens
   * included (BM25 length = document length, not index size).
   *
   * Cross-engine exactness: the Column pipeline and [[analyzeTerms]]
-  * share [[graft.functions.AccentFold.fold]] + UTF8String lowercasing,
-  * and DuckDB replays the whole analysis as
-  * `list_filter(regexp_split_to_array(lower(strip_accents(t)),
-  * '[^a-z0-9]+'), x -> x <> '')` — q203 pins the equality end-to-end.
+  * share [[graft.functions.AccentFold.fold]] + UTF8String lowercasing
+  * + the [[graft.functions.AnalyzeTokens]] scanner, and DuckDB
+  * replays the whole analysis — fold as `strip_accents`, non-CJK
+  * tokens as a `[^\p{L}\p{Nd}]+` split (CJK runs blanked first, final
+  * sigma normalized medial), CJK bigrams via `range()`/`substr` per
+  * extracted run — q203 (Latin) and q207 (Cyrillic/Greek/CJK) pin the
+  * equality end-to-end.
   */
 sealed trait Analyzer {
   /** Policy id recorded in the corpus row. */
@@ -93,9 +105,10 @@ object Analyzer {
     def analyzePhrase(words: Seq[String]): Seq[String] = words
   }
 
-  /** Accent fold → lowercase → `[^a-z0-9]+` tokenize → drop empties,
-    * with an optional stopword set. See the trait doc for position and
-    * stopword semantics.
+  /** Accent fold → lowercase → script-aware tokenize (Unicode
+    * letter/digit runs; CJK bigrams) → drop empties, with an optional
+    * stopword set. See the trait doc for position and stopword
+    * semantics.
     */
   final case class Unicode(stopwords: Seq[String] = Nil) extends Analyzer {
     val kind = "unicode"

@@ -188,10 +188,12 @@ object CorpusIngest {
     // serves a DEAD generation's rows as the new batch.
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.delete(root, true)
-    // lease AFTER the wipe (the wipe removes the dead warehouse's
-    // fence with everything else — generation zero restarts it)
+    // lease BEFORE the wipe (the lock lives outside the root — the
+    // WriterLease contract), so even the teardown of the previous
+    // warehouse runs single-writer and the fence stays monotonic
+    // across re-bootstraps
     WriterLease.withLease(spark, dir, "corpus.bootstrap") { _ =>
+    if (fs.exists(root)) fs.delete(root, true)
     Mojibake.saveMapping(spark, s"$dir/mapping")
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val keep = eager(dedupByUrl(crawl))
@@ -267,15 +269,25 @@ object CorpusIngest {
     require(batchId >= 1, "batch ids start at 1 (0 is the bootstrap)")
     require(batch.columns.toSeq == CrawlCols,
       s"ingest batch must be $CrawlCols, got ${batch.columns.toSeq}")
-    // heal a crashed purge swap BEFORE writing: with the corpus tree
-    // sitting only in __old, writeBatch would recreate corpus/ holding
-    // just this batch and the next heal would delete __old — every
-    // prior generation — while state still claimed they landed
-    heal(spark, dir)
-    val last = lastBatch(spark, dir)
-    require(last >= 0, s"CorpusIngest.ingest: no warehouse at $dir")
-    if (batchId <= last) return false
+    val last0 = lastBatch(spark, dir)
+    require(last0 >= 0, s"CorpusIngest.ingest: no warehouse at $dir")
+    if (batchId <= last0) return false
     WriterLease.withLease(spark, dir, "corpus.ingest") { lease =>
+    // heal a crashed purge swap BEFORE writing (INSIDE the lease — a
+    // mutating heal outside it could race a live purge): with the
+    // corpus tree sitting only in __old, writeBatch would recreate
+    // corpus/ holding just this batch and the next heal would delete
+    // __old — every prior generation — while state still claimed they
+    // landed
+    heal(spark, dir)
+    // the replay/contiguity guard re-derives INSIDE the lease: the
+    // pre-lease read above is only a cheap replay fast-path — two
+    // concurrent deliveries of the same id could both pass a guard
+    // read before mutual exclusion, and the second would re-advance a
+    // token high-water mark that already counts the batch
+    val last = lastBatch(spark, dir)
+    if (batchId <= last) false
+    else {
     require(batchId == last + 1,
       s"batch $batchId arrived over high-water mark $last — ids must " +
         "be contiguous or the skipped batch would silently never land")
@@ -376,6 +388,7 @@ object CorpusIngest {
     Seq(keep0, fresh, selected, packed).foreach(_.unpersist())
     true
     }
+    }
   }
 
   /** Per-source ingest FUNNEL audit of `batch` against the warehouse's
@@ -399,7 +412,7 @@ object CorpusIngest {
              landedBatch: Long): DataFrame = {
     require(batch.columns.toSeq == CrawlCols,
       s"funnel batch must be $CrawlCols, got ${batch.columns.toSeq}")
-    heal(spark, dir)
+    healForRead(spark, dir)
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val stateRows: Map[String, Long] =
       Load.readTable(spark, s"$dir/state").getOrElse(
@@ -499,11 +512,21 @@ object CorpusIngest {
   private def heal(spark: SparkSession, dir: String): Unit =
     Load.recoverSwap(spark, s"$dir/corpus")
 
+  /** Read-path heal, GATED on writer-lease liveness (the
+    * InvertedIndex.healForRead rationale): a remnant under a LIVE
+    * lease is a writer's in-flight purge swap, not a crash — a reader
+    * restoring `corpus.__old` mid-swap would make the writer's commit
+    * rename land inside the restored tree. Writers call [[heal]]
+    * unconditionally inside their own lease.
+    */
+  private def healForRead(spark: SparkSession, dir: String): Unit =
+    if (!WriterLease.liveHolder(spark, dir)) heal(spark, dir)
+
   /** The served packed corpus across all generations, minus tombstoned
     * documents — what a training-shard writer consumes.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    heal(spark, dir)
+    healForRead(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.read: no warehouse at $dir")
     liveRows(spark, dir, delEpoch(spark, dir))(
@@ -623,7 +646,7 @@ object CorpusIngest {
     */
   def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
     require(batch >= 0, "as-of generations start at 0 (the bootstrap)")
-    heal(spark, dir)
+    healForRead(spark, dir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"CorpusIngest.readAsOf: no warehouse at $dir")
     require(batch <= last,

@@ -66,6 +66,23 @@ object InvertedIndex {
 
   def bucketOf(term: Column): Column = pmod(hash(term), lit(Buckets))
 
+  /** Read-path crash heal, GATED on writer-lease liveness
+    * ([[WriterLease.liveHolder]]): swap remnants under a LIVE lease
+    * are a writer's in-flight state, not a crash — a read path
+    * "healing" them could restore a directory the writer is
+    * mid-rename on, or delete the staging it is about to commit
+    * (the reader-races-writer corruption class). A lease silent past
+    * its ttl IS a crash (holders heartbeat), so heals then proceed —
+    * and so does the no-lease case (single-process history, plain
+    * crash remnants). Writers never use this: their heals run
+    * unconditionally INSIDE their own lease.
+    */
+  private def healForRead(spark: SparkSession, dir: String): Unit =
+    if (!WriterLease.liveHolder(spark, dir)) {
+      Load.recoverSwap(spark, s"$dir/postings")
+      SegmentCompaction.recover(spark, s"$dir/postings")
+    }
+
   /** (term, doc_id, tf, dl, positions, bucket) of a (doc_id, text)
     * frame — one shuffle (groupBy doc_id×term with map-side combine).
     * `positions` are the term's 1-based offsets in the ANALYZED token
@@ -101,9 +118,39 @@ object InvertedIndex {
     .filter(size(filter(col("t"), x => az.isIndexed(x))) > 0)
     .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
 
-  private def corpusRow(docs: DataFrame, az: Analyzer): DataFrame =
-    docRows(docs, az)
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+  /** (n_docs, sum_dl, zero_token_docs) of a (doc_id, t) slotted frame
+    * in ONE aggregate pass: `dl` is null ⇔ the document analyzed to
+    * ZERO indexable tokens — such documents produce no postings, no
+    * sidecar row and no globals contribution, and before round 13
+    * they silently disappeared (a non-Latin corpus under the old
+    * `[a-z0-9]` alphabet analyzed ENTIRELY to empty streams with no
+    * operator feedback — the verdict's carried observation). The
+    * counter makes that failure mode visible: it lands in the corpus
+    * row as a LIFETIME ingest-quality counter (build seeds it,
+    * addBatch accumulates, delete/rollback preserve — rollback cannot
+    * re-derive it from postings, which is exactly the point: these
+    * documents never reached the postings) and surfaces through
+    * WarehouseStats.
+    */
+  private def corpusStats(slotted: DataFrame, az: Analyzer): DataFrame =
+    slotted
+      .select(when(size(filter(col("t"), x => az.isIndexed(x))) > 0,
+        size(col("t")).cast(LongType)).as("dl"))
+      .agg(count(col("dl")).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+        (count(lit(1)) - count(col("dl"))).cast(LongType)
+          .as("zero_token_docs"))
+
+  private def slotted(docs: DataFrame, az: Analyzer): DataFrame =
+    docs.select(col("doc_id"), az.slots(col("text")).as("t"))
+
+  /** The lifetime zero-token-document counter of a corpus row; 0 for
+    * rows written before the counter existed.
+    */
+  private def zeroTokOf(c: org.apache.spark.sql.Row): Long =
+    if (c.schema.fieldNames.contains("zero_token_docs"))
+      c.getAs[Long]("zero_token_docs")
+    else 0L
 
   /** The corpus row's analyzer fields — written on EVERY corpus-row
     * rewrite (build/addBatch/rollback/delete) so the recorded policy
@@ -184,7 +231,8 @@ object InvertedIndex {
     WriterLease.check(spark, lease)
     Load.replaceTable(spark,
       withAnalyzerCols(
-        corpusRow(docs, analyzer).withColumn("last_batch", lit(0L))
+        corpusStats(slotted(docs, analyzer), analyzer)
+          .withColumn("last_batch", lit(0L))
           .withColumn("del_epoch", lit(0L)), analyzer), s"$dir/corpus")
     // a fresh build must not inherit a PRIOR index's tombstones at
     // this path (they would silently delete from the new corpus) —
@@ -208,13 +256,10 @@ object InvertedIndex {
   def addBatch(spark: SparkSession, docs: DataFrame, dir: String,
                batchId: Long): Boolean = {
     require(batchId >= 1, s"batch ids start at 1 (0 is the bootstrap)")
-    val last = lastBatch(spark, dir)
-    require(last >= 0, s"InvertedIndex.addBatch: no index at $dir")
-    if (batchId <= last) false
+    val last0 = lastBatch(spark, dir)
+    require(last0 >= 0, s"InvertedIndex.addBatch: no index at $dir")
+    if (batchId <= last0) false
     else WriterLease.withLease(spark, dir, "invidx.addBatch") { lease =>
-      require(batchId == last + 1,
-        s"batch $batchId arrived over high-water mark $last — ids must " +
-          "be contiguous or the skipped batch would silently never land")
       // Heal a half-finished compaction swap BEFORE writing (same
       // hazard as AdcIngest.append): a crash between atomicSwap's two
       // renames leaves only postings.__old; writing here first would
@@ -227,6 +272,18 @@ object InvertedIndex {
       // addBatch analyzing differently from the bootstrap would split
       // one term across two spellings and silently halve its postings
       val cOld = Load.readTable(spark, s"$dir/corpus").get.head()
+      // the replay/contiguity guard re-derives INSIDE the lease (from
+      // the corpus row just read): the pre-lease read above is only a
+      // cheap replay fast-path — two concurrent deliveries of the same
+      // id could both pass a guard read before mutual exclusion, and
+      // the second would re-add the batch's n_docs/sum_dl to a corpus
+      // row that already counts them
+      val last = cOld.getAs[Long]("last_batch")
+      if (batchId <= last) false
+      else {
+      require(batchId == last + 1,
+        s"batch $batchId arrived over high-water mark $last — ids must " +
+          "be contiguous or the skipped batch would silently never land")
       val az = analyzerOf(cOld)
       postings(docs, az).withColumn("batch", lit(batchId))
         .repartition(col("bucket"))
@@ -241,18 +298,26 @@ object InvertedIndex {
       // the batch's contribution excludes already-tombstoned ids: a
       // rolled-back batch re-ingested AFTER one of its docs was
       // deleted must re-enter minus that doc, or the globals would
-      // double-diverge from every read path's anti-joined view
-      val merged = liveDocs(spark, dir, delEpochOf(cOld))(docRows(docs, az))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      // double-diverge from every read path's anti-joined view. The
+      // zero-token counter rides the SAME single aggregate (dl null ⇔
+      // zero indexable tokens — see corpusStats).
+      val merged = corpusStats(
+          liveDocs(spark, dir, delEpochOf(cOld))(slotted(docs, az)), az)
         .select(
           (col("n_docs") + lit(cOld.getAs[Long]("n_docs"))).as("n_docs"),
-          (col("sum_dl") + lit(cOld.getAs[Long]("sum_dl"))).as("sum_dl"))
+          (col("sum_dl") + lit(cOld.getAs[Long]("sum_dl"))).as("sum_dl"),
+          (col("zero_token_docs") + lit(zeroTokOf(cOld)))
+            .as("zero_token_docs"))
         .withColumn("last_batch", lit(batchId))
         .withColumn("del_epoch", lit(delEpochOf(cOld)))
       WriterLease.check(spark, lease)
       Load.replaceTable(spark, withAnalyzerCols(merged, az), s"$dir/corpus")
+      // a retained rollback may have scheduled this id for deferred
+      // deletion — it is live again (the overwrite above is the
+      // exactly-once contract; deferred deletion must never fire on it)
+      SegmentCompaction.unretire(spark, s"$dir/postings", batchId)
       true
+      }
     }
   }
 
@@ -265,8 +330,7 @@ object InvertedIndex {
   def segmentCount(spark: SparkSession, dir: String): Int = {
     val p = new Path(s"$dir/postings")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    healForRead(spark, dir)
     if (!fs.exists(p)) 0
     else {
       val last = lastBatch(spark, dir)
@@ -299,13 +363,24 @@ object InvertedIndex {
     * Rolled-back ids re-ingest bit-identically (postings are a pure
     * function of the batch's documents), which is also what makes a
     * fixed-path index fixture re-entrant without a rebuild.
+    *
+    * `retainMs > 0` — SNAPSHOT-RETAINED rollback: the cut generations
+    * are not deleted; they stay physically in place (new readers never
+    * see them — every read path filters `batch ≤ last_batch`, and the
+    * corpus row commits the new mark first) on a deferred-deletion
+    * schedule ([[SegmentCompaction.retire]]) executed by a later
+    * lease-holding maintenance call or [[vacuum]] — so an in-flight
+    * reader whose plan pinned the pre-rollback files completes
+    * untouched. A re-[[addBatch]] of a cut id goes live again (the
+    * schedule drops it; the dynamic overwrite is the exactly-once
+    * contract, not a retention hole).
     */
-  def rollback(spark: SparkSession, dir: String, toBatch: Long): Unit = {
+  def rollback(spark: SparkSession, dir: String, toBatch: Long,
+               retainMs: Long = 0L): Unit = {
     require(toBatch >= 0, "cannot roll back past the bootstrap")
-    val cOld = Load.readTable(spark, s"$dir/corpus").getOrElse(
+    val c0 = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.rollback: no index at $dir")).head()
-    val last = cOld.getAs[Long]("last_batch")
-    require(last >= toBatch,
+    require(c0.getAs[Long]("last_batch") >= toBatch,
       s"InvertedIndex.rollback: no index at $dir at or above batch " +
         s"$toBatch")
     WriterLease.withLease(spark, dir, "invidx.rollback") { lease =>
@@ -315,6 +390,14 @@ object InvertedIndex {
     // deletes — discard it (its source gens are still live) before
     // restructuring, or the eventual publish would resurrect them
     SegmentCompaction.discardPending(spark, s"$dir/postings")
+    // the high-water mark re-derives INSIDE the lease (a concurrent
+    // rollback serialized ahead of us may have already cut deeper —
+    // its meta must not be overwritten with a stale, higher mark)
+    val cOld = Load.readTable(spark, s"$dir/corpus").get.head()
+    val last = cOld.getAs[Long]("last_batch")
+    require(last >= toBatch,
+      s"InvertedIndex.rollback: a concurrent rollback already cut " +
+        s"below batch $toBatch (high-water mark now $last)")
     val p = new Path(s"$dir/postings")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def delete(b: Long): Unit =
@@ -323,7 +406,9 @@ object InvertedIndex {
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong).toSet
     // heal: dirs above the high-water mark are a prior crashed
-    // rollback's undeleted remnants — delete before validating
+    // rollback's undeleted remnants OR an earlier retained rollback's
+    // still-scheduled generations — a restructuring writer legally
+    // invalidates those snapshots (delete before validating)
     ids.filter(_ > last).foreach(delete)
     val live = ids.filter(_ <= last)
     require(toBatch == last || live.contains(toBatch + 1),
@@ -345,13 +430,26 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("last_batch", lit(toBatch))
       .withColumn("del_epoch", lit(epoch))
+      // the zero-token counter is a LIFETIME ingest-quality counter —
+      // it survives the rollback as-is (those documents never reached
+      // the postings, so the rebuild cannot re-derive them)
+      .withColumn("zero_token_docs", lit(zeroTokOf(cOld)))
     WriterLease.check(spark, lease)
     Load.replaceTable(spark,
       withAnalyzerCols(rebuilt, analyzerOf(cOld)), s"$dir/corpus")
-    live.filter(_ > toBatch).foreach(delete)
+    val cut = live.filter(_ > toBatch).toSeq.sorted
+    if (retainMs > 0L)
+      // deferred deletion: the cut generations stay in place behind
+      // the committed high-water mark until the window passes
+      SegmentCompaction.retire(spark, s"$dir/postings", cut,
+        System.currentTimeMillis() + retainMs)
+    else cut.foreach(delete)
     // the docs/ sidecar follows the postings truncation (its dirs are
     // never merged, so every id above the cut goes — remnants above
-    // `last` included)
+    // `last` included). Sidecar dirs are read only by delete/rollback
+    // (never pinned by a serving plan), so they truncate immediately
+    // even under retention; the `batch ≤ last_batch` filter keeps the
+    // retained rollback's delete/rollback reads exact regardless.
     val dPath = new Path(s"$dir/docs")
     if (fs.exists(dPath))
       fs.listStatus(dPath).map(_.getPath).filter { q =>
@@ -443,8 +541,9 @@ object InvertedIndex {
       Load.replaceTable(spark,
         withAnalyzerCols(
           Seq((c.getAs[Long]("n_docs") - n, c.getAs[Long]("sum_dl") - sdl,
-            c.getAs[Long]("last_batch"), e0 + 1))
-            .toDF("n_docs", "sum_dl", "last_batch", "del_epoch"),
+            c.getAs[Long]("last_batch"), e0 + 1, zeroTokOf(c)))
+            .toDF("n_docs", "sum_dl", "last_batch", "del_epoch",
+              "zero_token_docs"),
           analyzerOf(c)),
         s"$dir/corpus")
       n
@@ -466,8 +565,17 @@ object InvertedIndex {
     * warehouse two-rename swap (Load.atomicSwap): every crash point
     * leaves the full old or full new tree, healed on the next
     * read/maintenance call through recoverSwap.
+    *
+    * `retainMs > 0` — SNAPSHOT-RETAINED compact: the rewritten tree
+    * commits as a HIDDEN pending rewrite covering every live
+    * generation ([[SegmentCompaction.commit]] — the tieredCompact
+    * protocol with ids = ALL live generations); the current
+    * generations keep serving byte-untouched until a later
+    * lease-holding maintenance call or [[vacuum]] publishes after the
+    * window, so in-flight readers survive the full rewrite too.
     */
-  def compact(spark: SparkSession, dir: String): Unit =
+  def compact(spark: SparkSession, dir: String,
+              retainMs: Long = 0L): Unit =
    WriterLease.withLease(spark, dir, "invidx.compact") { lease =>
     val postingsDir = s"$dir/postings"
     Load.recoverSwap(spark, postingsDir)
@@ -478,9 +586,13 @@ object InvertedIndex {
     // it rather than race its eventual publish
     SegmentCompaction.recover(spark, postingsDir)
     SegmentCompaction.discardPending(spark, postingsDir)
-    val staging = s"$postingsDir.__staging"
+    val last = lastBatch(spark, dir)
+    val live = SegmentCompaction.genSizes(spark, postingsDir)
+      .map(_._1).filter(_ <= last)
+    val staging = if (retainMs > 0L) s"$postingsDir.__tiered_staging"
+      else s"$postingsDir.__staging"
     spark.read.parquet(postingsDir)
-      .filter(col("batch") <= lastBatch(spark, dir)) // remnants die here
+      .filter(col("batch") <= last) // remnants die here
       // PURGE: tombstoned rows are dropped from the rewrite — the
       // physical reclaim behind [[delete]]'s logical tombstones (the
       // tombstone rows themselves stay: they keep delete replays
@@ -492,7 +604,9 @@ object InvertedIndex {
       .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(staging)
     WriterLease.check(spark, lease)
-    Load.atomicSwap(spark, staging, postingsDir)
+    if (retainMs > 0L)
+      SegmentCompaction.commit(spark, postingsDir, live, retainMs)
+    else Load.atomicSwap(spark, staging, postingsDir)
   }
 
   /** TOMBSTONE-DEBT purge: rewrite (only) the generations whose
@@ -510,9 +624,17 @@ object InvertedIndex {
     * is one id-column pass + a broadcast semi-join — maintenance
     * cadence, the same cost as q202's purge_backlog_rows. Returns the
     * purged generation ids.
+    *
+    * `retainMs > 0` — SNAPSHOT-RETAINED purge: each indebted
+    * generation's rewrite commits as its own HIDDEN pending ([[
+    * SegmentCompaction.commit]] with a single-id run); the indebted
+    * generations keep serving byte-untouched (reads anti-join the
+    * tombstones either way — the views are identical) until a later
+    * lease-holding maintenance call or [[vacuum]] publishes after the
+    * window. Bytes reclaim at publish, not at commit.
     */
   def purgeDebt(spark: SparkSession, dir: String,
-                tau: Double = 0.5): Seq[Long] =
+                tau: Double = 0.5, retainMs: Long = 0L): Seq[Long] =
    WriterLease.withLease(spark, dir, "invidx.purgeDebt") { lease =>
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     val postingsDir = s"$dir/postings"
@@ -541,31 +663,44 @@ object InvertedIndex {
         .collect { case (b, n)
           if n > 0 && debt.getOrElse(b, 0L).toDouble / n >= tau => b }
       victims.foreach { b =>
-        val staging = s"$postingsDir.__debt_staging"
-        liveDocs(spark, dir, epoch)(
+        val rewritten = liveDocs(spark, dir, epoch)(
           spark.read.parquet(postingsDir).filter(col("batch") === b))
           .drop("batch")
           .repartition(col("bucket"))
           .sortWithinPartitions(col("term"), col("doc_id"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        WriterLease.check(spark, lease)
-        Load.atomicSwap(spark, staging, s"$postingsDir/batch=$b")
+        if (retainMs > 0L) {
+          // hidden single-generation pending: the indebted generation
+          // keeps serving until the window passes
+          rewritten.write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$postingsDir.__tiered_staging/batch=$b")
+          WriterLease.check(spark, lease)
+          SegmentCompaction.commit(spark, postingsDir, Seq(b), retainMs)
+        } else {
+          val staging = s"$postingsDir.__debt_staging"
+          rewritten.write.mode("overwrite").partitionBy("bucket")
+            .parquet(staging)
+          WriterLease.check(spark, lease)
+          Load.atomicSwap(spark, staging, s"$postingsDir/batch=$b")
+        }
       }
       victims
     }
   }
 
-  /** Force-publish a snapshot-retained tiered merge NOW (see
-    * [[tieredCompact]]'s `retainMs` and
-    * [[SegmentCompaction.commit]]) — the explicit vacuum verb for
-    * when the operator KNOWS no reader still holds the pre-merge
-    * snapshot. Returns the published ids (empty = nothing pending).
+  /** Force-publish every snapshot-retained state NOW — pending
+    * rewrites (tiered merges, retained compacts/purges) AND the
+    * deferred-deletion schedule of a retained [[rollback]] — the
+    * explicit vacuum verb for when the operator KNOWS no reader still
+    * holds a pre-maintenance snapshot. Returns the affected ids
+    * (published + retired; empty = nothing pending).
     */
   def vacuum(spark: SparkSession, dir: String): Seq[Long] =
     WriterLease.withLease(spark, dir, "invidx.vacuum") { _ =>
       Load.recoverSwap(spark, s"$dir/postings")
       SegmentCompaction.recover(spark, s"$dir/postings")
-      SegmentCompaction.publish(spark, s"$dir/postings")
+      SegmentCompaction.publish(spark, s"$dir/postings") ++
+        SegmentCompaction.retireDue(spark, s"$dir/postings",
+          lastBatch(spark, dir), force = true)
     }
 
   /** The compaction POLICY hook a maintenance runner calls after each
@@ -611,8 +746,10 @@ object InvertedIndex {
     // a prior retained merge whose window has passed publishes now
     // (writer-side, under the lease); while one is still within its
     // window, maintenance BACKS OFF — a second merge over the same
-    // tail would race the eventual publish
+    // tail would race the eventual publish. A retained rollback's
+    // deferred deletions execute here too once due.
     SegmentCompaction.publishDue(spark, postingsDir)
+    SegmentCompaction.retireDue(spark, postingsDir, lastBatch(spark, dir))
     val ids =
       if (SegmentCompaction.pending(spark, postingsDir).nonEmpty) Seq.empty
       else SegmentCompaction.mergeSet(
@@ -657,9 +794,9 @@ object InvertedIndex {
     // heal BEFORE reading (the AdcIngest.index contract): a tiered
     // merge that crashed after moving generations aside would
     // otherwise serve silently incomplete results against globals
-    // that still count the aside'd docs
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    // that still count the aside'd docs — gated on lease liveness
+    // (a live writer's in-flight state is not a crash)
+    healForRead(spark, dir)
     import spark.implicits._
     // generations above the high-water mark never serve (a crashed
     // rollback's remnants — the corpus row is the commit point), and
@@ -730,9 +867,9 @@ object InvertedIndex {
     // heal BEFORE reading (the AdcIngest.index contract): a tiered
     // merge that crashed after moving generations aside would
     // otherwise serve silently incomplete results against globals
-    // that still count the aside'd docs
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    // that still count the aside'd docs — gated on lease liveness
+    // (a live writer's in-flight state is not a crash)
+    healForRead(spark, dir)
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.proximitySearch: no corpus at $dir")).head()
@@ -826,9 +963,9 @@ object InvertedIndex {
     // heal BEFORE reading (the AdcIngest.index contract): a tiered
     // merge that crashed after moving generations aside would
     // otherwise serve silently incomplete results against globals
-    // that still count the aside'd docs
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    // that still count the aside'd docs — gated on lease liveness
+    // (a live writer's in-flight state is not a crash)
+    healForRead(spark, dir)
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.maxScoreSearch: no corpus at $dir")).head()
@@ -940,9 +1077,9 @@ object InvertedIndex {
     // heal BEFORE reading (the AdcIngest.index contract): a tiered
     // merge that crashed after moving generations aside would
     // otherwise serve silently incomplete results against globals
-    // that still count the aside'd docs
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    // that still count the aside'd docs — gated on lease liveness
+    // (a live writer's in-flight state is not a crash)
+    healForRead(spark, dir)
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.searchBatch: no corpus at $dir")).head()
@@ -1025,9 +1162,9 @@ object InvertedIndex {
     require(k > 0)
     require(must.intersect(mustNot).isEmpty,
       "a term cannot be MUST and MUST_NOT at once")
-    // heal BEFORE reading (the AdcIngest.index contract)
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    // heal BEFORE reading (the AdcIngest.index contract), gated on
+    // lease liveness
+    healForRead(spark, dir)
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.booleanSearch: no corpus at $dir")).head()
@@ -1101,8 +1238,7 @@ object InvertedIndex {
     require(must.nonEmpty, "deleteByQuery needs at least one MUST term")
     require(must.intersect(mustNot).isEmpty,
       "a term cannot be MUST and MUST_NOT at once")
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    healForRead(spark, dir)
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.deleteByQuery: no index at $dir")).head()
@@ -1152,9 +1288,9 @@ object InvertedIndex {
     // heal BEFORE reading (the AdcIngest.index contract): a tiered
     // merge that crashed after moving generations aside would
     // otherwise serve silently incomplete results against globals
-    // that still count the aside'd docs
-    Load.recoverSwap(spark, s"$dir/postings")
-    SegmentCompaction.recover(spark, s"$dir/postings")
+    // that still count the aside'd docs — gated on lease liveness
+    // (a live writer's in-flight state is not a crash)
+    healForRead(spark, dir)
     import spark.implicits._
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.search: no corpus table at $dir")).head()

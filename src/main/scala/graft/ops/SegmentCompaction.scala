@@ -75,11 +75,13 @@ object SegmentCompaction {
     new Path(s"$tree/.old-$lo")
   private val MergedMarker = "_MERGED_IDS"
 
-  /** A committed-but-unpublished tiered merge: the merged generation
+  /** A committed-but-unpublished REWRITE: the rewritten generation
     * sits HIDDEN in the tree while the generations it replaces keep
-    * serving (both views are identical — the merge is a pure physical
-    * move), until [[publishDue]]/[[publish]] swaps it in after the
-    * retention window.
+    * serving (both views are identical — every retained rewrite here
+    * is a pure physical move: tiered merge, full compact, debt
+    * purge), until [[publishDue]]/[[publish]] swaps it in after the
+    * retention window. Several can pend at once (one per purged
+    * generation) — their id sets are disjoint by construction.
     */
   final case class PendingMerge(ids: Seq[Long], publishAfterMs: Long,
                                 dir: Path)
@@ -200,7 +202,8 @@ object SegmentCompaction {
     if (fs.exists(p))
       fs.listStatus(p).map(_.getPath)
         .filter { q =>
-          q.getName.startsWith(".merged-") || q.getName.startsWith(".old-")
+          q.getName.startsWith(".merged-") || q.getName.startsWith(".old-") ||
+            q.getName == ".retired"
         }.foreach(q => { fs.delete(q, true); () })
     ()
   }
@@ -231,15 +234,21 @@ object SegmentCompaction {
     */
   def commit(spark: SparkSession, tree: String, ids: Seq[Long],
              retainMs: Long = 0L): Unit = {
-    require(ids.size >= 2, "a tiered merge spans at least 2 generations")
+    // ids.size >= 2 is a tiered MERGE; a single id is a retained
+    // in-place REWRITE (debt purge, 1-generation compact) — the
+    // protocol is identical, the replaced run is just length 1
+    require(ids.nonEmpty, "a commit names at least one generation")
     val lo = ids.min
     val fs = fsOf(spark, new Path(tree))
     require(fs.exists(new Path(stagingPath(tree), s"batch=$lo")),
       s"tiered commit: no staged batch=$lo under ${stagingPath(tree)}")
     if (retainMs > 0L) {
-      require(pending(spark, tree).isEmpty,
-        s"a pending merge already awaits publish under $tree — publish " +
-          "or discard it before committing another")
+      // disjointness keeps every pending independently publishable
+      val overlap = pendings(spark, tree).flatMap(_.ids).toSet
+        .intersect(ids.toSet)
+      require(overlap.isEmpty,
+        s"a pending rewrite already covers generations $overlap under " +
+          s"$tree — publish or discard it before committing another")
       // the marker rides the atomic rename: no crash point can leave a
       // hidden merged dir whose replaced ids are unknown
       val out = fs.create(
@@ -278,17 +287,26 @@ object SegmentCompaction {
     }
   }
 
-  /** The committed-but-unpublished merge at `tree`, if any. */
-  def pending(spark: SparkSession, tree: String): Option[PendingMerge] = {
+  /** The committed-but-unpublished merge at `tree`, if any (the first
+    * when several rewrites pend — see [[pendings]]).
+    */
+  def pending(spark: SparkSession, tree: String): Option[PendingMerge] =
+    pendings(spark, tree).headOption
+
+  /** Every committed-but-unpublished rewrite at `tree`, ascending by
+    * lowest replaced id. Id sets are disjoint by the [[commit]]
+    * overlap check, so each publishes independently.
+    */
+  def pendings(spark: SparkSession, tree: String): Seq[PendingMerge] = {
     val p = new Path(tree)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath)
-      .find(_.getName.startsWith(".merged-"))
+      .filter(_.getName.startsWith(".merged-"))
       .flatMap { mdir =>
         readMarker(fs, new Path(mdir, MergedMarker))
           .map { case (ids, after) => PendingMerge(ids, after, mdir) }
-      }
+      }.sortBy(_.ids.min).toSeq
   }
 
   /** Publish the pending merge NOW (the vacuum step): swap the hidden
@@ -303,52 +321,133 @@ object SegmentCompaction {
     * window — the Iceberg expire-snapshots contract.
     */
   def publish(spark: SparkSession, tree: String): Seq[Long] =
-    pending(spark, tree) match {
-      case None => Seq.empty
-      case Some(PendingMerge(ids, _, mdir)) =>
-        val fs = fsOf(spark, new Path(tree))
-        val lo = ids.min
-        val live = new Path(s"$tree/batch=$lo")
-        // step 1: the lowest replaced generation moves aside (hidden)
-        // so the merged dir can take its name; a crash here rolls
-        // forward through recover()'s half-published scan
-        if (fs.exists(live) &&
-            !fs.rename(live, oldAsidePath(tree, lo)))
-          throw new IllegalStateException(
-            s"tiered publish aborted: cannot move $live aside")
-        // step 2 — COMMIT: the merged dir becomes the live generation
-        if (!fs.rename(mdir, live))
-          throw new IllegalStateException(
-            s"tiered publish aborted: cannot swap $mdir into $live " +
-              "(recover() rolls the publish forward)")
-        finishPublish(fs, tree, ids)
-        ids
+    pendings(spark, tree).flatMap { case PendingMerge(ids, _, mdir) =>
+      publishOne(spark, tree, ids, mdir)
     }
 
-  /** Time-gated [[publish]]: fires only when the recorded retention
-    * window has passed. The writer-side maintenance entry points call
-    * this; read-side [[recover]] never publishes by time (reads heal
-    * crashes, writers advance state).
+  private def publishOne(spark: SparkSession, tree: String,
+                         ids: Seq[Long], mdir: Path): Seq[Long] = {
+    val fs = fsOf(spark, new Path(tree))
+    val lo = ids.min
+    val live = new Path(s"$tree/batch=$lo")
+    // step 1: the lowest replaced generation moves aside (hidden)
+    // so the merged dir can take its name; a crash here rolls
+    // forward through recover()'s half-published scan
+    if (fs.exists(live) &&
+        !fs.rename(live, oldAsidePath(tree, lo)))
+      throw new IllegalStateException(
+        s"tiered publish aborted: cannot move $live aside")
+    // step 2 — COMMIT: the merged dir becomes the live generation
+    if (!fs.rename(mdir, live))
+      throw new IllegalStateException(
+        s"tiered publish aborted: cannot swap $mdir into $live " +
+          "(recover() rolls the publish forward)")
+    finishPublish(fs, tree, ids)
+    ids
+  }
+
+  /** Time-gated [[publish]]: fires only on rewrites whose recorded
+    * retention window has passed. The writer-side maintenance entry
+    * points call this; read-side [[recover]] never publishes by time
+    * (reads heal crashes, writers advance state).
     */
-  def publishDue(spark: SparkSession, tree: String): Seq[Long] =
-    pending(spark, tree) match {
-      case Some(p) if System.currentTimeMillis() >= p.publishAfterMs =>
-        publish(spark, tree)
-      case _ => Seq.empty
-    }
+  def publishDue(spark: SparkSession, tree: String): Seq[Long] = {
+    val now = System.currentTimeMillis()
+    pendings(spark, tree).filter(now >= _.publishAfterMs)
+      .flatMap(p => publishOne(spark, tree, p.ids, p.dir))
+  }
 
-  /** Drop a pre-publish pending merge (its source generations are
-    * still live, so the hidden dir is pure derived data) — called by
-    * tree-restructuring mutators (rollback, full compact) that would
-    * otherwise race the eventual publish. A HALF-published merge is
-    * rolled forward instead (its source is already partially gone).
+  /** Drop every pre-publish pending rewrite (their source generations
+    * are still live, so the hidden dirs are pure derived data) —
+    * called by tree-restructuring mutators (rollback, full compact)
+    * that would otherwise race the eventual publish. A HALF-published
+    * rewrite is rolled forward instead (its source is already
+    * partially gone).
     */
   def discardPending(spark: SparkSession, tree: String): Unit = {
     completeHalfPublished(spark, tree)
-    pending(spark, tree).foreach { p =>
+    pendings(spark, tree).foreach { p =>
       fsOf(spark, new Path(tree)).delete(p.dir, true)
     }
   }
+
+  // ---- deferred generation retirement (retained rollback) ----
+  // A retained ROLLBACK cannot use the hidden-dir protocol: nothing is
+  // rewritten — generations are CUT. The snapshot trick is the dual:
+  // the cut generations stay physically in place (every read path
+  // already filters `batch <= high-water mark`, so new readers never
+  // see them; in-flight readers' pinned files are untouched) and only
+  // their DELETION is deferred behind a `.retired` schedule file,
+  // executed by a later lease-holding maintenance call ([[retireDue]])
+  // or an explicit vacuum. A re-append of a retired id goes live again
+  // ([[unretire]] + the `> hwm` guard — deletion can never touch a
+  // live generation).
+
+  private def retiredMarker(tree: String) = new Path(s"$tree/.retired")
+
+  /** Schedule `ids` for deferred deletion after `afterMs` has passed;
+    * merges with an existing schedule (ids union, latest window wins).
+    */
+  def retire(spark: SparkSession, tree: String, ids: Seq[Long],
+             afterMs: Long): Unit = {
+    if (ids.isEmpty) return
+    val fs = fsOf(spark, new Path(tree))
+    val (oldIds, oldAfter) = retired(spark, tree).getOrElse((Seq.empty, 0L))
+    val merged = (oldIds ++ ids).distinct.sorted
+    val out = fs.create(retiredMarker(tree), true)
+    try out.write(
+      (merged.mkString(",") + "|" + math.max(afterMs, oldAfter))
+        .getBytes("UTF-8"))
+    finally out.close()
+    ()
+  }
+
+  /** The retirement schedule: (ids, delete-after ms), None when none
+    * (or the marker is torn — a torn schedule deletes nothing, the
+    * safe direction).
+    */
+  def retired(spark: SparkSession, tree: String): Option[(Seq[Long], Long)] =
+    readMarker(fsOf(spark, new Path(tree)), retiredMarker(tree))
+
+  /** Remove one id from the schedule — called by the append path when
+    * a retired generation id is re-landed (it is live again; its
+    * pre-rollback snapshot is gone by the overwrite, which is the
+    * exactly-once contract, not a retention hole).
+    */
+  def unretire(spark: SparkSession, tree: String, id: Long): Unit =
+    retired(spark, tree).foreach { case (ids, after) =>
+      val fs = fsOf(spark, new Path(tree))
+      val rest = ids.filterNot(_ == id)
+      if (rest.isEmpty) { fs.delete(retiredMarker(tree), false); () }
+      else {
+        val out = fs.create(retiredMarker(tree), true)
+        try out.write((rest.mkString(",") + "|" + after).getBytes("UTF-8"))
+        finally out.close()
+        ()
+      }
+    }
+
+  /** Execute the retirement schedule if its window has passed: delete
+    * every scheduled generation still ABOVE the high-water mark (a
+    * re-appended id is live and is never touched — deletion is also
+    * idempotent on ids an intervening rollback already removed), then
+    * drop the schedule. Writer-side only (call under the lease).
+    * Returns the deleted ids.
+    */
+  def retireDue(spark: SparkSession, tree: String, hwm: Long,
+                force: Boolean = false): Seq[Long] =
+    retired(spark, tree) match {
+      case Some((ids, after))
+          if force || System.currentTimeMillis() >= after =>
+        val fs = fsOf(spark, new Path(tree))
+        val gone = ids.filter(_ > hwm)
+        gone.foreach { id =>
+          fs.delete(new Path(s"$tree/batch=$id"), true); ()
+        }
+        fs.delete(retiredMarker(tree), false)
+        gone
+      case _ => Seq.empty
+    }
 
   /** Steps 3–5 of a publish: delete the replaced generations (the
     * lowest sits in its hidden aside), then the marker LAST — the
@@ -379,7 +478,7 @@ object SegmentCompaction {
     if (!fs.exists(p)) return
     // (a) merged dir present, live target gone: the publish had
     // already destroyed the pre-merge view — finish it
-    pending(spark, tree).foreach { pm =>
+    pendings(spark, tree).foreach { pm =>
       val live = new Path(s"$tree/batch=${pm.ids.min}")
       if (!fs.exists(live)) {
         if (!fs.rename(pm.dir, live))

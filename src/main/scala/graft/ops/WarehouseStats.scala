@@ -58,8 +58,12 @@ object WarehouseStats {
                   countMerge: Boolean): DataFrame = {
     import spark.implicits._
     val tree = s"$dir/$treeName"
-    Load.recoverSwap(spark, tree)
-    SegmentCompaction.recover(spark, tree)
+    // stats are a READ path: crash heals gate on lease liveness (a
+    // live writer's in-flight swap state is not a crash to heal)
+    if (!graft.etl.WriterLease.liveHolder(spark, dir)) {
+      Load.recoverSwap(spark, tree)
+      SegmentCompaction.recover(spark, tree)
+    }
     val epoch = delEpochOf(spark, s"$dir/$metaName")
     val sizes = SegmentCompaction.genSizes(spark, tree)
       .filter(_._1 <= last)

@@ -107,6 +107,82 @@ class AnalyzerSpec extends SparkSpec {
       rows(InvertedIndex.phraseSearch(spark, wsDir, Seq("the", "merge"))))
   }
 
+  test("script-aware tokenization: Cyrillic/Greek/Arabic/accented " +
+      "runs tokenize, CJK runs emit Lucene-style bigrams, Hangul " +
+      "recomposes, final sigma normalizes medial") {
+    // non-Latin alphabetic scripts tokenize as whole folded runs —
+    // the pre-round-13 alphabet analyzed ALL of these to empty
+    assert(Analyzer.foldSplit("Привет, МОСКВА!") == Seq("привет", "москва"))
+    assert(Analyzer.foldSplit("Ελλάδα καφέ") == Seq("ελλαδα", "καφε"))
+    assert(Analyzer.foldSplit("مرحبا بالعالم") == Seq("مرحبا", "بالعالم"))
+    // Greek final sigma → medial (the Lucene GreekLowerCaseFilter
+    // rule — Java's position-sensitive lowercase would emit ς)
+    assert(Analyzer.foldSplit("ΟΔΟΣ οδός") == Seq("οδοσ", "οδοσ"))
+    // CJK bigrams: a run of n chars emits n-1 overlapping bigrams; a
+    // lone char emits itself; script changes break runs
+    assert(Analyzer.foldSplit("東京都") == Seq("東京", "京都"))
+    assert(Analyzer.foldSplit("東") == Seq("東"))
+    assert(Analyzer.foldSplit("abc東京都def") ==
+      Seq("abc", "東京", "京都", "def"))
+    // note らが → らか inside the bigrams: the dakuten is a combining
+    // mark under NFD, stripped by the fold (see the が pin below)
+    assert(Analyzer.foldSplit("カタカナ ひらがな") ==
+      Seq("カタ", "タカ", "カナ", "ひら", "らか", "かな"))
+    // Hangul folds through NFD-Jamo and RECOMPOSES (utf8proc parity);
+    // syllables bigram like the other CJK scripts
+    assert(Analyzer.foldSplit("한국어") == Seq("한국", "국어"))
+    // dakuten conflates under the fold (utf8proc/ICUFolding parity)
+    assert(Analyzer.foldSplit("が") == Seq("か"))
+    // digits — ASCII and non-ASCII Nd — are token characters
+    assert(Analyzer.foldSplit("第3章") == Seq("第", "3", "章"))
+    // symbols and punctuation of any script separate; a symbol-only
+    // text analyzes to ZERO tokens (surfaced by the corpus counter)
+    assert(Analyzer.foldSplit("※ ✦ ❖ …") == Seq.empty)
+    // ASCII is byte-compatible with the pre-round-13 alphabet
+    assert(Analyzer.foldSplit("State-of-the-Art (2024)") ==
+      Seq("state", "of", "the", "art", "2024"))
+  }
+
+  test("a multi-script index serves folded queries across search " +
+      "paths; the zero-token counter accumulates and survives the " +
+      "lifecycle") {
+    val dir = tmp("az_script")
+    InvertedIndex.build(spark, Seq(
+      (1L, "МОСКВА завтра 東京都"),
+      (2L, "москва сегодня"),
+      (3L, "καφές στην Ελλάδα"),
+      (4L, "※ ✦ ❖"), // zero-token: counted, never indexed
+      (5L, "plain ascii text")).toDF("doc_id", "text"), dir)
+    def c() = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head()
+    assert(c().getAs[Long]("zero_token_docs") == 1L)
+    assert(c().getAs[Long]("n_docs") == 4L)
+    // folded Cyrillic query hits both case variants
+    assert(InvertedIndex.search(spark, dir, Seq("Москва!"), 5)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // CJK query term bigrams against the indexed bigrams — phrase
+    // adjacency holds (東京 then 京都 are consecutive slots)
+    assert(InvertedIndex.search(spark, dir, Seq("東京"), 5)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(InvertedIndex.phraseSearch(spark, dir, Seq("東京", "京都"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // Greek accent fold: καφές → καφεσ (final sigma medial)
+    assert(InvertedIndex.search(spark, dir, Seq("ΚΑΦΈΣ"), 5)
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    // addBatch accumulates the counter; delete preserves it
+    assert(InvertedIndex.addBatch(spark, Seq(
+      (6L, "новый документ"), (7L, "•••")).toDF("doc_id", "text"), dir, 1L))
+    assert(c().getAs[Long]("zero_token_docs") == 2L)
+    assert(InvertedIndex.delete(spark, dir,
+      Seq(2L).toDF("doc_id")) == 1L)
+    assert(c().getAs[Long]("zero_token_docs") == 2L)
+    // rollback preserves the lifetime counter too
+    InvertedIndex.rollback(spark, dir, 0L)
+    assert(c().getAs[Long]("zero_token_docs") == 2L)
+    assert(InvertedIndex.search(spark, dir, Seq("москва"), 5)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "doc 2 stays deleted across the rollback")
+  }
+
   test("phrase positions are exact over the analyzed stream") {
     val dir = tmp("az_phrase")
     InvertedIndex.build(spark, Seq(

