@@ -36,6 +36,22 @@ object Bench {
     "q191_adc_tiered", "q196_invidx_rollback", "q197_index_delete",
     "q198_vector_delete", "q200_boolean_search", "q201_filtered_ann")
 
+  /** The AUDIT-class gates (the round-12 verdict's "give the split an
+    * audit bucket"): queries whose measured pass is a
+    * maintenance-cadence AUDIT over persisted warehouse state — funnel
+    * replays over a batch (every production stage re-counted against
+    * the persisted models) and warehouse health-stats reads (backlog
+    * scans) — rather than a serving query OR a warehouse mutation.
+    * These run at operational cadence (per release / per maintenance
+    * window), so charging them to the serving trendline conflated
+    * audit depth with engine speed — q206's six-stage funnel was the
+    * single largest "serving" line item at 22 s.
+    */
+  private val AuditClass: Set[String] = Set(
+    "q186_funnel_report", "q189_ingest_funnel", "q202_warehouse_stats",
+    "q205_tombstone_debt", "q206_langid_ingest",
+    "q208_retained_maintenance")
+
   // Single static shutdown hook over a volatile payload: repeated
   // Bench.main invocations inside one long-lived JVM must not stack
   // hooks, or at exit every prior run's stale JSON would print after
@@ -154,14 +170,21 @@ object Bench {
       case (k, v) if LifecycleClass(k) => v }.sum
     val lifecycleMin = spreads.collect {
       case (k, (mn, _, _)) if LifecycleClass(k) => mn }.sum
+    val auditMed = medians.collect {
+      case (k, v) if AuditClass(k) => v }.sum
+    val auditMin = spreads.collect {
+      case (k, (mn, _, _)) if AuditClass(k) => mn }.sum
     val totalMin = spreads.map(_._2._1).sum
     val nLifecycle = medians.count(m => LifecycleClass(m._1))
     val splitJson =
       s""""lifecycle_s":${ms(lifecycleMed)},""" +
-        s""""serving_s":${ms(total - lifecycleMed)},""" +
+        s""""audit_s":${ms(auditMed)},""" +
+        s""""serving_s":${ms(total - lifecycleMed - auditMed)},""" +
         s""""lifecycle_min_s":${ms(lifecycleMin)},""" +
-        s""""serving_min_s":${ms(totalMin - lifecycleMin)},""" +
-        s""""n_lifecycle":$nLifecycle"""
+        s""""audit_min_s":${ms(auditMin)},""" +
+        s""""serving_min_s":${ms(totalMin - lifecycleMin - auditMin)},""" +
+        s""""n_lifecycle":$nLifecycle,""" +
+        s""""n_audit":${medians.count(m => AuditClass(m._1))}"""
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""total_s":${ms(total)},"n_queries":${medians.size},""" +

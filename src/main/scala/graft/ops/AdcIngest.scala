@@ -100,9 +100,62 @@ object AdcIngest {
     */
   private def healForWrite(spark: SparkSession, dir: String): Unit = {
     Load.recoverSwap(spark, dir)
+    // a due retained retrain publishes before any mutation proceeds;
+    // one still inside its window blocks mutations loudly (reads are
+    // unaffected either way)
+    publishRetrainGate(spark, dir)
     Load.recoverSwap(spark, s"$dir/index")
     SegmentCompaction.recover(spark, s"$dir/index")
   }
+
+  private def retrainPendingPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir.__retrain_pending")
+
+  /** The publish-after timestamp of a committed-but-unpublished
+    * RETAINED retrain (see [[retrain]]'s `retainMs`), None when none
+    * awaits. A torn marker reads as never-due (publish only through
+    * [[vacuum]]) — the safe direction.
+    */
+  def retrainPending(spark: SparkSession, dir: String): Option[Long] = {
+    val p = retrainPendingPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val mk = new org.apache.hadoop.fs.Path(p, "_PUBLISH_AFTER")
+      if (!fs.exists(mk)) Some(Long.MaxValue)
+      else {
+        val in = fs.open(mk)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(mk).getLen.toInt)
+          in.readFully(bytes)
+          try Some(new String(bytes, "UTF-8").trim.toLong)
+          catch { case _: NumberFormatException => Some(Long.MaxValue) }
+        } finally in.close()
+      }
+    }
+  }
+
+  /** MUTATOR gate for a pending retained retrain — called at every
+    * writer entry under the lease: a due pending publishes first (the
+    * mutation then applies to the retrained root — nothing is lost,
+    * because mutations were blocked for the whole window); a pending
+    * still inside its window REFUSES the mutation loudly (a mutation
+    * landing on the old root would silently vanish at publish, and
+    * one landing on the staged root would corrupt the old serving
+    * view). Reads are never blocked — they serve the old root
+    * untouched, which is the whole point of the retention.
+    */
+  private def publishRetrainGate(spark: SparkSession, dir: String,
+                                 force: Boolean = false): Unit =
+    retrainPending(spark, dir).foreach { after =>
+      if (force || System.currentTimeMillis() >= after) {
+        Load.atomicSwap(spark, s"$dir.__retrain_pending", dir)
+      } else throw new IllegalStateException(
+        s"a retained retrain awaits publish at $dir.__retrain_pending " +
+          s"(window ends in ${(after - System.currentTimeMillis()) / 1000}" +
+          "s) — mutations are blocked until it publishes; vacuum to " +
+          "force, or wait out the window")
+    }
 
   /** The replay high-water mark; -1 when no warehouse exists. A
     * [[retrain]] that crashed mid-swap heals here (the warehouse-root
@@ -192,6 +245,9 @@ object AdcIngest {
     // across re-bootstraps
     WriterLease.withLease(spark, dir, "adc.bootstrap") { _ =>
     if (fs.exists(root)) fs.delete(root, true)
+    // a stale pending retrain of the PREVIOUS warehouse must not
+    // publish over the fresh bootstrap
+    fs.delete(retrainPendingPath(dir), true)
     val train = trainOn.getOrElse(vecs)
     VectorOps.saveCentroids(spark,
       VectorOps.kmeansFit(
@@ -638,6 +694,16 @@ object AdcIngest {
     * index, meta, tombstone copy, fence/lease continuity) stages
     * under `dir.__retrain`, then lands through the standard two-rename
     * [[graft.etl.Load.atomicSwap]] of the warehouse ROOT — one commit
+    * point. `retainMs > 0` defers that swap: the staged root parks as
+    * `dir.__retrain_pending` while the OLD root keeps serving
+    * byte-untouched (in-flight and new readers both), mutations are
+    * REFUSED until the window passes (a mutation on either root would
+    * be lost or corrupting — see publishRetrainGate), and the first
+    * maintenance call after the window — or [[vacuum]] — performs the
+    * same atomic swap. This is the reader-safety story for the one
+    * verb that rewrites the whole warehouse: at 100 TB a retrain
+    * takes hours and minutes-long queries are always in flight; the
+    * old root must outlive them. One commit
     * point, healed by the root recoverSwap every entry runs (see
     * [[lastBatch]]). Every crash point leaves the full old or the
     * full new warehouse. Returns the number of re-encoded vectors.
@@ -645,7 +711,8 @@ object AdcIngest {
   def retrain(spark: SparkSession, vecs: DataFrame, dir: String,
               k: Int, m: Int, ks: Int, iters: Int = 2,
               trainOn: Option[DataFrame] = None,
-              meta: Seq[String] = Nil): Long =
+              meta: Seq[String] = Nil,
+              retainMs: Long = 0L): Long =
    WriterLease.withLease(spark, dir, "adc.retrain") { lease =>
     healForWrite(spark, dir)
     // an unpublished retained merge is derived data of generations the
@@ -713,7 +780,24 @@ object AdcIngest {
           .write.mode("overwrite").partitionBy("epoch")
           .parquet(s"$stage/tombstones")
       WriterLease.check(spark, lease)
-      Load.atomicSwap(spark, stage, dir)
+      if (retainMs > 0L) {
+        // RETAINED retrain: the fully-staged new root parks beside the
+        // old one, which keeps serving untouched (in-flight AND new
+        // readers); mutations are blocked until the window passes
+        // (publishRetrainGate), then the first maintenance call — or
+        // [[vacuum]] — publishes via the same atomic root swap
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$stage/_PUBLISH_AFTER"), true)
+        try out.write(
+          (System.currentTimeMillis() + retainMs).toString.getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(retrainPendingPath(dir), true) // unreachable, defensive
+        if (!fs.rename(new org.apache.hadoop.fs.Path(stage),
+            retrainPendingPath(dir)))
+          throw new IllegalStateException(
+            s"retained retrain aborted: cannot park $stage as " +
+              s"${retrainPendingPath(dir)} (old root untouched)")
+      } else Load.atomicSwap(spark, stage, dir)
       n
     } finally joined.unpersist()
   }
@@ -781,7 +865,13 @@ object AdcIngest {
     */
   def vacuum(spark: SparkSession, dir: String): Seq[Long] =
     WriterLease.withLease(spark, dir, "adc.vacuum") { _ =>
-      healForWrite(spark, dir)
+      Load.recoverSwap(spark, dir)
+      // vacuum is the explicit "no reader holds a snapshot" verb: a
+      // pending retained retrain publishes NOW, then hidden pendings
+      // and the deferred-deletion schedule drain
+      publishRetrainGate(spark, dir, force = true)
+      Load.recoverSwap(spark, s"$dir/index")
+      SegmentCompaction.recover(spark, s"$dir/index")
       SegmentCompaction.publish(spark, s"$dir/index") ++
         SegmentCompaction.retireDue(spark, s"$dir/index",
           lastBatch(spark, dir), force = true)

@@ -509,8 +509,12 @@ object CorpusIngest {
     * `__old` and with it every prior generation, while the state
     * table still claimed they landed.
     */
-  private def heal(spark: SparkSession, dir: String): Unit =
+  private def heal(spark: SparkSession, dir: String): Unit = {
     Load.recoverSwap(spark, s"$dir/corpus")
+    // generation-scoped purge remnants (hidden pendings, scoped swaps,
+    // staging) heal through the shared SegmentCompaction protocol
+    SegmentCompaction.recover(spark, s"$dir/corpus")
+  }
 
   /** Read-path heal, GATED on writer-lease liveness (the
     * InvertedIndex.healForRead rationale): a remnant under a LIVE
@@ -611,27 +615,72 @@ object CorpusIngest {
     }
   }
 
-  /** Physically reclaim tombstoned rows' bytes: rewrite the corpus
-    * tree minus live tombstones, generation layout and every
-    * surviving row's packing offsets untouched (a dropped document
+  /** Physically reclaim tombstoned rows' bytes — GENERATION-SCOPED:
+    * only generations actually holding tombstoned rows rewrite (each
+    * through its own two-rename swap); untouched generations' files
+    * are never opened or moved, so purge cost scales with the
+    * indebted generations, not the corpus (the InvertedIndex.purgeDebt
+    * discipline, with tau = any-debt). Generation layout and every
+    * surviving row's packing offsets are untouched (a dropped document
     * leaves a HOLE in the token stream — see [[delete]] — so the
-    * rewrite is a pure row filter, never a repack). Crash-safe via the
-    * warehouse two-rename swap; the tombstone ledger is retained (it
-    * keeps delete replays no-ops; the read filter is idempotent on
-    * purged rows).
+    * rewrite is a pure row filter, never a repack). The tombstone
+    * ledger is retained (it keeps delete replays no-ops; the read
+    * filter is idempotent on purged rows). Returns the purged
+    * generation ids.
+    *
+    * `retainMs > 0` — SNAPSHOT-RETAINED purge: each indebted
+    * generation's rewrite commits as a HIDDEN pending (the
+    * SegmentCompaction protocol); the generations keep serving
+    * byte-untouched (reads anti-join the tombstones either way — the
+    * views are identical) until a later lease-holding maintenance
+    * call or [[vacuum]] publishes after the window.
     */
-  def purge(spark: SparkSession, dir: String): Unit =
+  def purge(spark: SparkSession, dir: String,
+            retainMs: Long = 0L): Seq[Long] =
    WriterLease.withLease(spark, dir, "corpus.purge") { lease =>
     val corpusDir = s"$dir/corpus"
     heal(spark, dir)
-    val staging = s"$corpusDir.__staging"
-    liveRows(spark, dir, delEpoch(spark, dir))(
-      spark.read.parquet(corpusDir)
-        .filter(col("batch") <= lastBatch(spark, dir)))
-      .write.mode("overwrite").partitionBy("batch").parquet(staging)
-    WriterLease.check(spark, lease)
-    Load.atomicSwap(spark, staging, corpusDir)
+    SegmentCompaction.discardPending(spark, corpusDir)
+    val last = lastBatch(spark, dir)
+    val epoch = delEpoch(spark, dir)
+    if (epoch <= 0L) Seq.empty
+    else {
+      val tomb = broadcast(spark.read.parquet(s"$dir/tombstones")
+        .filter(col("epoch") <= epoch).select(col("doc_id")))
+      val debtGens = spark.read.parquet(corpusDir)
+        .filter(col("batch") <= last)
+        .join(tomb, Seq("doc_id"), "left_semi")
+        .select(col("batch").cast(LongType).as("batch"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      debtGens.foreach { b =>
+        val rewritten = liveRows(spark, dir, epoch)(
+          spark.read.parquet(corpusDir).filter(col("batch") === b))
+          .drop("batch")
+        if (retainMs > 0L) {
+          rewritten.write.mode("overwrite")
+            .parquet(s"$corpusDir.__tiered_staging/batch=$b")
+          WriterLease.check(spark, lease)
+          SegmentCompaction.commit(spark, corpusDir, Seq(b), retainMs)
+        } else {
+          val staging = s"$corpusDir.__debt_staging"
+          rewritten.write.mode("overwrite").parquet(staging)
+          WriterLease.check(spark, lease)
+          Load.atomicSwap(spark, staging, s"$corpusDir/batch=$b")
+        }
+      }
+      debtGens
+    }
   }
+
+  /** Force-publish every snapshot-retained purge NOW — the corpus
+    * twin of `InvertedIndex.vacuum`; call when no reader still holds
+    * a pre-purge snapshot. Returns the published generation ids.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[Long] =
+    WriterLease.withLease(spark, dir, "corpus.vacuum") { _ =>
+      heal(spark, dir)
+      SegmentCompaction.publish(spark, s"$dir/corpus")
+    }
 
   /** TIME-TRAVEL READ: the packed corpus exactly as of generation
     * `batch` — every row batches 0..batch landed, nothing newer. This

@@ -55,7 +55,8 @@ object WarehouseStats {
   private def row(spark: SparkSession, kind: String, dir: String,
                   treeName: String, metaName: String, idCol: String,
                   last: Long, ratio: Double, minMerge: Int,
-                  countMerge: Boolean): DataFrame = {
+                  countMerge: Boolean, extraPending: Long = 0L,
+                  zeroTok: Long = 0L): DataFrame = {
     import spark.implicits._
     val tree = s"$dir/$treeName"
     // stats are a READ path: crash heals gate on lease liveness (a
@@ -84,11 +85,20 @@ object WarehouseStats {
     // shows up here — and the q202 oracle pins lease_held to 0.
     val fence = graft.etl.WriterLease.fenceToken(spark, dir)
     val held = if (graft.etl.WriterLease.held(spark, dir)) 1L else 0L
+    // the snapshot-retention surface: committed-but-unpublished hidden
+    // rewrites (tiered merges, retained compacts/purges) + a retained
+    // rollback's deferred-deletion schedule + (vector kind) a parked
+    // retrained root — everything a later maintenance call or an
+    // explicit vacuum will publish. The maintenance runner's signal
+    // that snapshots are outstanding.
+    val pendingPub = SegmentCompaction.pendings(spark, tree).size.toLong +
+      SegmentCompaction.retired(spark, tree).size.toLong + extraPending
     Seq((kind, last, epoch, sizes.size.toLong, rowsTotal, nTomb,
-      backlog, mergeDue.toLong, fence, held))
+      backlog, mergeDue.toLong, fence, held, pendingPub, zeroTok))
       .toDF("kind", "last_batch", "del_epoch", "generations",
         "rows_total", "tombstoned_docs", "purge_backlog_rows",
-        "merge_candidates", "fence_token", "lease_held")
+        "merge_candidates", "fence_token", "lease_held",
+        "pending_publishes", "zero_token_docs")
   }
 
   /** Health row of an [[InvertedIndex]] warehouse. */
@@ -96,8 +106,15 @@ object WarehouseStats {
              minMerge: Int = 2): DataFrame = {
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"WarehouseStats.invidx: no index at $dir")).head()
+    // the zero-token ingest-quality counter (lifetime; 0 on rows
+    // written before the counter existed)
+    val zeroTok =
+      if (c.schema.fieldNames.contains("zero_token_docs"))
+        c.getAs[Long]("zero_token_docs")
+      else 0L
     row(spark, "invidx", dir, "postings", "corpus", "doc_id",
-      c.getAs[Long]("last_batch"), ratio, minMerge, countMerge = true)
+      c.getAs[Long]("last_batch"), ratio, minMerge, countMerge = true,
+      zeroTok = zeroTok)
   }
 
   /** Health row of an [[AdcIngest]] vector warehouse. */
@@ -105,7 +122,9 @@ object WarehouseStats {
           minMerge: Int = 2): DataFrame =
     row(spark, "adc", dir, "index", "meta", "vec_id",
       AdcIngest.lastBatch(spark, dir), ratio, minMerge,
-      countMerge = true)
+      countMerge = true,
+      // a parked retained retrain counts as an outstanding publish
+      extraPending = AdcIngest.retrainPending(spark, dir).size.toLong)
 
   /** Health row of a [[CorpusIngest]] warehouse. The corpus tree has
     * no compaction maintenance (generations are the time-travel /

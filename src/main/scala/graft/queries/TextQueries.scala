@@ -3582,8 +3582,12 @@ object TextQueries {
       // the operational claim: health stats are maintenance-cadence
       // cheap, not index-rebuild expensive. Marker lands LAST.
       val marker = s"$ixWh/fixture"
+      // tag versioned r13: the round-13 corpus row adds
+      // zero_token_docs and the lock moved to <dir>.__lock — an older
+      // fixture must rebuild once so the oracle's column reads hold
+      val tag = s"$d|r13"
       val fresh = !scala.util.Try(s.read.parquet(marker).head()
-          .getString(0)).toOption.contains(d) ||
+          .getString(0)).toOption.contains(tag) ||
         graft.ops.InvertedIndex.lastBatch(s, ixWh) < 2L ||
         graft.ops.AdcIngest.lastBatch(s, adcWh) < 2L ||
         // a fixture built before the writer-lease contract carries no
@@ -3616,7 +3620,7 @@ object TextQueries {
       require(ai.delete(s, adcWh,
         e.filter(col("vec_id") % 9 === 2).select(col("vec_id"))) > 0)
       import s.implicits._
-      Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      Seq(tag).toDF("sf_dir").write.mode("overwrite").parquet(marker)
       }
       val st = graft.ops.WarehouseStats.invidx(s, ixWh)
         .unionByName(graft.ops.WarehouseStats.adc(s, adcWh))
@@ -3662,7 +3666,15 @@ object TextQueries {
           (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
             '/root/repo/target/graft_invidx/q202.__lock/_FENCE'))
             AS fence_token,
-          CAST(0 AS BIGINT) AS lease_held),
+          CAST(0 AS BIGINT) AS lease_held,
+          (SELECT count(*) FROM glob(
+            '/root/repo/target/graft_invidx/q202/postings/.merged-*/_MERGED_IDS'))
+          + (SELECT count(*) FROM glob(
+            '/root/repo/target/graft_invidx/q202/postings/.retired'))
+            AS pending_publishes,
+          (SELECT zero_token_docs FROM read_parquet(
+            '/root/repo/target/graft_invidx/q202/corpus/*.parquet'))
+            AS zero_token_docs),
         ac AS (SELECT last_batch, del_epoch FROM read_parquet(
           '/root/repo/target/graft_adc/q202/meta/*.parquet')),
         ag AS (SELECT CAST(batch AS BIGINT) AS b, count(*) AS n
@@ -3697,7 +3709,15 @@ object TextQueries {
           (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
             '/root/repo/target/graft_adc/q202.__lock/_FENCE'))
             AS fence_token,
-          CAST(0 AS BIGINT) AS lease_held)
+          CAST(0 AS BIGINT) AS lease_held,
+          (SELECT count(*) FROM glob(
+            '/root/repo/target/graft_adc/q202/index/.merged-*/_MERGED_IDS'))
+          + (SELECT count(*) FROM glob(
+            '/root/repo/target/graft_adc/q202/index/.retired'))
+          + (SELECT count(*) FROM glob(
+            '/root/repo/target/graft_adc/q202.__retrain_pending/_PUBLISH_AFTER'))
+            AS pending_publishes,
+          CAST(0 AS BIGINT) AS zero_token_docs)
       SELECT * FROM istats UNION ALL SELECT * FROM astats
       ORDER BY kind"""))
 
@@ -3869,7 +3889,15 @@ object TextQueries {
           AS merge_candidates,
         (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
           '/root/repo/target/graft_invidx/q205.__lock/_FENCE')) AS fence_token,
-        CAST(0 AS BIGINT) AS lease_held"""))
+        CAST(0 AS BIGINT) AS lease_held,
+        (SELECT count(*) FROM glob(
+          '/root/repo/target/graft_invidx/q205/postings/.merged-*/_MERGED_IDS'))
+        + (SELECT count(*) FROM glob(
+          '/root/repo/target/graft_invidx/q205/postings/.retired'))
+          AS pending_publishes,
+        (SELECT zero_token_docs FROM read_parquet(
+          '/root/repo/target/graft_invidx/q205/corpus/*.parquet'))
+          AS zero_token_docs"""))
 
   val q207ScriptSearch = Q("q207_script_search",
     // SCRIPT-AWARE ANALYZER (round 13 — the round-12 verdict's #1
@@ -3974,6 +4002,118 @@ object TextQueries {
         CAST(sum(ts_micro) AS BIGINT) AS bm25_micro
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 20"""))
+
+  val q208RetainedMaintenance = Q("q208_retained_maintenance",
+    // SNAPSHOT-RETAINED MAINTENANCE, OBSERVABLE (round 13 — the
+    // round-12 verdict's "extend retention to the remaining
+    // restructuring verbs" + "q202 reports pending-publish state"):
+    // every warehouse-restructuring verb (tiered merge, full compact,
+    // debt purge, rollback, retrain, corpus purge) now takes a
+    // `retainMs` window during which in-flight readers' pinned files
+    // stay byte-untouched — hidden pending rewrites for the rewrite
+    // verbs (the Iceberg expire-snapshots contract on plain
+    // directories), a deferred-deletion `.retired` schedule for
+    // rollback, a parked staged root for retrain. Lifecycle (once per
+    // fixture): bootstrap + two appends, a RETAINED rollback of the
+    // newest generation (cut gen stays on disk behind the committed
+    // high-water mark), a delete concentrating debt in the surviving
+    // append, and a RETAINED debt purge (indebted generation commits
+    // hidden, keeps serving). Output: the q202 health row, whose
+    // pending_publishes = 2 IS the outstanding-snapshots claim — the
+    // oracle re-derives every column from the persisted trees alone
+    // (globbing the hidden pending marker and the retirement schedule
+    // directly; the retained generation above the high-water mark is
+    // correctly EXCLUDED from every serving statistic by the same
+    // `batch ≤ last_batch` rule the engine serves under). In-query
+    // requires pin the serving semantics: the cut generation and the
+    // tombstoned docs never serve while their bytes remain. At 100 TB
+    // this is what lets minutes-long queries overlap continuous
+    // maintenance: publish happens after the reader horizon, and the
+    // stats row is the operator's outstanding-snapshot gauge.
+    (s, d) => {
+      val wh = "/root/repo/target/graft_invidx/q208"
+      val ix = graft.ops.InvertedIndex
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val victims = docs
+        .filter(col("doc_id") % 20 === 16 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"))
+      val retain = 3650L * 24 * 3600 * 1000 // effectively forever
+      val marker = s"$wh/fixture"
+      val tag = s"$d|r13"
+      val fresh = !scala.util.Try(s.read.parquet(marker).head()
+          .getString(0)).toOption.contains(tag) ||
+        scala.util.Try(ix.lastBatch(s, wh)).getOrElse(-1L) != 1L
+      if (fresh) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val hp = new org.apache.hadoop.fs.Path(wh)
+        hp.getFileSystem(conf).delete(hp, true)
+        ix.build(s, docs.filter(col("doc_id") % 20 < 16), wh)
+        ix.addBatch(s, docs.filter(col("doc_id") % 20 === 16), wh, 1L)
+        ix.addBatch(s, docs.filter(col("doc_id") % 20 === 17), wh, 2L)
+        // retained rollback: generation 2 leaves the serving view NOW
+        // but its bytes stay for in-flight readers
+        ix.rollback(s, wh, 1L, retainMs = retain)
+        require(ix.delete(s, wh, victims) > 0)
+        // retained debt purge: generation 1 commits hidden, serves on
+        require(ix.purgeDebt(s, wh, tau = 0.3,
+          retainMs = retain) == Seq(1L),
+          "exactly the indebted generation must commit a pending")
+        import s.implicits._
+        Seq(tag).toDF("sf_dir").write.mode("overwrite").parquet(marker)
+      }
+      // serving semantics hold while the retained bytes remain: the
+      // cut generation and the tombstoned docs never serve
+      val got = ix.search(s, wh, Seq("spark", "query", "merge"), 20)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val vset = victims.collect().map(_.getLong(0)).toSet
+      require(got.intersect(vset).isEmpty,
+        "tombstoned docs must not serve while their bytes remain")
+      require(!got.exists(_ % 20 == 17),
+        "the rolled-back generation must not serve while retained")
+      graft.ops.WarehouseStats.invidx(s, wh)
+    },
+    Some("""WITH ic AS (SELECT last_batch, del_epoch, zero_token_docs
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q208/corpus/*.parquet')),
+        ig AS (SELECT CAST(batch AS BIGINT) AS b, count(*) AS n
+          FROM read_parquet(
+            '/root/repo/target/graft_invidx/q208/postings/batch=*/bucket=*/*.parquet',
+            hive_partitioning = true)
+          WHERE batch <= (SELECT last_batch FROM ic) GROUP BY 1),
+        itomb AS (SELECT DISTINCT t.doc_id FROM read_parquet(
+            '/root/repo/target/graft_invidx/q208/tombstones/*/*.parquet',
+            hive_partitioning = true) t
+          WHERE t.epoch <= (SELECT del_epoch FROM ic))
+      SELECT 'invidx' AS kind,
+        (SELECT last_batch FROM ic) AS last_batch,
+        (SELECT del_epoch FROM ic) AS del_epoch,
+        (SELECT count(*) FROM ig) AS generations,
+        (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM ig)
+          AS rows_total,
+        (SELECT count(*) FROM itomb) AS tombstoned_docs,
+        (SELECT count(*) FROM read_parquet(
+            '/root/repo/target/graft_invidx/q208/postings/batch=*/bucket=*/*.parquet',
+            hive_partitioning = true) p
+          WHERE p.batch <= (SELECT last_batch FROM ic)
+            AND p.doc_id IN (SELECT doc_id FROM itomb))
+          AS purge_backlog_rows,
+        (SELECT CAST(CASE WHEN c >= 2 THEN c ELSE 0 END AS BIGINT)
+          FROM (SELECT count(*) AS c FROM ig
+            WHERE b > COALESCE((SELECT max(g.b) FROM ig g
+              WHERE g.b < (SELECT max(b) FROM ig)
+                AND g.n >= 4.0 * (SELECT sum(n) FROM ig x
+                  WHERE x.b > g.b)), -1)))
+          AS merge_candidates,
+        (SELECT CAST(trim(content) AS BIGINT) FROM read_text(
+          '/root/repo/target/graft_invidx/q208.__lock/_FENCE'))
+          AS fence_token,
+        CAST(0 AS BIGINT) AS lease_held,
+        (SELECT count(*) FROM glob(
+          '/root/repo/target/graft_invidx/q208/postings/.merged-*/_MERGED_IDS'))
+        + (SELECT count(*) FROM glob(
+          '/root/repo/target/graft_invidx/q208/postings/.retired'))
+          AS pending_publishes,
+        (SELECT zero_token_docs FROM ic) AS zero_token_docs"""))
 
   val q192LangidPredict = Q("q192_langid_predict",
     // REAL language identification (NaiveBayes.trainMulti/scoreMulti
@@ -4688,5 +4828,5 @@ object TextQueries {
     q186FunnelReport, q187UnigramTokenize, q188PairDedup, q190TieredCompact,
     q192LangidPredict, q196InvidxRollback, q197IndexDelete,
     q200BooleanSearch, q202WarehouseStats, q203AnalyzedSearch,
-    q205TombstoneDebt, q207ScriptSearch)
+    q205TombstoneDebt, q207ScriptSearch, q208RetainedMaintenance)
 }

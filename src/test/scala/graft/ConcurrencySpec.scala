@@ -35,6 +35,14 @@ class ConcurrencySpec extends SparkSpec {
   private def fs(dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def vecs(from: Long, until: Long) =
+    spark.range(from, until).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        (pmod(hash(col("id") * 13 + j), lit(1000))
+          .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+          .cast(org.apache.spark.sql.types.FloatType)).as("embedding"))
+
   test("a second concurrent writer is refused; release frees the lease") {
     val dir = tmp("lease_refuse")
     InvertedIndex.build(spark, docs(0, 100), dir)
@@ -365,15 +373,42 @@ class ConcurrencySpec extends SparkSpec {
       .nonEmpty)
   }
 
+  test("snapshot retention: a retained retrain parks the new root — " +
+      "readers serve the old root untouched, mutators are blocked " +
+      "inside the window, vacuum publishes the swap") {
+    val dir = tmp("snap_retrain")
+    AdcIngest.bootstrap(spark, vecs(0, 400), dir, k = 4, m = 4, ks = 8)
+    AdcIngest.append(spark, vecs(400, 430), dir, 1L)
+    val slowReader = AdcIngest.index(spark, dir)
+    val n = slowReader.count()
+    assert(AdcIngest.retrain(spark, vecs(0, 430), dir,
+      k = 4, m = 4, ks = 8, retainMs = 24L * 3600 * 1000) == 430L)
+    assert(AdcIngest.retrainPending(spark, dir).nonEmpty)
+    // the OLD root serves byte-untouched: model epoch unmoved, pinned
+    // and fresh readers both see the pre-retrain index
+    assert(AdcIngest.modelEpoch(spark, dir) == 0L)
+    assert(slowReader.count() == n)
+    assert(AdcIngest.index(spark, dir).count() == n)
+    // a mutation inside the window is refused loudly (it would be
+    // lost at publish or corrupt the serving view)
+    val e = intercept[IllegalStateException] {
+      AdcIngest.append(spark, vecs(430, 440), dir, 2L)
+    }
+    assert(e.getMessage.contains("retrain"))
+    // vacuum performs the atomic root swap: epoch advances, the
+    // re-encode floor moves to the mark, counts preserved, and
+    // mutations flow again
+    AdcIngest.vacuum(spark, dir)
+    assert(AdcIngest.retrainPending(spark, dir).isEmpty)
+    assert(AdcIngest.modelEpoch(spark, dir) == 1L)
+    assert(AdcIngest.index(spark, dir).count() == n)
+    assert(AdcIngest.append(spark, vecs(430, 440), dir, 2L))
+    assert(AdcIngest.index(spark, dir).count() == n + 10L)
+  }
+
   test("snapshot retention on the vector warehouse: retained rollback " +
       "schedule + retained compact pending, vacuum drains both") {
     val dir = tmp("snap_adc_ret")
-    def vecs(from: Long, until: Long) = spark.range(from, until).select(
-      col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(7)), j =>
-        (pmod(hash(col("id") * 13 + j), lit(1000))
-          .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
-          .cast(org.apache.spark.sql.types.FloatType)).as("embedding"))
     AdcIngest.bootstrap(spark, vecs(0, 500), dir, k = 4, m = 4, ks = 8)
     AdcIngest.append(spark, vecs(500, 520), dir, 1L)
     AdcIngest.append(spark, vecs(520, 540), dir, 2L)
@@ -419,12 +454,6 @@ class ConcurrencySpec extends SparkSpec {
       .collect().toSeq.map(_.toSeq) == expect0)
     // same for the vector twin through full compact
     val vdir = tmp("snap_discard_adc")
-    def vecs(from: Long, until: Long) = spark.range(from, until).select(
-      col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(7)), j =>
-        (pmod(hash(col("id") * 13 + j), lit(1000))
-          .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
-          .cast(org.apache.spark.sql.types.FloatType)).as("embedding"))
     AdcIngest.bootstrap(spark, vecs(0, 500), vdir, k = 4, m = 4, ks = 8)
     AdcIngest.append(spark, vecs(500, 520), vdir, 1L)
     AdcIngest.append(spark, vecs(520, 540), vdir, 2L)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.etl.Load
-import graft.ops.{AdcIngest, CorpusIngest, InvertedIndex, WarehouseStats}
+import graft.ops.{AdcIngest, CorpusIngest, InvertedIndex, SegmentCompaction, WarehouseStats}
 
 /** Tombstone deletes (InvertedIndex.delete / AdcIngest.delete) — the
   * takedown/opt-out lever of the warehouse-index family: logical
@@ -444,6 +444,46 @@ class TombstoneSpec extends SparkSpec {
     assert(CorpusIngest.delete(spark, dir, idsDf(Seq(1L, 10L))) == 0L)
   }
 
+  test("corpus purge is generation-scoped and retainable: untouched " +
+      "generations stay byte-identical; a retained purge serves both " +
+      "views and publishes at vacuum") {
+    val dir = tmp("tomb_corpus_ret")
+    bootCorpus(dir) // gen 0 = docs {0,1,2,3}, gen 1 = docs {10,11}
+    // debt concentrated in generation 1
+    assert(CorpusIngest.delete(spark, dir, idsDf(Seq(10L))) == 1L)
+    val served = CorpusIngest.read(spark, dir).orderBy(col("doc_id"))
+      .collect().toSeq.map(_.toSeq)
+    val reader = CorpusIngest.read(spark, dir) // pinned pre-purge
+    val gen0 = SegmentCompaction.fileStamps(spark, s"$dir/corpus/batch=0")
+    // retained: ONLY generation 1 commits (hidden); both gens serve on
+    assert(CorpusIngest.purge(spark, dir,
+      retainMs = 24L * 3600 * 1000) == Seq(1L))
+    assert(SegmentCompaction.pendings(spark, s"$dir/corpus")
+      .map(_.ids) == Seq(Seq(1L)))
+    assert(SegmentCompaction.fileStamps(spark, s"$dir/corpus/batch=0")
+      == gen0)
+    assert(reader.orderBy(col("doc_id")).collect().toSeq.map(_.toSeq)
+      == served)
+    // vacuum publishes: bytes reclaimed, gen 0 still byte-identical,
+    // serving unchanged (pure physical filter)
+    assert(CorpusIngest.vacuum(spark, dir) == Seq(1L))
+    assert(SegmentCompaction.fileStamps(spark, s"$dir/corpus/batch=0")
+      == gen0)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .filter(col("doc_id") === 10L).count() == 0L)
+    assert(CorpusIngest.read(spark, dir).orderBy(col("doc_id"))
+      .collect().toSeq.map(_.toSeq) == served)
+    // immediate-mode purge is generation-scoped too: deleting a gen-0
+    // doc rewrites only gen 0 (gen 1's files stay byte-identical)
+    assert(CorpusIngest.delete(spark, dir, idsDf(Seq(0L))) == 1L)
+    val gen1 = SegmentCompaction.fileStamps(spark, s"$dir/corpus/batch=1")
+    assert(CorpusIngest.purge(spark, dir) == Seq(0L))
+    assert(SegmentCompaction.fileStamps(spark, s"$dir/corpus/batch=1")
+      == gen1)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .filter(col("doc_id") === 0L).count() == 0L)
+  }
+
   test("warehouse stats: exact integers, purge backlog drains, the " +
       "tiered policy signal matches mergeSet") {
     // corpus kind over the planted fixture (closed-form numbers)
@@ -455,10 +495,10 @@ class TombstoneSpec extends SparkSpec {
     // fence_token counts the mutations so far (bootstrap, ingest,
     // delete = 3); lease_held must be 0 — no mutator leaks its lease
     assert(statRow(WarehouseStats.corpus(spark, cd)) ==
-      Seq("corpus", 1L, 1L, 2L, 6L, 2L, 2L, 0L, 3L, 0L))
+      Seq("corpus", 1L, 1L, 2L, 6L, 2L, 2L, 0L, 3L, 0L, 0L, 0L))
     CorpusIngest.purge(spark, cd)
     assert(statRow(WarehouseStats.corpus(spark, cd)) ==
-      Seq("corpus", 1L, 1L, 2L, 4L, 2L, 0L, 0L, 4L, 0L),
+      Seq("corpus", 1L, 1L, 2L, 4L, 2L, 0L, 0L, 4L, 0L, 0L, 0L),
       "purge must drain the backlog; the ledger stays")
     // invidx kind: generations/tombstones/merge signal
     val ix = tmp("stats_ix")
