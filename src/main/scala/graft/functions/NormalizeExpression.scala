@@ -232,21 +232,25 @@ object AnalyzeTokens {
     }
     var i = 0
     while (i < str.length) {
-      val cp = str.codePointAt(i)
-      val w = Character.charCount(cp)
-      if (cp < 128) { // ASCII fast path — no script lookup
-        if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+      val c = str.charAt(i)
+      if (c < 128) { // ASCII fast path — plain char, no code-point
+        // machinery, no script lookup (the 100 TB common case)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
           emitCjk(i)
           if (start < 0) start = i
         } else { emitWord(i); emitCjk(i) }
-      } else if (isCjk(cp)) {
-        emitWord(i)
-        if (cjkStart < 0) cjkStart = i
-      } else if (Character.isLetterOrDigit(cp)) {
-        emitCjk(i)
-        if (start < 0) start = i
-      } else { emitWord(i); emitCjk(i) }
-      i += w
+        i += 1
+      } else {
+        val cp = str.codePointAt(i)
+        if (isCjk(cp)) {
+          emitWord(i)
+          if (cjkStart < 0) cjkStart = i
+        } else if (Character.isLetterOrDigit(cp)) {
+          emitCjk(i)
+          if (start < 0) start = i
+        } else { emitWord(i); emitCjk(i) }
+        i += Character.charCount(cp)
+      }
     }
     emitWord(str.length)
     emitCjk(str.length)

@@ -2021,6 +2021,66 @@ object Stress {
       }
     }
 
+    // ---- script-aware analyzer kernel tax (round 13, q207 shape) ----
+    // The widened Unicode kernel (letter/digit runs + CJK bigrams +
+    // NFC-recomposing fold) must not tax the ASCII-dominant common
+    // case: index the SAME documents under the Unicode analyzer and
+    // under the plain Whitespace split (the cheapest conceivable
+    // tokenizer — one byte-compare per char) and compare build walls.
+    // The corpus is a crawl-ish script mix: 85% ASCII, 10% Cyrillic
+    // (full per-code-point fold+classify path), 5% CJK (bigram
+    // emission). Folded multi-script search is then served from the
+    // built index.
+    if (wanted("analyzer")) {
+      val nDocs = math.max(rows / 10, 100000L)
+      val asciiW = typedLit(Seq("spark", "query", "merge", "table",
+        "scan", "join", "filter", "batch", "window", "stream"))
+      val cyrW = typedLit(Seq("москва", "привет", "данные", "поиск",
+        "запрос", "таблица"))
+      val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20)) < 17,
+          concat_ws(" ", (0 until 12).map(j =>
+            element_at(asciiW, pmod(hash(col("id") * 31L + j), lit(10))
+              .cast(IntegerType) + 1)): _*))
+          .when(pmod(col("id"), lit(20)) < 19,
+            concat_ws(" ", (0 until 12).map(j =>
+              element_at(cyrW, pmod(hash(col("id") * 37L + j), lit(6))
+                .cast(IntegerType) + 1)): _*))
+          .otherwise(concat(lit("東京都データ解析 こんにちは "),
+            lit("한국어 텍스트 처리 自然言語")))
+          .as("text"))
+      time(s"analyzer unicode build ${nDocs / 1000}k") {
+        graft.ops.InvertedIndex.build(spark, corpus, s"$dir/az_uni")
+        spark.read.parquet(s"$dir/az_uni/postings").count()
+      }
+      time(s"analyzer whitespace build ${nDocs / 1000}k") {
+        graft.ops.InvertedIndex.build(spark, corpus, s"$dir/az_ws",
+          graft.ops.Analyzer.Whitespace)
+        spark.read.parquet(s"$dir/az_ws/postings").count()
+      }
+      time("analyzer multi-script search") {
+        val r = graft.ops.InvertedIndex.search(spark, s"$dir/az_uni",
+          Seq("МОСКВА,", "Query!", "東京"), 10).count()
+        require(r > 0, "folded multi-script search must hit")
+        r
+      }
+      // the common-case claim isolated: a 100% ASCII corpus pays only
+      // the `cp < 128` branch per char (no fold, no script lookup)
+      val ascii = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          element_at(asciiW, pmod(hash(col("id") * 31L + j), lit(10))
+            .cast(IntegerType) + 1)): _*).as("text"))
+      time(s"analyzer unicode ascii-only ${nDocs / 1000}k") {
+        graft.ops.InvertedIndex.build(spark, ascii, s"$dir/az_uni_a")
+        spark.read.parquet(s"$dir/az_uni_a/postings").count()
+      }
+      time(s"analyzer whitespace ascii-only ${nDocs / 1000}k") {
+        graft.ops.InvertedIndex.build(spark, ascii, s"$dir/az_ws_a",
+          graft.ops.Analyzer.Whitespace)
+        spark.read.parquet(s"$dir/az_ws_a/postings").count()
+      }
+    }
+
     time("LSH band cap, 100k near-dups") {
       val nDocs = 1000000L
       val exploded = spark.range(nDocs)
