@@ -816,7 +816,9 @@ object AdcIngest {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     val indexDir = s"$dir/index"
     healForWrite(spark, dir)
-    SegmentCompaction.discardPending(spark, indexDir)
+    // publish DUE retained rewrites; in-window pendings are skipped
+    // below, never discarded (their snapshots outlive this purge)
+    SegmentCompaction.publishDue(spark, indexDir)
     val last = lastBatch(spark, dir)
     require(last >= 0, s"AdcIngest.purgeDebt: no warehouse at $dir")
     val epoch = delEpoch(spark, dir)
@@ -829,10 +831,14 @@ object AdcIngest {
         .join(tomb, Seq("vec_id"), "left_semi")
         .groupBy(col("batch").cast(LongType).as("batch"))
         .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // pending-covered generations skip (their debt drains at publish)
+      val covered = SegmentCompaction.pendings(spark, indexDir)
+        .flatMap(_.ids).toSet
       val victims = SegmentCompaction.genSizes(spark, indexDir)
         .filter(_._1 <= last)
         .collect { case (b, n)
-          if n > 0 && debt.getOrElse(b, 0L).toDouble / n >= tau => b }
+          if n > 0 && !covered(b) &&
+            debt.getOrElse(b, 0L).toDouble / n >= tau => b }
       victims.foreach { b =>
         val rewritten = liveVecs(spark, dir, epoch)(
           spark.read.parquet(indexDir).filter(col("batch") === b))

@@ -280,6 +280,9 @@ object CorpusIngest {
     // __old — every prior generation — while state still claimed they
     // landed
     heal(spark, dir)
+    // writer-side maintenance cadence: a DUE retained purge publishes
+    // here (read paths never publish by time)
+    SegmentCompaction.publishDue(spark, s"$dir/corpus")
     // the replay/contiguity guard re-derives INSIDE the lease: the
     // pre-lease read above is only a cheap replay fast-path — two
     // concurrent deliveries of the same id could both pass a guard
@@ -640,18 +643,23 @@ object CorpusIngest {
    WriterLease.withLease(spark, dir, "corpus.purge") { lease =>
     val corpusDir = s"$dir/corpus"
     heal(spark, dir)
-    SegmentCompaction.discardPending(spark, corpusDir)
+    // publish DUE retained rewrites; in-window pendings are skipped
+    // below, never discarded (their snapshots outlive this purge)
+    SegmentCompaction.publishDue(spark, corpusDir)
     val last = lastBatch(spark, dir)
     val epoch = delEpoch(spark, dir)
     if (epoch <= 0L) Seq.empty
     else {
       val tomb = broadcast(spark.read.parquet(s"$dir/tombstones")
         .filter(col("epoch") <= epoch).select(col("doc_id")))
+      val covered = SegmentCompaction.pendings(spark, corpusDir)
+        .flatMap(_.ids).toSet
       val debtGens = spark.read.parquet(corpusDir)
         .filter(col("batch") <= last)
         .join(tomb, Seq("doc_id"), "left_semi")
         .select(col("batch").cast(LongType).as("batch"))
-        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        .distinct().collect().map(_.getLong(0))
+        .filterNot(covered).sorted.toSeq
       debtGens.foreach { b =>
         val rewritten = liveRows(spark, dir, epoch)(
           spark.read.parquet(corpusDir).filter(col("batch") === b))

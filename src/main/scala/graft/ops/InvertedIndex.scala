@@ -641,9 +641,11 @@ object InvertedIndex {
     Load.recoverSwap(spark, postingsDir)
     SegmentCompaction.recover(spark, postingsDir)
     Load.recoverScopedSwaps(spark, postingsDir)
-    // an unpublished retained merge covers generations this may
-    // rewrite — discard it (its sources are still live)
-    SegmentCompaction.discardPending(spark, postingsDir)
+    // writer-side maintenance cadence: publish any DUE retained
+    // rewrite first; generations still covered by an in-window
+    // pending are then SKIPPED below (never discarded — their
+    // snapshots outlive this purge, and their debt drains at publish)
+    SegmentCompaction.publishDue(spark, postingsDir)
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.purgeDebt: no index at $dir")).head()
     val epoch = delEpochOf(c)
@@ -658,10 +660,16 @@ object InvertedIndex {
         .join(tomb, Seq("doc_id"), "left_semi")
         .groupBy(col("batch").cast(LongType).as("batch"))
         .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // generations already covered by a committed-but-unpublished
+      // rewrite are skipped, not re-committed (the overlap check would
+      // refuse loudly; their debt drains when that pending publishes)
+      val covered = SegmentCompaction.pendings(spark, postingsDir)
+        .flatMap(_.ids).toSet
       val victims = SegmentCompaction.genSizes(spark, postingsDir)
         .filter(_._1 <= last)
         .collect { case (b, n)
-          if n > 0 && debt.getOrElse(b, 0L).toDouble / n >= tau => b }
+          if n > 0 && !covered(b) &&
+            debt.getOrElse(b, 0L).toDouble / n >= tau => b }
       victims.foreach { b =>
         val rewritten = liveDocs(spark, dir, epoch)(
           spark.read.parquet(postingsDir).filter(col("batch") === b))

@@ -323,6 +323,13 @@ class ConcurrencySpec extends SparkSpec {
     assert(SegmentCompaction.fileStamps(spark, s"$dir/postings")
       .filterNot(_._1.contains("/.merged-")) == preStamps)
     assert(slowReader.collect().toSeq.map(_.toSeq) == expect)
+    // a SECOND retained purge skips the pending-covered generation —
+    // it neither discards the first pending (snapshots survive) nor
+    // refuses loudly (its debt drains when that pending publishes)
+    assert(InvertedIndex.purgeDebt(spark, dir, tau = 0.3,
+      retainMs = 24L * 3600 * 1000).isEmpty)
+    assert(SegmentCompaction.pendings(spark, s"$dir/postings")
+      .map(_.ids) == Seq(Seq(1L)))
     // vacuum publishes: backlog drains, generation count unchanged,
     // results identical (the purge is a pure physical filter)
     assert(InvertedIndex.vacuum(spark, dir) == Seq(1L))
@@ -404,6 +411,29 @@ class ConcurrencySpec extends SparkSpec {
     assert(AdcIngest.index(spark, dir).count() == n)
     assert(AdcIngest.append(spark, vecs(430, 440), dir, 2L))
     assert(AdcIngest.index(spark, dir).count() == n + 10L)
+  }
+
+  test("retained-retrain publish crash windows heal: a crash between " +
+      "the swap's renames restores the old root; the pending survives " +
+      "for a retried publish") {
+    val dir = tmp("snap_retrain_crash")
+    AdcIngest.bootstrap(spark, vecs(0, 300), dir, k = 4, m = 4, ks = 8)
+    val n = AdcIngest.index(spark, dir).count()
+    AdcIngest.retrain(spark, vecs(0, 300), dir,
+      k = 4, m = 4, ks = 8, retainMs = 24L * 3600 * 1000)
+    // simulate the publish crashing between atomicSwap's two renames:
+    // the old root sits only in dir.__old, the pending still parked
+    assert(fs(dir).rename(new Path(dir), new Path(s"$dir.__old")))
+    // a lease-free READ heals the root swap (no live lease) and keeps
+    // serving the old epoch; the pending is untouched
+    assert(AdcIngest.index(spark, dir).count() == n)
+    assert(AdcIngest.modelEpoch(spark, dir) == 0L)
+    assert(AdcIngest.retrainPending(spark, dir).nonEmpty)
+    // the retried publish (vacuum) completes the swap
+    AdcIngest.vacuum(spark, dir)
+    assert(AdcIngest.retrainPending(spark, dir).isEmpty)
+    assert(AdcIngest.modelEpoch(spark, dir) == 1L)
+    assert(AdcIngest.index(spark, dir).count() == n)
   }
 
   test("snapshot retention on the vector warehouse: retained rollback " +
