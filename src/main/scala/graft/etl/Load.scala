@@ -89,9 +89,78 @@ object Load {
       }
   }
 
-  def readTable(spark: SparkSession, dir: String): Option[DataFrame] = {
-    recoverSwap(spark, dir)
+  /** Whether a LIVE writer lease covers `dir` — its own lock or an
+    * enclosing warehouse root's (bounded ancestor walk: warehouse
+    * tables sit at most a couple of levels under the leased root,
+    * e.g. `wh/state`, `wh/langid/meta`). Consulted by [[readTable]]'s
+    * heals ONLY when a crash remnant is actually present, so the
+    * remnant-free common read pays zero lock-file reads.
+    */
+  private def liveEnclosingLease(spark: SparkSession,
+                                 dir: String): Boolean = {
+    var p: Path = new Path(dir)
+    var depth = 0
+    while (p != null && p.getParent != null && depth < 4) {
+      if (WriterLease.liveHolder(spark, p.toString)) return true
+      p = p.getParent
+      depth += 1
+    }
+    false
+  }
+
+  /** [[recoverSwap]] gated on writer-lease liveness — the READ-path
+    * form: a reader running recoverSwap while a live writer is
+    * between a swap's two renames would restore `__old` and the
+    * writer's commit rename would then land the staged table INSIDE
+    * the restored directory. Remnants under a live lease are the
+    * writer's in-flight state — left alone; the writer heals its own
+    * tree unconditionally inside its lease ([[recoverTreeSwaps]]),
+    * and a crashed writer's lease goes silent, after which the next
+    * read heals as before.
+    */
+  private def recoverSwapGated(spark: SparkSession, dir: String): Unit = {
+    val old = new Path(s"$dir.__old")
+    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old) && !liveEnclosingLease(spark, dir))
+      recoverSwap(spark, dir)
+  }
+
+  /** [[recoverScopedSwaps]] gated the same way (one liveness check
+    * for however many remnants the listing finds).
+    */
+  private def recoverScopedSwapsGated(spark: SparkSession,
+                                      dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".__old")) &&
+        !liveEnclosingLease(spark, dir))
+      recoverScopedSwaps(spark, dir)
+  }
+
+  /** Writer-side warehouse-tree heal — [[recoverScopedSwaps]] over
+    * `dir` and every direct child directory, run unconditionally
+    * INSIDE the caller's held lease. Covers sibling tables (state,
+    * meta, codebooks) and nested model tables (nb/counts,
+    * langid/meta) whose [[readTable]] heals are liveness-gated and
+    * therefore suppressed under the caller's own live lease. Two
+    * listStatus levels, no data reads.
+    */
+  private[graft] def recoverTreeSwaps(spark: SparkSession,
+                                      dir: String): Unit = {
     recoverScopedSwaps(spark, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory && !st.getPath.getName.endsWith(".__old"))
+          recoverScopedSwaps(spark, st.getPath.toString)
+      }
+  }
+
+  def readTable(spark: SparkSession, dir: String): Option[DataFrame] = {
+    recoverSwapGated(spark, dir)
+    recoverScopedSwapsGated(spark, dir)
     if (tableExists(spark, dir)) Some(spark.read.parquet(dir)) else None
   }
 

@@ -33,13 +33,29 @@ import org.apache.spark.sql.SparkSession
   *    lock): a token is burned even when the lease create loses the
   *    race, so a resurrected zombie writer can never re-read an
   *    un-advanced fence and mint its usurper's token.
-  *  - `_LEASE` — exists ⇔ held; content `token nonce owner hbMs`.
-  *    Created with overwrite=false (the atomic mutual exclusion),
-  *    deleted on release. The NONCE (a per-acquire UUID) is the
-  *    lease's true identity: [[check]]/[[release]] compare token AND
-  *    nonce, so even a pathological token collision (a fence write
-  *    lost under a machine-level stall and replayed late) cannot let
-  *    two writers both pass their commit-point check.
+  *  - `_LEASE` — exists ⇔ held; content `token nonce owner hbMs
+  *    ttlMs` (a pre-round-14 four-field lease reads with the default
+  *    ttl). Created with overwrite=false (the atomic mutual
+  *    exclusion), deleted on release. The NONCE (a per-acquire UUID)
+  *    is the lease's true identity: [[check]]/[[release]] compare
+  *    token AND nonce, so even a pathological token collision (a
+  *    fence write lost under a machine-level stall and replayed late)
+  *    cannot let two writers both pass their commit-point check.
+  *    Recording the HOLDER's ttl in the file lets [[liveHolder]] and
+  *    [[renew]] judge staleness by the cadence the holder actually
+  *    heartbeats at — a holder acquired with a long ttl is not
+  *    falsely presumed dead by a reader judging with the default.
+  *    The file is NOT staged through a rename: on POSIX rename(2)
+  *    OVERWRITES an existing target, so a tmp+rename create would
+  *    silently break the create-if-absent exclusion the whole
+  *    protocol rests on. The torn-create window (file visible,
+  *    content not yet written) is instead handled by AGE: an
+  *    unreadable lease younger than the ttl (by file mtime) is a
+  *    live writer mid-create — refused, never deleted; one older
+  *    than the ttl is a writer that crashed inside the create and
+  *    is taken over like any other stale lease. [[acquire]] and
+  *    [[liveHolder]] share this rule, so "unreadable" means the
+  *    same thing on both the write and the read path.
   *  - HEARTBEAT: [[withLease]] renews the lease timestamp on a
   *    `ttlMs / 3` cadence from a daemon thread, so STALENESS MEANS
   *    SILENCE, not elapsed time — an hours-long retrain under the
@@ -102,19 +118,39 @@ object WriterLease {
     try out.write(contents.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Parsed `_LEASE` fields: (token, nonce, owner, heartbeatMs); None
-    * when absent or unreadable (a torn write mid-create).
+  /** Parsed `_LEASE` fields: (token, nonce, owner, heartbeatMs,
+    * ttlMs); None when absent or unreadable (a torn write
+    * mid-create). A four-field pre-round-14 lease reads with the
+    * default ttl.
     */
-  private def readLease(spark: SparkSession,
-                        dir: String): Option[(Long, String, String, Long)] =
+  private def readLease(spark: SparkSession, dir: String)
+      : Option[(Long, String, String, Long, Long)] =
     readSmall(spark, leasePath(dir)).flatMap { s =>
-      s.split(" ", 4) match {
+      s.split(" ", 5) match {
         case Array(t, n, o, hb) =>
-          try Some((t.toLong, n, o, hb.toLong))
+          try Some((t.toLong, n, o, hb.toLong, DefaultTtlMs))
+          catch { case _: NumberFormatException => None }
+        case Array(t, n, o, hb, ttl) =>
+          try Some((t.toLong, n, o, hb.toLong, ttl.toLong))
           catch { case _: NumberFormatException => None }
         case _ => None
       }
     }
+
+  /** Age of the `_LEASE` FILE by filesystem mtime — the staleness
+    * judgment for a lease whose content is unreadable (torn
+    * mid-create, so there is no heartbeat field to read). None when
+    * the file vanished between the caller's existence check and the
+    * stat.
+    */
+  private def leaseFileAgeMs(spark: SparkSession,
+                             dir: String): Option[Long] = {
+    val p = leasePath(dir)
+    val f = fs(spark, p)
+    try Some(System.currentTimeMillis() -
+      f.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+  }
 
   /** The last issued fencing token (0 = never leased — a fresh or
     * pre-lease warehouse).
@@ -127,16 +163,23 @@ object WriterLease {
     fs(spark, leasePath(dir)).exists(leasePath(dir))
 
   /** Whether a LIVE writer holds the lease right now: a lease file
-    * whose last heartbeat is within `ttlMs`. This is what read paths
-    * gate their crash heals on — remnants under a live lease are a
-    * writer's in-flight state, not a crash. An unreadable lease (torn
-    * mid-create — the writer is alive by definition) reads as live.
+    * whose last heartbeat is within the ttl the HOLDER recorded at
+    * acquire (`ttlMs` only judges pre-round-14 four-field leases,
+    * which recorded none). This is what read paths gate their crash
+    * heals on — remnants under a live lease are a writer's in-flight
+    * state, not a crash. An unreadable lease (torn mid-create) reads
+    * as live while its file mtime is within the ttl — the same
+    * age rule [[acquire]] applies, so the two paths agree on what a
+    * torn lease means.
     */
   def liveHolder(spark: SparkSession, dir: String,
                  ttlMs: Long = DefaultTtlMs): Boolean =
     readLease(spark, dir) match {
-      case Some((_, _, _, hb)) => System.currentTimeMillis() - hb <= ttlMs
-      case None => held(spark, dir) // present but unreadable: live
+      case Some((_, _, _, hb, recTtl)) =>
+        System.currentTimeMillis() - hb <= recTtl
+      case None =>
+        held(spark, dir) &&
+          leaseFileAgeMs(spark, dir).forall(_ <= ttlMs)
     }
 
   /** Acquire the warehouse's writer lease or throw. One stale-lease
@@ -155,7 +198,7 @@ object WriterLease {
           "— refusing a second concurrent mutator; wait, or raise " +
           "ttlMs if the holder is known dead")
     def attempt(retriesLeft: Int): Lease = readLease(spark, dir) match {
-      case Some((t, _, o, hb)) =>
+      case Some((t, _, o, hb, _)) =>
         // a present lease is examined BEFORE burning a token, so a
         // refused acquire leaves the fence untouched
         val ageMs = System.currentTimeMillis() - hb
@@ -164,12 +207,18 @@ object WriterLease {
           attempt(retriesLeft - 1)
         } else refuse(t.toString, o, ageMs)
       case None if held(spark, dir) =>
-        // unreadable (torn) lease: its writer crashed mid-create —
-        // treat as stale
-        if (retriesLeft > 0) {
+        // unreadable (torn) lease: judged by FILE age, never deleted
+        // young — a live acquirer's lease is momentarily empty
+        // between its create and its content write, and deleting it
+        // there would hand BOTH writers a lease (the exact mutual-
+        // exclusion failure this module exists to prevent). Older
+        // than the ttl ⇒ its writer crashed inside the create; take
+        // over like any stale lease.
+        val ageMs = leaseFileAgeMs(spark, dir).getOrElse(Long.MaxValue)
+        if (ageMs > ttlMs && retriesLeft > 0) {
           f.delete(leasePath(dir), false)
           attempt(retriesLeft - 1)
-        } else refuse("?", "?", Long.MaxValue)
+        } else refuse("? (torn mid-create)", "?", ageMs)
       case None =>
         // RESERVE-THEN-LOCK: burn the token BEFORE the lease exists.
         // A losing acquirer merely wastes a token; a zombie that
@@ -182,7 +231,7 @@ object WriterLease {
         val nonce = java.util.UUID.randomUUID().toString
         try {
           writeSmall(spark, leasePath(dir),
-            s"$token $nonce $owner ${System.currentTimeMillis()}",
+            s"$token $nonce $owner ${System.currentTimeMillis()} $ttlMs",
             overwrite = false)
           Lease(dir, token, nonce, owner)
         } catch {
@@ -191,7 +240,7 @@ object WriterLease {
             // (fresh → refuse loudly; torn/stale → one more pass)
             if (retriesLeft > 0) attempt(retriesLeft - 1)
             else readLease(spark, dir) match {
-              case Some((t, _, o, hb)) =>
+              case Some((t, _, o, hb, _)) =>
                 refuse(t.toString, o, System.currentTimeMillis() - hb)
               case None => refuse("?", "?", Long.MaxValue)
             }
@@ -201,18 +250,54 @@ object WriterLease {
   }
 
   /** Refresh the lease's heartbeat timestamp — only while it is still
-    * ours (token AND nonce match). Returns false when the lease was
-    * usurped (the holder's next [[check]] then aborts loudly).
+    * ours (token AND nonce match) AND not already legally usurpable.
+    * Returns false when the lease was usurped, or when renewing would
+    * RESURRECT a zombie (the holder's next [[check]] then aborts
+    * loudly).
+    *
+    * The raw read-then-overwrite had a resurrection window: a holder
+    * whose heartbeat thread stalled silently past the ttl could have
+    * an in-flight renew's read match BEFORE a takeover and its write
+    * land AFTER — clobbering the usurper's fresh `_LEASE` with the
+    * zombie's identity while the usurper sat between its commit
+    * check and its publish rename, letting BOTH writers publish. Two
+    * guards close it:
+    *  - STALENESS: if the lease's recorded heartbeat is already older
+    *    than its ttl, the lease is legally usurpable RIGHT NOW — a
+    *    takeover may be in flight — so renew refuses rather than
+    *    writing a fresh timestamp over it.
+    *  - ELAPSED BOUND: if this renew itself took longer than ttl/3
+    *    between its read and the end of its write (a stall INSIDE the
+    *    window), the write may have clobbered an interleaved
+    *    usurper's lease — renew WITHDRAWS (deletes the lease if it
+    *    still carries our identity) and returns false. Both parties'
+    *    next check then fails and neither publishes: a liveness
+    *    hiccup in a pathological window, never a double publish.
     */
-  def renew(spark: SparkSession, lease: Lease): Boolean =
+  def renew(spark: SparkSession, lease: Lease): Boolean = {
+    val t0 = System.currentTimeMillis()
     readLease(spark, lease.dir) match {
-      case Some((t, n, _, _)) if t == lease.token && n == lease.nonce =>
-        writeSmall(spark, leasePath(lease.dir),
-          s"${lease.token} ${lease.nonce} ${lease.owner} " +
-            s"${System.currentTimeMillis()}", overwrite = true)
-        true
+      case Some((t, n, _, hb, ttl))
+          if t == lease.token && n == lease.nonce =>
+        if (t0 - hb > ttl) false // legally usurpable — don't resurrect
+        else {
+          writeSmall(spark, leasePath(lease.dir),
+            s"${lease.token} ${lease.nonce} ${lease.owner} " +
+              s"${System.currentTimeMillis()} $ttl", overwrite = true)
+          if (System.currentTimeMillis() - t0 > math.max(ttl / 3, 50L)) {
+            // stalled inside the renew — withdraw instead of trusting
+            // a write that may have landed over a usurper's lease
+            val ours = readLease(spark, lease.dir)
+              .exists(c => c._1 == lease.token && c._2 == lease.nonce)
+            if (ours)
+              fs(spark, leasePath(lease.dir))
+                .delete(leasePath(lease.dir), false)
+            false
+          } else true
+        }
       case _ => false
     }
+  }
 
   /** Require the lease is still ours — call immediately before a
     * mutation's commit point (see the object doc's fencing rule).
@@ -252,15 +337,35 @@ object WriterLease {
                    ttlMs: Long = DefaultTtlMs)(body: Lease => T): T = {
     val lease = acquire(spark, dir, owner, ttlMs)
     val hb = new Thread(() => {
-      try {
-        var mine = true
-        while (mine && !Thread.interrupted()) {
+      // lastBeat = the last instant the lease is KNOWN fresh (acquire
+      // stamped it; each successful renew re-stamps it)
+      var lastBeat = System.currentTimeMillis()
+      var mine = true
+      while (mine && !Thread.currentThread().isInterrupted) {
+        try {
           Thread.sleep(math.max(ttlMs / 3, 50L))
-          // a failed renew means we were usurped — stop heartbeating
+          if (System.currentTimeMillis() - lastBeat > ttlMs)
+            // the sleep overran the ttl (GC pause, machine stall) —
+            // the lease is legally usurpable; STOP renewing rather
+            // than resurrect it (renew's own staleness guard would
+            // also refuse — this avoids even attempting the write)
+            mine = false
+          else if (renew(spark, lease)) lastBeat = System.currentTimeMillis()
+          // a failed renew means usurped/withdrawn — stop heartbeating
           // (the body's next check() aborts the mutation loudly)
-          mine = renew(spark, lease)
+          else mine = false
+        } catch {
+          case _: InterruptedException => mine = false
+          case scala.util.control.NonFatal(_) =>
+            // a TRANSIENT failure (e.g. an IOException from the
+            // filesystem) must not silently kill the daemon — a
+            // healthy hours-long holder would stop heartbeating and
+            // become legally usurpable mid-mutation. Keep beating;
+            // if the outage persists past the ttl, the overrun check
+            // above (and renew's staleness guard) stop the loop
+            // without a resurrecting write.
         }
-      } catch { case _: InterruptedException => }
+      }
     })
     hb.setDaemon(true)
     hb.setName(s"graft-lease-heartbeat-$owner")

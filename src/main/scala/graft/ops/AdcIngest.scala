@@ -100,6 +100,15 @@ object AdcIngest {
     */
   private def healForWrite(spark: SparkSession, dir: String): Unit = {
     Load.recoverSwap(spark, dir)
+    // sibling-table swap remnants (codebooks, centroids, meta, …):
+    // readTable's heals are liveness-gated and therefore suppressed
+    // under THIS writer's own live lease — heal them here, inside it
+    Load.recoverTreeSwaps(spark, dir)
+    // a publish that crashed between its swap and its marker delete
+    // leaves the stage's _PUBLISH_AFTER in the live root — sweep it
+    val strayMk = new org.apache.hadoop.fs.Path(dir, "_PUBLISH_AFTER")
+    strayMk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(strayMk, false)
     // a due retained retrain publishes before any mutation proceeds;
     // one still inside its window blocks mutations loudly (reads are
     // unaffected either way)
@@ -150,6 +159,12 @@ object AdcIngest {
     retrainPending(spark, dir).foreach { after =>
       if (force || System.currentTimeMillis() >= after) {
         Load.atomicSwap(spark, s"$dir.__retrain_pending", dir)
+        // the swap carries the stage's _PUBLISH_AFTER marker into the
+        // live root — delete it, or every published retained retrain
+        // leaves a stray marker in the serving tree forever
+        val mk = new org.apache.hadoop.fs.Path(dir, "_PUBLISH_AFTER")
+        mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(mk, false)
       } else throw new IllegalStateException(
         s"a retained retrain awaits publish at $dir.__retrain_pending " +
           s"(window ends in ${(after - System.currentTimeMillis()) / 1000}" +

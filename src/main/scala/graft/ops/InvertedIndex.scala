@@ -268,6 +268,10 @@ object InvertedIndex {
       // while the corpus row still claimed they landed.
       Load.recoverSwap(spark, s"$dir/postings")
       SegmentCompaction.recover(spark, s"$dir/postings")
+      // sibling-table remnants (corpus, …): readTable's heals are
+      // liveness-gated — suppressed under THIS writer's own live
+      // lease — so the writer entry heals them here, inside it
+      Load.recoverTreeSwaps(spark, dir)
       // the batch analyzes under the INDEX's recorded policy — an
       // addBatch analyzing differently from the bootstrap would split
       // one term across two spellings and silently halve its postings
@@ -386,6 +390,7 @@ object InvertedIndex {
     WriterLease.withLease(spark, dir, "invidx.rollback") { lease =>
     Load.recoverSwap(spark, s"$dir/postings")
     SegmentCompaction.recover(spark, s"$dir/postings")
+    Load.recoverTreeSwaps(spark, dir) // sibling tables, under the lease
     // an unpublished retained merge may cover generations this cut
     // deletes — discard it (its source gens are still live) before
     // restructuring, or the eventual publish would resurrect them
@@ -492,6 +497,7 @@ object InvertedIndex {
     import spark.implicits._
     Load.recoverSwap(spark, s"$dir/postings")
     SegmentCompaction.recover(spark, s"$dir/postings")
+    Load.recoverTreeSwaps(spark, dir) // sibling tables, under the lease
     val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
       sys.error(s"InvertedIndex.delete: no index at $dir")).head()
     val fs = new Path(dir)
@@ -579,6 +585,7 @@ object InvertedIndex {
    WriterLease.withLease(spark, dir, "invidx.compact") { lease =>
     val postingsDir = s"$dir/postings"
     Load.recoverSwap(spark, postingsDir)
+    Load.recoverTreeSwaps(spark, dir) // sibling tables, under the lease
     // a crashed tiered merge must heal BEFORE the full rewrite reads
     // the tree, or the generations sitting in the aside dir would be
     // silently dropped from the rewrite; an unpublished retained merge
@@ -641,6 +648,7 @@ object InvertedIndex {
     Load.recoverSwap(spark, postingsDir)
     SegmentCompaction.recover(spark, postingsDir)
     Load.recoverScopedSwaps(spark, postingsDir)
+    Load.recoverTreeSwaps(spark, dir) // sibling tables, under the lease
     // writer-side maintenance cadence: publish any DUE retained
     // rewrite first; generations still covered by an in-window
     // pending are then SKIPPED below (never discarded — their
@@ -706,6 +714,7 @@ object InvertedIndex {
     WriterLease.withLease(spark, dir, "invidx.vacuum") { _ =>
       Load.recoverSwap(spark, s"$dir/postings")
       SegmentCompaction.recover(spark, s"$dir/postings")
+      Load.recoverTreeSwaps(spark, dir) // sibling tables, under the lease
       SegmentCompaction.publish(spark, s"$dir/postings") ++
         SegmentCompaction.retireDue(spark, s"$dir/postings",
           lastBatch(spark, dir), force = true)
@@ -751,6 +760,7 @@ object InvertedIndex {
     val postingsDir = s"$dir/postings"
     Load.recoverSwap(spark, postingsDir)
     SegmentCompaction.recover(spark, postingsDir)
+    Load.recoverTreeSwaps(spark, dir) // sibling tables, under the lease
     // a prior retained merge whose window has passed publishes now
     // (writer-side, under the lease); while one is still within its
     // window, maintenance BACKS OFF — a second merge over the same

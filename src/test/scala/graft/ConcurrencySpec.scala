@@ -463,6 +463,115 @@ class ConcurrencySpec extends SparkSpec {
     assert(AdcIngest.index(spark, dir).count() == nLive)
   }
 
+  test("renew refuses to resurrect a legally-usurpable lease: a " +
+      "zombie whose heartbeat went silent past the ttl cannot " +
+      "re-stamp its lease over an in-flight takeover") {
+    val dir = tmp("lease_resurrect")
+    fs(dir).mkdirs(new Path(dir))
+    // bare acquire (no heartbeat daemon), tiny ttl — after one ttl of
+    // quiet the lease is legally usurpable
+    val zombie = WriterLease.acquire(spark, dir, "zombie", ttlMs = 50L)
+    Thread.sleep(80)
+    // the zombie's stalled heartbeat thread resumes HERE — exactly the
+    // resurrection window: (token, nonce) still match, but a takeover
+    // may be interleaving. renew must refuse, not write a fresh stamp.
+    assert(!WriterLease.renew(spark, zombie),
+      "renew must not resurrect a lease already older than its ttl")
+    // the takeover proceeds untouched and the zombie fences out
+    val usurper = WriterLease.acquire(spark, dir, "usurper", ttlMs = 50L)
+    intercept[IllegalArgumentException] { WriterLease.check(spark, zombie) }
+    WriterLease.check(spark, usurper)
+    // …and the zombie's renew against the usurper's lease is refused
+    // by identity, as before
+    assert(!WriterLease.renew(spark, zombie))
+    WriterLease.check(spark, usurper)
+    WriterLease.release(spark, usurper)
+  }
+
+  test("a torn (mid-create) lease is live while young — never deleted " +
+      "by a concurrent acquirer — and taken over once its file age " +
+      "passes the ttl") {
+    val dir = tmp("lease_torn")
+    fs(dir).mkdirs(new Path(dir))
+    // simulate the create-then-write window: _LEASE exists, zero bytes
+    val lp = new Path(s"${WriterLease.lockDir(dir)}/_LEASE")
+    fs(dir).mkdirs(lp.getParent)
+    fs(dir).create(lp, true).close()
+    // while the file is young, both paths agree it is a LIVE writer:
+    // reads gate their heals, acquirers refuse instead of deleting it
+    assert(WriterLease.liveHolder(spark, dir, ttlMs = 60 * 1000L))
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(spark, dir, "rival", ttlMs = 60 * 1000L)
+    }
+    assert(e.getMessage.contains("torn mid-create"))
+    assert(fs(dir).exists(lp), "the live creator's lease must survive")
+    // age the FILE past the ttl: the creator crashed inside its
+    // create — both paths now agree it is dead
+    val old = System.currentTimeMillis() - 120 * 1000L
+    fs(dir).setTimes(lp, old, old)
+    assert(!WriterLease.liveHolder(spark, dir, ttlMs = 60 * 1000L))
+    val taker = WriterLease.acquire(spark, dir, "taker", ttlMs = 60 * 1000L)
+    WriterLease.check(spark, taker)
+    WriterLease.release(spark, taker)
+  }
+
+  test("liveHolder judges staleness by the ttl the HOLDER recorded at " +
+      "acquire, not the caller's default") {
+    val dir = tmp("lease_ttl_rec")
+    fs(dir).mkdirs(new Path(dir))
+    // a holder that asserted a 50 ms ttl and then went silent is dead
+    // to readers judging with the (much larger) default
+    val dead = WriterLease.acquire(spark, dir, "short", ttlMs = 50L)
+    Thread.sleep(80)
+    assert(!WriterLease.liveHolder(spark, dir),
+      "a holder silent past ITS OWN ttl is stale under any caller")
+    WriterLease.release(spark, dead)
+    // and a holder that asserted a ttl LARGER than the default stays
+    // live to default-judging readers for its whole ttl
+    val long = WriterLease.acquire(spark, dir, "long",
+      ttlMs = 4L * WriterLease.DefaultTtlMs)
+    assert(WriterLease.liveHolder(spark, dir))
+    WriterLease.release(spark, long)
+  }
+
+  test("readTable heals are gated on writer-lease liveness: a reader " +
+      "never restores a swap remnant out from under a LIVE writer") {
+    val root = tmp("read_heal_gate")
+    val fsys = fs(root)
+    fsys.mkdirs(new Path(root))
+    // a committed table plus a writer's in-flight swap remnant
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/state")
+    fsys.mkdirs(new Path(s"$root/state.__old"))
+    val writer = WriterLease.acquire(spark, root, "writer")
+    // under the LIVE lease the reader serves the current table and
+    // leaves the remnant alone (it is the writer's in-flight state)
+    val served = graft.etl.Load.readTable(spark, s"$root/state")
+    assert(served.map(_.count()) == Some(1L))
+    assert(fsys.exists(new Path(s"$root/state.__old")),
+      "a reader must not heal under a live writer lease")
+    // lease released (writer done/crashed-and-silent): the next read
+    // heals the remnant as before
+    WriterLease.release(spark, writer)
+    assert(graft.etl.Load.readTable(spark, s"$root/state")
+      .map(_.count()) == Some(1L))
+    assert(!fsys.exists(new Path(s"$root/state.__old")),
+      "with no live lease the crash remnant heals on read")
+  }
+
+  test("a published retained retrain leaves no stray _PUBLISH_AFTER " +
+      "marker in the serving root") {
+    val dir = tmp("retrain_marker")
+    AdcIngest.bootstrap(spark, vecs(0, 300), dir, k = 4, m = 4, ks = 8)
+    AdcIngest.retrain(spark, vecs(0, 300), dir,
+      k = 4, m = 4, ks = 8, retainMs = 24L * 3600 * 1000)
+    assert(AdcIngest.retrainPending(spark, dir).nonEmpty)
+    AdcIngest.vacuum(spark, dir)
+    assert(AdcIngest.retrainPending(spark, dir).isEmpty)
+    assert(!fs(dir).exists(new Path(s"$dir/_PUBLISH_AFTER")),
+      "the stage's publish marker must not ride into the live root")
+    assert(AdcIngest.modelEpoch(spark, dir) == 1L)
+  }
+
   test("rollback and full compact discard an unpublished merge " +
       "instead of racing its publish") {
     val dir = tmp("snap_discard")
