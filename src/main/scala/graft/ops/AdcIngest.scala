@@ -195,7 +195,7 @@ object AdcIngest {
   /** The committed delete epoch; 0 (no deletes) for warehouses written
     * before delete support existed.
     */
-  private def delEpoch(spark: SparkSession, dir: String): Long =
+  private[graft] def delEpoch(spark: SparkSession, dir: String): Long =
     metaField(spark, dir, "del_epoch")
 
   /** The model epoch: 0 = the bootstrap models, +1 per [[retrain]]. */

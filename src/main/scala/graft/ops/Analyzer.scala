@@ -87,6 +87,21 @@ sealed trait Analyzer {
     * slot the stopword occupies.
     */
   def analyzePhrase(words: Seq[String]): Seq[String]
+
+  /** The analyzed TEXT of `text` under this policy: the indexed token
+    * stream re-joined by single spaces — the normalization pre-step
+    * the MODEL stack (NaiveBayes, Dsir, Bpe, UnigramLm, Vocab and the
+    * CorpusIngest stages) runs before its whitespace tokenization, so
+    * ONE recorded policy governs model features exactly as it governs
+    * index postings. Analyzed tokens contain no spaces by
+    * construction, so `split(normalize(text), " ")` IS the analyzed
+    * token stream and the downstream whitespace machinery (token
+    * explodes, n-gram windows, WeightedTokenSum folds, BPE word
+    * counts) needs no other change. [[Analyzer.Whitespace]] is the
+    * IDENTITY — pre-tokenized corpora and every pre-analyzer
+    * persisted model stay byte-compatible, plan included.
+    */
+  def normalize(text: Column): Column
 }
 
 object Analyzer {
@@ -103,6 +118,7 @@ object Analyzer {
     def isIndexed(term: Column): Column = length(term) > 0
     def analyzeTerms(terms: Seq[String]): Seq[String] = terms
     def analyzePhrase(words: Seq[String]): Seq[String] = words
+    def normalize(text: Column): Column = text
   }
 
   /** Accent fold → lowercase → script-aware tokenize (Unicode
@@ -132,6 +148,9 @@ object Analyzer {
           "query or rebuild without a stopword set")
       toks
     }
+
+    def normalize(text: Column): Column =
+      concat_ws(" ", filter(slots(text), t => isIndexed(t)))
   }
 
   /** Driver-side twin of [[Unicode.slots]] minus the stopword step —
@@ -151,4 +170,34 @@ object Analyzer {
     case other => sys.error(s"unknown analyzer kind '$other' — this " +
       "index was written by a newer library version")
   }
+
+  /** Persist a MODEL's analysis policy as a one-row sidecar table at
+    * `dir` (kind STRING, stopwords ARRAY<STRING>) — the model-stack
+    * twin of the inverted index's corpus-row recording: train writes
+    * it once, and every apply/extend path reads the policy back
+    * instead of taking an analyzer parameter, so a model can never be
+    * scored or extended under a tokenization different from the one
+    * its statistics were counted with.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, az: Analyzer,
+           dir: String): Unit = {
+    import spark.implicits._
+    graft.etl.Load.replaceTable(spark,
+      Seq((az.kind, az.stopwords.sorted)).toDF("kind", "stopwords"),
+      dir)
+    ()
+  }
+
+  /** Read a model's recorded policy back; a model WITHOUT the sidecar
+    * (persisted before analyzers reached the model stack) tokenized
+    * by raw whitespace — [[Whitespace]], byte-compatible.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): Analyzer =
+    graft.etl.Load.readTable(spark, dir).map { df =>
+      val r = df.head()
+      of(r.getAs[String]("kind"),
+        Option(r.getAs[scala.collection.Seq[String]]("stopwords"))
+          .map(_.toSeq).getOrElse(Nil))
+    }.getOrElse(Whitespace)
 }

@@ -43,9 +43,19 @@ import graft.etl.Load
   */
 object Bpe {
 
-  /** (word, cnt) of the corpus — the single corpus-scale shuffle. */
-  def wordCounts(docs: DataFrame): DataFrame = docs
-    .select(explode(split(col("text"), " ")).as("word"))
+  /** (word, cnt) of the corpus — the single corpus-scale shuffle.
+    * `az` is the analysis policy the words tokenize under
+    * (Analyzer.normalize then the whitespace split — identity chain
+    * for the Whitespace default, so pre-analyzer tokenizers are
+    * byte-compatible, plan included). The tokenizer has no persisted
+    * meta table of its own — its merges table IS a bare parquet dir —
+    * so the policy travels as a parameter and warehouse callers
+    * (CorpusIngest) record it in their own sidecar and thread it
+    * through train and encode alike.
+    */
+  def wordCounts(docs: DataFrame,
+                 az: Analyzer = Analyzer.Whitespace): DataFrame = docs
+    .select(explode(split(az.normalize(col("text")), " ")).as("word"))
     .filter(length(col("word")) > 0)
     .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
@@ -88,12 +98,13 @@ object Bpe {
     * nested-expression depth bites at production merge counts.
     */
   def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
-            minFreq: Long = 2L, rematEvery: Int = 32): Seq[(String, String)] = {
+            minFreq: Long = 2L, rematEvery: Int = 32,
+            az: Analyzer = Analyzer.Whitespace): Seq[(String, String)] = {
     val rematDir = java.nio.file.Files
       .createTempDirectory("graft_bpe_train").toString
     // `base` is the frame that actually holds the cache; `words` is
     // base plus at most `rematEvery-1` uncached replace layers
-    var base = wordCounts(docs)
+    var base = wordCounts(docs, az)
       .select(col("word"), col("cnt"), initState(col("word")).as("state"))
       .cache()
     var words = base
@@ -173,9 +184,11 @@ object Bpe {
     * production OOV path; with a corpus-wide lexicon it never fires.
     */
   def encode(docs: DataFrame, lex: DataFrame,
-             merges: Seq[(String, String)]): DataFrame = docs
+             merges: Seq[(String, String)],
+             az: Analyzer = Analyzer.Whitespace): DataFrame = docs
     .select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      posexplode(split(az.normalize(col("text")), " "))
+        .as(Seq("pos", "word")))
     .filter(length(col("word")) > 0)
     .join(broadcast(lex.select(col("word"), col("toks"))), Seq("word"), "left")
     .select(col("doc_id"), col("pos"),

@@ -125,9 +125,9 @@ object CorpusIngest {
     */
   private def pack(selected: DataFrame, lex: DataFrame,
                    merges: Seq[(String, String)], hwm: DataFrame,
-                   seqLen: Int): DataFrame = {
+                   seqLen: Int, az: Analyzer): DataFrame = {
     val toks = Bpe.encode(selected.select(col("doc_id"), col("text")),
-        lex, merges)
+        lex, merges, az)
       .select(col("doc_id"), col("n_tokens"))
     val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -176,7 +176,8 @@ object CorpusIngest {
                 dsirBuckets: Int = 512, bpeMerges: Int = 16,
                 seqLen: Int = 2048, dsirFast: Boolean = false,
                 langid: Boolean = false, langidMinMargin: Long = 0L,
-                langidVocabCap: Int = 512): Long = {
+                langidVocabCap: Int = 512,
+                analyzer: Analyzer = Analyzer.Whitespace): Long = {
     require(crawl.columns.toSeq == CrawlCols,
       s"bootstrap crawl must be $CrawlCols, got ${crawl.columns.toSeq}")
     // FULL reset: a bootstrap is generation zero of the warehouse.
@@ -195,6 +196,13 @@ object CorpusIngest {
     WriterLease.withLease(spark, dir, "corpus.bootstrap") { _ =>
     if (fs.exists(root)) fs.delete(root, true)
     Mojibake.saveMapping(spark, s"$dir/mapping")
+    // record the warehouse's ONE analysis policy (the q203 corpus-row
+    // pattern, warehouse-level): every token the models count and the
+    // packer emits — NB gate features, DSIR n-grams, BPE words —
+    // tokenizes under it, at bootstrap and at every later ingest
+    // alike. Whitespace default = pre-analyzer warehouses and the
+    // driver's pre-tokenized fixtures, byte-compatible.
+    Analyzer.save(spark, analyzer, s"$dir/analyzer")
     val mapping = Mojibake.loadMapping(spark, s"$dir/mapping")
     val keep = eager(dedupByUrl(crawl))
     val pool0 = eager(toPool(keep, mapping))
@@ -218,28 +226,29 @@ object CorpusIngest {
       }
     NaiveBayes.train(spark,
       pool.filter(nbSplit).select(col("text"), nbLabel.as("label")),
-      s"$dir/nb", nbVocabCap)
+      s"$dir/nb", nbVocabCap, analyzer)
     val gated = eager(NaiveBayes.score(spark, pool, s"$dir/nb")
       .filter(col("pred_pos"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("margin_micro")))
     Dsir.train(spark, gated.filter(dsirTarget).select(col("text")),
       gated.select(col("text")), s"$dir/dsir", dsirBuckets,
-      fast = dsirFast)
+      fast = dsirFast, analyzer = analyzer)
     val selected = eager(Dsir.selectTop(
         Dsir.score(spark, gated, s"$dir/dsir"), "source", "doc_id",
         selectPct)
       .filter(col("is_selected"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("margin_micro"), col("lr_micro")))
-    val merges = Bpe.train(spark, selected, numMerges = bpeMerges)
+    val merges = Bpe.train(spark, selected, numMerges = bpeMerges,
+      az = analyzer)
     Bpe.saveMerges(spark, merges, s"$dir/merges")
     val ranked = Bpe.loadMerges(spark, s"$dir/merges")
-    val lex = Bpe.lexicon(Bpe.wordCounts(selected).select(col("word")),
-      ranked)
+    val lex = Bpe.lexicon(
+      Bpe.wordCounts(selected, analyzer).select(col("word")), ranked)
     val hwm0 = spark.emptyDataFrame
       .select(lit("").as("source"), lit(0L).as("tok_hwm"))
-    val packed = eager(pack(selected, lex, ranked, hwm0, seqLen))
+    val packed = eager(pack(selected, lex, ranked, hwm0, seqLen, analyzer))
     writeBatch(packed, s"$dir/corpus", 0L)
     writeBatch(keep.select(col("canon_url")), s"$dir/urls", 0L)
     // per-source admission threshold = min selected lr (what the
@@ -359,10 +368,15 @@ object CorpusIngest {
     // 6: encode with the persisted merges, pack from the per-source
     // token high-water mark
     val ranked = Bpe.loadMerges(spark, s"$dir/merges")
-    val lex = Bpe.lexicon(Bpe.wordCounts(selected).select(col("word")),
+    // the batch tokenizes under the warehouse's RECORDED policy —
+    // NB/DSIR scoring already follow their own recorded sidecars
+    // (written from the same bootstrap parameter), so the whole
+    // ingest chain analyzes identically to the statistics it applies
+    val az = Analyzer.load(spark, s"$dir/analyzer")
+    val lex = Bpe.lexicon(Bpe.wordCounts(selected, az).select(col("word")),
       ranked)
     val packed = eager(pack(selected, lex, ranked,
-      stateDf.select(col("source"), col("tok_hwm")), seqLen))
+      stateDf.select(col("source"), col("tok_hwm")), seqLen, az))
 
     // per-source batch token sums, collected BEFORE the urls write:
     // the packed cache's lineage reads dir/urls through the seen-set
@@ -487,7 +501,7 @@ object CorpusIngest {
   /** The committed delete epoch; 0 (no deletes) for warehouses written
     * before delete support existed.
     */
-  private def delEpoch(spark: SparkSession, dir: String): Long =
+  private[graft] def delEpoch(spark: SparkSession, dir: String): Long =
     Load.readTable(spark, s"$dir/delmeta")
       .map(_.head().getAs[Long]("del_epoch")).getOrElse(0L)
 
@@ -514,6 +528,11 @@ object CorpusIngest {
     */
   private def heal(spark: SparkSession, dir: String): Unit = {
     Load.recoverSwap(spark, s"$dir/corpus")
+    // sibling/model-table swap remnants (state, delmeta, nb/counts,
+    // langid/meta, …): readTable's heals are liveness-gated and
+    // therefore suppressed under THIS writer's own live lease, so the
+    // writer entry heals them here, inside the lease
+    Load.recoverTreeSwaps(spark, dir)
     // generation-scoped purge remnants (hidden pendings, scoped swaps,
     // staging) heal through the shared SegmentCompaction protocol
     SegmentCompaction.recover(spark, s"$dir/corpus")

@@ -55,16 +55,19 @@ import graft.etl.Load
   */
 object Dsir {
 
-  /** Non-empty whitespace tokens. */
-  private def toks(c: Column): Column =
-    filter(split(c, " "), t => length(t) > 0)
+  /** Non-empty tokens under the model's analysis policy —
+    * Analyzer.normalize then the whitespace split (identity chain for
+    * Whitespace: pre-analyzer models byte-compatible, plan included).
+    */
+  private def toks(az: Analyzer)(c: Column): Column =
+    filter(split(az.normalize(c), " "), t => length(t) > 0)
 
   /** Unigram+bigram feature strings of `text`. The bigram list is
     * guarded for <2-token docs — `sequence(1, 0)` steps DOWN in Spark
     * and would index `t[0]`.
     */
-  private def featArray(text: Column): Column = {
-    val t = toks(text)
+  private def featArray(text: Column, az: Analyzer): Column = {
+    val t = toks(az)(text)
     val bi = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
@@ -76,8 +79,9 @@ object Dsir {
     * bucket ids in [0, buckets) — the CROSS-ENGINE (md5) path the
     * DuckDB oracles replay.
     */
-  def featureBuckets(text: Column, buckets: Int): Column =
-    transform(featArray(text), f =>
+  def featureBuckets(text: Column, buckets: Int,
+                     az: Analyzer = Analyzer.Whitespace): Column =
+    transform(featArray(text, az), f =>
       (conv(substring(md5(f), 1, 8), 16, 10).cast(LongType) % buckets)
         .cast(StringType))
 
@@ -91,13 +95,15 @@ object Dsir {
     * model's meta at train time and [[score]] follows the recorded
     * kind — a model can never be scored under the wrong hash.
     */
-  def featureBucketsFast(text: Column, buckets: Int): Column =
-    transform(featArray(text), f =>
+  def featureBucketsFast(text: Column, buckets: Int,
+                         az: Analyzer = Analyzer.Whitespace): Column =
+    transform(featArray(text, az), f =>
       pmod(xxhash64(f), lit(buckets.toLong)).cast(StringType))
 
-  private def bucketsOf(text: Column, buckets: Int, fast: Boolean): Column =
-    if (fast) featureBucketsFast(text, buckets)
-    else featureBuckets(text, buckets)
+  private def bucketsOf(text: Column, buckets: Int, fast: Boolean,
+                        az: Analyzer): Column =
+    if (fast) featureBucketsFast(text, buckets, az)
+    else featureBuckets(text, buckets, az)
 
   /** The hash kind recorded in a model's meta row. Models persisted
     * before the kind was recorded have no `hash` column — they were
@@ -111,21 +117,28 @@ object Dsir {
 
   /** Per-bucket feature counts of a (text) frame: (bucket, `name`). */
   private def bucketCounts(df: DataFrame, buckets: Int, name: String,
-                           fast: Boolean): DataFrame = df
-    .select(explode(bucketsOf(col("text"), buckets, fast)).as("bucket"))
+                           fast: Boolean, az: Analyzer): DataFrame = df
+    .select(explode(bucketsOf(col("text"), buckets, fast, az)).as("bucket"))
     .groupBy(col("bucket")).agg(count(lit(1)).as(name))
 
   /** Train the importance model: persists `dir`/model with EXACTLY
     * `buckets` rows (bucket BIGINT, cnt_target, cnt_raw, lr_micro) and
     * `dir`/meta (tot_target, tot_raw, buckets). `target` and `raw` need
-    * a `text` column.
+    * a `text` column. The analysis policy is RECORDED in the model's
+    * `analyzer` sidecar — [[extend]] and [[score]] follow it, like the
+    * hash kind. Default Whitespace: pre-analyzer models and every
+    * existing fixture, byte-compatible.
     */
   def train(spark: SparkSession, target: DataFrame, raw: DataFrame,
-            dir: String, buckets: Int, fast: Boolean = false): Unit =
+            dir: String, buckets: Int, fast: Boolean = false,
+            analyzer: Analyzer = Analyzer.Whitespace): Unit = {
+    // sidecar FIRST — the NaiveBayes.train crash-ordering rationale
+    Analyzer.save(spark, analyzer, s"$dir/analyzer")
     fitFromCounts(spark,
-      bucketCounts(target, buckets, "bt", fast),
-      bucketCounts(raw, buckets, "br", fast),
+      bucketCounts(target, buckets, "bt", fast, analyzer),
+      bucketCounts(raw, buckets, "br", fast, analyzer),
       baseCounts = None, dir, buckets, fast)
+  }
 
   /** Fold batches of target and/or raw documents into the persisted
     * model — EXACTLY what [[train]] on (target ∪ targetBatch,
@@ -144,12 +157,15 @@ object Dsir {
       sys.error(s"Dsir.extend: no model at $dir/meta")).head()
     val buckets = meta.getAs[Long]("buckets").toInt
     val fast = metaHash(meta) == "xxhash64"
+    // the batch analyzes under the RECORDED policy — like the hash
+    // kind, a mismatch would silently corrupt the additive counts
+    val az = Analyzer.load(spark, s"$dir/analyzer")
     val old = Load.readTable(spark, s"$dir/model").getOrElse(
       sys.error(s"Dsir.extend: no model at $dir/model"))
       .select(col("bucket"), col("cnt_target"), col("cnt_raw"))
     fitFromCounts(spark,
-      bucketCounts(targetBatch, buckets, "bt", fast),
-      bucketCounts(rawBatch, buckets, "br", fast),
+      bucketCounts(targetBatch, buckets, "bt", fast, az),
+      bucketCounts(rawBatch, buckets, "br", fast, az),
       baseCounts = Some(old), dir, buckets, fast)
   }
 
@@ -218,8 +234,10 @@ object Dsir {
       sys.error(s"Dsir.score: no model at $dir/meta")).head()
     val buckets = meta.getAs[Long]("buckets").toInt
     // follow the hash kind the model was TRAINED under (recorded in
-    // meta) — scoring under the other hash would be silent garbage
+    // meta) — scoring under the other hash would be silent garbage —
+    // and the recorded analysis policy, for the same reason
     val fast = metaHash(meta) == "xxhash64"
+    val az = Analyzer.load(spark, s"$dir/analyzer")
     if (fast) {
       // FUSED path: the model is dense over [0, B), so it rides as a
       // flat long[] and the whole tokenize→hash→lookup→sum fold is
@@ -232,7 +250,7 @@ object Dsir {
         .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
       docs
         .withColumn("__s", graft.functions.HashedNgramScore
-          .hashedNgramScore(col("text"), buckets, arr, 0L))
+          .hashedNgramScore(az.normalize(col("text")), buckets, arr, 0L))
         .withColumn("n_feats", col("__s.n_feats"))
         .withColumn("lr_micro", col("__s.lr_micro"))
         .drop("__s")
@@ -242,7 +260,7 @@ object Dsir {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       docs
         .withColumn("__s", graft.functions.WeightedTokenSum.weightedTokenSum(
-          featureBuckets(col("text"), buckets), w, 0L))
+          featureBuckets(col("text"), buckets, az), w, 0L))
         .withColumn("n_feats", col("__s.n_tokens"))
         .withColumn("lr_micro", col("__s.margin_micro"))
         .drop("__s")

@@ -179,7 +179,7 @@ object InvertedIndex {
       c.getAs[Long]("del_epoch")
     else 0L
 
-  private def delEpoch(spark: SparkSession, dir: String): Long =
+  private[graft] def delEpoch(spark: SparkSession, dir: String): Long =
     Load.readTable(spark, s"$dir/corpus")
       .map(df => delEpochOf(df.head())).getOrElse(0L)
 
@@ -1330,6 +1330,81 @@ object InvertedIndex {
     liveDocs(spark, dir, delEpochOf(c))(
       spark.read.parquet(s"$dir/postings")
         .filter(col("batch") <= c.getAs[Long]("last_batch") &&
+          col("bucket").isin(buckets: _*) &&
+          col("term").isin(qterms: _*)))
+      .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))
+      .withColumn("ts_micro",
+        round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm) * 1e6, 0).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** TIME-TRAVEL SEARCH: BM25 exactly as of generation `batch` — the
+    * text twin of `CorpusIngest.readAsOf`/`AdcIngest.readAsOf`, and
+    * the serving verb a [[graft.ops.Release]] manifest pins. Postings
+    * AND the BM25 globals rewind to the ingest stream at batch I: the
+    * globals re-derive from the `docs/` sidecar (n_docs-sized — never
+    * a postings scan) over batches ≤ I, so historical idf/avgdl are
+    * exact, bit-identical to what [[search]] served before batch I+1
+    * landed (ReleaseSpec pins it). Deletes are NOT time-traveled —
+    * today's tombstones drop from postings and globals alike (the
+    * readAsOf house rule: rewinding the ingest stream never
+    * resurrects a takedown). Cuts above the high-water mark or inside
+    * a tiered-merge run are refused loudly (the AdcIngest coverage
+    * rule: a merged dir holds a contiguous run under its lowest id,
+    * so a cut inside it would silently include newer rows).
+    */
+  def searchAsOf(spark: SparkSession, dir: String, terms: Seq[String],
+                 k: Int, batch: Long): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    require(batch >= 0, "as-of generations start at 0 (the bootstrap)")
+    healForRead(spark, dir)
+    import spark.implicits._
+    val c = Load.readTable(spark, s"$dir/corpus").getOrElse(
+      sys.error(s"InvertedIndex.searchAsOf: no corpus table at $dir"))
+      .head()
+    val last = c.getAs[Long]("last_batch")
+    require(batch <= last,
+      s"InvertedIndex.searchAsOf: generation $batch is above the " +
+        s"high-water mark $last")
+    val p = new Path(s"$dir/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ <= last).toSet
+    require(batch == last || live.contains(batch + 1),
+      s"InvertedIndex.searchAsOf: generation ${batch + 1} has been " +
+        "merged into an earlier tree by compaction — an as-of cut " +
+        "inside the merged run would include newer rows; snapshot " +
+        "before compaction or rebuild")
+    val qterms = analyzerOf(c).analyzeTerms(terms).distinct
+    require(qterms.nonEmpty,
+      s"query $terms analyzes to no indexable terms")
+    val del = delEpochOf(c)
+    // as-of globals from the docs/ sidecar minus TODAY's tombstones —
+    // one n_docs-bounded aggregate (the sidecar mirrors the corpus
+    // row: only documents that produce postings count)
+    val g = liveDocs(spark, dir, del)(
+      spark.read.parquet(s"$dir/docs").filter(col("batch") <= batch))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    val (nDocs, sumDl) = (g.getLong(0), g.getLong(1))
+    require(nDocs > 0,
+      s"InvertedIndex.searchAsOf: no live documents as of generation " +
+        s"$batch")
+    val avgdl = sumDl.toDouble / nDocs
+    val buckets = qterms.toDF("term").select(bucketOf(col("term")))
+      .as[Int].collect().distinct.toSeq
+    val wTerm = Window.partitionBy(col("term"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val norm = lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)
+    liveDocs(spark, dir, del)(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch") <= batch &&
           col("bucket").isin(buckets: _*) &&
           col("term").isin(qterms: _*)))
       .withColumn("df", count(lit(1)).over(wTerm).cast(DoubleType))

@@ -48,18 +48,24 @@ import graft.etl.Load
   */
 object NaiveBayes {
 
-  /** Non-empty whitespace tokens of `text`. */
-  private def toks(c: Column): Column =
-    filter(split(c, " "), t => length(t) > 0)
+  /** Non-empty tokens of `text` under the model's recorded analysis
+    * policy: the analyzer normalizes (fold/tokenize/stopword — the
+    * identity for Whitespace, so pre-analyzer models are
+    * byte-compatible, plan included) and the whitespace split then
+    * IS the analyzed token stream (Analyzer.normalize's contract).
+    */
+  private def toks(az: Analyzer)(c: Column): Column =
+    filter(split(az.normalize(c), " "), t => length(t) > 0)
 
   /** (token, cnt_pos, cnt_neg) of a labeled frame — the mergeable
     * sufficient statistics. One shuffle, map-side combined.
     */
-  private def tokenCounts(labeled: DataFrame): DataFrame = labeled
-    .select(explode(toks(col("text"))).as("token"), col("label"))
-    .groupBy(col("token")).agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("cnt_neg"))
+  private def tokenCounts(labeled: DataFrame, az: Analyzer): DataFrame =
+    labeled
+      .select(explode(toks(az)(col("text"))).as("token"), col("label"))
+      .groupBy(col("token")).agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("cnt_neg"))
 
   /** (n_pos_docs, n_neg_docs) of a labeled frame. */
   private def docCounts(labeled: DataFrame): (Long, Long) = {
@@ -128,11 +134,21 @@ object NaiveBayes {
 
   /** Train from scratch on a labeled frame (`text` STRING, `label`
     * BOOLEAN — true = positive class), overwriting the model at `dir`.
+    * The analysis policy is RECORDED in the model's `analyzer`
+    * sidecar (the index corpus-row pattern): [[extend]] and [[score]]
+    * read it back, so the model's statistics and every later apply
+    * tokenize identically. Default Whitespace — pre-tokenized
+    * corpora and every existing fixture, byte-compatible.
     */
   def train(spark: SparkSession, labeled: DataFrame, dir: String,
-            vocabCap: Int): Unit = {
+            vocabCap: Int,
+            analyzer: Analyzer = Analyzer.Whitespace): Unit = {
+    // sidecar FIRST: a crash mid-train must never leave statistics
+    // counted under one policy beside a sidecar defaulting to another
+    Analyzer.save(spark, analyzer, s"$dir/analyzer")
     val (nPos, nNeg) = docCounts(labeled)
-    fitFromCounts(spark, tokenCounts(labeled), nPos, nNeg, dir, vocabCap)
+    fitFromCounts(spark, tokenCounts(labeled, analyzer), nPos, nNeg, dir,
+      vocabCap)
   }
 
   /** Fold a labeled batch into the persisted model — EXACTLY the model
@@ -148,7 +164,11 @@ object NaiveBayes {
       sys.error(s"NaiveBayes.extend: no model at $dir/counts"))
     val meta = Load.readTable(spark, s"$dir/meta").get
       .select(col("n_pos_docs"), col("n_neg_docs")).head()
-    val merged = old.union(tokenCounts(labeled))
+    // the batch tokenizes under the policy RECORDED at train time —
+    // an extend analyzing differently would split one token across
+    // two spellings and silently corrupt the additive statistics
+    val az = Analyzer.load(spark, s"$dir/analyzer")
+    val merged = old.union(tokenCounts(labeled, az))
       .groupBy(col("token")).agg(
         sum(col("cnt_pos")).as("cnt_pos"),
         sum(col("cnt_neg")).as("cnt_neg"))
@@ -340,9 +360,13 @@ object NaiveBayes {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val priorMicro = Load.readTable(spark, s"$dir/meta").get
       .select(col("prior_micro")).head().getLong(0)
+    // score under the RECORDED policy (identity for Whitespace — the
+    // pre-analyzer plan, byte-identical)
+    val az = Analyzer.load(spark, s"$dir/analyzer")
     docs
       .withColumn("__s", graft.functions.WeightedTokenSum
-        .weightedTokenSum(split(col("text"), " "), w.toMap, priorMicro))
+        .weightedTokenSum(split(az.normalize(col("text")), " "),
+          w.toMap, priorMicro))
       .withColumn("n_tokens", col("__s.n_tokens"))
       .withColumn("n_hits", col("__s.n_hits"))
       .withColumn("margin_micro", col("__s.margin_micro"))

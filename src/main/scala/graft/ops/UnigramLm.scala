@@ -176,8 +176,9 @@ object UnigramLm {
     */
   def train(spark: SparkSession, docs: DataFrame, vocabSize: Int,
             maxPieceLen: Int = 8, emRounds: Int = 4,
-            seedSize: Int = 2000): DataFrame = {
-    val wc = Bpe.wordCounts(docs).cache()
+            seedSize: Int = 2000,
+            az: Analyzer = Analyzer.Whitespace): DataFrame = {
+    val wc = Bpe.wordCounts(docs, az).cache()
     try {
       val words = wc.select(col("word"))
       // initial probabilities from raw substring frequencies
@@ -251,9 +252,11 @@ object UnigramLm {
     * same corpus' distinct words); a missing word fails loudly rather
     * than silently dropping tokens.
     */
-  def encode(docs: DataFrame, lex: DataFrame): DataFrame = docs
+  def encode(docs: DataFrame, lex: DataFrame,
+             az: Analyzer = Analyzer.Whitespace): DataFrame = docs
     .select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      posexplode(split(az.normalize(col("text")), " "))
+        .as(Seq("pos", "word")))
     .filter(length(col("word")) > 0)
     .join(broadcast(lex.select(col("word"), col("toks"))), Seq("word"),
       "left")

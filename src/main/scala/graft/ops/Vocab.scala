@@ -26,13 +26,18 @@ import graft.etl.Load
   */
 object Vocab {
 
-  /** Non-empty whitespace words of a (doc_id, text) frame. */
-  private def words(docs: DataFrame): DataFrame = docs
-    .select(explode(split(col("text"), " ")).as("word"))
+  /** Non-empty words of a (doc_id, text) frame under the analysis
+    * policy (Analyzer.normalize then the whitespace split — identity
+    * chain for Whitespace; the vocab dir is a bare table, so like
+    * [[Bpe]] the policy travels as a parameter and the caller keeps
+    * it consistent across train/extend/encode).
+    */
+  private def words(docs: DataFrame, az: Analyzer): DataFrame = docs
+    .select(explode(split(az.normalize(col("text")), " ")).as("word"))
     .filter(length(col("word")) > 0)
 
-  private def counts(docs: DataFrame): DataFrame =
-    words(docs).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+  private def counts(docs: DataFrame, az: Analyzer): DataFrame =
+    words(docs, az).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** Bootstrap the vocab table from `docs`: top-`size` words by
     * (count desc, word), tok_id = rank. The unpartitioned window runs
@@ -40,9 +45,9 @@ object Vocab {
     * construction, like q134's.
     */
   def train(spark: SparkSession, docs: DataFrame, dir: String,
-            size: Int): Long = {
+            size: Int, az: Analyzer = Analyzer.Whitespace): Long = {
     val byFreq = Window.orderBy(col("cnt").desc, col("word"))
-    val vocab = counts(docs)
+    val vocab = counts(docs, az)
       .orderBy(col("cnt").desc, col("word")).limit(size)
       .select(col("word"),
         row_number().over(byFreq).cast(IntegerType).as("tok_id"),
@@ -56,12 +61,12 @@ object Vocab {
     * only new words), so every previously issued id stays valid.
     */
   def extend(spark: SparkSession, docs: DataFrame, dir: String,
-             maxNew: Int): Long = {
+             maxNew: Int, az: Analyzer = Analyzer.Whitespace): Long = {
     val existing = Load.readTable(spark, dir).getOrElse(
       throw new IllegalStateException(s"no vocab table at $dir — train first"))
     val maxId = existing.agg(max(col("tok_id"))).collect()(0).getInt(0)
     val byFreq = Window.orderBy(col("cnt").desc, col("word"))
-    val fresh = counts(docs)
+    val fresh = counts(docs, az)
       .join(broadcast(existing.select(col("word"))), Seq("word"), "left_anti")
       .orderBy(col("cnt").desc, col("word")).limit(maxNew)
       .select(col("word"),
@@ -75,9 +80,11 @@ object Vocab {
     * words map to 0; output is (doc_id, ids, n_tokens, n_oov) with
     * `ids` in token order via position sort.
     */
-  def encode(docs: DataFrame, vocab: DataFrame): DataFrame = docs
+  def encode(docs: DataFrame, vocab: DataFrame,
+             az: Analyzer = Analyzer.Whitespace): DataFrame = docs
     .select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      posexplode(split(az.normalize(col("text")), " "))
+        .as(Seq("pos", "word")))
     .filter(length(col("word")) > 0)
     .join(broadcast(vocab.select(col("word"), col("tok_id"))),
       Seq("word"), "left")

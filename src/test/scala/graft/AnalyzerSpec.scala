@@ -276,4 +276,81 @@ class AnalyzerSpec extends SparkSpec {
     assert(InvertedIndex.search(spark, dir, Seq("spark"), 5)
       .collect().map(_.getLong(0)).toSet == Set(2L))
   }
+
+  test("normalize: split(normalize(text)) IS the analyzed stream; " +
+      "Whitespace is the identity; stopword slots drop") {
+    val az = Analyzer.Unicode()
+    val rows = nasty.toDF("text").select(
+      split(az.normalize(col("text")), " ").as("viaNorm"),
+      az.slots(col("text")).as("direct"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (viaNorm, direct) =>
+      // the sole divergence: an empty stream re-joins to "" which
+      // splits to [""] — downstream machinery filters length>0, so
+      // compare the non-empty streams
+      assert(viaNorm.filter(_.nonEmpty) == direct.filter(_.nonEmpty))
+    }
+    // Whitespace normalize is the IDENTITY — byte-compat, plan included
+    val ws = Analyzer.Whitespace
+    val kept = Seq("a  b", " x\ty ", "").toDF("t")
+      .select(ws.normalize(col("t"))).as[String].collect().toSeq
+    assert(kept == Seq("a  b", " x\ty ", ""))
+    // a stopword set drops its tokens from the normalized stream (the
+    // model stack counts indexed tokens only)
+    val stopped = Analyzer.Unicode(Seq("the"))
+    assert(Seq("The Spark, the END").toDF("t")
+      .select(split(stopped.normalize(col("t")), " ")).as[Seq[String]]
+      .head() == Seq("spark", "end"))
+  }
+
+  test("model-sidecar save/load round-trips; a missing sidecar reads " +
+      "as Whitespace") {
+    val root = java.nio.file.Files
+      .createTempDirectory("az_sidecar").toString
+    Analyzer.save(spark, Analyzer.Unicode(Seq("the", "a")), s"$root/m1")
+    val back = Analyzer.load(spark, s"$root/m1")
+    assert(back == Analyzer.Unicode(Seq("a", "the")),
+      "kind and the (sorted) stopword set round-trip")
+    Analyzer.save(spark, Analyzer.Whitespace, s"$root/m2")
+    assert(Analyzer.load(spark, s"$root/m2") == Analyzer.Whitespace)
+    // a model persisted before analyzers reached the model stack has
+    // no sidecar — it tokenized raw whitespace
+    assert(Analyzer.load(spark, s"$root/nope") == Analyzer.Whitespace)
+  }
+
+  test("BPE and Vocab under the unicode analyzer ≡ whitespace over " +
+      "the pre-analyzed twin") {
+    import graft.ops.{Bpe, Vocab}
+    val az = Analyzer.Unicode()
+    val raw = Seq((1L, "Héllo, héllo! WORLD."), (2L, "world; héllo—world"))
+    val ana = raw.map { case (i, t) =>
+      (i, Analyzer.foldSplit(t).mkString(" ")) }
+    // word counts agree
+    val wcU = Bpe.wordCounts(raw.toDF("doc_id", "text"), az)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wcW = Bpe.wordCounts(ana.toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(wcU == wcW && wcU == Set(("hello", 3L), ("world", 3L)))
+    // trained merges and the encode stream agree
+    val mU = Bpe.train(spark, raw.toDF("doc_id", "text"), 8, az = az)
+    val mW = Bpe.train(spark, ana.toDF("doc_id", "text"), 8)
+    assert(mU == mW)
+    val lex = Bpe.lexicon(
+      Bpe.wordCounts(raw.toDF("doc_id", "text"), az).select(col("word")), mU)
+    val encU = Bpe.encode(raw.toDF("doc_id", "text"), lex, mU, az)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val encW = Bpe.encode(ana.toDF("doc_id", "text"), lex, mW)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(encU == encW)
+    // Vocab: ids assigned over analyzed words; encode follows
+    val vDir = java.nio.file.Files
+      .createTempDirectory("az_vocab").toString + "/v"
+    Vocab.train(spark, raw.toDF("doc_id", "text"), vDir, 16, az)
+    val vocab = graft.etl.Load.readTable(spark, vDir).get
+    val idsU = Vocab.encode(raw.toDF("doc_id", "text"), vocab, az)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val idsW = Vocab.encode(ana.toDF("doc_id", "text"), vocab)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(idsU == idsW)
+  }
 }

@@ -24,6 +24,46 @@ class DsirSpec extends SparkSpec {
     Seq("aa bb cc", "aa bb", "zz yy xx", "zz yy").toDF("text"),
     dir, buckets = B)
 
+  test("unicode analyzer: recorded at train, followed by score and " +
+      "extend — raw punctuated text ≡ pre-analyzed text, bit for bit") {
+    import graft.ops.Analyzer
+    val az = Analyzer.Unicode()
+    val rawT = Seq("Aa, BB! cc", "AA; bb")
+    val rawR = rawT ++ Seq("Zz yy — xx?", "zz YY")
+    def ana(xs: Seq[String]) = xs.map(Analyzer.foldSplit(_).mkString(" "))
+    val (u, w) = (tmp(), tmp())
+    Dsir.train(spark, rawT.toDF("text"), rawR.toDF("text"), u,
+      buckets = B, analyzer = az)
+    Dsir.train(spark, ana(rawT).toDF("text"), ana(rawR).toDF("text"), w,
+      buckets = B)
+    def model(dir: String) =
+      Load.readTable(spark, s"$dir/model").get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(model(u) == model(w),
+      "unicode training over raw text must equal whitespace training " +
+        "over the analyzed twin — same features, same buckets")
+    assert(Analyzer.load(spark, s"$u/analyzer").kind == "unicode")
+    // score follows the recorded policy: raw through unicode ≡
+    // analyzed through whitespace (features INCLUDING bigrams align —
+    // bigrams are over adjacent ANALYZED tokens)
+    val rawP = Seq((1L, "Aa… BB, zz!"), (2L, "XX"))
+    val got = Dsir.score(spark, rawP.toDF("doc_id", "text"), u)
+      .select("doc_id", "n_feats", "lr_micro").collect().map(_.toSeq).toSeq
+    val exp = Dsir.score(spark,
+        rawP.map { case (i, t) => (i, Analyzer.foldSplit(t).mkString(" ")) }
+          .toDF("doc_id", "text"), w)
+      .select("doc_id", "n_feats", "lr_micro").collect().map(_.toSeq).toSeq
+    assert(got == exp)
+    // extend under the recorded policy ≡ retrain under the analyzer
+    val (bt, br) = (Seq("CC, cc!"), Seq("CC cc", "yy; XX"))
+    Dsir.extend(spark, bt.toDF("text"), br.toDF("text"), u)
+    val full = tmp()
+    Dsir.train(spark, (rawT ++ bt).toDF("text"), (rawR ++ br).toDF("text"),
+      full, buckets = B, analyzer = az)
+    assert(model(u) == model(full))
+  }
+
   test("model is dense over all B buckets and counts every feature") {
     val dir = tmp()
     fit(dir)

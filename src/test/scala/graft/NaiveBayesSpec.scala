@@ -88,6 +88,59 @@ class NaiveBayesSpec extends SparkSpec {
       == NaiveBayes.score(spark, probe, full).collect().map(_.toSeq).toSeq)
   }
 
+  test("unicode analyzer: recorded at train, followed by score AND " +
+      "extend — raw punctuated text ≡ pre-analyzed text, bit for bit") {
+    import graft.ops.Analyzer
+    val az = Analyzer.Unicode()
+    // raw cased/punctuated/accented corpus and its hand-analyzed twin
+    val rawCorpus = Seq(("Héllo, WORLD! Héllo?", true), ("world; mérge.", false))
+    val anaCorpus = rawCorpus.map { case (t, l) =>
+      (Analyzer.foldSplit(t).mkString(" "), l) }
+    val (u, w) = (tmp(), tmp())
+    NaiveBayes.train(spark, rawCorpus.toDF("text", "label"), u, 16, az)
+    NaiveBayes.train(spark, anaCorpus.toDF("text", "label"), w, 16)
+    def model(dir: String) = (
+      Load.readTable(spark, s"$dir/weights").get.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet,
+      Load.readTable(spark, s"$dir/meta").get.head().toSeq)
+    assert(model(u) == model(w),
+      "unicode training over raw text must equal whitespace training " +
+        "over the analyzed twin — same kernel, same statistics")
+    // the policy is recorded and score follows it: raw text through
+    // the unicode model ≡ analyzed text through the whitespace model
+    assert(Analyzer.load(spark, s"$u/analyzer").kind == "unicode")
+    val rawProbe = Seq((1L, "HÉLLO, wörld…"), (2L, "mérge!")).toDF("doc_id", "text")
+    val anaProbe = Seq((1L, "hello world"), (2L, "merge")).toDF("doc_id", "text")
+    val scoreCols = Seq("doc_id", "n_tokens", "n_hits", "margin_micro",
+      "pred_pos")
+    assert(NaiveBayes.score(spark, rawProbe, u)
+        .select(scoreCols.map(col): _*).collect().map(_.toSeq).toSeq
+      == NaiveBayes.score(spark, anaProbe, w)
+        .select(scoreCols.map(col): _*).collect().map(_.toSeq).toSeq)
+    // extend reads the recorded policy — extending with raw text keeps
+    // extend(batch) ≡ retrain(corpus ∪ batch) under the analyzer
+    val rawBatch = Seq(("Mérge, mérge: HELLO", true))
+    NaiveBayes.extend(spark, rawBatch.toDF("text", "label"), u, 16)
+    val full = tmp()
+    NaiveBayes.train(spark, (rawCorpus ++ rawBatch).toDF("text", "label"),
+      full, 16, az)
+    assert(model(u) == model(full))
+  }
+
+  test("unicode scoring stays zero-exchange (normalize is pure " +
+      "expression work)") {
+    import graft.ops.Analyzer
+    val dir = tmp()
+    NaiveBayes.train(spark,
+      Seq(("a, a b!", true), ("a; b b?", false)).toDF("text", "label"),
+      dir, 16, Analyzer.Unicode())
+    val plan = NaiveBayes.score(spark,
+      Seq((1L, "a B!")).toDF("doc_id", "text"), dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("APPLY is zero-exchange: scoring runs entirely map-side") {
     val dir = tmp()
     fit(dir)
