@@ -179,11 +179,28 @@ object AdcIngest {
     */
   def lastBatch(spark: SparkSession, dir: String): Long = {
     if (!WriterLease.liveHolder(spark, dir)) Load.recoverSwap(spark, dir)
-    Load.readTable(spark, s"$dir/meta")
-      .flatMap(df => Option(df.select(max(col("last_batch"))).head()
-        .get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(-1L)
+    readMeta(spark, dir).map(_._1).getOrElse(-1L)
   }
+
+  /** The whole meta row in ONE head() — (last_batch, del_epoch,
+    * model_epoch, reencoded_through), retrain fields defaulting to 0
+    * for warehouses written before retrain existed. Every verb used to
+    * re-read the table once per FIELD (lastBatch + delEpoch +
+    * modelEpoch + reencodedThrough = four schema inferences + four
+    * 1-row jobs per verb); the lifecycle gates replay several verbs
+    * per bench pass, so the per-action floor added up to a measurable
+    * slice of every vector-warehouse gate.
+    */
+  private def readMeta(spark: SparkSession,
+                       dir: String): Option[(Long, Long, Long, Long)] =
+    Load.readTable(spark, s"$dir/meta").flatMap { df =>
+      df.take(1).headOption.map { r =>
+        def f(n: String): Long =
+          if (r.schema.fieldNames.contains(n)) r.getAs[Long](n) else 0L
+        (r.getAs[Long]("last_batch"), f("del_epoch"),
+          f("model_epoch"), f("reencoded_through"))
+      }
+    }
 
   private def metaField(spark: SparkSession, dir: String,
                         field: String): Long =
@@ -305,13 +322,13 @@ object AdcIngest {
     // concurrent deliveries of the same id (at-least-once streaming)
     // could both pass a guard read before mutual exclusion, and the
     // second would re-add the batch to a meta that already counts it
-    val last = lastBatch(spark, dir)
+    val (last, epoch, modelEp, floor) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     if (batchId <= last) false
     else {
     require(batchId == last + 1,
       s"batch $batchId arrived over high-water mark $last — ids must " +
         "be contiguous or the skipped batch would silently never land")
-    val epoch = delEpoch(spark, dir)
     val encoded = encodeBatch(spark, vecs, dir, meta)
     // a generation whose columns diverge from the tree's would read
     // back as nulls under parquet schema union — refuse loudly
@@ -321,8 +338,7 @@ object AdcIngest {
         "index schema — every generation must carry the same columns")
     writeGeneration(encoded, dir, batchId)
     WriterLease.check(spark, lease)
-    writeMeta(spark, dir, batchId, epoch,
-      modelEpoch(spark, dir), reencodedThrough(spark, dir))
+    writeMeta(spark, dir, batchId, epoch, modelEp, floor)
     // a retained rollback may have scheduled this id for deferred
     // deletion — it is live again (the overwrite above is the
     // exactly-once contract; deferred deletion must never fire on it)
@@ -369,7 +385,8 @@ object AdcIngest {
     // serialized behind another writer must not trust a pre-lease
     // read (a concurrent rollback could have already cut below it,
     // and writing the stale meta back would claim deleted generations)
-    val last = lastBatch(spark, dir)
+    val (last, epochR, modelEpR, floorR) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     require(last >= toBatch,
       s"AdcIngest.rollback: a concurrent rollback already cut below " +
         s"batch $toBatch (high-water mark now $last)")
@@ -400,9 +417,8 @@ object AdcIngest {
     // this rollback live under the current models, so cuts at or above
     // the new floor stay exact
     WriterLease.check(spark, lease)
-    writeMeta(spark, dir, toBatch, delEpoch(spark, dir),
-      modelEpoch(spark, dir),
-      math.min(reencodedThrough(spark, dir), toBatch))
+    writeMeta(spark, dir, toBatch, epochR, modelEpR,
+      math.min(floorR, toBatch))
     val cut = live.filter(_ > toBatch).toSeq.sorted
     if (retainMs > 0L)
       // SNAPSHOT-RETAINED rollback (the InvertedIndex.rollback
@@ -443,9 +459,9 @@ object AdcIngest {
    WriterLease.withLease(spark, dir, "adc.delete") { lease =>
     import spark.implicits._
     healForWrite(spark, dir)
-    val last = lastBatch(spark, dir)
+    val (last, e0, modelEpD, floorD) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     require(last >= 0, s"AdcIngest.delete: no warehouse at $dir")
-    val e0 = delEpoch(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal: epoch dirs above the committed del_epoch are a prior
@@ -477,8 +493,7 @@ object AdcIngest {
       victims.write.mode("errorifexists")
         .parquet(s"$dir/tombstones/epoch=${e0 + 1}")
       WriterLease.check(spark, lease)
-      writeMeta(spark, dir, last, e0 + 1,
-        modelEpoch(spark, dir), reencodedThrough(spark, dir))
+      writeMeta(spark, dir, last, e0 + 1, modelEpD, floorD)
       n
     }
   }
@@ -495,7 +510,9 @@ object AdcIngest {
     */
   def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
     require(batch >= 0, "as-of generations start at 0 (the bootstrap)")
-    val last = lastBatch(spark, dir)
+    healForRead(spark, dir)
+    val (last, del, modelEp, floor) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     require(last >= 0, s"AdcIngest.readAsOf: no warehouse at $dir")
     require(batch <= last,
       s"AdcIngest.readAsOf: generation $batch is above the high-water " +
@@ -504,13 +521,11 @@ object AdcIngest {
     // floor were ingested under a PREVIOUS model epoch and now exist
     // only re-encoded under the current one ([[retrain]]) — an as-of
     // read there would not be the bytes anyone historically served
-    val floor = reencodedThrough(spark, dir)
     require(batch >= floor,
       s"AdcIngest.readAsOf: generation $batch predates the model-epoch " +
-        s"${modelEpoch(spark, dir)} retrain (re-encoded through " +
+        s"$modelEp retrain (re-encoded through " +
         s"$floor) — its original encoding no longer exists; snapshot " +
         "before retraining")
-    healForRead(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/index")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = fs.listStatus(p).map(_.getPath.getName)
@@ -524,7 +539,7 @@ object AdcIngest {
     // deletes are NOT time-traveled: an as-of read rewinds the INGEST
     // stream, but a takedown applies to every serving read, historical
     // replays included — that is what a deletion request means
-    servedCols(liveVecs(spark, dir, delEpoch(spark, dir))(
+    servedCols(liveVecs(spark, dir, del)(
       spark.read.parquet(s"$dir/index")
         .filter(col("batch") <= batch)))
   }
@@ -550,9 +565,11 @@ object AdcIngest {
     // first) or a crashed append's half-landed batch (meta lands
     // last) — a pure partition-pruned filter, no exchange. Tombstoned
     // vectors never serve either (broadcast anti-join, see [[delete]]).
-    servedCols(liveVecs(spark, dir, delEpoch(spark, dir))(
+    val (last, del, _, _) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
+    servedCols(liveVecs(spark, dir, del)(
       spark.read.parquet(s"$dir/index")
-        .filter(col("batch") <= lastBatch(spark, dir))))
+        .filter(col("batch") <= last)))
   }
 
   /** Number of `batch=` generations in the index tree — the
@@ -592,7 +609,8 @@ object AdcIngest {
     // covers — discard rather than race its eventual publish
     healForWrite(spark, dir)
     SegmentCompaction.discardPending(spark, indexDir)
-    val last = lastBatch(spark, dir)
+    val (last, delC, _, _) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     val live = SegmentCompaction.genSizes(spark, indexDir)
       .map(_._1).filter(_ <= last)
     // retainMs > 0: commit the full rewrite as a HIDDEN pending over
@@ -605,7 +623,7 @@ object AdcIngest {
       // PURGE: tombstoned rows drop from the rewrite (the tombstone
       // rows stay — they keep delete replays no-ops; the read filter
       // is idempotent on purged rows)
-      .transform(liveVecs(spark, dir, delEpoch(spark, dir)))
+      .transform(liveVecs(spark, dir, delC))
       .drop("batch").withColumn("batch", lit(0L))
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col("vec_id"))
@@ -653,8 +671,9 @@ object AdcIngest {
     // back off while one is still inside its window. A retained
     // rollback's deferred deletions execute here too once due.
     SegmentCompaction.publishDue(spark, indexDir)
-    SegmentCompaction.retireDue(spark, indexDir, lastBatch(spark, dir))
-    val last = lastBatch(spark, dir)
+    val (last, delT, _, _) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
+    SegmentCompaction.retireDue(spark, indexDir, last)
     val ids =
       if (SegmentCompaction.pending(spark, indexDir).nonEmpty) Seq.empty
       else SegmentCompaction.mergeSet(
@@ -667,7 +686,7 @@ object AdcIngest {
         .filter(col("batch").isin(ids: _*))
         // purge tombstoned rows falling inside the merged run (settled
         // generations keep theirs until they eventually merge)
-        .transform(liveVecs(spark, dir, delEpoch(spark, dir)))
+        .transform(liveVecs(spark, dir, delT))
         .drop("batch").withColumn("batch", lit(lo))
         .repartition(col("cluster_id"))
         .sortWithinPartitions(col("cluster_id"), col("vec_id"))
@@ -733,9 +752,9 @@ object AdcIngest {
     // an unpublished retained merge is derived data of generations the
     // re-encode rewrites anyway
     SegmentCompaction.discardPending(spark, s"$dir/index")
-    val last = lastBatch(spark, dir)
+    val (last, e0, modelEp0, _) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     require(last >= 0, s"AdcIngest.retrain: no warehouse at $dir")
-    val e0 = delEpoch(spark, dir)
     val stage = s"$dir.__retrain"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -784,8 +803,7 @@ object AdcIngest {
       encodeBatch(spark, joined, stage, meta :+ "batch")
         .write.mode("overwrite").partitionBy("batch")
         .parquet(s"$stage/index")
-      writeMeta(spark, stage, last, e0,
-        modelEpoch(spark, dir) + 1, floor = last)
+      writeMeta(spark, stage, last, e0, modelEp0 + 1, floor = last)
       // the ledger survives verbatim (delete replays stay no-ops);
       // the lease/fence live OUTSIDE the swapped root (<dir>.__lock —
       // the WriterLease contract), so the swap cannot destroy them
@@ -834,9 +852,9 @@ object AdcIngest {
     // publish DUE retained rewrites; in-window pendings are skipped
     // below, never discarded (their snapshots outlive this purge)
     SegmentCompaction.publishDue(spark, indexDir)
-    val last = lastBatch(spark, dir)
+    val (last, epoch, _, _) = readMeta(spark, dir)
+      .getOrElse((-1L, 0L, 0L, 0L))
     require(last >= 0, s"AdcIngest.purgeDebt: no warehouse at $dir")
-    val epoch = delEpoch(spark, dir)
     if (epoch <= 0L) Seq.empty
     else {
       val tomb = broadcast(spark.read.parquet(s"$dir/tombstones")

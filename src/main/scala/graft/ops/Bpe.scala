@@ -86,20 +86,121 @@ object Bpe {
     * early when the best pair's weighted count drops below `minFreq`.
     * Returns the ranked merge list.
     *
-    * Round cost is CONSTANT in the round number: the segmentation
-    * state rides along as a column of the cached distinct-word frame
-    * and each round applies only the NEWEST merge to it (one codegen'd
-    * replace), instead of re-folding the full merge list from the raw
-    * word — the re-fold makes round k pay k replaces, turning an
-    * M-merge train into O(M²·vocab) string work. The state column's
-    * expression lineage grows by one replace per round, so every
-    * `rematEvery` rounds the frame is rematerialized to parquet (a
-    * vocab-sized write, never corpus-sized), truncating the plan before
-    * nested-expression depth bites at production merge counts.
+    * The corpus is touched exactly ONCE (the [[wordCounts]] shuffle);
+    * everything after operates on the distinct-word frame. When that
+    * frame fits the driver (≤ `maxDriverVocab` rows — the standard
+    * production shape: BPE trainers run single-process over
+    * aggregated word counts, e.g. the HuggingFace/SentencePiece
+    * trainers), the merge loop runs LOCALLY: each distributed round
+    * costs a full Spark job (vocab-sized aggregate + a 1-row argmax
+    * collect), so an M-merge train pays M job round-trips of fixed
+    * scheduling cost for KB-scale data — the local loop removes all
+    * of them and is bit-identical (same greedy left-to-right merge
+    * pass on the same double-space state string, same
+    * (count desc, left, right) winner with UTF8String byte order —
+    * Spark's string ordering). Above the cap (a 100 TB crawl's word
+    * vocabulary) the distributed loop below runs unchanged.
+    *
+    * Distributed round cost is CONSTANT in the round number: the
+    * segmentation state rides along as a column of the cached
+    * distinct-word frame and each round applies only the NEWEST merge
+    * to it (one codegen'd replace), instead of re-folding the full
+    * merge list from the raw word — the re-fold makes round k pay k
+    * replaces, turning an M-merge train into O(M²·vocab) string work.
+    * The state column's expression lineage grows by one replace per
+    * round, so every `rematEvery` rounds the frame is rematerialized
+    * to parquet (a vocab-sized write, never corpus-sized), truncating
+    * the plan before nested-expression depth bites at production merge
+    * counts.
     */
   def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
             minFreq: Long = 2L, rematEvery: Int = 32,
-            az: Analyzer = Analyzer.Whitespace): Seq[(String, String)] = {
+            az: Analyzer = Analyzer.Whitespace,
+            maxDriverVocab: Int = 4000000): Seq[(String, String)] = {
+    // one bounded probe: the word frame either fits the driver (cap+1
+    // rows at most cross — a few hundred MB worst-case, the model-side
+    // bound) or the overflow row sends training down the distributed
+    // loop. Either way the corpus-scale shuffle runs once.
+    val probe = wordCounts(docs, az).limit(maxDriverVocab + 1).collect()
+    if (probe.length <= maxDriverVocab)
+      return trainLocal(probe.map(r => (r.getString(0), r.getLong(1))),
+        numMerges, minFreq)
+    trainDistributed(spark, docs, numMerges, minFreq, rematEvery, az)
+  }
+
+  /** Driver-side merge loop — bit-identical to the distributed rounds
+    * (see [[train]]): state strings, greedy replace pass, winner order
+    * all replicated, with ties broken by UTF8String byte comparison
+    * (exactly Spark's string sort order).
+    */
+  private def trainLocal(wordCnts: Array[(String, Long)], numMerges: Int,
+                         minFreq: Long): Seq[(String, String)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    // initState replicated: Spark's regexp_replace runs java.util.regex
+    // with no flags — use the same engine and pattern verbatim
+    val initRe = java.util.regex.Pattern.compile("(.)")
+    val states = wordCnts.map { case (w, c) =>
+      ("  " + initRe.matcher(w).replaceAll("$1  ") + "</w>  ", c)
+    }
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < states.length) {
+        val (st, cnt) = states(i)
+        // split(trim(state), "  ") replicated (java String.split on the
+        // same regex; symbols never contain spaces)
+        val syms = st.trim.split("  ", -1)
+        var j = 0
+        while (j < syms.length - 1) {
+          counts.merge((syms(j), syms(j + 1)), cnt,
+            java.lang.Long.sum(_, _))
+          j += 1
+        }
+        i += 1
+      }
+      // argmax by (pcnt desc, l asc, r asc), strings compared as
+      // UTF8String bytes — exactly Spark's two-column sort order
+      var bestL: String = null
+      var bestR: String = null
+      var bestCnt = Long.MinValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        val better = c > bestCnt || (c == bestCnt && {
+          val dl = UTF8String.fromString(e.getKey._1)
+            .compareTo(UTF8String.fromString(bestL))
+          dl < 0 || (dl == 0 && UTF8String.fromString(e.getKey._2)
+            .compareTo(UTF8String.fromString(bestR)) < 0)
+        })
+        if (better) {
+          bestCnt = c; bestL = e.getKey._1; bestR = e.getKey._2
+        }
+      }
+      if (bestL == null || bestCnt < minFreq) done = true
+      else {
+        val (l, r) = (bestL, bestR)
+        merges += ((l, r))
+        val from = s" $l  $r "
+        val to = s" $l$r "
+        var k = 0
+        while (k < states.length) {
+          // String.replace = left-to-right non-overlapping literal
+          // replace, the same contract as Spark's `replace`
+          states(k) = (states(k)._1.replace(from, to), states(k)._2)
+          k += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def trainDistributed(spark: SparkSession, docs: DataFrame,
+                               numMerges: Int, minFreq: Long,
+                               rematEvery: Int,
+                               az: Analyzer): Seq[(String, String)] = {
     val rematDir = java.nio.file.Files
       .createTempDirectory("graft_bpe_train").toString
     // `base` is the frame that actually holds the cache; `words` is

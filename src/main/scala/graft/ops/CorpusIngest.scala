@@ -442,42 +442,64 @@ object CorpusIngest {
     val globalMin = stateRows.values.min
     import spark.implicits._
     val thr = broadcast(stateRows.toSeq.toDF("source", "lr_min_micro"))
-    val keep0 = eager(dedupByUrl(batch))
+    // SINGLE-PASS stage flags (the optimization-round rewrite): the
+    // old form materialized every stage frame (keep0/fresh/lpool/
+    // gated — four full-text persists of the batch), aggregated each
+    // one per source and left-joined six report frames; the funnel is
+    // read-only, so the same memberships fold into ONE batch scan
+    // carrying cumulative boolean flags, each stage's expensive
+    // column computed under a when() guard for exactly the rows the
+    // old stage frame held (HTML extract for fresh rows, langid
+    // n-grams for fresh, NB/DSIR folds progressively masked), and ONE
+    // conditional aggregate replaces the six joins. Counts are the
+    // same memberships by construction — the q206/q189 oracles
+    // re-derive them independently from the persisted artifacts.
     val seen = spark.read.parquet(s"$dir/urls")
       .filter(col("batch") < landedBatch)
-      .join(broadcast(keep0.select(col("canon_url"))),
+      .join(broadcast(batch.select(col("canon_url")).distinct()),
         Seq("canon_url"), "left_semi")
       .select(col("canon_url")).distinct()
-    val fresh = eager(
-      keep0.join(broadcast(seen), Seq("canon_url"), "left_anti"))
+    val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+    var f = batch
+      .withColumn("__keep", row_number().over(w) === 1)
+      .join(broadcast(seen.withColumn("__seen", lit(true))),
+        Seq("canon_url"), "left")
+      .withColumn("__fresh", col("__keep") && col("__seen").isNull)
+      .withColumn("text", when(col("__fresh"),
+        Mojibake.repair(HtmlText.extractText(col("html")), mapping)))
     // langid stage (pass-through for warehouses without the model —
     // the stage count then equals n_fresh, keeping one report schema)
-    val lpool = eager {
-      val p = toPool(fresh, mapping)
-      if (hasLangid(spark, dir)) applyLangid(spark, p, dir) else p
-    }
-    val gated = eager(NaiveBayes
-      .score(spark, lpool, s"$dir/nb")
-      .filter(col("pred_pos"))
-      .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        col("margin_micro")))
-    val admitted = Dsir.score(spark, gated, s"$dir/dsir")
+    f =
+      if (!hasLangid(spark, dir)) f.withColumn("__lang", col("__fresh"))
+      else {
+        val minMargin = Load.readTable(spark, s"$dir/langidcfg")
+          .map(_.head().getAs[Long]("min_margin")).getOrElse(0L)
+        NaiveBayes.scoreMulti(spark,
+            f.withColumn("tokens", NaiveBayes.charNgrams(col("text"), 3)),
+            s"$dir/langid")
+          .withColumn("__lang", col("__fresh") &&
+            col("best_micro") - col("runnerup_micro") >= minMargin)
+          .withColumn("text", when(col("__lang"), col("text")))
+      }
+    f = NaiveBayes.score(spark, f, s"$dir/nb")
+      .withColumn("__nb", col("__lang") && col("pred_pos"))
+      .withColumn("text", when(col("__nb"), col("text")))
+    f = Dsir.score(spark, f, s"$dir/dsir")
       .join(thr, Seq("source"), "left")
-      .filter(col("lr_micro") >= coalesce(col("lr_min_micro"),
-        lit(globalMin)))
+      .withColumn("__adm", col("__nb") &&
+        col("lr_micro") >= coalesce(col("lr_min_micro"), lit(globalMin)))
     val landed = spark.read.parquet(s"$dir/corpus")
       .filter(col("batch") === landedBatch)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_landed"),
         sum(col("n_tokens")).as("tok_landed"))
-    def stage(df: DataFrame, n: String) =
-      df.groupBy(col("source")).agg(count(lit(1)).as(n))
-    val out = stage(batch, "n_raw")
-      .join(stage(keep0, "n_urldedup"), Seq("source"), "left")
-      .join(stage(fresh, "n_fresh"), Seq("source"), "left")
-      .join(stage(lpool, "n_langid"), Seq("source"), "left")
-      .join(stage(gated, "n_nb"), Seq("source"), "left")
-      .join(stage(admitted, "n_admitted"), Seq("source"), "left")
+    val out = f.groupBy(col("source")).agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("__keep"), 1)).as("n_urldedup"),
+        count(when(col("__fresh"), 1)).as("n_fresh"),
+        count(when(col("__lang"), 1)).as("n_langid"),
+        count(when(col("__nb"), 1)).as("n_nb"),
+        count(when(col("__adm"), 1)).as("n_admitted"))
       .join(landed, Seq("source"), "left")
       .select(col("source"), col("n_raw"),
         coalesce(col("n_urldedup"), lit(0L)).as("n_urldedup"),
@@ -487,15 +509,11 @@ object CorpusIngest {
         coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
         coalesce(col("n_landed"), lit(0L)).as("n_landed"),
         coalesce(col("tok_landed"), lit(0L)).as("tok_landed"))
-    // localCheckpoint (eager) BEFORE dropping the stage caches: the
-    // returned frame is lazily consumed and would otherwise recompute
-    // every stage (double NB/DSIR scoring) uncached — and checkpointing
-    // also truncates the report's lineage to its |sources| materialized
-    // rows, so consumers' plans don't re-embed the whole stage pipeline
-    // (the q181 plan-explosion precedent)
-    val res = out.localCheckpoint()
-    Seq(keep0, fresh, lpool, gated).foreach(_.unpersist())
-    res
+    // localCheckpoint (eager): truncates the report's lineage to its
+    // |sources| materialized rows, so consumers' plans don't re-embed
+    // the whole stage pipeline (the q181 plan-explosion precedent) and
+    // repeated consumption doesn't re-run the scan
+    out.localCheckpoint()
   }
 
   /** The committed delete epoch; 0 (no deletes) for warehouses written

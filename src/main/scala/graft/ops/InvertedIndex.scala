@@ -95,10 +95,16 @@ object InvertedIndex {
     */
   def postings(docs: DataFrame,
                az: Analyzer = Analyzer.Whitespace): DataFrame = {
-    val t = az.slots(col("text"))
+    // the slot array materializes in its OWN projection so the
+    // analyzer kernel runs ONCE per document: inlined into one select,
+    // size(t) (Project) and posexplode(t) (Generate) each evaluate the
+    // full analysis — two kernel passes per doc (CollapseProject keeps
+    // a multiply-referenced non-cheap alias un-inlined, so this split
+    // is load-bearing, not cosmetic)
     docs
-      .select(col("doc_id"), size(t).as("dl"),
-        posexplode(t).as(Seq("pos0", "term")))
+      .select(col("doc_id"), az.slots(col("text")).as("__t"))
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        posexplode(col("__t")).as(Seq("pos0", "term")))
       .filter(az.isIndexed(col("term")))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
@@ -111,38 +117,36 @@ object InvertedIndex {
     * the corpus globals. dl counts ALL analyzed slots (the same dl the
     * posting rows carry); the filter drops docs with no INDEXED
     * tokens, which have no posting rows and so must not count anywhere
-    * (the [[rollback]] rebuild-from-postings rule).
+    * (the [[rollback]] rebuild-from-postings rule). The slot array is
+    * materialized in its own projection so the kernel runs once per
+    * document (the [[postings]] rationale).
     */
   private def docRows(docs: DataFrame, az: Analyzer): DataFrame = docs
     .select(col("doc_id"), az.slots(col("text")).as("t"))
-    .filter(size(filter(col("t"), x => az.isIndexed(x))) > 0)
+    .select(col("doc_id"), col("t"),
+      size(filter(col("t"), x => az.isIndexed(x))).as("__ix"))
+    .filter(col("__ix") > 0)
     .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
 
-  /** (n_docs, sum_dl, zero_token_docs) of a (doc_id, t) slotted frame
-    * in ONE aggregate pass: `dl` is null ⇔ the document analyzed to
-    * ZERO indexable tokens — such documents produce no postings, no
-    * sidecar row and no globals contribution, and before round 13
-    * they silently disappeared (a non-Latin corpus under the old
-    * `[a-z0-9]` alphabet analyzed ENTIRELY to empty streams with no
-    * operator feedback — the verdict's carried observation). The
-    * counter makes that failure mode visible: it lands in the corpus
-    * row as a LIFETIME ingest-quality counter (build seeds it,
-    * addBatch accumulates, delete/rollback preserve — rollback cannot
-    * re-derive it from postings, which is exactly the point: these
-    * documents never reached the postings) and surfaces through
-    * WarehouseStats.
+  /** (n_docs, sum_dl, zero_token_docs) of one generation, derived from
+    * its `docs/` sidecar (already tombstone-filtered by the caller
+    * where required) plus the generation's total input document count:
+    * a document contributes to n_docs/sum_dl iff it analyzed to ≥ 1
+    * indexable token (⇔ it has a sidecar row), and the remainder are
+    * the zero-token documents — the round-13 lifetime ingest-quality
+    * counter (a non-Latin corpus under the old `[a-z0-9]` alphabet
+    * analyzed ENTIRELY to empty streams with no operator feedback;
+    * the counter makes that failure mode visible and surfaces through
+    * WarehouseStats). Replaces the old third analyzer pass over the
+    * corpus (the corpusStats aggregate) with one n_docs-sized sidecar
+    * aggregate + one column-pruned count of the input.
     */
-  private def corpusStats(slotted: DataFrame, az: Analyzer): DataFrame =
-    slotted
-      .select(when(size(filter(col("t"), x => az.isIndexed(x))) > 0,
-        size(col("t")).cast(LongType)).as("dl"))
-      .agg(count(col("dl")).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
-        (count(lit(1)) - count(col("dl"))).cast(LongType)
-          .as("zero_token_docs"))
-
-  private def slotted(docs: DataFrame, az: Analyzer): DataFrame =
-    docs.select(col("doc_id"), az.slots(col("text")).as("t"))
+  private def statsFromSidecar(sidecar: DataFrame,
+                               totalDocs: Long): (Long, Long, Long) = {
+    val r = sidecar.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    (r.getLong(0), r.getLong(1), totalDocs - r.getLong(0))
+  }
 
   /** The lifetime zero-token-document counter of a corpus row; 0 for
     * rows written before the counter existed.
@@ -228,12 +232,16 @@ object InvertedIndex {
       .parquet(s"$dir/postings")
     docRows(docs, analyzer).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/docs")
+    val (nDocs, sumDl, zeroTok) = statsFromSidecar(
+      spark.read.parquet(s"$dir/docs").filter(col("batch") === 0L),
+      docs.count())
     WriterLease.check(spark, lease)
+    import spark.implicits._
     Load.replaceTable(spark,
       withAnalyzerCols(
-        corpusStats(slotted(docs, analyzer), analyzer)
-          .withColumn("last_batch", lit(0L))
-          .withColumn("del_epoch", lit(0L)), analyzer), s"$dir/corpus")
+        Seq((nDocs, sumDl, zeroTok, 0L, 0L))
+          .toDF("n_docs", "sum_dl", "zero_token_docs", "last_batch",
+            "del_epoch"), analyzer), s"$dir/corpus")
     // a fresh build must not inherit a PRIOR index's tombstones at
     // this path (they would silently delete from the new corpus) —
     // wiped LAST, after the corpus swap: the new row carries
@@ -289,33 +297,41 @@ object InvertedIndex {
         s"batch $batchId arrived over high-water mark $last — ids must " +
           "be contiguous or the skipped batch would silently never land")
       val az = analyzerOf(cOld)
+      val epoch = delEpochOf(cOld)
       postings(docs, az).withColumn("batch", lit(batchId))
         .repartition(col("bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch", "bucket")
         .parquet(s"$dir/postings")
-      docRows(docs, az).withColumn("batch", lit(batchId))
+      docRows(docs, az)
+        .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(s"$dir/docs")
       // the batch's contribution excludes already-tombstoned ids: a
       // rolled-back batch re-ingested AFTER one of its docs was
       // deleted must re-enter minus that doc, or the globals would
-      // double-diverge from every read path's anti-joined view. The
-      // zero-token counter rides the SAME single aggregate (dl null ⇔
-      // zero indexable tokens — see corpusStats).
-      val merged = corpusStats(
-          liveDocs(spark, dir, delEpochOf(cOld))(slotted(docs, az)), az)
-        .select(
-          (col("n_docs") + lit(cOld.getAs[Long]("n_docs"))).as("n_docs"),
-          (col("sum_dl") + lit(cOld.getAs[Long]("sum_dl"))).as("sum_dl"),
-          (col("zero_token_docs") + lit(zeroTokOf(cOld)))
-            .as("zero_token_docs"))
-        .withColumn("last_batch", lit(batchId))
-        .withColumn("del_epoch", lit(delEpochOf(cOld)))
+      // double-diverge from every read path's anti-joined view. Both
+      // the sidecar aggregate and the input doc count (the zero-token
+      // counter's denominator) apply the SAME tombstone filter the old
+      // single-pass aggregate did — and neither re-runs the analyzer
+      // (see docRowsFromPostings).
+      val liveIn = liveDocs(spark, dir, epoch)(docs.select(col("doc_id")))
+      val (bDocs, bSumDl, bZero) = statsFromSidecar(
+        liveDocs(spark, dir, epoch)(
+          spark.read.parquet(s"$dir/docs")
+            .filter(col("batch") === batchId)),
+        liveIn.count())
+      import spark.implicits._
+      val merged = withAnalyzerCols(
+        Seq((bDocs + cOld.getAs[Long]("n_docs"),
+          bSumDl + cOld.getAs[Long]("sum_dl"),
+          bZero + zeroTokOf(cOld), batchId, epoch))
+          .toDF("n_docs", "sum_dl", "zero_token_docs", "last_batch",
+            "del_epoch"), az)
       WriterLease.check(spark, lease)
-      Load.replaceTable(spark, withAnalyzerCols(merged, az), s"$dir/corpus")
+      Load.replaceTable(spark, merged, s"$dir/corpus")
       // a retained rollback may have scheduled this id for deferred
       // deletion — it is live again (the overwrite above is the
       // exactly-once contract; deferred deletion must never fire on it)

@@ -21,6 +21,17 @@ object Catalog {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Partition discovery of the bucketed index trees (64 bucket dirs ×
+    // N generations) crosses the default parallel-listing threshold
+    // (32 paths), so EVERY spark.read.parquet over a postings/index
+    // tree launched a whole Spark listing job for a directory set a
+    // local filesystem lists in microseconds — pure per-action
+    // overhead on the serve/maintain paths (guide §6: listing cost).
+    // Parameterized for deployments on slow object stores, where
+    // parallel listing genuinely wins: export SPARK_GRAFT_LIST_PAR to
+    // restore a lower threshold there.
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
+      sys.env.getOrElse("SPARK_GRAFT_LIST_PAR", "4096"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
