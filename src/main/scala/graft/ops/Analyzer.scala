@@ -102,6 +102,18 @@ sealed trait Analyzer {
     * persisted model stay byte-compatible, plan included.
     */
   def normalize(text: Column): Column
+
+  /** The NON-EMPTY indexed tokens of `text` as an array — equal to
+    * `filter(split(normalize(text), " "), length > 0)` by construction
+    * (analyzed tokens contain no spaces), minus the join+resplit
+    * roundtrip [[normalize]] pays on the Unicode path. The model
+    * stack's filtered tokenizers (NB counts, DSIR features, BPE/Vocab/
+    * UnigramLm words) consume this; [[normalize]] stays the contract
+    * where a STRING is required (HashedNgramScore) or where the
+    * unfiltered split's semantics are pinned (NaiveBayes.score's
+    * raw-under-unicode ≡ twin-under-whitespace equivalence).
+    */
+  def tokens(text: Column): Column
 }
 
 object Analyzer {
@@ -119,6 +131,8 @@ object Analyzer {
     def analyzeTerms(terms: Seq[String]): Seq[String] = terms
     def analyzePhrase(words: Seq[String]): Seq[String] = words
     def normalize(text: Column): Column = text
+    def tokens(text: Column): Column =
+      filter(split(text, " "), t => length(t) > 0)
   }
 
   /** Accent fold → lowercase → script-aware tokenize (Unicode
@@ -151,6 +165,8 @@ object Analyzer {
 
     def normalize(text: Column): Column =
       concat_ws(" ", filter(slots(text), t => isIndexed(t)))
+    def tokens(text: Column): Column =
+      filter(slots(text), t => isIndexed(t))
   }
 
   /** Driver-side twin of [[Unicode.slots]] minus the stopword step —

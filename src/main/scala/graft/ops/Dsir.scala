@@ -59,8 +59,7 @@ object Dsir {
     * Analyzer.normalize then the whitespace split (identity chain for
     * Whitespace: pre-analyzer models byte-compatible, plan included).
     */
-  private def toks(az: Analyzer)(c: Column): Column =
-    filter(split(az.normalize(c), " "), t => length(t) > 0)
+  private def toks(az: Analyzer)(c: Column): Column = az.tokens(c)
 
   /** Unigram+bigram feature strings of `text`. The bigram list is
     * guarded for <2-token docs — `sequence(1, 0)` steps DOWN in Spark
@@ -255,14 +254,21 @@ object Dsir {
         .withColumn("lr_micro", col("__s.lr_micro"))
         .drop("__s")
     } else {
-      val w = Load.readTable(spark, s"$dir/model").get
-        .select(col("bucket").cast(StringType), col("lr_micro"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // FUSED md5 path (the oracle-exact hash): same dense-model fold
+      // as the fast path, one codegen pass over the normalized text —
+      // the Column formulation allocated a feature string, a 32-hex
+      // digest string and a decimal bucket string per feature just to
+      // probe a UTF8String hash table (Md5NgramScore doc; DsirSpec
+      // pins the equivalence)
+      val arr = new Array[Long](buckets)
+      Load.readTable(spark, s"$dir/model").get
+        .select(col("bucket"), col("lr_micro"))
+        .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
       docs
-        .withColumn("__s", graft.functions.WeightedTokenSum.weightedTokenSum(
-          featureBuckets(col("text"), buckets, az), w, 0L))
-        .withColumn("n_feats", col("__s.n_tokens"))
-        .withColumn("lr_micro", col("__s.margin_micro"))
+        .withColumn("__s", graft.functions.Md5NgramScore
+          .md5NgramScore(az.normalize(col("text")), buckets, arr, 0L))
+        .withColumn("n_feats", col("__s.n_feats"))
+        .withColumn("lr_micro", col("__s.lr_micro"))
         .drop("__s")
     }
   }

@@ -54,8 +54,7 @@ object NaiveBayes {
     * byte-compatible, plan included) and the whitespace split then
     * IS the analyzed token stream (Analyzer.normalize's contract).
     */
-  private def toks(az: Analyzer)(c: Column): Column =
-    filter(split(az.normalize(c), " "), t => length(t) > 0)
+  private def toks(az: Analyzer)(c: Column): Column = az.tokens(c)
 
   /** (token, cnt_pos, cnt_neg) of a labeled frame — the mergeable
     * sufficient statistics. One shuffle, map-side combined.

@@ -20,7 +20,8 @@ object Catalog {
     // semantics; the library still uses try_* forms where parse can fail.
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     // Partition discovery of the bucketed index trees (64 bucket dirs ×
     // N generations) crosses the default parallel-listing threshold
     // (32 paths), so EVERY spark.read.parquet over a postings/index

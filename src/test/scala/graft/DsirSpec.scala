@@ -224,4 +224,39 @@ class DsirSpec extends SparkSpec {
     assert(!Dsir.score(spark, docs, dir)
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("fused md5 scorer == unfused md5 Column formulation, byte-exact") {
+    import spark.implicits._
+    val dir = tmp()
+    val B = 64
+    Dsir.train(spark, Seq("aa bb cc", "dd ee").toDF("text"),
+      Seq("aa bb", "zz yy xx", "caf\u00e9 a\u00f1o").toDF("text"),
+      dir, buckets = B)
+    // tricky shapes: multi-space gaps (bigram scratch join), single
+    // token (no bigrams), empty and all-space text (no features),
+    // repeats, multibyte UTF-8
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa  bb   cc"), (3L, "single"),
+      (4L, ""), (5L, "   "), (6L, "caf\u00e9 se\u00f1or a\u00f1os aa"),
+      (7L, "a b a b a"), (8L, " leading and trailing "))
+      .toDF("doc_id", "text")
+    val fused = Dsir.score(spark, docs, dir)
+      .select("doc_id", "n_feats", "lr_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    // ground truth: the Column ladder the expression fuses (md5 hex
+    // substring parse through the string-keyed token sum)
+    val w = Load.readTable(spark, s"$dir/model").get
+      .select(col("bucket").cast("string"), col("lr_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unfused = docs
+      .withColumn("__s", graft.functions.WeightedTokenSum.weightedTokenSum(
+        Dsir.featureBuckets(col("text"), B), w, 0L))
+      .select(col("doc_id"), col("__s.n_tokens").as("n_feats"),
+        col("__s.margin_micro").as("lr_micro"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fused == unfused)
+    // and the fused plan stays exchange-free
+    assert(!Dsir.score(spark, docs, dir)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
