@@ -158,10 +158,36 @@ object Load {
       }
   }
 
+  /** Size cap for [[readTable]]'s driver-side read: tables whose data
+    * files total at most this many bytes come back as a LocalRelation.
+    * Everything the warehouses keep meta/model-sized (1-row commit
+    * points, |sources|-row state, k-row centroid/codebook tables) is
+    * far below it; real data tables blow past it and take the Spark
+    * scan. Env-overridable so a cluster driver with different headroom
+    * can move the line (0 disables the fast path entirely).
+    */
+  private val localReadMaxBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_READ_MAX_BYTES",
+      (8L * 1024 * 1024).toString).toLong
+
   def readTable(spark: SparkSession, dir: String): Option[DataFrame] = {
     recoverSwapGated(spark, dir)
     recoverScopedSwapsGated(spark, dir)
-    if (tableExists(spark, dir)) Some(spark.read.parquet(dir)) else None
+    if (!tableExists(spark, dir)) None
+    // Meta/model-sized tables (the overwhelming majority of readTable
+    // calls on the warehouse verb paths) come back as a LocalRelation:
+    // the footers are read once on the driver, and every downstream
+    // `.head()`/`.collect()` is then a plan-time take instead of a
+    // schema-inference pass plus a scheduled Spark job per access
+    // (guide §1.2/§5 — the lifecycle gates ran 100-330 such jobs per
+    // bench pass). Partitioned/large/non-flat tables fall through to
+    // the Spark reader unchanged.
+    else Some(LocalParquet.readAll(spark, dir, localReadMaxBytes) match {
+      case Some((schema, rows)) =>
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      case None => spark.read.parquet(dir)
+    })
   }
 
   /** K2 batch UPSERT: existing rows lose to incoming rows on PK match.
@@ -213,9 +239,36 @@ object Load {
   private def swapIn(spark: SparkSession, merged: DataFrame,
                      dir: String): Long = {
     val staging = s"$dir.__staging"
-    merged.write.mode("overwrite").parquet(staging)
-    atomicSwap(spark, staging, dir)
-    spark.read.parquet(dir).count()
+    // A frame the optimizer already folded to a LocalRelation (the
+    // 1-row meta commit points every lifecycle verb writes, built from
+    // driver-side literals) stages as one parquet file written on the
+    // driver — no write job, no count job; previously each such commit
+    // cost a staged write job plus a schema-inference + count re-read
+    // (guide §1.2). The file is byte-compatible standard parquet.
+    val localRows = merged.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if LocalParquet.supportsWrite(merged.schema) =>
+        Some(merged.collect()) // LocalTableScan: plan-time, no Spark job
+      case _ => None
+    }
+    localRows match {
+      case Some(rows) =>
+        val sp = new Path(staging)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(sp, true) // stale staging from a crashed prior run
+        LocalParquet.writeFile(spark, merged.schema,
+          rows.toSeq.map(_.toSeq), s"$staging/part-00000.parquet")
+        atomicSwap(spark, staging, dir)
+        rows.length.toLong
+      case None =>
+        merged.write.mode("overwrite").parquet(staging)
+        atomicSwap(spark, staging, dir)
+        // exact count from the footers just written — not a result
+        // cache: same number `spark.read.parquet(dir).count()` computed,
+        // without re-listing + re-inferring + running a job over the
+        // table that was materialized one line above
+        LocalParquet.rowCount(spark, dir)
+    }
   }
 
   /** Scoped-merge core: merge `incoming` into the table at `dir`
@@ -269,7 +322,7 @@ object Load {
         // 32k tiny files) and every later merge pays that listing.
         merge(None, incoming).repartition(col(scopeCol))
           .write.mode("overwrite").partitionBy(scopeCol).parquet(staging)
-        val n = spark.read.parquet(staging).count()
+        val n = LocalParquet.rowCount(spark, staging)
         // layout markers (e.g. _GRAFT_BUCKETS) ride the atomic rename:
         // written into staging BEFORE the swap, so no crash window can
         // leave a valid table whose later merges are rejected for a
@@ -332,9 +385,9 @@ object Load {
         }
         // count the STAGING side (touched scopes only) — counting via
         // the table root would re-run partition discovery over every
-        // untouched directory. Explicit schema: an all-deletes merge
-        // leaves staging with no files to infer from
-        val n = spark.read.schema(merged.schema).parquet(staging).count()
+        // untouched directory. Footer counts need no schema, so the
+        // all-deletes case (no files staged) is simply 0
+        val n = LocalParquet.rowCount(spark, staging)
         scopes.foreach { s =>
           val part = s"$scopeCol=$s"
           // a scope can be present in the batch but produce no output

@@ -113,18 +113,41 @@ object Bpe {
     * the plan before nested-expression depth bites at production merge
     * counts.
     */
+  /** Driver-heap budget for [[trainLocal]]'s resident state, and the
+    * per-word estimate charged against it: the padded state string
+    * (≈ 3·|word| + 8 chars, 2 bytes each in the JVM) plus tuple/array
+    * and per-round pair-map overhead. An eighth of the heap leaves the
+    * rest to Spark's own driver structures.
+    */
+  private[graft] def driverStateBudget: Long =
+    Runtime.getRuntime.maxMemory / 8
+
+  private[graft] def estimatedStateBytes(
+      words: Iterator[(String, Long)]): Long =
+    words.map { case (w, _) => (3L * w.length + 8) * 2 + 120L }.sum
+
   def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
             minFreq: Long = 2L, rematEvery: Int = 32,
             az: Analyzer = Analyzer.Whitespace,
-            maxDriverVocab: Int = 4000000): Seq[(String, String)] = {
+            maxDriverVocab: Int = 4000000,
+            maxDriverStateBytes: Long = driverStateBudget)
+      : Seq[(String, String)] = {
     // one bounded probe: the word frame either fits the driver (cap+1
-    // rows at most cross — a few hundred MB worst-case, the model-side
-    // bound) or the overflow row sends training down the distributed
-    // loop. Either way the corpus-scale shuffle runs once.
+    // rows at most cross — the row cap is the pre-collect backstop,
+    // the BYTE budget below the real driver-memory guard) or the
+    // overflow row sends training down the distributed loop. Either
+    // way the corpus-scale shuffle runs once.
     val probe = wordCounts(docs, az).limit(maxDriverVocab + 1).collect()
-    if (probe.length <= maxDriverVocab)
-      return trainLocal(probe.map(r => (r.getString(0), r.getLong(1))),
-        numMerges, minFreq)
+    if (probe.length <= maxDriverVocab) {
+      val wordCnts = probe.map(r => (r.getString(0), r.getLong(1)))
+      // rows were never the right unit (round-14 verdict): 4M long
+      // words is driver-OOM territory on a small driver while 4M short
+      // words is fine on this one. Charge estimated resident bytes
+      // against the driver-derived budget; over it, the distributed
+      // loop runs unchanged.
+      if (estimatedStateBytes(wordCnts.iterator) <= maxDriverStateBytes)
+        return trainLocal(wordCnts, numMerges, minFreq)
+    }
     trainDistributed(spark, docs, numMerges, minFreq, rematEvery, az)
   }
 

@@ -97,6 +97,29 @@ object Relational {
     p
   }
 
+  /** Append a 1-based rank column to an ALREADY-ORDERED bounded frame
+    * (an `orderBy(...).limit(k)` — TakeOrderedAndProject returns rows
+    * in exactly that order): the rows collect to the driver and come
+    * back as a LocalRelation with `rankCol` = position. Replaces the
+    * `row_number().over(Window.orderBy(...))` idiom on top-k cuts,
+    * whose unpartitioned WindowExec is a single-partition funnel (fine
+    * for k rows, a cliff if the bound ever slips — and a warning wall
+    * in every log). Callers MUST pass a deterministically ordered,
+    * bounded frame.
+    */
+  def withLocalRank(spark: org.apache.spark.sql.SparkSession,
+                    ordered: DataFrame, rankCol: String): DataFrame = {
+    val rows = ordered.collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.toSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+        }).asJava, schema)
+  }
+
   /** Dataset-version diff — the audit every corpus release pipeline
     * runs between two snapshots (what changed since the last training
     * set was cut): rows keyed by `idCol`, content identity =

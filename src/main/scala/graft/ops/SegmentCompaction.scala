@@ -2,8 +2,6 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.LongType
 
 /** Size-tiered segment merging for the `batch=I`-partitioned warehouse
   * indexes ([[InvertedIndex]], [[AdcIngest]]) — the write-amplification
@@ -95,16 +93,14 @@ object SegmentCompaction {
     * the same size and the policy nondeterministic). The count reads
     * only the partition column — footer metadata, no data pages.
     */
-  def genSizes(spark: SparkSession, tree: String): Seq[(Long, Long)] = {
-    val p = new Path(tree)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) Seq.empty
-    else spark.read.parquet(tree)
-      .groupBy(col("batch").cast(LongType).as("batch"))
-      .count().collect()
-      .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("count")))
-      .toSeq.sortBy(_._1)
-  }
+  def genSizes(spark: SparkSession, tree: String): Seq[(Long, Long)] =
+    // exact per-generation row counts straight from each batch= dir's
+    // parquet footers on the driver — the same numbers the previous
+    // `read.parquet(tree).groupBy(batch).count()` computed, without the
+    // schema inference + partition discovery + Spark job every
+    // maintenance verb was paying per call (guide §1.2; zero-row
+    // generations are omitted by both forms)
+    graft.etl.LocalParquet.partitionRowCounts(spark, tree, "batch")
 
   /** The ids to merge under the size-tiered policy, or empty when no
     * merge is due: every generation newer than the newest SETTLED one

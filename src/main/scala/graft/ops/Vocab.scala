@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,18 +39,31 @@ object Vocab {
     words(docs, az).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** Bootstrap the vocab table from `docs`: top-`size` words by
-    * (count desc, word), tok_id = rank. The unpartitioned window runs
-    * over the already-limited top-V frame — driver-scale by
-    * construction, like q134's.
+    * (count desc, word), tok_id = rank — assigned on the driver from
+    * the limit's order (the frame is vocab-sized by construction).
     */
   def train(spark: SparkSession, docs: DataFrame, dir: String,
             size: Int, az: Analyzer = Analyzer.Whitespace): Long = {
-    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
-    val vocab = counts(docs, az)
-      .orderBy(col("cnt").desc, col("word")).limit(size)
-      .select(col("word"),
-        row_number().over(byFreq).cast(IntegerType).as("tok_id"),
-        col("cnt"))
+    // tok_id = position in the (cnt desc, word) top-`size` order. The
+    // TakeOrderedAndProject limit already returns rows in that exact
+    // order, so ids are assigned on the driver over the vocab-sized
+    // result — replacing the former unpartitioned row_number window,
+    // which funneled the same rows through a single-partition
+    // WindowExec (the 100 TB scale cliff flagged in round 14) and cost
+    // an extra sort + exchange for ranks the limit order already held.
+    val top = counts(docs, az)
+      .orderBy(col("cnt").desc, col("word")).limit(size).collect()
+    val vocab = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        top.toSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), i + 1, r.getLong(1))
+        }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tok_id", IntegerType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))))
     Load.replaceTable(spark, vocab, dir)
   }
 
@@ -65,13 +77,23 @@ object Vocab {
     val existing = Load.readTable(spark, dir).getOrElse(
       throw new IllegalStateException(s"no vocab table at $dir — train first"))
     val maxId = existing.agg(max(col("tok_id"))).collect()(0).getInt(0)
-    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
-    val fresh = counts(docs, az)
+    // same driver-side rank assignment as [[train]]: the limit's
+    // (cnt desc, word) order IS the rank — no single-partition window
+    val top = counts(docs, az)
       .join(broadcast(existing.select(col("word"))), Seq("word"), "left_anti")
-      .orderBy(col("cnt").desc, col("word")).limit(maxNew)
-      .select(col("word"),
-        (row_number().over(byFreq) + maxId).cast(IntegerType).as("tok_id"),
-        col("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxNew).collect()
+    val fresh = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        top.toSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), maxId + i + 1,
+            r.getLong(1))
+        }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tok_id", IntegerType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))))
     Load.upsert(spark, fresh, dir, "word")
   }
 

@@ -42,9 +42,27 @@ object PipelineQueries {
   private[queries] def tempRoot(prefix: String): String = {
     val p = Files.createTempDirectory(prefix)
     sys.addShutdownHook {
+      // Other shutdown hooks (Spark's executor/task teardown) can still
+      // be writing into this tree while we delete it — a walk-then-
+      // delete snapshot then hits DirectoryNotEmptyException on a dir
+      // that gained a file after the walk, and one failed delete used
+      // to abort the whole hook. Re-walk a few times, tolerating
+      // individual failures; anything that survives a concurrent
+      // writer's last gasp goes on the final best-effort pass.
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists)
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 3) {
+        attempt += 1
+        done = try {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .reverse.foreach { f =>
+              try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: java.io.IOException => }
+            }
+          !java.nio.file.Files.exists(p)
+        } catch { case _: java.io.IOException => false }
+      }
     }
     p.toString
   }

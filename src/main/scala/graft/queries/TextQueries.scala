@@ -1180,11 +1180,12 @@ object TextQueries {
           posexplode(toks(col("text"))).as(Seq("pos", "word")))
         .filter(length(col("word")) > 0)
         .transform(eager) // feeds vocab build AND the encode join
-      val byFreq = Window.orderBy(col("cnt").desc, col("word"))
+      // tok_id = position in the 16-row limit's order, assigned on
+      // the driver (no single-partition WindowExec)
       val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(16)
-        .select(col("word"),
-          row_number().over(byFreq).cast(IntegerType).as("tok_id"))
+        .transform(graft.ops.Relational.withLocalRank(s, _, "tok_id"))
+        .select(col("word"), col("tok_id"))
       val enc = words.join(broadcast(vocab), Seq("word"), "left")
         .select(col("doc_id"), col("pos"),
           coalesce(col("tok_id"), lit(0)).as("tok_id"))
@@ -1291,26 +1292,46 @@ object TextQueries {
       def withSh(f: DataFrame) = f
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      val baseSh = withSh(base).transform(eager)
-      val batchSh = withSh(batch).transform(eager)
       // 8 buckets at catalog scale (5k docs): enough dirs to prove the
       // scoped layout, without paying 32 dir-swaps per merge replay in
       // the bench; the Stress A/B runs the production 256
       val buckets = 8
       val dd = graft.ops.IncrementalDedup
-      // day 0: bootstrap the index from the corpus
-      dd.mergeSignatures(s, dd.bandRows(dd.signatures(baseSh)), wh, buckets)
+      // day 0: bootstrap the index from the corpus. The shingle frame
+      // is NOT persisted (round-14's slowest-non-gate finding): the
+      // corpus-scale shingle arrays used to be cached for the final
+      // Jaccard join, paying a persist + count of text-scale state —
+      // shingling now fuses into the one signature pass here, and the
+      // verify below re-shingles only the candidate docs (§2.3:
+      // persist fewer bytes; the candidate set is cap-bounded).
+      dd.mergeSignatures(s, dd.bandRows(dd.signatures(withSh(base))),
+        wh, buckets)
       // day 1: probe the batch (eager: the merge below swaps the very
       // bucket dirs a lazy probe plan would later re-read), then merge
       // its signatures in
-      val batchBands = dd.bandRows(dd.signatures(batchSh)).transform(eager)
-      val pairs = dd.probe(s, batchBands, wh, buckets).transform(eager)
+      val batchBands = dd.bandRows(dd.signatures(withSh(batch)))
+        .transform(eager)
+      // localCheckpoint (eager): truncates the probe lineage — the
+      // candidate semi-join below re-enters the pair frame on three
+      // paths, and with plain persist the nested cached plans repeat
+      // the whole probe tree per path (planning cost + an unreadable
+      // thousand-node explain); the checkpointed frame is
+      // candidate-pair-sized
+      val pairs = dd.probe(s, batchBands, wh, buckets)
+        .localCheckpoint(true)
       dd.mergeSignatures(s, batchBands, wh, buckets)
-      val allSh = baseSh.unionByName(batchSh)
+      // true-Jaccard verify on candidates only: shingle just the docs
+      // that appear in a pair (broadcast semi-join on the pair ids —
+      // bounded by the band cap), not the corpus
+      val candIds = pairs.select(col("da").as("doc_id"))
+        .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+      val candSh = withSh(base.unionByName(batch)
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .transform(eager) // feeds both pair sides
       pairs
-        .join(allSh.select(col("doc_id").as("da"), col("sh").as("sha")),
+        .join(candSh.select(col("doc_id").as("da"), col("sh").as("sha")),
           Seq("da"))
-        .join(allSh.select(col("doc_id").as("db"), col("sh").as("shb")),
+        .join(candSh.select(col("doc_id").as("db"), col("sh").as("shb")),
           Seq("db"))
         .select(col("da"), col("db"),
           round(size(array_intersect(col("sha"), col("shb"))) /
@@ -4238,27 +4259,22 @@ object TextQueries {
       FROM t GROUP BY doc_id
       ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
 
-  /** Stub-decode pixel i of the 8×9 dHash grid over a hex payload
-    * column `h` of byte length `n` (+ brightness, clamped) — shared by
-    * q176 and q188; the DuckDB twin replays it byte-for-byte.
+  /** (h0, h1) dHash halves of a binary payload under the q176/q188
+    * stub decode — ONE fused codegen pass over the payload bytes
+    * ([[graft.functions.Dhash64]]) in place of the former Column
+    * ladder, which materialized the payload's full hex string and ran
+    * 128 `conv(substr(hex,…),16,10)` parses + 64 `when` branches per
+    * half per row. DhashSpec pins the fused form bit-identical to the
+    * ladder (and the DuckDB twin replays the same grid byte-for-byte).
+    * Halves stay non-negative: h0 = low 32 bits, h1 = logical-shift
+    * high 32 — no sign traps in either engine.
     */
-  private def dhashPix(i: Int, h: Column, n: Column,
-                       bright: Column): Column = least(lit(255),
-    conv(h.substr((floor(lit(i) * n / 72) * 2 + 1).cast(IntegerType),
-      lit(2)), 16, 10).cast(IntegerType) + bright)
-
-  /** One 32-bit half of the 64-bit dHash (bit b = pix(r,c) < pix(r,c+1)
-    * on the 8×9 grid, bit index b = r*8+c), packed as a non-negative
-    * long — no sign traps in either engine.
-    */
-  private def dhashHalf(lo: Int, h: Column, n: Column,
-                        bright: Column): Column =
-    (lo until lo + 32).map { b =>
-      val (r, c) = (b / 8, b % 8)
-      when(dhashPix(r * 9 + c, h, n, bright) <
-          dhashPix(r * 9 + c + 1, h, n, bright),
-        lit(1L << (b - lo))).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def dhashHalves(payload: Column, bright: Column,
+                          h0Name: String, h1Name: String): Seq[Column] = {
+    val h = graft.functions.Dhash64.dhash64(payload, bright)
+    Seq(h.bitwiseAND(lit(0xFFFFFFFFL)).as(h0Name),
+      shiftrightunsigned(h, 32).as(h1Name))
+  }
 
   val q176DhashNeardup = Q("q176_dhash_neardup",
     // PERCEPTUAL-HASH near-dup over the multimodal payload column —
@@ -4279,11 +4295,8 @@ object TextQueries {
     // scan work; the only exchanges are the band join (bounded by the
     // cap) and the candidate re-join — the q30/q136 dedup shape.
     (s, d) => {
-      val h = col("hx")
-      val n = col("n")
       // stub decode: pixel i = byte at ⌊i·n/72⌋ (+brightness, clamped);
-      // the grid/packing live in dhashPix/dhashHalf (shared with q188)
-      def half(lo: Int): Column = dhashHalf(lo, h, n, col("bright"))
+      // the grid/packing live in Dhash64/dhashHalves (shared with q188)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val media = docs
         .select((col("doc_id") * 2).as("doc_id"), col("text"),
@@ -4293,10 +4306,10 @@ object TextQueries {
             lit(16).as("bright")))
       val hashed = media
         .select(col("doc_id"), col("bright"),
-          hex(col("text").cast(BinaryType)).as("hx"),
-          octet_length(col("text").cast(BinaryType)).as("n"))
-        .filter(n > 0)
-        .select(col("doc_id"), half(0).as("h0"), half(32).as("h1"))
+          col("text").cast(BinaryType).as("px"))
+        .filter(octet_length(col("px")) > 0)
+        .select(col("doc_id") +:
+          dhashHalves(col("px"), col("bright"), "h0", "h1"): _*)
         .transform(eager) // feeds the band explode AND both pair sides
       val exploded = hashed.select(col("doc_id"),
         posexplode(array(
@@ -4390,13 +4403,11 @@ object TextQueries {
       // ---- image modality: q176's dHash/band/verify ----
       val hashed = pairs
         .select(col("pair_id"),
-          hex(col("img").cast(BinaryType)).as("hx"),
-          octet_length(col("img").cast(BinaryType)).as("n"),
+          col("img").cast(BinaryType).as("px"),
           col("bright"))
-        .filter(col("n") > 0)
-        .select(col("pair_id"),
-          dhashHalf(0, col("hx"), col("n"), col("bright")).as("h0"),
-          dhashHalf(32, col("hx"), col("n"), col("bright")).as("h1"))
+        .filter(octet_length(col("px")) > 0)
+        .select(col("pair_id") +:
+          dhashHalves(col("px"), col("bright"), "h0", "h1"): _*)
         .transform(eager)
       val iExploded = hashed.select(col("pair_id").as("doc_id"),
         posexplode(array(

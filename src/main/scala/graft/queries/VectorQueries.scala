@@ -1024,11 +1024,9 @@ object VectorQueries {
         .select(col("doc_id"),
           round(termScores.reduceLeft(_ + _), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
-        // partitionless window is BY CONSTRUCTION over the 50-row
-        // limit above — the single-partition move WindowExec warns
-        // about is 50 rows, not the corpus
-        .withColumn("lex_rank",
-          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        // rank = position in the 50-row limit's order, assigned on the
+        // driver (no single-partition WindowExec)
+        .transform(graft.ops.Relational.withLocalRank(s, _, "lex_rank"))
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           norm(col("embedding")).as("nrm"))
@@ -1040,8 +1038,7 @@ object VectorQueries {
             6).as("cosine"))
         .orderBy(col("cosine").desc, col("doc_id")).limit(50)
         // 50-row frame — see lex_rank note
-        .withColumn("dense_rank",
-          row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+        .transform(graft.ops.Relational.withLocalRank(s, _, "dense_rank"))
       lex.select(col("doc_id"), col("lex_rank"))
         .join(den.select(col("doc_id"), col("dense_rank")),
           Seq("doc_id"), "full_outer")
@@ -2682,13 +2679,11 @@ object VectorQueries {
         Seq(d).toDF("sf_dir").write.mode("overwrite").parquet(marker)
       }
       val lex = ix.search(s, whIx, Seq("dup", "scan", "merge"), 20)
-        .withColumn("lrank", row_number().over(
-          // partitionless window over the ≤20 rows ix.search returned
-          // — the single-partition move WindowExec warns about is the
-          // rank frame, never corpus-sized
-          Window.orderBy(col("bm25_micro").desc, col("doc_id")))
-          .cast(LongType))
-        .select(col("doc_id"), col("lrank"))
+        // rank over the ≤20 search results, ordered explicitly then
+        // assigned on the driver (no single-partition WindowExec)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .transform(graft.ops.Relational.withLocalRank(s, _, "lrank0"))
+        .select(col("doc_id"), col("lrank0").cast(LongType).as("lrank"))
       val cents = graft.ops.VectorOps.loadCentroids(s, whAdc + "/centroids")
       import s.implicits._
       val cdf = cents.toSeq.toDF("cluster_id", "ce")

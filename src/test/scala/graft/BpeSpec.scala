@@ -115,6 +115,28 @@ class BpeSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("driver-byte cap: over-budget vocab falls back to the " +
+      "distributed loop with identical merges") {
+    val docs = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newer newer newest widest wide wide"))
+      .toDF("doc_id", "text")
+    val local = Bpe.train(spark, docs, numMerges = 12)
+    // a 1-byte state budget rejects ANY vocab → distributed loop;
+    // the merge list must be bit-identical (the local loop's contract)
+    val fellBack = Bpe.train(spark, docs, numMerges = 12,
+      maxDriverStateBytes = 1L)
+    assert(fellBack == local)
+    // the estimate is monotone in word bytes and non-trivial: a long
+    // word charges more than a short one, and the budget derives from
+    // the driver heap, not a row count
+    val short = Bpe.estimatedStateBytes(Iterator(("ab", 1L)))
+    val long = Bpe.estimatedStateBytes(Iterator(("a" * 1000, 1L)))
+    assert(long > short && long >= 6000L)
+    assert(Bpe.driverStateBudget > 0L &&
+      Bpe.driverStateBudget <= Runtime.getRuntime.maxMemory)
+  }
+
   test("train/save/load/lexicon/encode round-trip, OOV falls back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_spec")
       .toString
