@@ -232,11 +232,14 @@ object UnigramLm {
     */
   def savePieces(spark: SparkSession, pieces: DataFrame,
                  dir: String): Long =
+    // rank assigned on the driver from the sorted collect (the piece
+    // table is vocabSize-bounded by train's last-round prune) — no
+    // single-partition row_number window; the LocalRelation then
+    // writes driver-side through replaceTable's local fast path
     Load.replaceTable(spark,
-      pieces.select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("lp_micro").desc, col("piece"))).as("rank"),
-        col("piece"), col("lp_micro")).coalesce(1),
+      graft.ops.Relational.withLocalRank(spark,
+          pieces.orderBy(col("lp_micro").desc, col("piece")), "rank")
+        .select(col("rank"), col("piece"), col("lp_micro")),
       dir)
 
   /** Read a persisted piece table back: (piece, lp_micro). */

@@ -4755,14 +4755,19 @@ object TextQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast(LongType).as("toks"))
+      // localCheckpoint (eager): the |sources|-row inventory feeds
+      // both the totals agg and the plan join; one corpus pass, and
+      // the totals ride a broadcast crossJoin instead of the former
+      // empty-partition window (a single-partition WindowExec, even
+      // if only over the bounded inventory)
       val inv = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("available"))
         .withColumn("w_raw",
           pmod(substring(col("source"), 4, 10).cast(LongType), lit(5L)) + 1)
-      val wAll = Window.partitionBy() // |sources|-row frame — bounded
-      val plan = inv
-        .withColumn("avail_total", sum(col("available")).over(wAll))
-        .withColumn("w_sum", sum(col("w_raw")).over(wAll))
+        .localCheckpoint(true)
+      val tot = inv.agg(sum(col("available")).as("avail_total"),
+        sum(col("w_raw")).as("w_sum"))
+      val plan = inv.crossJoin(broadcast(tot))
         // budget = 2× corpus; integer div — exact in both engines
         .withColumn("target_tokens",
           expr("(w_raw * avail_total * 2) div w_sum"))
