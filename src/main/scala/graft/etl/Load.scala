@@ -245,10 +245,20 @@ object Load {
     // driver — no write job, no count job; previously each such commit
     // cost a staged write job plus a schema-inference + count re-read
     // (guide §1.2). The file is byte-compatible standard parquet.
+    def isLocalPlan(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      // a `.coalesce(1)` over a local frame (the model-writer idiom)
+      // is still driver-resident data
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+        isLocalPlan(r.child)
+      case _ => false
+    }
     val localRows = merged.queryExecution.optimizedPlan match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-        if LocalParquet.supportsWrite(merged.schema) =>
-        Some(merged.collect()) // LocalTableScan: plan-time, no Spark job
+      case p if isLocalPlan(p) && LocalParquet.supportsWrite(merged.schema) =>
+        Some(merged.collect()) // local rows: no scan, at most a coalesce
       case _ => None
     }
     localRows match {

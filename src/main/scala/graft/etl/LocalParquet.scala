@@ -217,9 +217,15 @@ private[graft] object LocalParquet {
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return None
     try {
+      // Besides the byte cap, cap the FILE count: the driver reader
+      // pays two sequential footer opens per file (schema pass + row
+      // pass), so a 32-part tiny table — a distributed write that was
+      // never coalesced — reads faster through Spark's parallel scan
+      // than through 64 driver opens. Model tables written through the
+      // single-file fast path stay at 1–2 files.
       val files = flatDataFiles(fs, p) match {
-        case Some(fss) if fss.nonEmpty && fss.map(_.getLen).sum <= maxBytes =>
-          fss
+        case Some(fss) if fss.nonEmpty && fss.length <= 4 &&
+          fss.map(_.getLen).sum <= maxBytes => fss
         case _ => return None
       }
       val conf = spark.sparkContext.hadoopConfiguration

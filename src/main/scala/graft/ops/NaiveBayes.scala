@@ -117,7 +117,11 @@ object NaiveBayes {
     // dir/counts swap must come LAST: any recompute during the
     // weights/meta writes then still reads the PRE-swap counts table
     // instead of silently folding the batch in twice.
-    Load.replaceTable(spark, weights, s"$dir/weights")
+    // one file: the weights table is vocabCap-bounded by construction,
+    // and a single-file model table serves through the driver-side
+    // read path (a 32-part spray of a KB-scale model paid 64 footer
+    // opens there and a parallel-scan job otherwise)
+    Load.replaceTable(spark, weights.coalesce(1), s"$dir/weights")
     val priorMicro =
       math.round((math.log(nPos.toDouble) - math.log(nNeg.toDouble)) * 1e6)
     import spark.implicits._
@@ -271,7 +275,8 @@ object NaiveBayes {
           .cast(LongType).as("weight_micro"))
     // same write-order contract as the binary fit: counts swap LAST so
     // an extend-path cache recompute still reads the PRE-swap table
-    Load.replaceTable(spark, weights, s"$dir/weights")
+    // one file — same vocabCap bound as the binary fit
+    Load.replaceTable(spark, weights.coalesce(1), s"$dir/weights")
     Load.replaceTable(spark,
       nDocs.map { case (l, n) =>
         (l, n, tots.getOrElse(l, 0L), v,

@@ -1292,46 +1292,34 @@ object TextQueries {
       def withSh(f: DataFrame) = f
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
+      // NOTE (r15, recorded non-win): a rewrite that dropped these two
+      // corpus-scale shingle persists — fusing shingling into the
+      // signature pass and re-shingling only candidate docs for the
+      // Jaccard verify — measured consistently ~20% SLOWER at sf0.1
+      // (the candidate semi-join re-enters the 3-branch base∪batch
+      // union, tripling documents scans; the persists amortize the
+      // scan across the merge's probe+write executions AND the verify
+      // joins). Reverted; the persists are load-bearing.
+      val baseSh = withSh(base).transform(eager)
+      val batchSh = withSh(batch).transform(eager)
       // 8 buckets at catalog scale (5k docs): enough dirs to prove the
       // scoped layout, without paying 32 dir-swaps per merge replay in
       // the bench; the Stress A/B runs the production 256
       val buckets = 8
       val dd = graft.ops.IncrementalDedup
-      // day 0: bootstrap the index from the corpus. The shingle frame
-      // is NOT persisted (round-14's slowest-non-gate finding): the
-      // corpus-scale shingle arrays used to be cached for the final
-      // Jaccard join, paying a persist + count of text-scale state —
-      // shingling now fuses into the one signature pass here, and the
-      // verify below re-shingles only the candidate docs (§2.3:
-      // persist fewer bytes; the candidate set is cap-bounded).
-      dd.mergeSignatures(s, dd.bandRows(dd.signatures(withSh(base))),
-        wh, buckets)
+      // day 0: bootstrap the index from the corpus
+      dd.mergeSignatures(s, dd.bandRows(dd.signatures(baseSh)), wh, buckets)
       // day 1: probe the batch (eager: the merge below swaps the very
       // bucket dirs a lazy probe plan would later re-read), then merge
       // its signatures in
-      val batchBands = dd.bandRows(dd.signatures(withSh(batch)))
-        .transform(eager)
-      // localCheckpoint (eager): truncates the probe lineage — the
-      // candidate semi-join below re-enters the pair frame on three
-      // paths, and with plain persist the nested cached plans repeat
-      // the whole probe tree per path (planning cost + an unreadable
-      // thousand-node explain); the checkpointed frame is
-      // candidate-pair-sized
-      val pairs = dd.probe(s, batchBands, wh, buckets)
-        .localCheckpoint(true)
+      val batchBands = dd.bandRows(dd.signatures(batchSh)).transform(eager)
+      val pairs = dd.probe(s, batchBands, wh, buckets).transform(eager)
       dd.mergeSignatures(s, batchBands, wh, buckets)
-      // true-Jaccard verify on candidates only: shingle just the docs
-      // that appear in a pair (broadcast semi-join on the pair ids —
-      // bounded by the band cap), not the corpus
-      val candIds = pairs.select(col("da").as("doc_id"))
-        .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
-      val candSh = withSh(base.unionByName(batch)
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-        .transform(eager) // feeds both pair sides
+      val allSh = baseSh.unionByName(batchSh)
       pairs
-        .join(candSh.select(col("doc_id").as("da"), col("sh").as("sha")),
+        .join(allSh.select(col("doc_id").as("da"), col("sh").as("sha")),
           Seq("da"))
-        .join(candSh.select(col("doc_id").as("db"), col("sh").as("shb")),
+        .join(allSh.select(col("doc_id").as("db"), col("sh").as("shb")),
           Seq("db"))
         .select(col("da"), col("db"),
           round(size(array_intersect(col("sha"), col("shb"))) /
